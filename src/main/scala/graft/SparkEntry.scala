@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory (SURVEY.md §2 re-expressed over
+  * the driver corpus, plus the training-data-pipeline extensions);
+  * `oracleSql` carries a DuckDB twin for every query whose semantics are
+  * SQL-expressible with engine-identical results. Approximate operators
+  * (MinHash/SimHash/LSH-ANN) are rows-only by design and exact-verified in
+  * ScalaTest instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Broadcast dim join → group-count → top-10: the reference's "busiest
+    * pickup zones" shape (assignment1.ipynb:261–271).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q05TopParts(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Analytics.queries ++ TextAnalysis.queries ++ Dedup.queries ++
+      Similarity.queries ++ Multimodal.queries ++ EventStreams.queries
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted for approximate (non-SQL-expressible)
+    * ops → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    Analytics.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
+      Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles
 }

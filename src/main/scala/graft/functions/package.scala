@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Column helpers shared by every operator.
+  *
+  * The `d*` aggregates exist for oracle parity: summing doubles is
+  * partition-order dependent, so a Spark sum and a DuckDB sum of the same
+  * column can differ in the last ulps and break a hash compare. Casting each
+  * value to DECIMAL(38,6) first makes the aggregation exact (and therefore
+  * order-independent); the final cast back to double + round(6) then yields
+  * bit-identical results in both engines. At 100 TB this costs one decimal
+  * conversion per row inside the hash-aggregate — still map-side combined,
+  * still a single shuffle.
+  */
+package object functions {
+  private val Exact: DecimalType = DecimalType(38, 6)
+
+  /** Order-independent (exact) sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(c.cast(Exact)).cast("double")
+
+  /** Exact sum rounded to 6 decimals — safe to hash across engines. */
+  def dsumr(c: Column): Column = round(dsum(c), 6)
+
+  /** Exact average rounded to 6 decimals. Matches
+    * `round(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)/COUNT(x), 6)`.
+    */
+  def davg(c: Column): Column = round(dsum(c) / count(c), 6)
+
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Full English weekday name ("Monday".."Sunday"); Spark's datetime
+    * patterns use Locale.US, matching DuckDB `dayname()` / `strftime("%A")`
+    * (reference semantics: assignment1.ipynb:193, app.py:43).
+    */
+  def weekdayName(ts: Column): Column = date_format(ts, "EEEE")
+
+  /** Monday=1..Sunday=7, for the reference's custom categorical sort
+    * (assignment1.ipynb:376–384).
+    */
+  def weekdayRank(day: Column): Column =
+    when(day === "Monday", 1)
+      .when(day === "Tuesday", 2)
+      .when(day === "Wednesday", 3)
+      .when(day === "Thursday", 4)
+      .when(day === "Friday", 5)
+      .when(day === "Saturday", 6)
+      .when(day === "Sunday", 7)
+
+  /** Epoch seconds (floor) as long — matches DuckDB
+    * `CAST(floor(epoch(ts)) AS BIGINT)`.
+    */
+  def epochSeconds(ts: Column): Column =
+    floor(ts.cast("timestamp").cast("double")).cast("long")
+
+  /** Whitespace tokenizer shared by the text operators; `trim` first so a
+    * trailing blank does not produce an empty token. Matches DuckDB
+    * `string_split(trim(text), ' ')`.
+    */
+  def tokens(text: Column): Column = split(trim(text), " ")
+}

@@ -1,0 +1,377 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** The reference-surface analytics inventory (SURVEY.md §2), re-expressed
+  * over the driver's TPC-H-ish corpus. Every query here has a DuckDB oracle
+  * twin in [[Analytics.oracles]] with IDENTICAL column names and an
+  * IDENTICAL deterministic total order.
+  *
+  * Scale notes baked into each plan:
+  *  - tiny dims (part/nation/supplier/customer-for-enrichment) are
+  *    `broadcast()` so fact-side rows never shuffle for the join;
+  *  - fact⋈fact (lineitem⋈orders) is left to shuffle on the join key — the
+  *    correct strategy at 100 TB;
+  *  - group-bys are all low-cardinality (≤ a few thousand groups), so the
+  *    map-side partial aggregation collapses the shuffle to almost nothing;
+  *  - top-k is `orderBy().limit(k)` ⇒ Spark plans TakeOrderedAndProject
+  *    (per-partition heaps, no global sort);
+  *  - double aggregates use the DECIMAL(38,6) exact-sum helpers from
+  *    [[graft.functions]] so results are partition-order independent.
+  */
+object Analytics {
+
+  /** Timestamp outputs are written as TIMESTAMP_NTZ so the parquet the
+    * driver hashes is timezone-naive, matching DuckDB's naive timestamps.
+    */
+  private def ntz(c: org.apache.spark.sql.Column) = c.cast("timestamp_ntz")
+
+  // ---------------------------------------------------------------- q01
+  /** A1/A2-family: grouped sum/avg/count over the fact table (TPC-H Q1
+    * shape; reference: assignment1.ipynb:262–305).
+    */
+  def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsumr(col("l_quantity")).as("sum_qty"),
+        dsumr(col("l_extendedprice")).as("sum_base_price"),
+        dsumr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // ---------------------------------------------------------------- q02
+  /** V4–V8: the cleaning filters as one conjunctive, pushdown-friendly
+    * predicate (reference: assignment1.ipynb:112–143). Emits the surviving
+    * rows; per-rule counts are observe() metrics (see [[Cleaning]]).
+    */
+  private val lineitemCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
+  def q02CleanLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val rules = Seq(
+      Cleaning.Rule("nulls", Cleaning.notNull(Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"))),
+      Cleaning.Rule("quantity", col("l_quantity") > 0),
+      Cleaning.Rule("price_pos", col("l_extendedprice") > 0),
+      Cleaning.Rule("price_cap", col("l_extendedprice") <= 100000),
+      Cleaning.Rule("discount", col("l_discount").between(0.0, 1.0)))
+    Cleaning.clean(li, rules)
+      .select(lineitemCols.map(c => if (c == "l_shipdate") ntz(col(c)).as(c) else col(c)): _*)
+      .orderBy(lineitemCols.map(col): _*)
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** P1–P4 derived columns over a fact⋈fact join: ship delay in days, ship
+    * weekday, guarded qty/day ratio (reference: assignment1.ipynb:187–198).
+    */
+  def q03Derived(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val delay = Derive.deltaDays(col("o_orderdate"), col("l_shipdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        r6(delay).as("ship_delay_days"),
+        Derive.dayNameOf(col("l_shipdate")).as("ship_dow"),
+        r6(Derive.guardedRatio(col("l_quantity"), delay)).as("qty_per_day"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_delay_days"), col("qty_per_day"))
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** P5 code→label mapping with no-match⇒null semantics (app.py:120–127). */
+  def q04LabelMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.select(
+        Derive.labelMap(col("l_returnflag"),
+          Map("A" -> "Accepted", "N" -> "None", "R" -> "Returned"))
+          .as("returnflag_label"))
+      .groupBy(col("returnflag_label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("returnflag_label"))
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** J1+A1+O1: broadcast dim join → group-count → top-10 ("busiest pickup
+    * zones", assignment1.ipynb:261–271).
+    */
+  def q05TopParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_name"))
+      .agg(count(lit(1)).as("total_trips"))
+      .orderBy(col("total_trips").desc, col("p_name"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** A2+O3: avg value by hour ("hourly fare", assignment1.ipynb:298–306). */
+  def q06HourlyAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.select(Derive.hourOf(col("ts")).as("event_hour"), col("value"))
+      .groupBy(col("event_hour"))
+      .agg(davg(col("value")).as("avg_value"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_hour"))
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** A3+W1: percent-of-total via window over the aggregate (the reference's
+    * only window function, assignment1.ipynb:333–341).
+    */
+  def q07PctOfTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("percentage",
+        r6(col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy())))
+      .orderBy(col("percentage").desc, col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q08
+  /** A4+F5+F6+O5: filtered conditional average by weekday with the custom
+    * categorical weekday sort (assignment1.ipynb:369–385).
+    */
+  def q08CondAvgByWeekday(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val cond = when(col("l_quantity") > 0, col("l_discount"))
+    li.filter(col("l_returnflag") === "R")
+      .select(Derive.dayNameOf(col("l_shipdate")).as("ship_dow"), col("l_quantity"), col("l_discount"))
+      .groupBy(col("ship_dow"))
+      .agg(round(dsum(cond) / count(cond) * 100, 6).as("avg_disc_pct"))
+      .orderBy(weekdayRank(col("ship_dow")))
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** J2+A5+O2: the same dim joined twice under different roles (zones-as-
+    * pickup/dropoff, assignment1.ipynb:411–426) → nation-pair route counts.
+    */
+  def q09TopRoutes(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val cn = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("route_count"))
+      .orderBy(col("route_count").desc, col("cust_nation"), col("supp_nation"))
+      .limit(5)
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** J3+A6+O6+O7: top-k counts LEFT-enriched from a dim, re-sorted
+    * ascending for display (app.py:150–169). Left join keeps ids with no
+    * dim match (null name).
+    */
+  def q10TopUsersEnriched(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val c = Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_name"))
+    val top = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+    top.join(broadcast(c), col("user_id") === col("c_custkey"), "left")
+      .select(col("user_id"), col("n_events"), col("c_name"))
+      .orderBy(col("n_events").asc, col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** A7: day-of-week × hour heatmap feed (app.py:323–329). */
+  def q11Heatmap(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.select(
+        Derive.dayNameOf(col("ts")).as("day_of_week"),
+        Derive.hourOf(col("ts")).as("event_hour"))
+      .groupBy(col("day_of_week"), col("event_hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(weekdayRank(col("day_of_week")), col("event_hour"))
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** A8+A9: global scalar metrics in ONE aggregate job (five dashboard
+    * tiles + widget bounds, app.py:109–130).
+    */
+  def q12GlobalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.agg(
+      count(lit(1)).as("n_events"),
+      davg(col("value")).as("avg_value"),
+      dsumr(col("value")).as("total_value"),
+      epochSeconds(min(col("ts"))).as("min_ts_epoch"),
+      epochSeconds(max(col("ts"))).as("max_ts_epoch"))
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** A11+F4: equal-width histogram binning as an aggregation (the
+    * trip-distance histogram feed, app.py:246–255).
+    */
+  def q13Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_extendedprice") > 0 && col("l_extendedprice") < 100000)
+      .select(floor(col("l_extendedprice") / 1000).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** V10/A12: per-column null census as one aggregate row. */
+  def q14NullCensus(spark: SparkSession, sfDir: String): DataFrame =
+    Cleaning.nullCensus(Tables.lineitem(spark, sfDir))
+
+  // ---------------------------------------------------------------- q15
+  /** A6: value_counts — group-count sorted descending (app.py:152–156). */
+  def q15ValueCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** S2: projection + predicate — both must reach the parquet scan
+    * (PushedFilters / ReadSchema, SURVEY.md §4).
+    */
+  def q16Projection(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        ntz(col("l_shipdate")).as("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_clean_lineitem" -> (q02CleanLineitem _),
+    "q03_derived" -> (q03Derived _),
+    "q04_label_map" -> (q04LabelMap _),
+    "q05_top_parts" -> (q05TopParts _),
+    "q06_hourly_avg" -> (q06HourlyAvg _),
+    "q07_pct_of_total" -> (q07PctOfTotal _),
+    "q08_cond_avg_weekday" -> (q08CondAvgByWeekday _),
+    "q09_top_routes" -> (q09TopRoutes _),
+    "q10_top_users_enriched" -> (q10TopUsersEnriched _),
+    "q11_heatmap" -> (q11Heatmap _),
+    "q12_global_metrics" -> (q12GlobalMetrics _),
+    "q13_histogram" -> (q13Histogram _),
+    "q14_null_census" -> (q14NullCensus _),
+    "q15_value_counts" -> (q15ValueCounts _),
+    "q16_projection" -> (q16Projection _))
+
+  private val dsumSql = (c: String) =>
+    s"round(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE), 6)"
+  private val davgSql = (c: String) =>
+    s"round(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / COUNT($c), 6)"
+  private val weekdayCaseSql = (c: String) =>
+    s"CASE $c WHEN 'Monday' THEN 1 WHEN 'Tuesday' THEN 2 WHEN 'Wednesday' THEN 3 " +
+      s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${dsumSql("l_quantity")} AS sum_qty,
+         |${dsumSql("l_extendedprice")} AS sum_base_price,
+         |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |${davgSql("l_quantity")} AS avg_qty,
+         |${davgSql("l_extendedprice")} AS avg_price,
+         |${davgSql("l_discount")} AS avg_disc,
+         |count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_clean_lineitem" ->
+      s"""SELECT ${lineitemCols.mkString(", ")} FROM lineitem
+         |WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+         |  AND l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL
+         |  AND l_quantity > 0 AND l_extendedprice > 0
+         |  AND l_extendedprice <= 100000 AND l_discount BETWEEN 0.0 AND 1.0
+         |ORDER BY ${lineitemCols.mkString(", ")}""".stripMargin,
+    "q03_derived" ->
+      """SELECT l_orderkey, l_linenumber,
+        |round((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0, 6) AS ship_delay_days,
+        |dayname(l_shipdate) AS ship_dow,
+        |round(CASE WHEN (epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0 > 0
+        |  THEN l_quantity / ((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0)
+        |  ELSE 0.0 END, 6) AS qty_per_day
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber, ship_delay_days, qty_per_day""".stripMargin,
+    "q04_label_map" ->
+      """SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted' WHEN 'N' THEN 'None'
+        |  WHEN 'R' THEN 'Returned' END AS returnflag_label, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_top_parts" ->
+      """SELECT p_name, count(*) AS total_trips
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_name ORDER BY total_trips DESC, p_name LIMIT 10""".stripMargin,
+    "q06_hourly_avg" ->
+      s"""SELECT hour(ts) AS event_hour, ${davgSql("value")} AS avg_value,
+         |count(*) AS n_events
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_pct_of_total" ->
+      """SELECT event_type, count(*) AS n,
+        |round(count(*) * 100.0 / SUM(count(*)) OVER (), 6) AS percentage
+        |FROM events GROUP BY event_type ORDER BY percentage DESC, event_type""".stripMargin,
+    "q08_cond_avg_weekday" ->
+      s"""SELECT dayname(l_shipdate) AS ship_dow,
+         |round(CAST(SUM(CAST(CASE WHEN l_quantity > 0 THEN l_discount END AS DECIMAL(38,6))) AS DOUBLE)
+         |  / COUNT(CASE WHEN l_quantity > 0 THEN l_discount END) * 100, 6) AS avg_disc_pct
+         |FROM lineitem WHERE l_returnflag = 'R'
+         |GROUP BY 1 ORDER BY ${weekdayCaseSql("ship_dow")}""".stripMargin,
+    "q09_top_routes" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, count(*) AS route_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY route_count DESC, cust_nation, supp_nation LIMIT 5""".stripMargin,
+    "q10_top_users_enriched" ->
+      """SELECT user_id, n_events, c_name
+        |FROM (SELECT user_id, count(*) AS n_events FROM events
+        |      GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10) t
+        |LEFT JOIN customer ON t.user_id = customer.c_custkey
+        |ORDER BY n_events ASC, user_id""".stripMargin,
+    "q11_heatmap" ->
+      s"""SELECT dayname(ts) AS day_of_week, hour(ts) AS event_hour, count(*) AS n
+         |FROM events GROUP BY 1, 2
+         |ORDER BY ${weekdayCaseSql("day_of_week")}, event_hour""".stripMargin,
+    "q12_global_metrics" ->
+      s"""SELECT count(*) AS n_events, ${davgSql("value")} AS avg_value,
+         |${dsumSql("value")} AS total_value,
+         |CAST(floor(epoch(min(ts))) AS BIGINT) AS min_ts_epoch,
+         |CAST(floor(epoch(max(ts))) AS BIGINT) AS max_ts_epoch
+         |FROM events""".stripMargin,
+    "q13_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 1000) AS BIGINT) AS bin, count(*) AS n
+        |FROM lineitem WHERE l_extendedprice > 0 AND l_extendedprice < 100000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_null_census" ->
+      lineitemCols.map(c => s"count(*) - count($c) AS ${c}_nulls")
+        .mkString("SELECT ", ", ", " FROM lineitem"),
+    "q15_value_counts" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+    "q16_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin)
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata structs.
+  *
+  * The decode itself is STUBBED (no codec libraries in this container) with
+  * a deterministic fake derived from the bytes; everything Spark-side —
+  * schema, batch shape, partition sizing, the metadata contract — is real.
+  * In production the stub body is replaced by an actual codec call inside
+  * the same `mapPartitions` (one codec init per partition, not per row).
+  */
+object Multimodal {
+
+  /** Typed metadata contract for a decoded asset. */
+  final case class AssetMeta(
+      doc_id: Long,
+      byte_len: Long,
+      content_md5: String,
+      width: Int,
+      height: Int,
+      channels: Int)
+
+  /** Pure-expression metadata over a binary payload — cheap fields that
+    * never need the decoder (length, content hash, stub dimensions).
+    */
+  def binaryMeta(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    val len = length(payload).cast("long")
+    docs.select(
+        col("doc_id"),
+        len.as("byte_len"),
+        md5(col("text")).as("content_md5"),
+        (pmod(len, lit(64)) + 16).cast("long").as("stub_width"),
+        (pmod(expr("length(cast(text AS BINARY)) div 7"), lit(64)) + 16).cast("long").as("stub_height"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decode stage: binary → [[AssetMeta]] via `mapPartitions`, the shape a
+    * real codec needs (per-partition init, streaming iterator, no
+    * collect). The decode body below is the STUB — deterministic fake
+    * dimensions from the byte stream.
+    */
+  def decodeAssets(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      payloadCol: String = "text"): Dataset[AssetMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // Real implementation initializes the codec HERE, once per
+        // partition. STUB: deterministic pseudo-decode from the bytes.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          md.reset()
+          AssetMeta(
+            doc_id = id,
+            byte_len = bytes.length.toLong,
+            content_md5 = hex,
+            width = (bytes.length % 64) + 16,
+            height = (bytes.length / 7 % 64) + 16,
+            channels = 3)
+        }
+      }
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_binary_meta" -> ((s: SparkSession, d: String) => binaryMeta(Tables.documents(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "mm1_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS stub_width,
+        |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS BIGINT) AS stub_height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.sources.Tables
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  *  - [[topkExact]] is the brute-force baseline: broadcast the (small)
+  *    query set against the corpus — the corpus is never shuffled, the scan
+  *    streams through a broadcast-nested-loop with a per-partition top-k
+  *    heap (window + row_number ⇒ rank inside each query partition).
+  *  - [[lshAnn]] is the scale path: random-hyperplane signatures bucket the
+  *    corpus, queries probe only their own bucket — candidate generation is
+  *    a hash join on the bucket key, O(corpus) not O(corpus × queries).
+  *
+  * Vector math is `zip_with`/`aggregate` over doubles — sequential
+  * accumulation, matching DuckDB's `list_cosine_similarity` on
+  * `DOUBLE[]`-cast inputs for oracle parity.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm squared. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** Cosine similarity in double precision. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(norm2(ad)) * sqrt(norm2(bd)))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries
+    * marks the query set). Self-matches excluded.
+    */
+  def topkExact(emb: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val sim = cosine(col("q_emb"), col("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_raw", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), r6(col("sim_raw")).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes (seeded driver-side, shipped as a
+    * broadcast literal — a few KB regardless of corpus size).
+    */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id for a vector: nPlanes sign bits. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val ps = planes(nPlanes, dim, seed)
+    val vd = vec.cast("array<double>")
+    ps.zipWithIndex.map { case (p, i) =>
+      when(dot(vd, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: bucket corpus and queries with the same planes,
+    * join on the bucket, rank within it. Recall is tested against
+    * [[topkExact]] in ScalaTest; the candidate join is a plain hash join on
+    * the bucket key — the 100 TB path (add multi-probe or band-OR for
+    * higher recall; same plan shape).
+    */
+  def lshAnn(
+      emb: DataFrame, nQueries: Int = 20, k: Int = 5,
+      nPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), nPlanes, dim))
+    val q = bucketed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = bucketed.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_raw", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), r6(col("sim_raw")).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
+    "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "sim1_topk_exact" ->
+      """SELECT query_id, neighbor_id, cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(q.embedding AS DOUBLE[])), 6) AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        |  WHERE q.vec_id < 20) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+  // sim2 is approximate (engine-specific plane hashing) → rows-only check;
+  // recall vs sim1 is asserted in ScalaTest.
+}

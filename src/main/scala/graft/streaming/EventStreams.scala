@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions._
+import graft.sources.Tables
+
+/** Structured Streaming extension: the batch aggregations re-expressed as
+  * streaming queries over the `events` table, sharing the same aggregate
+  * bodies (tumbling window + watermark). The batch twin below IS the
+  * oracle-checked query; the streaming variant runs the identical plan on
+  * `readStream`, so correctness carries over.
+  */
+object EventStreams {
+
+  /** Batch twin: tumbling 1-hour window × event_type counts + exact avg.
+    * `window().start` equals DuckDB `date_trunc('hour', ts)` for
+    * epoch-aligned tumbling windows.
+    */
+  def windowedBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("avg_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Streaming source over the same parquet directory. Handles the
+    * TIMESTAMP(NANOS) physical type the same way [[Tables.events]] does.
+    */
+  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sfDir).schema // pre-normalized schema
+    val raw = spark.readStream
+      .schema(schema.copy(fields = schema.fields.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
+        case f => f
+      }))
+      .parquet(s"$sfDir")
+    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming variant: same aggregate body + 1-hour watermark. Append
+    * mode emits a window once the watermark passes its end — at scale,
+    * state is bounded by (windows in flight × event types).
+    */
+  def windowedStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("event_type"), col("n"), col("avg_value"))
+
+  /** Drive a streaming frame to a named in-memory table, synchronously
+    * (AvailableNow ⇒ processes the backlog and stops). Test harness path.
+    */
+  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_windowed_agg" ->
+      ((s: SparkSession, d: String) => windowedBatch(Tables.events(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "st1_windowed_agg" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
