@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.SimHash64
+
+/** Session extensions registering graft's native Catalyst expressions so
+  * they are callable from SQL and `expr(...)` — the public
+  * `SparkSessionExtensions` route (no sessionState internals). Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+  }
+}

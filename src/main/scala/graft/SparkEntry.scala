@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Multimodal, Params, Similarity, Sql, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -10,8 +10,9 @@ import graft.streaming.EventStreams
   * the driver corpus, plus the training-data-pipeline extensions);
   * `oracleSql` carries a DuckDB twin for every query whose semantics are
   * SQL-expressible with engine-identical results. Approximate operators
-  * (MinHash/SimHash/LSH-ANN) are rows-only by design and exact-verified in
-  * ScalaTest instead.
+  * (MinHash/SimHash/LSH-ANN) are rows-only by design; their recall /
+  * radius-exactness is asserted in src/test/scala/graft (DedupSpec,
+  * SimilaritySpec).
   */
 object SparkEntry {
 
@@ -25,7 +26,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries ++ EventStreams.queries
+      Similarity.queries ++ Multimodal.queries ++ EventStreams.queries ++
+      Sql.queries ++ Params.queries
+
+  /** The bench variant: identical except that row-level outputs drop the
+    * verify-only canonical `orderBy`, so the bench measures the operator,
+    * not the hash protocol.
+    */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ Analytics.benchOverrides
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for approximate (non-SQL-expressible)
@@ -33,5 +42,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
-      Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles
+      Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles ++
+      Sql.oracles ++ Params.oracles
 }

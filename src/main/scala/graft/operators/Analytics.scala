@@ -58,34 +58,40 @@ object Analytics {
     "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
     "l_shipdate")
 
-  def q02CleanLineitem(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Cleaning ruleset shared by q02 (surviving rows) and q17 (per-rule
+    * removal accounting). Order matters: sequential attribution.
+    */
+  val cleaningRules: Seq[Cleaning.Rule] = Seq(
+    Cleaning.Rule("nulls", Cleaning.notNull(Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"))),
+    Cleaning.Rule("quantity", col("l_quantity") > 0),
+    Cleaning.Rule("price_pos", col("l_extendedprice") > 0),
+    Cleaning.Rule("price_cap", col("l_extendedprice") <= 100000),
+    Cleaning.Rule("discount", col("l_discount").between(0.0, 1.0)))
+
+  def q02CleanLineitem(spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val rules = Seq(
-      Cleaning.Rule("nulls", Cleaning.notNull(Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_shipdate"))),
-      Cleaning.Rule("quantity", col("l_quantity") > 0),
-      Cleaning.Rule("price_pos", col("l_extendedprice") > 0),
-      Cleaning.Rule("price_cap", col("l_extendedprice") <= 100000),
-      Cleaning.Rule("discount", col("l_discount").between(0.0, 1.0)))
-    Cleaning.clean(li, rules)
+    val cleaned = Cleaning.clean(li, cleaningRules)
       .select(lineitemCols.map(c => if (c == "l_shipdate") ntz(col(c)).as(c) else col(c)): _*)
-      .orderBy(lineitemCols.map(col): _*)
+    if (ordered) cleaned.orderBy(lineitemCols.map(col): _*) else cleaned
   }
 
   // ---------------------------------------------------------------- q03
   /** P1–P4 derived columns over a fact⋈fact join: ship delay in days, ship
     * weekday, guarded qty/day ratio (reference: assignment1.ipynb:187–198).
     */
-  def q03Derived(spark: SparkSession, sfDir: String): DataFrame = {
+  def q03Derived(spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
     val delay = Derive.deltaDays(col("o_orderdate"), col("l_shipdate"))
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val derived = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(
         col("l_orderkey"), col("l_linenumber"),
         r6(delay).as("ship_delay_days"),
         Derive.dayNameOf(col("l_shipdate")).as("ship_dow"),
         r6(Derive.guardedRatio(col("l_quantity"), delay)).as("qty_per_day"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_delay_days"), col("qty_per_day"))
+    if (ordered)
+      derived.orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_delay_days"), col("qty_per_day"))
+    else derived
   }
 
   // ---------------------------------------------------------------- q04
@@ -166,8 +172,12 @@ object Analytics {
     val sn = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
+      // nation (25 rows, fixed) is safe to broadcast forever; supplier
+      // SCALES WITH THE FACT TABLES (SF×10k rows) — no hint, let the
+      // threshold/AQE decide, so a 100 TB run shuffles it instead of
+      // OOMing the driver.
       .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
       .groupBy(col("cust_nation"), col("supp_nation"))
       .agg(count(lit(1)).as("route_count"))
@@ -249,20 +259,29 @@ object Analytics {
   /** S2: projection + predicate — both must reach the parquet scan
     * (PushedFilters / ReadSchema, SURVEY.md §4).
     */
-  def q16Projection(spark: SparkSession, sfDir: String): DataFrame = {
+  def q16Projection(spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    li.filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+    val projected = li.filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         ntz(col("l_shipdate")).as("l_shipdate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+    if (ordered)
+      projected.orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+    else projected
   }
+
+  // ---------------------------------------------------------------- q17
+  /** V9 as its own query: sequential-attribution removal accounting over
+    * the q02 ruleset, one aggregate row (assignment1.ipynb:147–164).
+    */
+  def q17RemovalAccounting(spark: SparkSession, sfDir: String): DataFrame =
+    Cleaning.accountingAgg(Tables.lineitem(spark, sfDir), cleaningRules)
 
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
-    "q02_clean_lineitem" -> (q02CleanLineitem _),
-    "q03_derived" -> (q03Derived _),
+    "q02_clean_lineitem" -> ((s: SparkSession, d: String) => q02CleanLineitem(s, d)),
+    "q03_derived" -> ((s: SparkSession, d: String) => q03Derived(s, d)),
     "q04_label_map" -> (q04LabelMap _),
     "q05_top_parts" -> (q05TopParts _),
     "q06_hourly_avg" -> (q06HourlyAvg _),
@@ -275,7 +294,18 @@ object Analytics {
     "q13_histogram" -> (q13Histogram _),
     "q14_null_census" -> (q14NullCensus _),
     "q15_value_counts" -> (q15ValueCounts _),
-    "q16_projection" -> (q16Projection _))
+    "q16_projection" -> ((s: SparkSession, d: String) => q16Projection(s, d)),
+    "q17_removal_accounting" -> (q17RemovalAccounting _))
+
+  /** Bench-only overrides: the global `orderBy` on the row-level outputs of
+    * q02/q03/q16 exists ONLY so the verify harness can hash
+    * deterministically — it is not part of the operator. The bench runs the
+    * unordered plans so it measures the operator, not the hash protocol.
+    */
+  val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q02_clean_lineitem" -> ((s: SparkSession, d: String) => q02CleanLineitem(s, d, ordered = false)),
+    "q03_derived" -> ((s: SparkSession, d: String) => q03Derived(s, d, ordered = false)),
+    "q16_projection" -> ((s: SparkSession, d: String) => q16Projection(s, d, ordered = false)))
 
   private val dsumSql = (c: String) =>
     s"round(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE), 6)"
@@ -373,5 +403,21 @@ object Analytics {
     "q16_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
-        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin,
+    "q17_removal_accounting" -> {
+      val p0 = "(l_orderkey IS NOT NULL AND l_quantity IS NOT NULL AND " +
+        "l_extendedprice IS NOT NULL AND l_shipdate IS NOT NULL)"
+      val p1 = "coalesce(l_quantity > 0, FALSE)"
+      val p2 = "coalesce(l_extendedprice > 0, FALSE)"
+      val p3 = "coalesce(l_extendedprice <= 100000, FALSE)"
+      val p4 = "coalesce(l_discount BETWEEN 0.0 AND 1.0, FALSE)"
+      s"""SELECT count(*) AS rows_in,
+         |count(CASE WHEN NOT $p0 THEN 1 END) AS removed_nulls,
+         |count(CASE WHEN $p0 AND NOT $p1 THEN 1 END) AS removed_quantity,
+         |count(CASE WHEN $p0 AND $p1 AND NOT $p2 THEN 1 END) AS removed_price_pos,
+         |count(CASE WHEN $p0 AND $p1 AND $p2 AND NOT $p3 THEN 1 END) AS removed_price_cap,
+         |count(CASE WHEN $p0 AND $p1 AND $p2 AND $p3 AND NOT $p4 THEN 1 END) AS removed_discount,
+         |count(CASE WHEN $p0 AND $p1 AND $p2 AND $p3 AND $p4 THEN 1 END) AS rows_out
+         |FROM lineitem""".stripMargin
+    })
 }

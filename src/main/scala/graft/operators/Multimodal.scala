@@ -73,7 +73,11 @@ object Multimodal {
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm1_binary_meta" -> ((s: SparkSession, d: String) => binaryMeta(Tables.documents(s, d))))
+    "mm1_binary_meta" -> ((s: SparkSession, d: String) => binaryMeta(Tables.documents(s, d))),
+    // mm2 exercises the mapPartitions decode path end-to-end (the stub
+    // decode is deterministic, so it is fully oracle-checkable).
+    "mm2_decode_assets" -> ((s: SparkSession, d: String) =>
+      decodeAssets(Tables.documents(s, d)).toDF().orderBy(col("doc_id"))))
 
   val oracles: Map[String, String] = Map(
     "mm1_binary_meta" ->
@@ -82,5 +86,13 @@ object Multimodal {
         |  md5(text) AS content_md5,
         |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS stub_width,
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS BIGINT) AS stub_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm2_decode_assets" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
+        |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin)
 }

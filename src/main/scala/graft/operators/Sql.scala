@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.Tables
+
+/** S5/P7 — the SQL entry point. The reference's analytics ARE five SQL
+  * strings run against registered tables (assignment1.ipynb:236–426
+  * `con.register(...)` + five queries); this module reproduces that
+  * surface: every corpus table registered as a temp view, and the five
+  * analytics shipped as `spark.sql` text twins of the DataFrame plans in
+  * [[Analytics]] (q05–q09). A user porting their DuckDB SQL runs it here
+  * unchanged where the dialects agree (sql1/2/3/5 are literally the same
+  * string the DuckDB oracle runs); the one dialect split is weekday naming
+  * (`date_format` vs `dayname`).
+  *
+  * Catalyst compiles these to the same physical plans as the DataFrame
+  * twins (broadcast hash join + partial/final hash agg +
+  * TakeOrderedAndProject) — equality of results is asserted in
+  * `SqlTwinsSpec` (ScalaTest).
+  */
+object Sql {
+
+  /** Register every corpus table as a temp view (the Spark twin of the
+    * reference's Arrow `con.register`). Lazy — no jobs run.
+    */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Tables.all.foreach(n => Tables(spark, sfDir, n).createOrReplaceTempView(n))
+
+  private val weekdayCase =
+    "CASE date_format(l_shipdate, 'EEEE') WHEN 'Monday' THEN 1 WHEN 'Tuesday' THEN 2 " +
+      "WHEN 'Wednesday' THEN 3 WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 " +
+      "WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
+
+  /** Spark-dialect SQL text per query. sql1/2/3/5 run verbatim in DuckDB
+    * too; sql4 differs only in the weekday function.
+    */
+  val sparkSql: Map[String, String] = Map(
+    "sql1_top_parts" ->
+      """SELECT p_name, count(*) AS total_trips
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_name ORDER BY total_trips DESC, p_name LIMIT 10""".stripMargin,
+    "sql2_hourly_avg" ->
+      """SELECT CAST(hour(ts) AS BIGINT) AS event_hour,
+        |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
+        |count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CAST AS DOUBLE: Spark SQL parses the 100.0 literal as DECIMAL (the
+    // DataFrame twin's lit(100.0) is a double) — without the cast the
+    // percentage column comes back as DECIMAL and misses the oracle schema.
+    "sql3_pct_of_total" ->
+      """SELECT event_type, count(*) AS n,
+        |round(CAST(count(*) * 100.0 / SUM(count(*)) OVER () AS DOUBLE), 6) AS percentage
+        |FROM events GROUP BY event_type ORDER BY percentage DESC, event_type""".stripMargin,
+    "sql4_cond_avg_weekday" ->
+      s"""SELECT date_format(l_shipdate, 'EEEE') AS ship_dow,
+         |round(CAST(SUM(CAST(CASE WHEN l_quantity > 0 THEN l_discount END AS DECIMAL(38,6))) AS DOUBLE)
+         |  / COUNT(CASE WHEN l_quantity > 0 THEN l_discount END) * 100, 6) AS avg_disc_pct
+         |FROM lineitem WHERE l_returnflag = 'R'
+         |GROUP BY 1 ORDER BY $weekdayCase""".stripMargin,
+    "sql5_top_routes" ->
+      """SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation, count(*) AS route_count
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |GROUP BY 1, 2 ORDER BY route_count DESC, cust_nation, supp_nation LIMIT 5""".stripMargin)
+
+  /** The DataFrame twin of each SQL query, for the twin-equality test. */
+  val dataFrameTwins: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql1_top_parts" -> (Analytics.q05TopParts _),
+    "sql2_hourly_avg" -> (Analytics.q06HourlyAvg _),
+    "sql3_pct_of_total" -> (Analytics.q07PctOfTotal _),
+    "sql4_cond_avg_weekday" -> (Analytics.q08CondAvgByWeekday _),
+    "sql5_top_routes" -> (Analytics.q09TopRoutes _))
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    sparkSql.map { case (name, text) =>
+      name -> ((s: SparkSession, d: String) => { registerViews(s, d); s.sql(text) })
+    }
+
+  /** DuckDB oracles: identical result contracts to the q05–q09 DataFrame
+    * queries, so their oracle strings are reused verbatim.
+    */
+  val oracles: Map[String, String] = Map(
+    "sql1_top_parts" -> Analytics.oracles("q05_top_parts"),
+    "sql2_hourly_avg" -> Analytics.oracles("q06_hourly_avg"),
+    "sql3_pct_of_total" -> Analytics.oracles("q07_pct_of_total"),
+    "sql4_cond_avg_weekday" -> Analytics.oracles("q08_cond_avg_weekday"),
+    "sql5_top_routes" -> Analytics.oracles("q09_top_routes"))
+}

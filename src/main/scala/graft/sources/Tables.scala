@@ -36,18 +36,60 @@ object Tables {
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads under
-    * `spark.sql.legacy.parquet.nanosAsLong` (as raw int64). Normalize to a
-    * microsecond timestamp with integer division (`div`, not `/` — a double
-    * division would lose precision above 2^53 ns). Truncation toward zero
-    * matches DuckDB's ns→µs read behaviour, so oracle timestamps agree.
+    * `spark.sql.legacy.parquet.nanosAsLong` (as raw int64). That conf must
+    * be set ONCE at session build (Bench/Verify/tests all do) — mutating it
+    * here at read time would be a racy session-wide side effect. The reader
+    * only asserts it.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path(sfDir, "events"))
-    raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw
+  private[graft] def requireNanosConf(spark: SparkSession): Unit =
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.ts is parquet TIMESTAMP(NANOS): set " +
+        "spark.sql.legacy.parquet.nanosAsLong=true when building the SparkSession")
+
+  /** Raw events scan (ts still a nanos long when the file carries
+    * TIMESTAMP(NANOS)); the streaming source reuses this schema.
+    */
+  private[graft] def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
+    requireNanosConf(spark)
+    spark.read.parquet(path(sfDir, "events"))
+  }
+
+  /** Normalize a nanos-long `ts` to a microsecond timestamp with integer
+    * division (`div`, not `/` — a double division would lose precision
+    * above 2^53 ns). Truncation toward zero matches DuckDB's ns→µs read
+    * behaviour, so oracle timestamps agree.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => df
     }
+
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(eventsRaw(spark, sfDir))
+
+  /** S3 — CSV dimension source (the reference's zones lookup is a CSV,
+    * assignment1.ipynb:239, app.py:102). The driver stages parquet only, so
+    * the projected nation dim is materialized to CSV once (idempotent,
+    * inside the repo's target dir) and read back with an EXPLICIT schema —
+    * inferSchema is nondeterministic under sampling and costs an extra scan.
+    */
+  def nationCsv(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = new java.io.File(sfDir).getName
+    val csvDir = s"/root/repo/target/csvdim/$sfName/nation"
+    val marker = new java.io.File(s"$csvDir/_SUCCESS")
+    if (!marker.exists()) {
+      nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+    }
+    spark.read
+      .option("header", "true")
+      .schema(StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType))))
+      .csv(csvDir)
   }
 }
 

@@ -26,19 +26,19 @@ object EventStreams {
         col("event_type"), col("n"), col("avg_value"))
       .orderBy(col("window_start"), col("event_type"))
 
-  /** Streaming source over the same parquet directory. Handles the
-    * TIMESTAMP(NANOS) physical type the same way [[Tables.events]] does.
+  /** Streaming source over the events table ONLY (`$sfDir/events.parquet`,
+    * never the whole scale-factor directory). The raw file schema comes
+    * from a static read, and the nanos-long → timestamp normalization is
+    * the very same [[Tables.normalizeTs]] the batch reader applies — so
+    * batch and stream see identical rows (asserted by the parity test in
+    * `StreamingSpec`).
     */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.events(spark, sfDir).schema // pre-normalized schema
-    val raw = spark.readStream
-      .schema(schema.copy(fields = schema.fields.map {
-        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.LongType)
-        case f => f
-      }))
-      .parquet(s"$sfDir")
-    raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = Tables.eventsRaw(spark, sfDir) // asserts the nanos conf, raw schema
+    Tables.normalizeTs(
+      spark.readStream
+        .schema(raw.schema)
+        .parquet(Tables.path(sfDir, "events")))
   }
 
   /** Streaming variant: same aggregate body + 1-hour watermark. Append
