@@ -93,7 +93,7 @@ object Similarity {
     */
   def lshAnn(
       emb: DataFrame, nQueries: Int = 20, k: Int = 5,
-      nBands: Int = 16, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+      nBands: Int = 24, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val banded = emb.select(
       col("vec_id"), col("embedding"),
       posexplode(lshBuckets(col("embedding"), nBands, nPlanes, dim))

@@ -35,10 +35,16 @@ object EventStreams {
     */
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.eventsRaw(spark, sfDir) // asserts the nanos conf, raw schema
+    val p = Tables.path(sfDir, "events")
+    // The streaming file source wants a directory or a glob. At scale the
+    // events table IS a directory; the driver's testdata is a single file —
+    // glob the last character so the source resolves it as a pattern.
+    val streamPath =
+      if (new java.io.File(p).isFile) s"${p.dropRight(1)}[${p.last}]" else p
     Tables.normalizeTs(
       spark.readStream
         .schema(raw.schema)
-        .parquet(Tables.path(sfDir, "events")))
+        .parquet(streamPath))
   }
 
   /** Streaming variant: same aggregate body + 1-hour watermark. Append
@@ -54,9 +60,11 @@ object EventStreams {
         col("event_type"), col("n"), col("avg_value"))
 
   /** Drive a streaming frame to a named in-memory table, synchronously
-    * (AvailableNow ⇒ processes the backlog and stops). Test harness path.
+    * (AvailableNow ⇒ processes the backlog and stops, with a final no-data
+    * micro-batch that flushes watermark-closed windows).
     */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    df.sparkSession.catalog.dropTempView(name) // re-runnable in one session
     val q = df.writeStream
       .outputMode("append")
       .format("memory")
@@ -67,15 +75,34 @@ object EventStreams {
     q
   }
 
+  /** st2 — the streaming path run END-TO-END through the driver gate: start
+    * the windowed stream over the parquet source, drain it (AvailableNow),
+    * return the emitted windows. Append mode emits exactly the windows
+    * whose END the 1-hour watermark passed — deterministic for a fixed
+    * input, so the oracle is the batch aggregation HAVING
+    * window_end ≤ max(ts) − 1h.
+    */
+  def st2StreamWindowed(spark: SparkSession, sfDir: String): DataFrame = {
+    runToMemory(windowedStream(eventStream(spark, sfDir)), "st2_sink")
+    spark.table("st2_sink").orderBy(col("window_start"), col("event_type"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_windowed_agg" ->
-      ((s: SparkSession, d: String) => windowedBatch(Tables.events(s, d))))
+      ((s: SparkSession, d: String) => windowedBatch(Tables.events(s, d))),
+    "st2_stream_windowed" -> (st2StreamWindowed _))
 
   val oracles: Map[String, String] = Map(
     "st1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st2_stream_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
+        |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2
+        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY 1, 2""".stripMargin)
 }

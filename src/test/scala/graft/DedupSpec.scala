@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** The recall/exactness claims the approximate dedup operators make
+  * (rows-only in the driver harness, so THIS is their correctness gate).
+  */
+class DedupSpec extends AnyFunSuite with SparkFixture {
+
+  private def pairSet(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("shingles: shorter than n tokens -> empty; 4 tokens -> 2 trigrams; de-duped") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b c d"), (3L, "x y x y x y x y")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(got(1L) === Set.empty)
+    assert(got(2L) === Set("a b c", "b c d"))
+    assert(got(3L) === Set("x y x", "y x y")) // 6 raw trigrams, 2 distinct
+  }
+
+  test("dd4 minhash candidates: recall >= 0.95 against dd3's exact Jaccard pairs") {
+    val docs = Tables.documents(spark, sf001)
+    val exact = pairSet(
+      Dedup.ngramJaccardPairs(docs).select("doc_a", "doc_b").collect())
+    val cand = pairSet(
+      Dedup.minhashCandidates(docs).select("doc_a", "doc_b").collect())
+    assert(exact.nonEmpty, "test corpus must contain near-duplicate pairs")
+    val recall = (exact & cand).size.toDouble / exact.size
+    assert(recall >= 0.95, s"minhash recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("dd5 simhash candidates: EXACTLY the pairs with Hamming distance <= 3 (brute force)") {
+    val docs = Tables.documents(spark, sf001)
+    val sigs = docs.select(col("doc_id"), Dedup.simhashExpr("text").as("sig"))
+    val brute = pairSet(
+      sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+        .select(col("a.doc_id"), col("b.doc_id")).collect())
+    val cand = pairSet(
+      Dedup.simhashCandidates(docs).select("doc_a", "doc_b").collect())
+    assert(brute.nonEmpty, "test corpus must contain simhash near-dups")
+    assert(cand === brute,
+      s"missed=${(brute -- cand).size} extra=${(cand -- brute).size} of ${brute.size}")
+  }
+
+  test("simhash64 native expression is bit-identical to the 64-fold HOF formulation") {
+    val docs = Tables.documents(spark, sf001).limit(100)
+    val hof = expr(
+      """aggregate(sequence(0, 63), 0L, (acc, b) -> acc | IF(
+        |  aggregate(split(trim(text), ' '), 0L,
+        |    (a2, t) -> a2 + IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)) > 0,
+        |  shiftleft(1L, b), 0L))""".stripMargin)
+    val mismatches = docs
+      .select(Dedup.simhashExpr("text").as("fast"), hof.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("dd3 document-frequency cap drops hot shingles from both sets symmetrically") {
+    import spark.implicits._
+    // "common phrase here" appears in all 4 docs -> df=4 > maxDf=3 -> capped
+    // out everywhere; docs 1/2 remain identical on their distinctive tail.
+    val docs = Seq(
+      (1L, "common phrase here alpha beta gamma delta"),
+      (2L, "common phrase here alpha beta gamma delta"),
+      (3L, "common phrase here zeta eta theta iota"),
+      (4L, "common phrase here kappa lambda mu nu")).toDF("doc_id", "text")
+    val rows = Dedup.ngramJaccardPairs(docs, maxDf = 3).collect()
+    assert(pairSet(rows) === Set((1L, 2L)))
+    assert(rows.head.getDouble(2) === 1.0) // identical after the cap
+  }
+}

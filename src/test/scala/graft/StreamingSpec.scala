@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Batch/streaming parity — the module's whole stated design: the streaming
+  * plan over `readStream` must produce the same windows the batch twin
+  * produces, modulo append-mode watermark semantics (a window is only
+  * emitted once the 1-hour watermark passes its END, so the trailing
+  * windows of a bounded input are withheld by design).
+  */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  test("windowedStream over eventStream == windowedBatch for all watermark-closed windows") {
+    val batchEvents = Tables.events(spark, sf001)
+    val maxTs = batchEvents.agg(max(col("ts"))).collect().head.getTimestamp(0)
+
+    // window_start is timestamp_ntz -> LocalDateTime in Row; key on it
+    def rows(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val stream = EventStreams.eventStream(spark, sf001)
+    EventStreams.runToMemory(EventStreams.windowedStream(stream), "st_parity")
+    val streamed = rows(spark.table("st_parity").collect())
+    assert(streamed.nonEmpty, "stream emitted nothing — watermark flush broken")
+
+    val batchAll = rows(EventStreams.windowedBatch(batchEvents).collect())
+
+    // every emitted window must match batch exactly
+    assert((streamed -- batchAll).isEmpty,
+      s"stream emitted ${(streamed -- batchAll).size} windows batch doesn't have")
+    // and every window that is certainly closed (end <= final watermark,
+    // i.e. start <= maxTs - 2h) must have been emitted
+    val cutoff = maxTs.toLocalDateTime.minusHours(2)
+    val mustEmit = batchAll.filter { case (start, _, _, _) => start.isBefore(cutoff) }
+    assert((mustEmit -- streamed).isEmpty,
+      s"stream withheld ${(mustEmit -- streamed).size} closed windows of ${mustEmit.size}")
+  }
+
+  test("eventStream reads ONLY the events table (schema match, no cross-table glob)") {
+    val stream = EventStreams.eventStream(spark, sf001)
+    val batch = Tables.events(spark, sf001)
+    assert(stream.schema === batch.schema)
+    assert(stream.isStreaming)
+  }
+}
