@@ -45,18 +45,23 @@ object Dedup {
 
   // ------------------------------------------------------------ shingles
 
-  /** Distinct n-word shingles of a whitespace-tokenized text column.
-    * Guarded for texts shorter than n tokens (empty set), matching DuckDB's
-    * empty `range()`.
+  /** Distinct n-word shingles over an ALREADY-TOKENIZED column. Pass an
+    * attribute reference (materialized tokens), not an inline `split` —
+    * the token array is referenced three times here and expression trees
+    * get no subexpression sharing, so an inline split would re-tokenize
+    * per reference. Guarded for texts shorter than n tokens (empty set),
+    * matching DuckDB's empty `range()`.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesOf(toks: Column, n: Int): Column = {
     val raw = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", slice(toks, i + 1, lit(n))))
     array_distinct(
       when(size(toks) >= n, raw).otherwise(array().cast("array<string>")))
   }
+
+  /** Convenience for single-use contexts (tests, candidates pre-filter). */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   // ------------------------------------------------------------ jaccard
 
@@ -81,27 +86,36 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
       maxDf: Int = 50): DataFrame = {
-    val ex = docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-    // posting list per shingle, capped at maxDf docs; sorted so pair
-    // emission yields doc_a < doc_b deterministically
-    val lists = ex.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) <= maxDf)
+    val ex = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"), n)).as("s"))
+    // One LINEAR lineage — every stage computed exactly once. (A join-based
+    // formulation referenced the posting-list subtree three times — Spark
+    // recomputes a DataFrame per reference — and left AQE free to broadcast
+    // the million-row pair aggregate.) Two windows annotate each exploded
+    // row with the shingle's document frequency (cap filter) and then the
+    // doc's capped set size; pair rows then carry both set sizes, so the
+    // Jaccard needs NO join at all.
+    val kept = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    // posting list per shingle with sizes inline; sorted so pair emission
+    // yields doc_a < doc_b deterministically
+    val lists = kept.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
       .select(col("ds"))
     // all (a < b) combinations within each bounded list, generated map-side
     val pairExpr = flatten(transform(col("ds"), (a, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
-    val inter = lists.select(explode(pairExpr).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        b => struct(
+          a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("na"),
+          b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("nb")))))
+    val inter = lists.select(explode(pairExpr).as("p")).select(col("p.*"))
+      .groupBy(col("doc_a"), col("na"), col("doc_b"), col("nb"))
       .agg(count(lit(1)).as("c"))
-    // capped set size per doc (shingles() already de-dups per doc)
-    val sizes = lists.select(explode(col("ds")).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val jac = col("c") * lit(1.0) / (col("sa.n_sh") + col("sb.n_sh") - col("c"))
+    val jac = col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))
     inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .filter(jac >= threshold)
       .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -140,8 +154,9 @@ object Dedup {
         array_min(transform(col("hs"), h =>
           pmod(element_at(as, i + 1) * h + element_at(bs, i + 1), lit(P)))))
     docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        transform(shingles(col("text"), n), s => pmod(xxhash64(s), lit(P))).as("hs"))
+        transform(shinglesOf(col("toks"), n), s => pmod(xxhash64(s), lit(P))).as("hs"))
       .select(col("doc_id"),
         when(size(col("hs")) > 0, sig).otherwise(array().cast("array<long>")).as("sig"))
   }
@@ -237,8 +252,8 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dups" -> ((s: SparkSession, d: String) => exactGroups(Tables.documents(s, d))),
     "dd2_fingerprint_dups" -> ((s: SparkSession, d: String) => fingerprintGroups(Tables.documents(s, d))),
-    "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documents(s, d))),
-    "dd4_minhash_candidates" -> ((s: SparkSession, d: String) => minhashCandidates(Tables.documents(s, d))),
+    "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),
+    "dd4_minhash_candidates" -> ((s: SparkSession, d: String) => minhashCandidates(Tables.documentsRebalanced(s, d))),
     "dd5_simhash_candidates" -> ((s: SparkSession, d: String) => simhashCandidates(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(

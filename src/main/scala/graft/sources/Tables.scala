@@ -32,8 +32,30 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "region")
+
   def documents(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "embeddings")
+
+  /** The shingling pipelines (dd3/dd4) are expression-heavy NARROW plans —
+    * their cost is CPU before the first shuffle. The driver's testdata
+    * ships each table as one small parquet file = ONE scan partition, which
+    * would run that CPU on a single core. Rebalance ONLY when the scan
+    * yields fewer splits than the cluster's parallelism; on a production
+    * layout (many files / row groups) the condition is false and this is a
+    * no-op — no extra exchange. Kept selective: for cheap single-shuffle
+    * queries (exact dedup, text stats) the added exchange costs more than
+    * the parallelism buys, so those read the plain table.
+    */
+  def documentsRebalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = documents(spark, sfDir)
+    val target = spark.sparkContext.defaultParallelism
+    // the physical-partition probe (df.rdd) costs ~100s of ms — cache it
+    // once per table per JVM, not per query
+    val parts = scanParts.getOrElseUpdate(s"$sfDir/documents", df.rdd.getNumPartitions)
+    if (parts < target) df.repartition(target) else df
+  }
+
+  private val scanParts = scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads under
     * `spark.sql.legacy.parquet.nanosAsLong` (as raw int64). That conf must
