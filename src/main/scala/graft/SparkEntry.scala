@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, Dedup, Multimodal, Params, Similarity, Sql, TextAnalysis}
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, Sessions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventStreams.queries ++
-      Sql.queries ++ Params.queries
+      Sessions.queries ++ Sql.queries ++ Params.queries
 
   /** The bench variant: identical except that row-level outputs drop the
     * verify-only canonical `orderBy`, so the bench measures the operator,
@@ -43,5 +43,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles ++
-      Sql.oracles ++ Params.oracles
+      Sessions.oracles ++ Sql.oracles ++ Params.oracles
 }

@@ -120,11 +120,39 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** dd6 — embedding-cosine near-duplicate pairs over the WHOLE corpus
+    * (not query-limited like sim2): multi-band hyperplane LSH buckets the
+    * corpus, candidates are generated by a bucket self-join (shuffle key =
+    * (band, bucket), work bounded by bucket occupancy — never corpus²),
+    * then every candidate is verified with the exact cosine. False
+    * positives are impossible (exact verify); false negatives are the LSH
+    * recall, asserted ≥ 0.85 against brute force in `SimilaritySpec`.
+    */
+  def embedNearDups(
+      emb: DataFrame, minCosine: Double = 0.4,
+      nBands: Int = 24, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val banded = emb.select(
+      col("vec_id"), col("embedding"),
+      posexplode(lshBuckets(col("embedding"), nBands, nPlanes, dim))
+        .as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(first(col("a.embedding")).as("ea"), first(col("b.embedding")).as("eb"))
+      .withColumn("cosine", r6(cosine(col("ea"), col("eb"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
-    "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))))
+    "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
+    "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDups(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "sim1_topk_exact" ->
@@ -139,6 +167,7 @@ object Similarity {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         |  WHERE q.vec_id < 20) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
-  // sim2 is approximate (engine-specific plane hashing) → rows-only check;
-  // recall vs sim1 is asserted in src/test/scala/graft/SimilaritySpec.scala.
+  // sim2/dd6 are approximate (engine-specific plane hashing) → rows-only
+  // checks; recall vs the exact computations is asserted in
+  // src/test/scala/graft/SimilaritySpec.scala.
 }

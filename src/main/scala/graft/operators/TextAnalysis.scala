@@ -70,12 +70,57 @@ object TextAnalysis {
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** td4 — token counting three ways: whitespace tokens, word tokens, and a
+    * BPE-ish segmentation (alphanumeric runs + individual punctuation
+    * marks — the shape a byte-pair pre-tokenizer produces). `regexp_count`
+    * is a codegen'd built-in; the pattern is shared verbatim with the
+    * DuckDB oracle (plain ASCII classes, no dialect-sensitive escapes).
+    */
+  val WordPattern = "[A-Za-z0-9]+"
+  val BpeishPattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit(WordPattern)).cast("long").as("word_tokens"),
+        regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("bpeish_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** td5 — winnowing document fingerprints (the MOSS scheme): hash every
+    * positional k-gram, slide a w-window over the hash sequence, keep each
+    * window's minimum, de-dup. Near-identical docs share most selected
+    * hashes even under edits — the rolling-hash fingerprint family. The
+    * hash is md5-hex and the window minimum is LEXICOGRAPHIC, so the DuckDB
+    * oracle reproduces it bit-for-bit (no engine-specific numeric hash).
+    * Pure expression work: no UDF, no shuffle before the final explode.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = col("toks")
+    val grams = transform(
+      sequence(lit(0), size(toks) - k),
+      i => md5(concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val g = col("grams")
+    // max(|grams| - w + 1, 1) windows; slice truncates at the end, so a
+    // short doc yields one window spanning all grams
+    val wins = array_distinct(transform(
+      sequence(lit(0), greatest(size(g) - w, lit(0))),
+      j => array_min(slice(g, j + 1, lit(w)))))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), when(size(toks) >= k, grams).otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("doc_id"), explode(when(size(g) > 0, wins).otherwise(array().cast("array<string>"))).as("fp"))
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td1_text_stats" -> ((s: SparkSession, d: String) => textStats(Tables.documents(s, d))),
     "td2_lang_id" -> ((s: SparkSession, d: String) => langId(Tables.documents(s, d))),
-    "td3_fingerprint" -> ((s: SparkSession, d: String) => fingerprints(Tables.documents(s, d))))
+    "td3_fingerprint" -> ((s: SparkSession, d: String) => fingerprints(Tables.documents(s, d))),
+    "td4_token_counts" -> ((s: SparkSession, d: String) => tokenCounts(Tables.documents(s, d))),
+    "td5_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprints(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
     "td1_text_stats" ->
@@ -100,5 +145,19 @@ object TextAnalysis {
     "td3_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(string_split(trim(lower(text)), ' ')), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "td4_token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '$WordPattern')) AS BIGINT) AS word_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS bpeish_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "td5_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  [md5(array_to_string(toks[i+1:i+3], ' ')) FOR i IN range(len(toks)-2)] AS grams FROM t),
+        |w AS (SELECT doc_id,
+        |  list_distinct([list_min(grams[j+1:j+4]) FOR j IN range(greatest(len(grams)-3, 1))]) AS wins
+        |  FROM g WHERE len(grams) > 0)
+        |SELECT doc_id, unnest(wins) AS fp FROM w ORDER BY doc_id, fp""".stripMargin)
 }

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.functions._
+import graft.sources.Tables
+
+/** Gap-based sessionization of the events stream — the canonical CUSTOM
+  * STATE operator (no built-in window covers "session ends after N quiet
+  * minutes").
+  *
+  *  - [[sessionizeBatch]] is the oracle-checked twin: lag + cumulative-sum
+  *    session ids per user, one window shuffle on user_id — the standard
+  *    relational formulation, linear at any scale.
+  *  - [[sessionizeStream]] is the streaming path:
+  *    `flatMapGroupsWithState` with event-time timeout — per-user state is
+  *    one open session (constant size), closed sessions are APPENDED when a
+  *    later event breaks the gap or the watermark passes the session's
+  *    timeout. State is bounded by (active users × one session record):
+  *    the 100 TB-stream shape. Batch/stream parity is asserted in
+  *    `SessionsSpec`.
+  */
+object Sessions {
+
+  /** One open session per user: ordinal, bounds in epoch MICROseconds
+    * (micros, not millis — the batch twin compares raw event times and a
+    * sub-millisecond difference must not split sessions differently).
+    */
+  final case class SessState(ordinal: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** A closed session, timestamps in epoch microseconds. */
+  final case class SessionOut(
+      user_id: Long, session_id: Long,
+      start_us: Long, end_us: Long, n_events: Long, total_value: Double)
+
+  // ------------------------------------------------------------- batch
+
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val cum = byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(byTs)
+    val isNew = when(
+      prev.isNull ||
+        col("ts").cast("double") - prev.cast("double") > gapMinutes * 60.0, 1)
+      .otherwise(0)
+    events
+      .withColumn("session_id", sum(isNew).over(cum).cast("long"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).cast("timestamp_ntz").as("session_start"),
+        max(col("ts")).cast("timestamp_ntz").as("session_end"),
+        count(lit(1)).as("n_events"),
+        dsumr(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  // ----------------------------------------------------------- streaming
+
+  private def processGroup(gapUs: Long)(
+      user: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+      state: GroupState[SessState]): Iterator[SessionOut] = {
+    def closed(s: SessState) =
+      SessionOut(user, s.ordinal, s.startUs, s.lastUs, s.n, s.sum)
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator(closed(s))
+    } else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      var cur = state.getOption
+      // arrival order within a micro-batch is arbitrary — sort by event time
+      rows.toSeq.sortBy(_._3).foreach { case (_, _, us, v) =>
+        cur = cur match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + v))
+          case Some(s) =>
+            out += closed(s)
+            Some(SessState(s.ordinal + 1, us, us, 1, v))
+          case None =>
+            Some(SessState(1, us, us, 1, v))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // flush when the watermark passes the session's gap horizon
+        state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000 + 1)
+      }
+      out.iterator
+    }
+  }
+
+  def sessionizeStream(
+      events: DataFrame, gapMinutes: Int = 30,
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    // the watermarked ts column must SURVIVE the projection — the stateful
+    // operator's event-time-timeout check looks for it in its input (the
+    // group function only reads the micros twin)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("ts"),
+        unix_micros(col("ts")).as("us"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processGroup(gapUs))
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st3_sessionize" ->
+      ((s: SparkSession, d: String) => sessionizeBatch(Tables.events(s, d))))
+
+  val oracles: Map[String, String] = Map(
+    "st3_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800.0
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM o)
+        |SELECT user_id, session_id,
+        |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,49 @@
+package graft
+
+import java.time.ZoneOffset
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+import graft.streaming.{EventStreams, Sessions}
+
+/** Batch/stream parity for the custom-state sessionization operator. */
+class SessionsSpec extends AnyFunSuite with SparkFixture {
+
+  private def micros(t: java.time.LocalDateTime): Long =
+    t.toEpochSecond(ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+
+  test("flatMapGroupsWithState sessionization matches the batch lag/cumsum twin") {
+    val events = Tables.events(spark, sf001)
+    val maxUs = events
+      .selectExpr("max(unix_micros(ts))").collect().head.getLong(0)
+
+    // (user, session_id, start_us, end_us, n_events, value@4dp) — the
+    // streaming side accumulates doubles, batch sums exact decimals, so
+    // values compare at 4 decimals
+    val batch = Sessions.sessionizeBatch(events).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        micros(r.getAs[java.time.LocalDateTime](2)),
+        micros(r.getAs[java.time.LocalDateTime](3)),
+        r.getLong(4), math.rint(r.getDouble(5) * 1e4) / 1e4)
+    }.toSet
+
+    val streamed = {
+      val ds = Sessions.sessionizeStream(EventStreams.eventStream(spark, sf001))
+      EventStreams.runToMemory(ds.toDF(), "st3_parity")
+      spark.table("st3_parity").collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), math.rint(r.getDouble(5) * 1e4) / 1e4)
+      }.toSet
+    }
+
+    assert(streamed.nonEmpty, "stream emitted no sessions")
+    assert((streamed -- batch).isEmpty,
+      s"stream emitted ${(streamed -- batch).size} sessions batch doesn't have")
+    // sessions ENDING well before the final watermark must all be emitted:
+    // end + gap(30m) + delay(30m) + margin safely before maxTs
+    val cutoffUs = maxUs - 2L * 3600 * 1000000
+    val mustEmit = batch.filter(_._4 < cutoffUs)
+    assert(mustEmit.nonEmpty)
+    assert((mustEmit -- streamed).isEmpty,
+      s"stream withheld ${(mustEmit -- streamed).size} closed sessions of ${mustEmit.size}")
+  }
+}
