@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.SimHash64
+import graft.functions.{DotProduct, SimHash64}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
   }
 }

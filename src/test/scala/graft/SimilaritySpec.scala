@@ -25,26 +25,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("dd6 embed near-dups: no false positives, recall >= 0.85 vs brute force") {
-    import org.apache.spark.sql.functions._
+  test("dd7 LSH near-dups: no false positives, recall >= 0.85 vs dd6 exact") {
     val emb = Tables.embeddings(spark, sf001)
-    // brute force: every pair with cosine >= 0.4
-    val e = emb.select(col("vec_id"), col("embedding"))
-    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
-        graft.functions.r6(
-          Similarity.cosine(col("a.embedding"), col("b.embedding"))).as("c"))
-      .filter(col("c") >= 0.4)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val got = Similarity.embedNearDups(emb).collect()
+    val exact = Similarity.embedNearDupsExact(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(brute.nonEmpty, "corpus must contain near-dup pairs at 0.4")
-    // exact verify ⇒ zero false positives, and identical cosines
-    got.foreach { case (k, c) =>
-      assert(brute.contains(k), s"false positive pair $k")
-      assert(brute(k) === c)
+    val lsh = Similarity.embedNearDupsLsh(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "corpus must contain near-dup pairs at 0.4")
+    // exact per-candidate verify ⇒ zero false positives, identical cosines
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive pair $k")
+      assert(exact(k) === c)
     }
-    val recall = got.keySet.count(brute.contains).toDouble / brute.size
-    assert(recall >= 0.85, s"dd6 recall $recall over ${brute.size} pairs")
+    val recall = lsh.keySet.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.85, s"dd7 recall $recall over ${exact.size} pairs")
   }
 }
