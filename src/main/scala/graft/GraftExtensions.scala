@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import graft.functions.{DotProduct, RhpBuckets, SimHash64}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -20,5 +21,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("rhp_buckets"),
+      new ExpressionInfo(classOf[RhpBuckets].getName, "rhp_buckets"),
+      (args: Seq[Expression]) => {
+        def intArg(i: Int): Int = args(i) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"rhp_buckets argument $i must be an integer literal, got $other")
+        }
+        val seed = args(4) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _)  => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"rhp_buckets seed must be a literal, got $other")
+        }
+        RhpBuckets(args.head, intArg(1), intArg(2), intArg(3), seed)
+      }))
   }
 }

@@ -62,28 +62,17 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Deterministic random hyperplanes (seeded driver-side, shipped as a
-    * broadcast literal — a few KB regardless of corpus size).
-    */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val r = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(r.nextGaussian()))
-  }
-
-  /** Sign-bit bucket of a vector under one band's hyperplanes. */
-  private def bandBucket(vd: Column, ps: Seq[Seq[Double]]): Column =
-    ps.zipWithIndex.map { case (p, i) =>
-      when(dot(vd, typedlit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** Array of `nBands` bucket ids (one per independent band of `nPlanes`
-    * sign bits); position in the array is the band id.
+    * sign bits); position in the array is the band id. Native
+    * [[graft.functions.RhpBuckets]] expression — the plane matrix lives in
+    * an executor-side cache instead of ~nBands×nPlanes giant array literals
+    * in the plan (which cost seconds of fixed analysis/codegen time per
+    * query). Bucket ids are bit-identical to the literal formulation.
     */
   def lshBuckets(
-      vec: Column, nBands: Int, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val vd = vec.cast("array<double>")
-    array((0 until nBands).map(b => bandBucket(vd, planes(nPlanes, dim, seed + b))): _*)
-  }
+      vec: Column, nBands: Int, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    call_function("rhp_buckets",
+      vec.cast("array<double>"), lit(nBands), lit(nPlanes), lit(dim), lit(seed))
 
   /** Approximate top-k: explode each row into its `nBands` (band, bucket)
     * keys, hash-join corpus keys against the broadcast query keys, dedup
