@@ -70,6 +70,34 @@ object Multimodal {
       }
   }
 
+  /** mm3 — frame sampling: treat the binary payload as a sequence of
+    * fixed-size frames, keep every `stride`-th frame up to `maxFrames`
+    * (the video/audio frame-sampling shape: bounded output per asset no
+    * matter how large the payload). The "frame decode" is byte-slicing —
+    * a real codec would replace the substring with a frame-seek inside
+    * the same per-row expression or a [[decodeAssets]]-style
+    * mapPartitions — but the sampling plumbing (index generation, stride,
+    * cap, per-frame metadata schema) is real and oracle-checked.
+    */
+  def frameSample(
+      docs: DataFrame,
+      frameSize: Int = 32, stride: Int = 4, maxFrames: Int = 8): DataFrame = {
+    val frames = expr(
+      s"""transform(
+         |  slice(filter(sequence(0, int(ceil(octet_length(bin) / ${frameSize}.0)) - 1),
+         |               i -> i % $stride = 0),
+         |        1, $maxFrames),
+         |  i -> struct(
+         |    CAST(i AS BIGINT) AS frame_idx,
+         |    CAST(octet_length(substring(bin, i * $frameSize + 1, $frameSize)) AS BIGINT) AS frame_len,
+         |    md5(substring(bin, i * $frameSize + 1, $frameSize)) AS frame_md5))""".stripMargin)
+    docs
+      .select(col("doc_id"), col("text").cast("binary").as("bin"))
+      .select(col("doc_id"), explode(frames).as("f"))
+      .select(col("doc_id"), col("f.frame_idx"), col("f.frame_len"), col("f.frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -77,7 +105,9 @@ object Multimodal {
     // mm2 exercises the mapPartitions decode path end-to-end (the stub
     // decode is deterministic, so it is fully oracle-checkable).
     "mm2_decode_assets" -> ((s: SparkSession, d: String) =>
-      decodeAssets(Tables.documents(s, d)).toDF().orderBy(col("doc_id"))))
+      decodeAssets(Tables.documents(s, d)).toDF().orderBy(col("doc_id"))),
+    "mm3_frame_sample" -> ((s: SparkSession, d: String) =>
+      frameSample(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "mm1_binary_meta" ->
@@ -94,5 +124,15 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS channels
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB cannot substring a BLOB; the corpus is pure ASCII (verified:
+    // length(text) == octet_length(encode(text)) for every row), so VARCHAR
+    // slicing is byte slicing and md5(varchar) hashes the same bytes.
+    "mm3_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(length(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS BIGINT) AS frame_len,
+        |  md5(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
+        |FROM documents, LATERAL unnest(
+        |  [x FOR x IN range(CAST(ceil(length(text) / 32.0) AS INT)) IF x % 4 = 0][1:8]) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }
