@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+import graft.operators.Analytics
+
+/** Physical-plan audits — the scale-posture invariants (SURVEY.md §4) as
+  * assertions, so a regression that silently drops a pushdown or flips a
+  * broadcast to a shuffle fails CI, not the 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("q16: filter AND projection reach the parquet scan") {
+    val p = plan(Analytics.q16Projection(spark, sf001))
+    assert(p.contains("PushedFilters:") &&
+      p.matches("(?s).*PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate[^\\]]*\\].*"),
+      s"shipdate predicate not pushed:\n$p")
+    // column pruning: the scan must read only the 4 projected columns
+    val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .forall(read.contains), s"pruned schema wrong: $read")
+    assert(!read.contains("l_extendedprice"), s"scan reads unprojected columns: $read")
+  }
+
+  test("q02: cleaning rules collapse into ONE conjunctive pushed filter stage") {
+    val p = plan(Analytics.q02CleanLineitem(spark, sf001, ordered = false))
+    assert(p.contains("PushedFilters:"), "no pushdown at all")
+    // a single Filter node, not one per rule
+    assert(p.linesIterator.count(_.matches("\\s*\\+- Filter.*|\\(\\d+\\) Filter")) <= 1,
+      s"cleaning did not fuse to one Filter:\n$p")
+  }
+
+  test("q05: the part dimension joins via broadcast, never a shuffle") {
+    val p = plan(Analytics.q05TopParts(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"dim join is not broadcast:\n$p")
+  }
+
+  test("q05: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(Analytics.q05TopParts(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
+  }
+
+  test("q09: the dim joins broadcast at runtime (nation hinted, rest stats-driven)") {
+    val df = Analytics.q09TopRoutes(spark, sf001)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins (nation roles), got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), "accidental cross join")
+  }
+
+  test("whole-stage codegen covers the cleaning+derive hot path") {
+    val df = Analytics.q03Derived(spark, sf001, ordered = false)
+    df.collect() // finalize the AQE plan — codegen spans appear post-execution
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the executed plan
+    assert(p.contains("*("), s"no codegen span:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"derive projection not inside codegen:\n$p")
+  }
+}
