@@ -181,7 +181,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
-    "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(Tables.embeddings(s, d))),
+    "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(Tables.embeddingsRebalanced(s, d))),
     "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(

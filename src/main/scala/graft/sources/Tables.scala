@@ -46,12 +46,21 @@ object Tables {
     * queries (exact dedup, text stats) the added exchange costs more than
     * the parallelism buys, so those read the plain table.
     */
-  def documentsRebalanced(spark: SparkSession, sfDir: String): DataFrame = {
-    val df = documents(spark, sfDir)
+  def documentsRebalanced(spark: SparkSession, sfDir: String): DataFrame =
+    rebalanced(spark, documents(spark, sfDir), s"$sfDir/documents")
+
+  /** For CPU-heavy NARROW plans over embeddings (e.g. the dd6 all-pairs
+    * broadcast-nested-loop, which has no shuffle anywhere to restore
+    * parallelism after a single-file scan).
+    */
+  def embeddingsRebalanced(spark: SparkSession, sfDir: String): DataFrame =
+    rebalanced(spark, embeddings(spark, sfDir), s"$sfDir/embeddings")
+
+  private def rebalanced(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     // the physical-partition probe (df.rdd) costs ~100s of ms — cache it
     // once per table per JVM, not per query
-    val parts = scanParts.getOrElseUpdate(s"$sfDir/documents", df.rdd.getNumPartitions)
+    val parts = scanParts.getOrElseUpdate(key, df.rdd.getNumPartitions)
     if (parts < target) df.repartition(target) else df
   }
 
