@@ -24,7 +24,7 @@ object DebugStages {
       val t0 = System.nanoTime(); val r = f
       println(f"[stage] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val docs = Tables.documents(spark, sfDir)
+    val docs = Tables.documentsRebalanced(spark, sfDir)
     time("warmup count")(docs.count())
     time("tokenize only")(
       docs.select(explode(split(trim(col("text")), " ")).as("t")).count())

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, RhpBuckets, SimHash64}
+import graft.functions.{DotProduct, PairCombs, RhpBuckets, SimHash64}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pair_combs"),
+      new ExpressionInfo(classOf[PairCombs].getName, "pair_combs"),
+      (args: Seq[Expression]) => PairCombs(args.head)))
     ext.injectFunction((
       FunctionIdentifier("rhp_buckets"),
       new ExpressionInfo(classOf[RhpBuckets].getName, "rhp_buckets"),

@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** All ordered (i < j) pair combinations of an array<struct<id, n>> posting
+  * list, as array<struct<doc_a, na, doc_b, nb>>.
+  *
+  * The HOF formulation (`flatten(transform(ds, (a,i) => transform(slice(...`)
+  * allocated one lambda dispatch + struct per emitted pair, interpreted —
+  * the hottest stage of the n-gram Jaccard query. This is a tight two-loop
+  * native expression; output size is bounded by the caller's posting-list
+  * cap (maxDf ⇒ ≤ maxDf²/2 pairs).
+  *
+  * The input list must already be sorted by id (the caller's `sort_array`)
+  * so i < j implies doc_a < doc_b.
+  */
+case class PairCombs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 2 && fields.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"pair_combs expects array<struct<long, long>>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("na", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false),
+      StructField("nb", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "pair_combs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PairCombs.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PairCombs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PairCombs =
+    copy(child = newChild)
+}
+
+object PairCombs {
+  def compute(ds: ArrayData): ArrayData = {
+    val n = ds.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ds.getStruct(i, 2)
+      val da = a.getLong(0)
+      val na = a.getLong(1)
+      var j = i + 1
+      while (j < n) {
+        val b = ds.getStruct(j, 2)
+        out(k) = InternalRow(da, na, b.getLong(0), b.getLong(1))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

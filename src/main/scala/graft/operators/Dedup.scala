@@ -106,12 +106,12 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
       .select(col("ds"))
     // all (a < b) combinations within each bounded list, generated map-side
-    val pairExpr = flatten(transform(col("ds"), (a, i) =>
-      transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-        b => struct(
-          a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("na"),
-          b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("nb")))))
-    val inter = lists.select(explode(pairExpr).as("p")).select(col("p.*"))
+    // by the native pair_combs expression (the HOF nested-lambda version
+    // allocated an interpreted closure dispatch per emitted pair and was
+    // the query's hottest stage)
+    val inter = lists
+      .select(explode(call_function("pair_combs", col("ds"))).as("p"))
+      .select(col("p.*"))
       .groupBy(col("doc_a"), col("na"), col("doc_b"), col("nb"))
       .agg(count(lit(1)).as("c"))
     val jac = col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))
