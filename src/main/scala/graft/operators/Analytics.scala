@@ -276,6 +276,23 @@ object Analytics {
   def q17RemovalAccounting(spark: SparkSession, sfDir: String): DataFrame =
     Cleaning.accountingAgg(Tables.lineitem(spark, sfDir), cleaningRules)
 
+  // ---------------------------------------------------------------- q18
+  /** Two-hop dimension chain (customer → nation → region): both dims are
+    * fixed-cardinality (25 / 5 rows) so both joins broadcast — the fact
+    * side never shuffles until the 5-group aggregate. Completes star
+    * coverage: every corpus table is read by some registry query.
+    */
+  def q18RegionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), davg(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -295,7 +312,8 @@ object Analytics {
     "q14_null_census" -> (q14NullCensus _),
     "q15_value_counts" -> (q15ValueCounts _),
     "q16_projection" -> ((s: SparkSession, d: String) => q16Projection(s, d)),
-    "q17_removal_accounting" -> (q17RemovalAccounting _))
+    "q17_removal_accounting" -> (q17RemovalAccounting _),
+    "q18_region_rollup" -> (q18RegionRollup _))
 
   /** Bench-only overrides: the global `orderBy` on the row-level outputs of
     * q02/q03/q16 exists ONLY so the verify harness can hash
@@ -419,5 +437,11 @@ object Analytics {
          |count(CASE WHEN $p0 AND $p1 AND $p2 AND $p3 AND NOT $p4 THEN 1 END) AS removed_discount,
          |count(CASE WHEN $p0 AND $p1 AND $p2 AND $p3 AND $p4 THEN 1 END) AS rows_out
          |FROM lineitem""".stripMargin
-    })
+    },
+    "q18_region_rollup" ->
+      s"""SELECT r_name, count(*) AS n_customers, ${davgSql("c_acctbal")} AS avg_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin)
 }
