@@ -178,6 +178,9 @@ object Dedup {
     // signature expression into the Filter condition — doubling the
     // dominant per-row cost.
     val sigs = minhashSignatures(docs.filter(size(tokens(col("text"))) >= n), k, n)
+    // Same linear shape as dd3/dd5: bucket posting lists + map-side pair
+    // emission instead of a banded self-join (which would compute the
+    // signature subtree twice and shuffle both sides).
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(
@@ -185,11 +188,12 @@ object Dedup {
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val lists = banded.groupBy(col("band"), col("band_hash"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), lit(0L)))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"))
+    lists.select(explode(call_function("pair_combs", col("ds"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -226,22 +230,26 @@ object Dedup {
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhashExpr("text").as("sig"))
-    val bandKeys = blockTriples.map { case (i, j, k) =>
-      (shiftright(col("sig"), i * 8).bitwiseAND(255) * 65536) +
+    // (band id | 24-bit band content) fused into ONE long key so the plan
+    // is a single linear lineage: explode keys → bucket posting lists →
+    // map-side pair emission (pair_combs carries the signature as the
+    // second struct field) → Hamming verify. A banded self-join computed
+    // the scan+signature subtree twice and shuffled both sides.
+    val bandKeys = blockTriples.zipWithIndex.map { case ((i, j, k), b) =>
+      lit(b.toLong << 24) +
+        (shiftright(col("sig"), i * 8).bitwiseAND(255) * 65536) +
         (shiftright(col("sig"), j * 8).bitwiseAND(255) * 256) +
         shiftright(col("sig"), k * 8).bitwiseAND(255)
     }
-    val banded = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(array(bandKeys: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_key")
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(array(bandKeys: _*)).as("key"))
+    val lists = keyed.groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"))
+    lists.select(explode(call_function("pair_combs", col("ds"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        bit_count(col("p.na").bitwiseXOR(col("p.nb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
