@@ -1,0 +1,32 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Feeds
+import graft.sources.Tables
+
+/** Golden end-to-end: the full reference flow on sf0.001 (SURVEY.md §5). */
+class PipelineSpec extends AnyFunSuite with SparkFixture {
+
+  test("run: validates, cleans with reconciling accounting, sinks clean table + feeds") {
+    val out = Files.createTempDirectory("pipeline").toString
+    val res = Pipeline.run(spark, sf001, out)
+
+    // accounting reconciles against the raw row count
+    val rawRows = Tables.lineitem(spark, sf001).count()
+    assert(res.accounting("rows_in") === rawRows)
+    val removed = res.accounting.collect { case (k, v) if k.startsWith("removed_") && k != "removed_total" => v }.sum
+    assert(res.accounting("rows_out") + removed === rawRows)
+
+    // the clean table round-trips with the derived columns present
+    val clean = spark.read.parquet(res.cleanPath)
+    assert(clean.count() === res.accounting("rows_out"))
+    Seq("duration_days", "start_hour", "start_day_of_week", "rate_per_day")
+      .foreach(c => assert(clean.columns.contains(c), s"missing derived column $c"))
+
+    // every chart feed materialized
+    Feeds.feeds.keys.foreach { name =>
+      assert(new java.io.File(s"${res.feedDir}/$name").exists(), s"feed $name missing")
+    }
+  }
+}
