@@ -22,14 +22,25 @@ package object functions {
   def dsum(c: Column): Column = sum(c.cast(Exact)).cast("double")
 
   /** Exact sum rounded to 6 decimals — safe to hash across engines. */
-  def dsumr(c: Column): Column = round(dsum(c), 6)
+  def dsumr(c: Column): Column = r6(dsum(c))
 
   /** Exact average rounded to 6 decimals. Matches
     * `round(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)/COUNT(x), 6)`.
     */
-  def davg(c: Column): Column = round(dsum(c) / count(c), 6)
+  def davg(c: Column): Column = r6(dsum(c) / count(c))
 
-  def r6(c: Column): Column = round(c, 6)
+  /** Round a double to 6 decimals the way DuckDB rounds doubles:
+    * `std::round(x * 1e6) / 1e6` — the tie-break happens on the double
+    * product, not on the decimal string. Spark's `round(c, 6)` instead
+    * converts through BigDecimal's shortest string representation and
+    * HALF_UPs THAT, which disagrees on knife-edge values (e.g. 41/640 =
+    * 0.0640625 exactly as a decimal string, but ×1e6 = 64062.49999… as a
+    * double: Spark said .064063, DuckDB .064062 — one real mismatch per
+    * ~10^5 rows at sf0.1). Multiplying first makes both engines execute
+    * the same double ops; `round(y)` at scale 0 then agrees with
+    * std::round for every representable y, ties included.
+    */
+  def r6(c: Column): Column = round(c * lit(1e6)) / lit(1e6)
 
   /** Full English weekday name ("Monday".."Sunday"); Spark's datetime
     * patterns use Locale.US, matching DuckDB `dayname()` / `strftime("%A")`

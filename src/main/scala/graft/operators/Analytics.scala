@@ -154,7 +154,7 @@ object Analytics {
     li.filter(col("l_returnflag") === "R")
       .select(Derive.dayNameOf(col("l_shipdate")).as("ship_dow"), col("l_quantity"), col("l_discount"))
       .groupBy(col("ship_dow"))
-      .agg(round(dsum(cond) / count(cond) * 100, 6).as("avg_disc_pct"))
+      .agg(r6(dsum(cond) / count(cond) * 100).as("avg_disc_pct"))
       .orderBy(weekdayRank(col("ship_dow")))
   }
 

@@ -48,9 +48,14 @@ object Sql {
       """SELECT p_name, count(*) AS total_trips
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_name ORDER BY total_trips DESC, p_name LIMIT 10""".stripMargin,
+    // The `round(x * 1e6) / 1e6` form (not `round(x, 6)`): Spark's scaled
+    // round goes through BigDecimal's string representation while DuckDB
+    // rounds the double product — they disagree on knife-edge values. The
+    // multiply form executes the same double ops in every engine (see
+    // graft.functions.r6), and the DataFrame twins use r6 identically.
     "sql2_hourly_avg" ->
       """SELECT CAST(hour(ts) AS BIGINT) AS event_hour,
-        |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
+        |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) * 1e6) / 1e6 AS avg_value,
         |count(*) AS n_events
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // CAST AS DOUBLE: Spark SQL parses the 100.0 literal as DECIMAL (the
@@ -58,12 +63,12 @@ object Sql {
     // percentage column comes back as DECIMAL and misses the oracle schema.
     "sql3_pct_of_total" ->
       """SELECT event_type, count(*) AS n,
-        |round(CAST(count(*) * 100.0 / SUM(count(*)) OVER () AS DOUBLE), 6) AS percentage
+        |round(CAST(count(*) * 100.0 / SUM(count(*)) OVER () AS DOUBLE) * 1e6) / 1e6 AS percentage
         |FROM events GROUP BY event_type ORDER BY percentage DESC, event_type""".stripMargin,
     "sql4_cond_avg_weekday" ->
       s"""SELECT date_format(l_shipdate, 'EEEE') AS ship_dow,
          |round(CAST(SUM(CAST(CASE WHEN l_quantity > 0 THEN l_discount END AS DECIMAL(38,6))) AS DOUBLE)
-         |  / COUNT(CASE WHEN l_quantity > 0 THEN l_discount END) * 100, 6) AS avg_disc_pct
+         |  / COUNT(CASE WHEN l_quantity > 0 THEN l_discount END) * 100 * 1e6) / 1e6 AS avg_disc_pct
          |FROM lineitem WHERE l_returnflag = 'R'
          |GROUP BY 1 ORDER BY $weekdayCase""".stripMargin,
     "sql5_top_routes" ->
