@@ -87,12 +87,43 @@ object EventStreams {
     spark.table("st2_sink").orderBy(col("window_start"), col("event_type"))
   }
 
+  /** st4 — stream-static enrichment: the event stream joined against the
+    * customer dimension (static side broadcast: each micro-batch probes the
+    * dim hash relation, the stream never shuffles for the join), then the
+    * same windowed aggregation keyed by market segment. Batch twin below is
+    * the oracle-checked query; [[enrichedStream]] runs the identical plan
+    * over `readStream` (parity in `StreamingSpec`).
+    */
+  def enrichedBatch(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("c_mktsegment"), col("n"), col("avg_value"))
+      .orderBy(col("window_start"), col("c_mktsegment"))
+
+  def enrichedStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+        col("c_mktsegment"), col("n"), col("avg_value"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_windowed_agg" ->
       ((s: SparkSession, d: String) => windowedBatch(Tables.events(s, d))),
-    "st2_stream_windowed" -> (st2StreamWindowed _))
+    "st2_stream_windowed" -> (st2StreamWindowed _),
+    "st4_enriched_window" ->
+      ((s: SparkSession, d: String) =>
+        enrichedBatch(Tables.events(s, d), Tables.customer(s, d))))
 
   val oracles: Map[String, String] = Map(
     "st1_windowed_agg" ->
@@ -104,5 +135,10 @@ object EventStreams {
         |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin,
+    "st4_enriched_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, c_mktsegment, count(*) AS n,
+        |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) * 1e6) / 1e6 AS avg_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

@@ -1,0 +1,43 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Params
+import graft.operators.Params.EventParams
+
+/** F1/F2/F3 parameterized filters + the S7 cache contract. */
+class ParamsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("S7: cachedEvents persists once per scale dir and returns the same plan") {
+    val a = Params.cachedEvents(spark, sf001)
+    val b = Params.cachedEvents(spark, sf001)
+    assert(a eq b, "cache must hand back the same DataFrame, not a new scan")
+    assert(a.storageLevel.useMemory, "base table must be persisted")
+  }
+
+  test("F1: date range is CLOSED — the midnight instant of the end date is inclusive (app.py:143-144)") {
+    val p = EventParams("2024-01-01 00:00:00", "2024-01-10 00:00:00", 0, 23, Seq("view"))
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-09 23:59:59"), "view", 1L),  // inside
+      (Timestamp.valueOf("2024-01-10 00:00:00"), "view", 2L),  // the quirk: exactly midnight stays
+      (Timestamp.valueOf("2024-01-10 00:00:01"), "view", 3L),  // one second later drops
+      (Timestamp.valueOf("2023-12-31 23:59:59"), "view", 4L)   // before range drops
+    ).toDF("ts", "event_type", "id")
+    val kept = Params.paramFilter(df, p).select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L))
+  }
+
+  test("F2+F3: hour range and membership compose conjunctively") {
+    val p = EventParams("2024-01-01 00:00:00", "2024-01-31 00:00:00", 9, 17, Seq("view", "click"))
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-05 10:00:00"), "view", 1L),   // kept
+      (Timestamp.valueOf("2024-01-05 08:59:59"), "view", 2L),   // hour 8 < 9
+      (Timestamp.valueOf("2024-01-05 17:59:59"), "click", 3L),  // hour 17 inclusive
+      (Timestamp.valueOf("2024-01-05 12:00:00"), "error", 4L)   // type not selected
+    ).toDF("ts", "event_type", "id")
+    val kept = Params.paramFilter(df, p).select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+}

@@ -39,6 +39,25 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"stream withheld ${(mustEmit -- streamed).size} closed windows of ${mustEmit.size}")
   }
 
+  test("st4: stream-static enrichment join matches the batch twin for closed windows") {
+    def rows(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batchEvents = Tables.events(spark, sf001)
+    val maxTs = batchEvents.agg(max(col("ts"))).collect().head.getTimestamp(0)
+    EventStreams.runToMemory(EventStreams.enrichedStream(spark, sf001), "st4_parity")
+    val streamed = rows(spark.table("st4_parity").collect())
+    val batch = rows(
+      EventStreams.enrichedBatch(batchEvents, Tables.customer(spark, sf001)).collect())
+    assert(streamed.nonEmpty)
+    assert((streamed -- batch).isEmpty,
+      s"stream emitted ${(streamed -- batch).size} rows batch doesn't have")
+    val cutoff = maxTs.toLocalDateTime.minusHours(2)
+    val mustEmit = batch.filter(_._1.isBefore(cutoff))
+    assert((mustEmit -- streamed).isEmpty,
+      s"stream withheld ${(mustEmit -- streamed).size} closed windows of ${mustEmit.size}")
+  }
+
   test("eventStream reads ONLY the events table (schema match, no cross-table glob)") {
     val stream = EventStreams.eventStream(spark, sf001)
     val batch = Tables.events(spark, sf001)
