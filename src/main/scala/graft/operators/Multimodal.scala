@@ -98,6 +98,24 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** mm4 — resize planning: map each asset's (stub-decoded) dimensions to
+    * the target box preserving aspect ratio (the ML-preprocessing
+    * fit-within-224×224 convention). Pure integer/double arithmetic over
+    * mm1's metadata — in production the scale plan feeds the actual
+    * resampler inside the decode mapPartitions.
+    */
+  def resizePlan(docs: DataFrame, target: Int = 224): DataFrame = {
+    val w = col("stub_width")
+    val h = col("stub_height")
+    val scale = least(lit(target.toDouble) / w, lit(target.toDouble) / h)
+    binaryMeta(docs)
+      .select(col("doc_id"), w, h,
+        floor(w * scale).cast("long").as("out_width"),
+        floor(h * scale).cast("long").as("out_height"),
+        graft.functions.r6(scale).as("scale"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -107,7 +125,9 @@ object Multimodal {
     "mm2_decode_assets" -> ((s: SparkSession, d: String) =>
       decodeAssets(Tables.documents(s, d)).toDF().orderBy(col("doc_id"))),
     "mm3_frame_sample" -> ((s: SparkSession, d: String) =>
-      frameSample(Tables.documents(s, d))))
+      frameSample(Tables.documents(s, d))),
+    "mm4_resize_plan" -> ((s: SparkSession, d: String) =>
+      resizePlan(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "mm1_binary_meta" ->
@@ -125,6 +145,16 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS channels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm4_resize_plan" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS stub_width,
+        |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS BIGINT) AS stub_height
+        |  FROM documents)
+        |SELECT doc_id, stub_width, stub_height,
+        |  CAST(floor(stub_width * least(CAST(224.0 AS DOUBLE) / stub_width, CAST(224.0 AS DOUBLE) / stub_height)) AS BIGINT) AS out_width,
+        |  CAST(floor(stub_height * least(CAST(224.0 AS DOUBLE) / stub_width, CAST(224.0 AS DOUBLE) / stub_height)) AS BIGINT) AS out_height,
+        |  round(least(CAST(224.0 AS DOUBLE) / stub_width, CAST(224.0 AS DOUBLE) / stub_height) * 1e6) / 1e6 AS scale
+        |FROM m ORDER BY doc_id""".stripMargin,
     // DuckDB cannot substring a BLOB; the corpus is pure ASCII (verified:
     // length(text) == octet_length(encode(text)) for every row), so VARCHAR
     // slicing is byte slicing and md5(varchar) hashes the same bytes.
