@@ -22,10 +22,13 @@ import graft.sources.Tables
   *    with a Hamming-distance verify (exact for the default radius, see
   *    [[simhashCandidates]]).
   *
-  * All signature math is built-in expressions or the native
-  * [[graft.functions.SimHash64]] Catalyst expression — no UDFs, fully
-  * codegen'd. dd4/dd5 recall/exactness is asserted against dd3/brute force
-  * in `DedupSpec` (ScalaTest).
+  * All three LSH-family queries share ONE plan shape: explode band keys →
+  * bucket posting lists (a single shuffle on the bucket key) → map-side
+  * pair emission via the native [[graft.functions.PairCombs]] expression →
+  * verify/aggregate. Signature math is built-in expressions plus the
+  * native [[graft.functions.SimHash64]] — no UDFs, fully codegen'd.
+  * dd4/dd5 recall/exactness is asserted against dd3/brute force in
+  * `DedupSpec` (ScalaTest).
   */
 object Dedup {
 

@@ -20,9 +20,11 @@ import graft.sources.Tables
   *    (band, bucket) key — O(corpus × bands), never corpus × queries.
   *    Recall ≥ 0.9 vs [[topkExact]] is asserted in `SimilaritySpec`.
   *
-  * Vector math is `zip_with`/`aggregate` over doubles — sequential
-  * accumulation, matching DuckDB's `list_cosine_similarity` on
-  * `DOUBLE[]`-cast inputs for oracle parity.
+  * Vector math runs through the native codegen'd
+  * [[graft.functions.DotProduct]] / [[graft.functions.RhpBuckets]]
+  * expressions — same sequential left-to-right accumulation as DuckDB's
+  * `list_cosine_similarity` on `DOUBLE[]`-cast inputs, so oracle hashes
+  * match bit-for-bit.
   */
 object Similarity {
 
