@@ -53,6 +53,13 @@ case class PairCombs(child: Expression) extends UnaryExpression {
 object PairCombs {
   def compute(ds: ArrayData): ArrayData = {
     val n = ds.numElements()
+    // n(n−1)/2 overflows Int beyond 65536 elements — fail LOUDLY instead
+    // of wrapping to a negative allocation. A bucket that large means the
+    // corpus carries a megacluster of identical items: pre-collapse exact
+    // duplicates (dd1/dd2) or cap the bucket before pair emission.
+    require(n <= 65536,
+      s"pair_combs: posting list of $n elements would emit ${n.toLong * (n - 1) / 2} pairs; " +
+        "pre-dedup exact duplicates or cap the bucket size")
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     var i = 0

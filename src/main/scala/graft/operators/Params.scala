@@ -43,8 +43,11 @@ object Params {
     * an executor-memory shortfall spills instead of OOMing).
     */
   def cachedEvents(spark: SparkSession, sfDir: String): DataFrame =
+    // key includes the session: a DataFrame is bound to the session that
+    // built it, and handing one from a stopped session to a new one fails
     cache.getOrElseUpdate(
-      sfDir, Tables.events(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK))
+      s"${System.identityHashCode(spark)}/$sfDir",
+      Tables.events(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK))
 
   // ------------------------------------------------------------- filters
 
