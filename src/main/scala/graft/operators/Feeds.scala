@@ -27,12 +27,13 @@ object Feeds {
     df.coalesce(1).write.mode("overwrite").format(format).save(path)
 
   /** Materialize every feed under `outDir/<name>` (parquet) and
-    * `outDir/<name>_json` (JSON lines).
+    * `outDir/<name>_json` (JSON lines). The aggregate is computed ONCE:
+    * the parquet lands first, the JSON twin re-reads that (tiny) file
+    * instead of re-running the scan-and-aggregate pipeline.
     */
   def writeAll(spark: SparkSession, sfDir: String, outDir: String): Unit =
     feeds.foreach { case (name, fn) =>
-      val df = fn(spark, sfDir)
-      writeFeed(df, s"$outDir/$name")
-      writeFeed(df, s"$outDir/${name}_json", "json")
+      writeFeed(fn(spark, sfDir), s"$outDir/$name")
+      writeFeed(spark.read.parquet(s"$outDir/$name"), s"$outDir/${name}_json", "json")
     }
 }

@@ -85,7 +85,7 @@ object Multimodal {
     val frames = expr(
       s"""transform(
          |  slice(filter(sequence(0, int(ceil(octet_length(bin) / ${frameSize}.0)) - 1),
-         |               i -> i % $stride = 0),
+         |               i -> i % $stride = 0 AND i * $frameSize < octet_length(bin)),
          |        1, $maxFrames),
          |  i -> struct(
          |    CAST(i AS BIGINT) AS frame_idx,

@@ -37,17 +37,22 @@ object Params {
 
   // --------------------------------------------------------------- cache
 
-  private val cache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // Weak keys: a DataFrame is bound to the session that built it, so the
+  // cache is PER SESSION — and when the session is collected its persisted
+  // frames go with it (an identity-hash string key would both collide
+  // after GC reuse and leak every dead session's cache forever).
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
   /** S7 — the persisted base table (one per scale dir, MEMORY_AND_DISK so
     * an executor-memory shortfall spills instead of OOMing).
     */
   def cachedEvents(spark: SparkSession, sfDir: String): DataFrame =
-    // key includes the session: a DataFrame is bound to the session that
-    // built it, and handing one from a stopped session to a new one fails
-    cache.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}/$sfDir",
-      Tables.events(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK))
+    cache
+      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(
+        sfDir, Tables.events(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK))
 
   // ------------------------------------------------------------- filters
 

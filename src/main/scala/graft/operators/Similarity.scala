@@ -137,9 +137,12 @@ object Similarity {
     val a = u.select(col("vec_id").as("vec_a"), col("unit").as("ua"))
     val b = u.select(col("vec_id").as("vec_b"), col("unit").as("ub"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", r6(dot(col("ua"), col("ub"))))
-      .filter(col("cosine") >= minCosine)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .withColumn("cos_raw", dot(col("ua"), col("ub")))
+      // threshold on the UNROUNDED value — the oracle's WHERE does the
+      // same; filtering on the rounded column would admit pairs that
+      // round up across the boundary
+      .filter(col("cos_raw") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), r6(col("cos_raw")).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -172,9 +175,9 @@ object Similarity {
     pairs
       .join(u.select(col("vec_id").as("vec_a"), col("unit").as("ua")), Seq("vec_a"))
       .join(u.select(col("vec_id").as("vec_b"), col("unit").as("ub")), Seq("vec_b"))
-      .withColumn("cosine", r6(dot(col("ua"), col("ub"))))
-      .filter(col("cosine") >= minCosine)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
+      .withColumn("cos_raw", dot(col("ua"), col("ub")))
+      .filter(col("cos_raw") >= minCosine) // unrounded, matching dd6
+      .select(col("vec_a"), col("vec_b"), r6(col("cos_raw")).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -199,13 +202,20 @@ object Similarity {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         |  WHERE q.vec_id < 20) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // The oracle mirrors the ENGINE's float path exactly — unit vectors
+    // first (x / sqrt(dot(v,v))), then a sequential dot — so the raw
+    // doubles agree bit-for-bit and the unrounded threshold admits the
+    // same pair set in both engines.
     "dd6_embed_neardup" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+      """WITH u AS (SELECT vec_id,
+        |  list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[])))) AS unit
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(a.unit, b.unit) * 1e6) / 1e6 AS cosine
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.unit, b.unit) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin)
   // sim2/dd7 are approximate (engine-specific plane hashing) → rows-only
   // checks; recall vs the exact computations is asserted in

@@ -20,20 +20,21 @@ import graft.sources.Tables
   */
 object Sql {
 
-  private val registered = scala.collection.concurrent.TrieMap.empty[String, String]
+  // Weak session keys — identity-hash strings would collide after GC
+  // reuse and keep dead sessions' entries forever.
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every corpus table as a temp view (the Spark twin of the
     * reference's Arrow `con.register`). Lazy — no jobs run — but each
     * registration re-reads parquet footers for the schema, so it is skipped
     * when this session already has views for this scale dir.
     */
-  def registerViews(spark: SparkSession, sfDir: String): Unit = {
-    val key = System.identityHashCode(spark).toString
-    if (!registered.get(key).contains(sfDir)) {
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    if (registered.get(spark) != sfDir) {
       Tables.all.foreach(n => Tables(spark, sfDir, n).createOrReplaceTempView(n))
-      registered(key) = sfDir
+      registered.put(spark, sfDir)
     }
-  }
 
   private val weekdayCase =
     "CASE date_format(l_shipdate, 'EEEE') WHEN 'Monday' THEN 1 WHEN 'Tuesday' THEN 2 " +

@@ -108,9 +108,11 @@ object Tables {
     */
   def nationCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val sfName = new java.io.File(sfDir).getName
-    val csvDir = s"/root/repo/target/csvdim/$sfName/nation"
+    val csvDir = s"${sys.props("user.dir")}/target/csvdim/$sfName/nation"
     val marker = new java.io.File(s"$csvDir/_SUCCESS")
-    if (!marker.exists()) {
+    val source = new java.io.File(path(sfDir, "nation"))
+    // rewrite when absent OR stale (source parquet newer than the export)
+    if (!marker.exists() || marker.lastModified() < source.lastModified()) {
       nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
         .coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(csvDir)
