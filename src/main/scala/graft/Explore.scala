@@ -10,7 +10,9 @@ object Explore {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-    val df = SparkEntry.benchQueries(name)(spark, sfDir)
+    val df = SparkEntry.benchQueries.getOrElse(name,
+      sys.error(s"unknown query '$name'; known: ${SparkEntry.benchQueries.keys.toSeq.sorted.mkString(", ")}")
+    )(spark, sfDir)
     println("=== EXPLAIN " + name + " ===")
     println(df.queryExecution.explainString(
       org.apache.spark.sql.execution.FormattedMode))
