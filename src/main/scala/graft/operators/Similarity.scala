@@ -161,15 +161,21 @@ object Similarity {
   def embedNearDupsLsh(
       emb: DataFrame, minCosine: Double = 0.4,
       nBands: Int = 24, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    // Same linear shape as the dd3/dd4/dd5 candidate generators: bucket
+    // posting lists (one shuffle) + map-side pair_combs emission — a
+    // banded self-join would compute the signature subtree twice and
+    // shuffle both sides.
     val banded = emb.select(
       col("vec_id"),
       posexplode(lshBuckets(col("embedding"), nBands, nPlanes, dim))
         .as(Seq("band", "bucket")))
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+    val lists = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), lit(0L)))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"))
+    val pairs = lists
+      .select(explode(call_function("pair_combs", col("ds"))).as("p"))
+      .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b"))
       .distinct()
     val u = unitized(emb)
     pairs
