@@ -197,7 +197,10 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"))
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(10)
-    top.join(broadcast(c), col("user_id") === col("c_custkey"), "left")
+    // no broadcast hint: customer SCALES with SF (hinting it broadcast
+    // would OOM the driver at 100 TB); the stream side here is 10 rows, so
+    // whatever join AQE picks is trivially cheap
+    top.join(c, col("user_id") === col("c_custkey"), "left")
       .select(col("user_id"), col("n_events"), col("c_name"))
       .orderBy(col("n_events").asc, col("user_id"))
   }

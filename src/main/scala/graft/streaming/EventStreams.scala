@@ -88,15 +88,18 @@ object EventStreams {
   }
 
   /** st4 — stream-static enrichment: the event stream joined against the
-    * customer dimension (static side broadcast: each micro-batch probes the
-    * dim hash relation, the stream never shuffles for the join), then the
-    * same windowed aggregation keyed by market segment. Batch twin below is
-    * the oracle-checked query; [[enrichedStream]] runs the identical plan
-    * over `readStream` (parity in `StreamingSpec`).
+    * customer dimension, then the same windowed aggregation keyed by
+    * market segment. The join strategy is left to size stats: customer
+    * scales with SF, so a hardcoded broadcast hint would OOM the driver at
+    * production scale, while at dashboard scale the optimizer broadcasts
+    * it anyway and each micro-batch just probes the dim hash relation.
+    * Batch twin below is the oracle-checked query; [[enrichedStream]] runs
+    * the identical plan over `readStream` (parity in `StreamingSpec`).
     */
   def enrichedBatch(events: DataFrame, customer: DataFrame): DataFrame =
     events
-      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      // no broadcast hint — customer scales with SF; size stats decide
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
@@ -107,8 +110,8 @@ object EventStreams {
   def enrichedStream(spark: SparkSession, sfDir: String): DataFrame =
     eventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
-      .join(broadcast(Tables.customer(spark, sfDir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      .join(Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
