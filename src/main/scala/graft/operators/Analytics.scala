@@ -114,7 +114,10 @@ object Analytics {
   def q05TopParts(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val p = Tables.part(spark, sfDir)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    // no broadcast hint: part scales with SF (unlike the reference's fixed
+    // 265-row zones dim) — size stats/AQE broadcast it at dashboard scale
+    // and shuffle it at 100 TB, which a hardcoded hint would prevent
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_name"))
       .agg(count(lit(1)).as("total_trips"))
       .orderBy(col("total_trips").desc, col("p_name"))
