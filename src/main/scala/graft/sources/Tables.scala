@@ -19,11 +19,21 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  // Reader cache: building a reader re-reads parquet footers and re-lists
+  // files at plan time, and the registry's ~50 queries each touch several
+  // tables. DataFrames are immutable plans, so handing back the same one
+  // is safe; weak session keys so dead sessions' entries are collectable.
+  private val readerCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    name match {
-      case "events" => events(spark, sfDir)
-      case n        => spark.read.parquet(path(sfDir, n))
-    }
+    readerCache
+      .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(s"$sfDir/$name", name match {
+        case "events" => normalizeTs(eventsRaw(spark, sfDir))
+        case n        => spark.read.parquet(path(sfDir, n))
+      })
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = apply(spark, sfDir, "orders")
@@ -98,7 +108,7 @@ object Tables {
     }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =
-    normalizeTs(eventsRaw(spark, sfDir))
+    apply(spark, sfDir, "events")
 
   /** S3 — CSV dimension source (the reference's zones lookup is a CSV,
     * assignment1.ipynb:239, app.py:102). The driver stages parquet only, so
