@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Tables
+
+/** Contracts of the driver-facing harness itself. */
+class HarnessSpec extends AnyFunSuite with SparkFixture {
+
+  test("jsonEscape: every control char, quote and backslash survives json parsing") {
+    val nasty = "line1\nline2\ttab \"quoted\" back\\slash \r cr  ctrl"
+    val escaped = GraftSession.jsonEscape(nasty)
+    // no raw control characters may remain
+    assert(escaped.forall(c => c >= ' '))
+    // minimal JSON round-trip: the escaped text inside quotes is valid
+    val json = s"""{"k": "$escaped"}"""
+    assert(json.count(_ == '"') == 6) // braces intact, quoting balanced
+    assert(escaped.contains("\\n") && escaped.contains("\\t") &&
+      escaped.contains("\\\"") && escaped.contains("\\\\") &&
+      escaped.contains("\\u0001"))
+  }
+
+  test("Tables reader cache: same session + table -> same DataFrame plan") {
+    val a = Tables.lineitem(spark, sf001)
+    val b = Tables.lineitem(spark, sf001)
+    assert(a eq b)
+    // different scale dir -> different reader
+    val c = Tables.lineitem(spark, "/root/testdata/sf0.01")
+    assert(!(a eq c))
+  }
+
+  test("every registry query has either an oracle or a documented rows-only reason") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // the approximate/RNG-dependent set — anything new appearing here
+    // must add an oracle or justify itself in this list
+    assert(rowsOnly === Set(
+      "dd4_minhash_candidates", "dd5_simhash_candidates",
+      "dd7_embed_neardup_lsh", "sim2_ann_lsh", "sa1_seeded_sample"))
+    // and no oracle may exist without a query
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+}
