@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, PairCombs, RhpBuckets, SimHash64}
+import graft.functions.{DotProduct, MinHashSig, PairCombs, RhpBuckets, SimHash64, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -12,6 +12,16 @@ import graft.functions.{DotProduct, PairCombs, RhpBuckets, SimHash64}
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Parameters like k/n are plan-shape constants, not data — required to
+    * be integer literals so the expression can bake them into codegen.
+    */
+  private def litInt(args: Seq[Expression], i: Int): Int = args(i) match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"argument $i must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
@@ -25,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pair_combs"),
       new ExpressionInfo(classOf[PairCombs].getName, "pair_combs"),
       (args: Seq[Expression]) => PairCombs(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head, litInt(args, 1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args.head, litInt(args, 1))))
     ext.injectFunction((
       FunctionIdentifier("rhp_buckets"),
       new ExpressionInfo(classOf[RhpBuckets].getName, "rhp_buckets"),

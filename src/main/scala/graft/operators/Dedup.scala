@@ -48,20 +48,15 @@ object Dedup {
 
   // ------------------------------------------------------------ shingles
 
-  /** Distinct n-word shingles over an ALREADY-TOKENIZED column. Pass an
-    * attribute reference (materialized tokens), not an inline `split` —
-    * the token array is referenced three times here and expression trees
-    * get no subexpression sharing, so an inline split would re-tokenize
-    * per reference. Guarded for texts shorter than n tokens (empty set),
-    * matching DuckDB's empty `range()`.
+  /** Distinct n-word shingles via the native
+    * [[graft.functions.WordShingles]] expression (one codegen'd sliding
+    * pass; short texts ⇒ empty set, matching DuckDB's empty `range()`).
+    * The previous HOF tree (sequence→transform→slice→concat_ws) ran
+    * interpreted per shingle and its analysis/codegen dominated the dedup
+    * family's cold start.
     */
-  def shinglesOf(toks: Column, n: Int): Column = {
-    val raw = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    array_distinct(
-      when(size(toks) >= n, raw).otherwise(array().cast("array<string>")))
-  }
+  def shinglesOf(toks: Column, n: Int): Column =
+    call_function("word_shingles", toks, lit(n))
 
   /** Convenience for single-use contexts (tests, candidates pre-filter). */
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
@@ -76,32 +71,42 @@ object Dedup {
     * shingle distribution is. The DuckDB oracle applies the identical cap,
     * so results hash-match exactly.
     *
-    * Plan: explode shingles → ONE shuffle on the shingle building a capped
-    * posting list per shingle (`collect_list`, memory bounded by maxDf) →
-    * pairs emitted MAP-SIDE from each list by a higher-order function →
-    * pair-count shuffle. An earlier formulation self-joined the exploded
-    * shingles; that recomputed the explode+window subtree four times (both
-    * self-join sides + both set-size joins) and was the single most
-    * expensive query in the round-1 bench. This shape computes the posting
-    * lists once (plus once more for the set sizes) and replaces the
-    * self-join with list-local combination generation.
+    * Plan: explode shingles → skew-immune groupBy-count of document
+    * frequencies → broadcast ANTI-join of the tiny hot-shingle list →
+    * one shuffle on the shingle building a capped posting list
+    * (`collect_list`, memory bounded by maxDf) → pairs emitted MAP-SIDE
+    * from each list by the native pair_combs expression → pair-count
+    * shuffle. An earlier formulation self-joined the exploded shingles
+    * (recomputed the subtree four times, round-1's most expensive query);
+    * a second one computed df with `count over (partition by s)`, which
+    * funneled every occurrence of a hot shingle through one reducer
+    * before filtering — bounded output, unbounded skew. This shape pays
+    * for skew-immunity with one recompute of the explode lineage (the df
+    * branch), all of it map-side CPU.
     */
   def ngramJaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
       maxDf: Int = 50): DataFrame = {
     val ex = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shinglesOf(col("toks"), n)).as("s"))
-    // One LINEAR lineage — every stage computed exactly once. (A join-based
-    // formulation referenced the posting-list subtree three times — Spark
-    // recomputes a DataFrame per reference — and left AQE free to broadcast
-    // the million-row pair aggregate.) Two windows annotate each exploded
-    // row with the shingle's document frequency (cap filter) and then the
-    // doc's capped set size; pair rows then carry both set sizes, so the
-    // Jaccard needs NO join at all.
+      .select(col("doc_id"), explode(shinglesOf(tokens(col("text")), n)).as("s"))
+    // The DF cap must be SKEW-PROOF: an earlier formulation annotated each
+    // exploded row with `count over (partition by s)`, which shuffles every
+    // occurrence of a hot shingle (10M rows of boilerplate at 100 TB) to
+    // ONE reducer before the filter drops it — the filter bounded the
+    // output, not the shuffle. Instead: compute document frequency with a
+    // groupBy count (map-side partial aggregation is skew-immune — each
+    // mapper emits one partial row per distinct shingle), keep only the
+    // HOT list (df > maxDf — tiny by construction: at most |corpus
+    // shingles| / maxDf entries, in practice boilerplate phrases), and
+    // broadcast ANTI-join it against the exploded stream. Same semantics
+    // (`df <= maxDf` survives), same oracle, no skewed shuffle anywhere:
+    // the posting-list groupBy below then only ever sees lists <= maxDf.
+    val hot = ex.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("s"))
     val kept = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf)
+      .join(broadcast(hot), Seq("s"), "left_anti")
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // posting list per shingle with sizes inline; sorted so pair emission
     // yields doc_a < doc_b deterministically
@@ -126,43 +131,19 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash
 
-  /** Modulus for the universal-hash permutations: 2^31 − 1 (prime). Both
-    * operands of the (a·h + b) mod P hash are reduced below 2^31 first, so
-    * the product stays under 2^62 — inside long range, overflow-free under
-    * Spark 4's default ANSI mode (and genuinely the universal hash it
-    * claims: no silent wrap-around mod 2^64 before the pmod).
+  /** doc_id → array of k MinHash values over n-gram shingles, via the
+    * native [[graft.functions.MinHashSig]] expression: each shingle hashed
+    * ONCE into the 31-bit domain, k running minima of (a·h + b) mod P —
+    * one codegen'd pass, no shuffle. Replaces k=32 nested interpreted
+    * `transform`/`array_min` lambdas per row (the query's dominant cost);
+    * signatures are bit-identical (same (a,b) pairs from the same seeds,
+    * same accumulation — asserted in DedupSpec).
     */
-  private val P = 2147483647L
-  private def perm(seed: Int): (Long, Long) = {
-    val r = new scala.util.Random(seed)
-    (r.nextInt((P - 1).toInt).toLong + 1L, r.nextInt(P.toInt).toLong)
-  }
-
-  /** doc_id → array of k MinHash values over n-gram shingles. Pure
-    * expression work: one pass, no shuffle. Each shingle is hashed ONCE
-    * into the 31-bit domain (`pmod(xxhash64, P)`) and materialized as an
-    * intermediate column — expression lambdas don't share subexpressions,
-    * so inlining the shingle array into the k-permutation loop would
-    * recompute shingling and hashing k times per row. The k universal-hash
-    * permutations then run over the cached 31-bit hashes only (cheap
-    * modular arithmetic).
-    */
-  def minhashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame = {
-    val perms = (0 until k).map(perm)
-    val as = typedlit(perms.map(_._1))
-    val bs = typedlit(perms.map(_._2))
-    val sig = transform(
-      sequence(lit(0), lit(k - 1)),
-      i =>
-        array_min(transform(col("hs"), h =>
-          pmod(element_at(as, i + 1) * h + element_at(bs, i + 1), lit(P)))))
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        transform(shinglesOf(col("toks"), n), s => pmod(xxhash64(s), lit(P))).as("hs"))
-      .select(col("doc_id"),
-        when(size(col("hs")) > 0, sig).otherwise(array().cast("array<long>")).as("sig"))
-  }
+  def minhashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame =
+    docs.select(
+      col("doc_id"),
+      call_function("minhash_sig", shinglesOf(tokens(col("text")), n), lit(k))
+        .as("sig"))
 
   /** LSH candidate pairs: split the k-long signature into `bands` bands,
     * hash each band, group docs by (band, bandHash). Docs sharing any band
@@ -212,37 +193,42 @@ object Dedup {
   def simhashExpr(textCol: String): Column =
     expr(s"simhash64(split(trim($textCol), ' '))")
 
-  /** All 3-subsets of the 8 signature blocks: C(8,3) = 56 bands of 24-bit
-    * content. With ≤3 bit errors at most 3 blocks are dirty, so ≥5 blocks
-    * are clean and at least one triple (C(5,3) = 10) matches — every pair
-    * within the Hamming radius is guaranteed to share a band.
+  /** Pigeonhole blocks for Hamming radius 3: split the 64-bit signature
+    * into 5 blocks (13/13/13/13/12 bits). With ≤3 bit errors at most 3
+    * blocks are dirty, so ≥2 blocks are clean and at least one of the
+    * C(5,2) = 10 block PAIRS matches — every pair within the radius is
+    * guaranteed to share a band. 10 exploded rows per doc (the minimum the
+    * pigeonhole argument allows for r=3 via pairs) vs the 56 of the earlier
+    * C(8,3) triple-banding — 5.6× less explode volume for the identical
+    * exactness guarantee, with ~26-bit keys giving the same per-bucket
+    * selectivity as the old 24-bit triples.
     */
-  private val blockTriples: Seq[(Int, Int, Int)] =
-    for {
-      i <- 0 until 8; j <- (i + 1) until 8; k <- (j + 1) until 8
-    } yield (i, j, k)
+  private val blockOffsets = Array(0, 13, 26, 39, 52)
+  private val blockMasks = Array(8191L, 8191L, 8191L, 8191L, 4095L)
+  private val blockPairs: Seq[(Int, Int)] =
+    for { i <- 0 until 5; j <- (i + 1) until 5 } yield (i, j)
 
   /** SimHash near-dup candidates, exact for the default radius: band each
-    * 64-bit signature into 56 combinatorial (blockTriple → 24-bit key)
-    * buckets, bucket-join, verify with `bit_count(a XOR b)`. The pigeonhole
-    * guarantee above means the post-verify output is EXACTLY the set of
-    * pairs with Hamming distance ≤ 3 (asserted against a brute-force cross
-    * join in `DedupSpec`). Band-key domain is 56 × 2^24 ≈ 10^9 buckets —
-    * at billions of docs buckets stay tiny (vs 4 × 2^16 before, which
-    * saturated), and the shuffle key is still the bucket, never docs².
+    * 64-bit signature into the 10 combinatorial (blockPair → ≤26-bit key)
+    * buckets above, bucket-join, verify with `bit_count(a XOR b)`. The
+    * pigeonhole guarantee means the post-verify output is EXACTLY the set
+    * of pairs with Hamming distance ≤ 3 (asserted against a brute-force
+    * cross join in `DedupSpec`). Band-key domain is 10 × 2^26 ≈ 6.7×10^8
+    * buckets — at billions of docs buckets stay tiny, and the shuffle key
+    * is still the bucket, never docs².
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sigs = docs.select(col("doc_id"), simhashExpr("text").as("sig"))
-    // (band id | 24-bit band content) fused into ONE long key so the plan
+    // (band id | two block contents) fused into ONE long key so the plan
     // is a single linear lineage: explode keys → bucket posting lists →
     // map-side pair emission (pair_combs carries the signature as the
     // second struct field) → Hamming verify. A banded self-join computed
-    // the scan+signature subtree twice and shuffled both sides.
-    val bandKeys = blockTriples.zipWithIndex.map { case ((i, j, k), b) =>
-      lit(b.toLong << 24) +
-        (shiftright(col("sig"), i * 8).bitwiseAND(255) * 65536) +
-        (shiftright(col("sig"), j * 8).bitwiseAND(255) * 256) +
-        shiftright(col("sig"), k * 8).bitwiseAND(255)
+    // the scan+signature subtree twice and shuffled both sides. The
+    // arithmetic shift's sign extension on the top block is masked off.
+    val bandKeys = blockPairs.zipWithIndex.map { case ((i, j), b) =>
+      lit(b.toLong << 26) +
+        (shiftright(col("sig"), blockOffsets(i)).bitwiseAND(blockMasks(i)) * 8192) +
+        shiftright(col("sig"), blockOffsets(j)).bitwiseAND(blockMasks(j))
     }
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(array(bandKeys: _*)).as("key"))

@@ -61,6 +61,47 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches === 0L)
   }
 
+  test("word_shingles native expression is identical to the HOF formulation, order included") {
+    val docs = Tables.documents(spark, sf001).limit(200)
+    val toks = graft.functions.tokens(col("text"))
+    val hof = array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+        .otherwise(array().cast("array<string>")))
+    val mismatches = docs
+      .select(Dedup.shingles(col("text"), 3).as("fast"), hof.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("minhash_sig native expression is bit-identical to the k-lambda HOF formulation") {
+    val P = 2147483647L
+    val k = 32
+    val perms = (0 until k).map { seed =>
+      val r = new scala.util.Random(seed)
+      (r.nextInt((P - 1).toInt).toLong + 1L, r.nextInt(P.toInt).toLong)
+    }
+    val as = typedlit(perms.map(_._1))
+    val bs = typedlit(perms.map(_._2))
+    val docs = Tables.documents(spark, sf001).limit(200)
+    val hof = {
+      val sig = transform(
+        sequence(lit(0), lit(k - 1)),
+        i => array_min(transform(col("hs"), h =>
+          pmod(element_at(as, i + 1) * h + element_at(bs, i + 1), lit(P)))))
+      when(size(col("hs")) > 0, sig).otherwise(array().cast("array<long>"))
+    }
+    val slow = docs
+      .select(col("doc_id"),
+        transform(Dedup.shingles(col("text"), 3), s => pmod(xxhash64(s), lit(P))).as("hs"))
+      .select(col("doc_id"), hof.as("slow"))
+    val fast = Dedup.minhashSignatures(docs).withColumnRenamed("sig", "fast")
+    val mismatches = fast.join(slow, "doc_id")
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatches === 0L)
+  }
+
   test("dd3 document-frequency cap drops hot shingles from both sets symmetrically") {
     import spark.implicits._
     // "common phrase here" appears in all 4 docs -> df=4 > maxDf=3 -> capped

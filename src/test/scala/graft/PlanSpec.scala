@@ -3,7 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
-import graft.operators.Analytics
+import graft.operators.{Analytics, Dedup}
+import graft.sources.Tables
 
 /** Physical-plan audits — the scale-posture invariants (SURVEY.md §4) as
   * assertions, so a regression that silently drops a pushdown or flips a
@@ -51,6 +52,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
     assert(broadcasts >= 2, s"expected >=2 broadcast joins (nation roles), got $broadcasts:\n$p")
     assert(!p.contains("CartesianProduct"), "accidental cross join")
+  }
+
+  test("dd3: DF cap is skew-proof — no window over the shingle partition, hot list anti-joined via broadcast") {
+    val df = Dedup.ngramJaccardPairs(Tables.documents(spark, sf001))
+    // every remaining window must partition by doc_id (bounded by document
+    // length); a window partitioned by the shingle would funnel all
+    // occurrences of a hot shingle through one reducer at 100 TB
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty, "expected the per-doc set-size window")
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+      assert(parts === Seq("doc_id"), s"skew-unsafe window partitioned by $parts")
+    }
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"hot-shingle cap is not an anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hot-shingle anti-join is not broadcast:\n$p")
   }
 
   test("whole-stage codegen covers the cleaning+derive hot path") {
