@@ -5,6 +5,13 @@ package graft
   * Results are forced through the `noop` sink so the full plan executes
   * (a bare `count()` lets Catalyst skip projections and UDF-free scans).
   *
+  * Methodology: each query runs TWICE and `queries`/`value` report the
+  * SECOND (warm) run — a single-shot number charges one-time JIT and
+  * plan-compile cost to whichever query hits a code path first (round 2's
+  * official q01 was 27 s cold vs 2.9 s in isolation), which makes rounds
+  * incomparable. The cold first-run times are kept honestly as
+  * `cold_queries`/`cold_total`.
+  *
   * Failures are LOUD: a query that throws is excluded from `queries` and
   * recorded under `errors` with its exception — never a fake wall time.
   * Unknown query names in args are an immediate error, not a silent
@@ -13,7 +20,8 @@ package graft
   * Per-query independence: the catalog cache is cleared between queries so
   * an operator that persists (pf1's dashboard cache) cannot donate its
   * InMemoryRelation to later queries via plan-fragment matching — each
-  * number measures the operator over parquet.
+  * number measures the operator over parquet. (Within a query the two runs
+  * share whatever the operator itself caches — that IS its warm behavior.)
   *
   * Optional args: query names to restrict the run to (iteration aid);
   * no args = the full registry.
@@ -34,26 +42,34 @@ object Bench {
     val selected = registry.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-        catch { case e: Throwable =>
+      def timed(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
-      val sec = (System.nanoTime() - t0) / 1e9
+      }
+      val cold = timed()
+      val warm = if (cold.isRight) timed() else cold
       spark.catalog.clearCache() // no cross-query cache donation
-      (name, sec, err)
+      (name, cold, warm)
     }
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val ok = results.collect { case (k, Right(c), Right(w)) => (k, c, w) }
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Left(e)) =>
       "\"" + k + "\":\"" + GraftSession.jsonEscape(e.take(300)) + "\""
     }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${ok.map(_._3).sum},"unit":"sec",""" +
+        s""""queries":${obj(ok.map(r => r._1 -> r._3))},""" +
+        s""""cold_total":${ok.map(_._2).sum},""" +
+        s""""cold_queries":${obj(ok.map(r => r._1 -> r._2))},""" +
+        s""""methodology":"queries/value = second of two runs per query (warm); cold_queries/cold_total = first run",""" +
+        s""""errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -53,14 +53,17 @@ case class PairCombs(child: Expression) extends UnaryExpression {
 object PairCombs {
   def compute(ds: ArrayData): ArrayData = {
     val n = ds.numElements()
-    // n(n−1)/2 overflows Int beyond 65536 elements — fail LOUDLY instead
-    // of wrapping to a negative allocation. A bucket that large means the
-    // corpus carries a megacluster of identical items: pre-collapse exact
-    // duplicates (dd1/dd2) or cap the bucket before pair emission.
-    require(n <= 65536,
-      s"pair_combs: posting list of $n elements would emit ${n.toLong * (n - 1) / 2} pairs; " +
+    // Fail LOUDLY on megaclusters instead of a negative allocation: the
+    // pair count is computed in Long (for n >= 46341 the Int product
+    // n(n−1)/2 already wraps) and must fit one array. A bucket that large
+    // means the corpus carries a megacluster of identical items:
+    // pre-collapse exact duplicates (dd1/dd2) or cap the bucket before
+    // pair emission.
+    val pairs = n.toLong * (n - 1) / 2
+    require(pairs <= Int.MaxValue,
+      s"pair_combs: posting list of $n elements would emit $pairs pairs; " +
         "pre-dedup exact duplicates or cap the bucket size")
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](pairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

@@ -37,22 +37,31 @@ object Params {
 
   // --------------------------------------------------------------- cache
 
-  // Weak keys: a DataFrame is bound to the session that built it, so the
-  // cache is PER SESSION — and when the session is collected its persisted
-  // frames go with it (an identity-hash string key would both collide
-  // after GC reuse and leak every dead session's cache forever).
-  private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  // Keyed per session so one session's persisted frames are never handed
+  // to another. STRONG references, deliberately: a cached Dataset itself
+  // strongly reaches its SparkSession, so a weak-keyed map could never
+  // actually collect an entry (the value would keep the key alive) — the
+  // map is honestly documented as bounded by process lifetime × live
+  // sessions, which is small here (each main builds exactly one session;
+  // the test suite shares one fixture).
+  private val cache = new java.util.concurrent.ConcurrentHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
   /** S7 — the persisted base table (one per scale dir, MEMORY_AND_DISK so
-    * an executor-memory shortfall spills instead of OOMing).
+    * an executor-memory shortfall spills instead of OOMing). If something
+    * unpersisted the memoized frame behind our back (`spark.catalog
+    * .clearCache()` — Bench runs it between queries), re-persist instead of
+    * silently returning an uncached frame and losing the S7 contract.
     */
-  def cachedEvents(spark: SparkSession, sfDir: String): DataFrame =
-    cache
+  def cachedEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = cache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
       .getOrElseUpdate(
         sfDir, Tables.events(spark, sfDir).persist(StorageLevel.MEMORY_AND_DISK))
+    if (df.storageLevel == StorageLevel.NONE)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    df
+  }
 
   // ------------------------------------------------------------- filters
 

@@ -22,10 +22,13 @@ object Tables {
   // Reader cache: building a reader re-reads parquet footers and re-lists
   // files at plan time, and the registry's ~50 queries each touch several
   // tables. DataFrames are immutable plans, so handing back the same one
-  // is safe; weak session keys so dead sessions' entries are collectable.
-  private val readerCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  // is safe. STRONG references, deliberately: a cached Dataset strongly
+  // reaches its SparkSession, so a weak-keyed map could never actually
+  // collect an entry (the value would keep the key alive) — bounded
+  // honestly by process lifetime × live sessions, which is small (one
+  // session per main, one shared test fixture).
+  private val readerCache = new java.util.concurrent.ConcurrentHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     readerCache

@@ -74,8 +74,17 @@ object Sessions {
       // arrival order within a micro-batch is arbitrary — sort by event time
       rows.toSeq.sortBy(_._3).foreach { case (_, _, us, v) =>
         cur = cur match {
-          case Some(s) if us - s.lastUs <= gapUs =>
-            Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + v))
+          // |us − lastUs|: a cross-micro-batch late event (in-watermark,
+          // us < lastUs) merges only if it is genuinely within the gap of
+          // the open session — an unsigned check would merge ANY earlier
+          // event (negative delta <= gap is vacuously true), and the
+          // min(...) keeps session_start honest when the late event
+          // precedes the recorded start, matching the batch twin's
+          // min(ts) aggregation.
+          case Some(s) if math.abs(us - s.lastUs) <= gapUs =>
+            Some(s.copy(
+              startUs = math.min(s.startUs, us),
+              lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + v))
           case Some(s) =>
             out += closed(s)
             Some(SessState(s.ordinal + 1, us, us, 1, v))
