@@ -35,6 +35,15 @@ object Params {
     "2024-01-05 00:00:00", "2024-01-20 00:00:00", 6, 18,
     Seq("view", "click", "purchase"))
 
+  /** A second, deliberately different widget state (pf2): proves the
+    * filter surface is genuinely parameterized — same operator body,
+    * different bounds, its own oracle generated from the SAME source of
+    * truth ([[oracleSqlFor]]).
+    */
+  val altParams: EventParams = EventParams(
+    "2024-01-10 00:00:00", "2024-01-28 00:00:00", 0, 8,
+    Seq("purchase", "signup", "error"))
+
   // --------------------------------------------------------------- cache
 
   // Keyed per session so one session's persisted frames are never handed
@@ -74,14 +83,43 @@ object Params {
   def paramFilter(events: DataFrame, p: EventParams): DataFrame =
     events.filter(paramPredicate(p))
 
+  /** The dashboard-refresh feed for one widget state: filter, then the
+    * per-type summary. Bounded output (one row per selected type).
+    */
+  def typeSummary(events: DataFrame, p: EventParams): DataFrame =
+    paramFilter(events, p)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
+      .orderBy(col("event_type"))
+
   /** pf1 — the dashboard refresh: filter the cached base with the default
     * widget parameters, aggregate the feed.
     */
   def pf1ParamFilter(spark: SparkSession, sfDir: String): DataFrame =
-    paramFilter(cachedEvents(spark, sfDir), defaultParams)
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_value"))
-      .orderBy(col("event_type"))
+    typeSummary(cachedEvents(spark, sfDir), defaultParams)
+
+  /** pf2 — the same surface with NON-default parameters over the UNcached
+    * scan: the predicates push down to the parquet reader (the cold-start
+    * path of the parameterized server; at 100 TB over a date-partitioned
+    * clean table F1 becomes partition pruning).
+    */
+  def pf2ParamFilterAlt(spark: SparkSession, sfDir: String): DataFrame =
+    typeSummary(Tables.events(spark, sfDir), altParams)
+
+  /** The SQL twin of [[typeSummary]] for arbitrary parameters — one
+    * source of truth for pf1/pf2's DuckDB oracles AND the ParamsSpec
+    * Spark-SQL twin (the text is valid in both engines; the avg goes
+    * through DECIMAL(38,6) + the shared r6 rounding form so results are
+    * bit-comparable).
+    */
+  def oracleSqlFor(p: EventParams): String =
+    s"""SELECT event_type, count(*) AS n,
+       |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) * 1e6) / 1e6 AS avg_value
+       |FROM events
+       |WHERE ts BETWEEN TIMESTAMP '${p.tsLo}' AND TIMESTAMP '${p.tsHi}'
+       |  AND hour(ts) BETWEEN ${p.hourLo} AND ${p.hourHi}
+       |  AND event_type IN (${p.types.map(t => s"'$t'").mkString(", ")})
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------- sample
 
@@ -117,18 +155,13 @@ object Params {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pf1_param_filter" -> (pf1ParamFilter _),
+    "pf2_param_filter_alt" -> (pf2ParamFilterAlt _),
     "sa1_seeded_sample" -> (sa1SeededSample _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _))
 
   val oracles: Map[String, String] = Map(
-    "pf1_param_filter" ->
-      """SELECT event_type, count(*) AS n,
-        |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
-        |FROM events
-        |WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
-        |  AND hour(ts) BETWEEN 6 AND 18
-        |  AND event_type IN ('view', 'click', 'purchase')
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pf1_param_filter" -> oracleSqlFor(defaultParams),
+    "pf2_param_filter_alt" -> oracleSqlFor(altParams),
     "cs1_csv_dim_join" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

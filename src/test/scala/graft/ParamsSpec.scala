@@ -29,6 +29,26 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     assert(kept === Set(1L, 2L))
   }
 
+  test("pf2: NON-default params match the generated SQL twin value-for-value") {
+    // the same oracleSqlFor text the driver runs in DuckDB is valid Spark
+    // SQL — run it here as the twin and require exact equality
+    graft.sources.Tables.events(spark, sf001).createOrReplaceTempView("events")
+    val p = EventParams("2024-01-03 00:00:00", "2024-01-25 00:00:00", 3, 21,
+      Seq("click", "error"))
+    val api = Params.typeSummary(graft.sources.Tables.events(spark, sf001), p)
+      .collect().toSeq
+    val sqlTwin = spark.sql(Params.oracleSqlFor(p)).collect().toSeq
+    assert(api.nonEmpty, "param window selected no rows — weak test")
+    assert(api === sqlTwin)
+  }
+
+  test("Pipeline --params flag parses timestamps, hours and the type list") {
+    val p = Pipeline.parseParams("--params=2024-01-05T00:00:00,2024-01-20T06:30:00,6,18,view|click")
+    assert(p === EventParams("2024-01-05 00:00:00", "2024-01-20 06:30:00", 6, 18,
+      Seq("view", "click")))
+    intercept[IllegalArgumentException](Pipeline.parseParams("--params=1,2,3"))
+  }
+
   test("F2+F3: hour range and membership compose conjunctively") {
     val p = EventParams("2024-01-01 00:00:00", "2024-01-31 00:00:00", 9, 17, Seq("view", "click"))
     val df = Seq(

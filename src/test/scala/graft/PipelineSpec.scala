@@ -28,5 +28,26 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     Feeds.feeds.keys.foreach { name =>
       assert(new java.io.File(s"${res.feedDir}/$name").exists(), s"feed $name missing")
     }
+
+    // the clean table is PARTITIONED by ship date (SURVEY §7.4(7)) ...
+    val partDirs = new java.io.File(res.cleanPath)
+      .listFiles().filter(_.getName.startsWith("ship_date="))
+    assert(partDirs.length > 100, s"expected daily partition dirs, got ${partDirs.length}")
+
+    // ... so the dashboard's F1 date filter becomes partition PRUNING:
+    // the scan must select only the matching partitions, not all of them
+    val filtered = clean.filter(
+      org.apache.spark.sql.functions.col("ship_date")
+        .between("1995-03-01", "1995-03-31"))
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("ship_date"),
+      s"date filter not applied as a partition filter: ${scan.metadata("PartitionFilters")}")
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected < partDirs.length / 10,
+      s"partition pruning ineffective: $selected of ${partDirs.length} partitions read")
+    assert(filtered.count() ===
+      clean.filter("to_date(l_shipdate) BETWEEN '1995-03-01' AND '1995-03-31'").count())
   }
 }
