@@ -35,7 +35,7 @@ object Multimodal {
         len.as("byte_len"),
         md5(col("text")).as("content_md5"),
         (pmod(len, lit(64)) + 16).cast("long").as("stub_width"),
-        (pmod(expr("length(cast(text AS BINARY)) div 7"), lit(64)) + 16).cast("long").as("stub_height"))
+        (pmod(floor(len / lit(7)).cast("long"), lit(64)) + 16).cast("long").as("stub_height"))
       .orderBy(col("doc_id"))
   }
 

@@ -113,6 +113,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("fp"))
   }
 
+  /** td6 — Gopher/C4-style document quality filter (Rae et al. 2021 §A1.1,
+    * Raffel et al. 2020 §2.2 — published heuristics, re-expressed over the
+    * corpus): per-rule boolean flags plus the conjunctive keep decision, so
+    * a pipeline can both filter AND report per-rule removal rates (the
+    * training-data twin of the reference's cleaning accounting, V9).
+    *
+    * Rules (thresholds tuned so each can bind on the synthetic corpus):
+    *  - token count in [minTokens, maxTokens]
+    *  - mean non-whitespace token length in [3, 10]
+    *  - at least `minStopHits` stopword occurrences (Gopher's "contains at
+    *    least 2 of a stop list" rule)
+    *  - symbol ratio (non-alphanumeric, non-space chars / chars) ≤ 0.1
+    *  - distinct-token ratio ≥ 0.3 (repetition proxy for Gopher's
+    *    duplicate-n-gram caps)
+    *
+    * Pure expression work — flags and ratios are codegen'd, no shuffle; at
+    * 100 TB this is a map-only pass over the scan. Output is integers and
+    * booleans only (no float hashing concerns in the oracle compare).
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      minTokens: Int = 20, maxTokens: Int = 1000,
+      minAvgTokLen: Double = 3.0, maxAvgTokLen: Double = 10.0,
+      minStopHits: Int = 2, maxSymbolRatio: Double = 0.1,
+      minDistinctRatio: Double = 0.3): DataFrame = {
+    val toks = col("toks")
+    val nToks = size(toks).cast("long")
+    val avgTokLen =
+      length(regexp_replace(trim(col("text")), " ", "")).cast("double") / nToks
+    val symbolRatio =
+      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") /
+        greatest(length(col("text")), lit(1))
+    val distinctRatio = size(array_distinct(toks)).cast("double") / nToks
+    val rules = Seq(
+      "r_n_tokens" -> nToks.between(minTokens, maxTokens),
+      "r_token_len" -> avgTokLen.between(minAvgTokLen, maxAvgTokLen),
+      "r_stopwords" -> (stopwordCount(toks) >= minStopHits),
+      "r_symbols" -> (symbolRatio <= maxSymbolRatio),
+      "r_distinct" -> (distinctRatio >= minDistinctRatio))
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: nToks.as("n_tokens") +:
+        rules.map { case (n, c) => c.as(n) }: _*)
+      .withColumn("keep", rules.map(r => col(r._1)).reduce(_ && _))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -120,7 +167,8 @@ object TextAnalysis {
     "td2_lang_id" -> ((s: SparkSession, d: String) => langId(Tables.documents(s, d))),
     "td3_fingerprint" -> ((s: SparkSession, d: String) => fingerprints(Tables.documents(s, d))),
     "td4_token_counts" -> ((s: SparkSession, d: String) => tokenCounts(Tables.documents(s, d))),
-    "td5_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprints(Tables.documentsRebalanced(s, d))))
+    "td5_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprints(Tables.documentsRebalanced(s, d))),
+    "td6_quality_filter" -> ((s: SparkSession, d: String) => qualityFilter(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "td1_text_stats" ->
@@ -152,6 +200,18 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(text, '$WordPattern')) AS BIGINT) AS word_tokens,
          |  CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS bpeish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "td6_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  len(toks) BETWEEN 20 AND 1000 AS r_n_tokens,
+         |  (length(replace(trim(text), ' ', '')) * 1.0 / len(toks)) BETWEEN 3.0 AND 10.0 AS r_token_len,
+         |  len(list_filter(toks, x -> x IN $stopSql)) >= 2 AS r_stopwords,
+         |  (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / greatest(length(text), 1)) <= 0.1 AS r_symbols,
+         |  (len(list_distinct(toks)) * 1.0 / len(toks)) >= 0.3 AS r_distinct
+         |FROM t)
+         |SELECT *, r_n_tokens AND r_token_len AND r_stopwords AND r_symbols AND r_distinct AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "td5_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |g AS (SELECT doc_id,

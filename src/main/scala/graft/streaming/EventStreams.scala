@@ -118,6 +118,41 @@ object EventStreams {
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("c_mktsegment"), col("n"), col("avg_value"))
 
+  /** Batch twin of the streaming dedup: the distinct (user, type, hour)
+    * key set — "first event per user/type/hour", the streaming analog of
+    * dd1's exact dedup for event telemetry.
+    */
+  def dedupBatch(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"), col("hour_start"))
+
+  /** st5 — STREAMING exact dedup via `dropDuplicatesWithinWatermark`: state
+    * holds one entry per key and is EVICTED once the watermark passes the
+    * key's event time + delay — the bounded-state 100 TB-stream shape
+    * (plain `dropDuplicates` on a stream retains state forever). A key's
+    * duplicates all fall inside its one-hour bucket, within the 1-hour
+    * watermark delay, so every duplicate meets its state entry and the
+    * emitted rows are exactly the distinct keys (driver-oracle-checked
+    * against the batch `SELECT DISTINCT`; a duplicate arriving later than
+    * watermark + delay could re-emit — the documented within-watermark
+    * contract of the operator).
+    */
+  def st5StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_type"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
+        col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_start")
+      .select(col("user_id"), col("event_type"), col("hour_start"))
+    runToMemory(deduped, "st5_sink")
+    spark.table("st5_sink")
+      .orderBy(col("user_id"), col("event_type"), col("hour_start"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -126,7 +161,8 @@ object EventStreams {
     "st2_stream_windowed" -> (st2StreamWindowed _),
     "st4_enriched_window" ->
       ((s: SparkSession, d: String) =>
-        enrichedBatch(Tables.events(s, d), Tables.customer(s, d))))
+        enrichedBatch(Tables.events(s, d), Tables.customer(s, d))),
+    "st5_stream_dedup" -> (st5StreamDedup _))
 
   val oracles: Map[String, String] = Map(
     "st1_windowed_agg" ->
@@ -143,5 +179,8 @@ object EventStreams {
       """SELECT date_trunc('hour', ts) AS window_start, c_mktsegment, count(*) AS n,
         |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) * 1e6) / 1e6 AS avg_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st5_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
+        |FROM events ORDER BY 1, 2, 3""".stripMargin)
 }

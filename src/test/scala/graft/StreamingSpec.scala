@@ -13,6 +13,16 @@ import graft.streaming.EventStreams
   */
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
+  test("st5: streaming dedup (dropDuplicatesWithinWatermark) == batch distinct, and actually drops rows") {
+    val batch = EventStreams.dedupBatch(Tables.events(spark, sf001))
+    val streamed = EventStreams.st5StreamDedup(spark, sf001)
+    val b = batch.collect().toSeq
+    val s = streamed.collect().toSeq
+    assert(b === s)
+    val nEvents = Tables.events(spark, sf001).count()
+    assert(b.size < nEvents, "no duplicate keys in corpus — dedup untested")
+  }
+
   test("windowedStream over eventStream == windowedBatch for all watermark-closed windows") {
     val batchEvents = Tables.events(spark, sf001)
     val maxTs = batchEvents.agg(max(col("ts"))).collect().head.getTimestamp(0)
