@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, MinHashSig, PairCombs, RhpBuckets, SimHash64, WordShingles}
+import graft.functions.{DotProduct, MinHashSig, PairCombs, RhpBuckets, RhpProbes, SimHash64, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -59,6 +59,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"rhp_buckets seed must be a literal, got $other")
         }
         RhpBuckets(args.head, intArg(1), intArg(2), intArg(3), seed)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("rhp_probes"),
+      new ExpressionInfo(classOf[RhpProbes].getName, "rhp_probes"),
+      (args: Seq[Expression]) => {
+        val seed = args(3) match {
+          case Literal(v: Long, _) => v
+          case Literal(v: Int, _)  => v.toLong
+          case other => throw new IllegalArgumentException(
+            s"rhp_probes seed must be a literal, got $other")
+        }
+        RhpProbes(args.head, litInt(args, 1), litInt(args, 2), seed, litInt(args, 4))
       }))
   }
 }

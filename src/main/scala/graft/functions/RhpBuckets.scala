@@ -44,8 +44,11 @@ object RhpBuckets {
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Array[Array[Double]]]()
 
-  /** band-major matrix: planes(band * nPlanes + p)(d). */
-  private def planes(nBands: Int, nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+  /** band-major matrix: planes(band * nPlanes + p)(d). Shared with
+    * [[RhpProbes]] so a single-band bucket and the probe sequence are
+    * computed against the IDENTICAL hyperplanes.
+    */
+  private[functions] def planes(nBands: Int, nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
     planeCache.computeIfAbsent((nBands, nPlanes, dim, seed), _ => {
       val out = Array.ofDim[Array[Double]](nBands * nPlanes)
       var b = 0

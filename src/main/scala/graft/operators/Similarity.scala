@@ -113,6 +113,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** sim3 — IVF-style ANN via single-cell indexing + query-directed
+    * multi-probe (Lv et al. 2007): each corpus vector is indexed under
+    * exactly ONE cell (its `nPlanes` sign bits — the memory-optimal index:
+    * one entry per vector, vs `nBands` copies in [[lshAnn]]), and each
+    * query inspects the `nProbe` most-likely cells, ordered by hyperplane
+    * margin (native [[graft.functions.RhpProbes]]). Candidate generation
+    * is a broadcast hash join of the tiny (query × probe) key set against
+    * the corpus cell stream — the corpus never shuffles and never
+    * replicates; recall is bought at query time (probes), not index time
+    * (memory). Pairs are unique by construction (one cell per corpus row),
+    * so no dedup stage is needed before the exact-cosine verify.
+    *
+    * Recall vs [[topkExact]] is asserted in `SimilaritySpec`. Same
+    * near-orthogonal-corpus caveat as dd7: the synthetic corpus is the
+    * worst-case regime for hyperplane LSH; on clustered production
+    * embeddings the same parameters concentrate much faster.
+    */
+  def ivfAnn(
+      emb: DataFrame, nQueries: Int = 20, k: Int = 5,
+      nPlanes: Int = 4, dim: Int = 64, nProbe: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val cell = element_at(lshBuckets(col("embedding"), 1, nPlanes, dim, seed), 1)
+    val corpus = emb.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      cell.as("bucket"))
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(call_function("rhp_probes",
+          col("embedding").cast("array<double>"),
+          lit(nPlanes), lit(dim), lit(seed), lit(nProbe))).as("bucket"))
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_raw").desc, col("neighbor_id"))
+    corpus
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("sim_raw", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), r6(col("sim_raw")).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** (vec_id, unit) — L2-normalized double vectors, norm materialized FIRST
     * so it is computed once per row (an inline `x / sqrt(norm2(v))` inside
     * the transform lambda would re-evaluate the norm per ELEMENT: no
@@ -192,6 +238,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
+    "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(Tables.embeddings(s, d))),
     "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(Tables.embeddingsRebalanced(s, d))),
     "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))))
 
@@ -223,7 +270,7 @@ object Similarity {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.unit, b.unit) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin)
-  // sim2/dd7 are approximate (engine-specific plane hashing) → rows-only
-  // checks; recall vs the exact computations is asserted in
+  // sim2/sim3/dd7 are approximate (engine-specific plane hashing) →
+  // rows-only checks; recall vs the exact computations is asserted in
   // src/test/scala/graft/SimilaritySpec.scala.
 }

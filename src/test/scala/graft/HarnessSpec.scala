@@ -34,7 +34,8 @@ class HarnessSpec extends AnyFunSuite with SparkFixture {
     // must add an oracle or justify itself in this list
     assert(rowsOnly === Set(
       "dd4_minhash_candidates", "dd5_simhash_candidates",
-      "dd7_embed_neardup_lsh", "sim2_ann_lsh", "sa1_seeded_sample"))
+      "dd7_embed_neardup_lsh", "sim2_ann_lsh", "sim3_ann_ivf",
+      "sa1_seeded_sample"))
     // and no oracle may exist without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }

@@ -25,6 +25,30 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim3 IVF multiprobe ANN: recall floor vs sim1, probes beat the single-cell baseline, cosines exact") {
+    val emb = Tables.embeddings(spark, sf001)
+    val exactRows = Similarity.topkExact(emb).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = exactRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    def recallAt(nProbe: Int): (Double, Array[org.apache.spark.sql.Row]) = {
+      val rows = Similarity.ivfAnn(emb, nProbe = nProbe).collect()
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      ((exact & got).size.toDouble / exact.size, rows)
+    }
+    val (r1, _) = recallAt(1)          // base cell only
+    val (r8, rows8) = recallAt(8)      // default probe budget
+    // multiprobe must genuinely buy recall over the single-cell baseline
+    assert(r8 > r1, s"probing bought nothing: base $r1, 8 probes $r8")
+    // floor on the WORST-case (near-orthogonal) corpus; clustered
+    // production embeddings concentrate far better — see scaladoc
+    assert(r8 >= 0.5, s"sim3 recall $r8 (base cell alone: $r1)")
+    info(f"sim3 recall: base cell $r1%.2f -> 8 probes $r8%.2f")
+    // a reported hit's cosine must equal the exact computation
+    rows8.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach(c => assert(r.getDouble(2) === c))
+    }
+  }
+
   test("dd7 LSH near-dups: no false positives, recall >= 0.85 vs dd6 exact") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = Similarity.embedNearDupsExact(emb).collect()
