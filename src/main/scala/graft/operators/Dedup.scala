@@ -244,6 +244,55 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ------------------------------------------------------------ clusters
+
+  /** dd8 — near-duplicate CLUSTER representatives: connected components
+    * over the dd3 pair graph, each doc labeled with the minimum doc_id of
+    * its component (the canonical "keep one representative per dup
+    * cluster" step that turns candidate pairs into an actual deduplicated
+    * corpus). Only docs appearing in at least one pair are emitted;
+    * everything else is trivially its own representative.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * adopts the minimum label in its closed neighborhood (one join + one
+    * groupBy-min per round, both shuffling on node id), converging in at
+    * most the component diameter rounds. Near-dup clusters are
+    * shallow (duplicates of a common source), so rounds stay single-digit;
+    * the per-round plan is the standard distributed-CC shape (the
+    * large-star/small-star family) — no collect of the graph, only a
+    * scalar convergence count per round. Each round's labels are persisted
+    * and the previous round unpersisted so lineage stays one round deep
+    * (at production scale, checkpoint every few rounds to truncate it
+    * fully).
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst"), col("src"))).persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).persist()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(nbrMin)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    // the final labels stay persisted: the result's lineage is the whole
+    // iteration and would otherwise recompute from round 0 at action time
+    labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -251,7 +300,9 @@ object Dedup {
     "dd2_fingerprint_dups" -> ((s: SparkSession, d: String) => fingerprintGroups(Tables.documents(s, d))),
     "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),
     "dd4_minhash_candidates" -> ((s: SparkSession, d: String) => minhashCandidates(Tables.documentsRebalanced(s, d))),
-    "dd5_simhash_candidates" -> ((s: SparkSession, d: String) => simhashCandidates(Tables.documents(s, d))))
+    "dd5_simhash_candidates" -> ((s: SparkSession, d: String) => simhashCandidates(Tables.documents(s, d))),
+    "dd8_dup_clusters" -> ((s: SparkSession, d: String) =>
+      dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d)))))
 
   val oracles: Map[String, String] = Map(
     "dd1_exact_dups" ->
@@ -274,7 +325,31 @@ object Dedup {
         |SELECT doc_a, doc_b, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // dd3's pair pipeline verbatim as CTEs, then transitive closure by
+    // recursive min-label reachability — the declarative twin of the
+    // iterative propagation
+    "dd8_dup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+        |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin)
   // dd4/dd5 are approximate (engine-specific hash functions) → rows-only
   // checks by design; dd4 recall and dd5 radius-exactness are asserted in
   // src/test/scala/graft/DedupSpec.scala.

@@ -102,6 +102,17 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches === 0L)
   }
 
+  test("dd8 cluster representatives: min-label propagation crosses multi-hop chains") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter 4, forces >1 round) + island 8-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L))
+  }
+
   test("dd3 document-frequency cap drops hot shingles from both sets symmetrically") {
     import spark.implicits._
     // "common phrase here" appears in all 4 docs -> df=4 > maxDf=3 -> capped
