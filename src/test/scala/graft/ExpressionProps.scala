@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based checks of the native Catalyst expressions against plain
+  * Scala reference models, over arbitrary token material (including empty
+  * strings — `split` produces them for doubled spaces — and duplicate
+  * shingles).
+  */
+object ExpressionProps extends Properties("NativeExpressions") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(15)
+
+  private lazy val spark = TestSpark.spark
+
+  private val token: Gen[String] =
+    Gen.frequency(5 -> Gen.oneOf("a", "b", "c", "ab", "ba"), 1 -> Gen.const(""))
+  private val toksGen: Gen[List[String]] = Gen.choose(0, 12).flatMap(Gen.listOfN(_, token))
+
+  private def shingleModel(toks: List[String], n: Int): List[String] =
+    if (toks.size < n) Nil
+    else (0 to toks.size - n).map(i => toks.slice(i, i + n).mkString(" ")).toList.distinct
+
+  property("word_shingles == sliding-window model (distinct, first-occurrence order)") =
+    Prop.forAll(toksGen, Gen.choose(1, 4)) { (toks, n) =>
+      val sp = spark
+      import sp.implicits._
+      val got = Seq(Tuple1(toks)).toDF("toks")
+        .select(call_function("word_shingles", col("toks"), lit(n)))
+        .collect().head.getSeq[String](0).toList
+      got == shingleModel(toks, n)
+    }
+
+  private val P = 2147483647L
+
+  property("minhash_sig == per-permutation running-minimum model") =
+    Prop.forAll(toksGen, Gen.oneOf(4, 8, 16)) { (shingles, k) =>
+      val sp = spark
+      import sp.implicits._
+      val got = Seq(Tuple1(shingles)).toDF("sh")
+        .select(call_function("minhash_sig", col("sh"), lit(k)))
+        .collect().head.getSeq[Long](0).toList
+      val (as, bs) = graft.functions.MinHashSig.perms(k)
+      val model =
+        if (shingles.isEmpty) Nil
+        else {
+          val hs = shingles.map { s =>
+            val raw = XxHash64Function.hash(UTF8String.fromString(s), StringType, 42L)
+            val m = raw % P
+            if (m < 0) m + P else m
+          }
+          (0 until k).map(j => hs.map(h => (as(j) * h + bs(j)) % P).min).toList
+        }
+      got == model
+    }
+
+  property("rhp_probes: first probe is the base cell, probes are distinct, count = min(nProbe, subsets<=2)") =
+    Prop.forAll(Gen.listOfN(8, Gen.choose(-1.0, 1.0)), Gen.choose(1, 11)) { (vec, nProbe) =>
+      val sp = spark
+      import sp.implicits._
+      val nPlanes = 4
+      val df = Seq(Tuple1(vec)).toDF("v")
+        .select(
+          call_function("rhp_probes", col("v").cast("array<double>"),
+            lit(nPlanes), lit(8), lit(42L), lit(nProbe)).as("probes"),
+          element_at(
+            call_function("rhp_buckets", col("v").cast("array<double>"),
+              lit(1), lit(nPlanes), lit(8), lit(42L)), 1).as("base"))
+      val r = df.collect().head
+      val probes = r.getSeq[Long](0).toList
+      val base = r.getLong(1)
+      val maxSubsets = 1 + nPlanes + nPlanes * (nPlanes - 1) / 2
+      probes.head == base &&
+        probes.distinct == probes &&
+        probes.size == math.min(nProbe, maxSubsets)
+    }
+}
