@@ -267,7 +267,14 @@ object Dedup {
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = fwd.union(fwd.select(col("dst"), col("src"))).persist()
+    // localCheckpoint, not persist: persist caches the DATA but every
+    // round's plan still carries (and re-analyzes) the full upstream pair
+    // lineage — for a dd3 input that tripled the cold time. Checkpointing
+    // truncates the lineage so each round plans against a flat in-memory
+    // source (the standard iterative-graph pattern; at production scale
+    // use reliable checkpoint() to survive executor loss).
+    val edges = fwd.union(fwd.select(col("dst"), col("src")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
     var it = 0
@@ -286,7 +293,6 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
-    edges.unpersist()
     // the final labels stay persisted: the result's lineage is the whole
     // iteration and would otherwise recompute from round 0 at action time
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))
