@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
-import graft.operators.{Analytics, Dedup}
+import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Physical-plan audits — the scale-posture invariants (SURVEY.md §4) as
@@ -70,6 +70,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = plan(df)
     assert(p.contains("LeftAnti"), s"hot-shingle cap is not an anti-join:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"hot-shingle anti-join is not broadcast:\n$p")
+  }
+
+  test("sim3: corpus is never replicated — one Generate (query probes), probe join broadcasts") {
+    val p = plan(Similarity.ivfAnn(Tables.embeddings(spark, sf001)))
+    // exactly one explode: the tiny query-side probe list; a Generate on
+    // the corpus side would mean the index stores multiple entries per
+    // vector (the sim2 shape, not the IVF shape)
+    val generates = p.linesIterator.count(l => l.contains(") Generate"))
+    assert(generates === 1, s"expected 1 Generate (query probes), got $generates:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe join is not broadcast:\n$p")
+  }
+
+  test("td6: quality filter reads only doc_id and text, no shuffle before the sort") {
+    val df = TextAnalysis.qualityFilter(Tables.documents(spark, sf001))
+    val p = plan(df)
+    val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"),
+      s"scan not pruned to doc_id+text: $read")
+    // map-only until the presentation orderBy: no Exchange other than the
+    // final range partitioning for the sort
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 1, s"quality filter should be map-only pre-sort:\n$p")
   }
 
   test("whole-stage codegen covers the cleaning+derive hot path") {
