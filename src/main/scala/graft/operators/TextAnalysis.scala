@@ -132,32 +132,69 @@ object TextAnalysis {
     * 100 TB this is a map-only pass over the scan. Output is integers and
     * booleans only (no float hashing concerns in the oracle compare).
     */
-  def qualityFilter(
-      docs: DataFrame,
+  /** The named rule predicates over a materialized token column + the raw
+    * text (shared by [[qualityFilter]] and [[corpusRollup]] so the keep
+    * decision is defined exactly once).
+    */
+  def qualityRules(
+      toks: Column, text: Column,
       minTokens: Int = 20, maxTokens: Int = 1000,
       minAvgTokLen: Double = 3.0, maxAvgTokLen: Double = 10.0,
       minStopHits: Int = 2, maxSymbolRatio: Double = 0.1,
-      minDistinctRatio: Double = 0.3): DataFrame = {
-    val toks = col("toks")
+      minDistinctRatio: Double = 0.3): Seq[(String, Column)] = {
     val nToks = size(toks).cast("long")
     val avgTokLen =
-      length(regexp_replace(trim(col("text")), " ", "")).cast("double") / nToks
+      length(regexp_replace(trim(text), " ", "")).cast("double") / nToks
     val symbolRatio =
-      length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double") /
-        greatest(length(col("text")), lit(1))
+      length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
+        greatest(length(text), lit(1))
     val distinctRatio = size(array_distinct(toks)).cast("double") / nToks
-    val rules = Seq(
+    Seq(
       "r_n_tokens" -> nToks.between(minTokens, maxTokens),
       "r_token_len" -> avgTokLen.between(minAvgTokLen, maxAvgTokLen),
       "r_stopwords" -> (stopwordCount(toks) >= minStopHits),
       "r_symbols" -> (symbolRatio <= maxSymbolRatio),
       "r_distinct" -> (distinctRatio >= minDistinctRatio))
+  }
+
+  def qualityFilter(docs: DataFrame): DataFrame = {
+    val rules = qualityRules(col("toks"), col("text"))
     docs
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .select(col("doc_id") +: nToks.as("n_tokens") +:
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("n_tokens") +:
         rules.map { case (n, c) => c.as(n) }: _*)
       .withColumn("keep", rules.map(r => col(r._1)).reduce(_ && _))
       .orderBy(col("doc_id"))
+  }
+
+  /** td7 — corpus rollup by language: document/keep counts, token volume,
+    * DISTINCT source count and mean quality score per `lang` — the
+    * one-page corpus health report a pipeline run ends with, composing the
+    * td6 keep decision and the td1 quality score into one grouped pass.
+    *
+    * Scale: one hash aggregation on a low-cardinality key; the exact
+    * `count(DISTINCT source)` plans as Spark's two-phase distinct
+    * aggregate (partial dedup map-side). At 100 TB with a high-cardinality
+    * distinct column, swap in `approx_count_distinct` (HLL) — the exact
+    * form is kept here because the oracle can hash-match it.
+    */
+  def corpusRollup(docs: DataFrame): DataFrame = {
+    val nToks = size(col("toks")).cast("long")
+    val stopRatio = stopwordCount(col("toks")) / nToks
+    val quality = r6(least(lit(1.0), nToks / 20.0) * (lit(1.0) - stopRatio))
+    val keep = qualityRules(col("toks"), col("text")).map(_._2).reduce(_ && _)
+    docs
+      .select(col("lang"), col("source"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("lang"), col("source"), nToks.as("n"),
+        keep.as("keep"), quality.as("q"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        sum(col("n")).as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        davg(col("q")).as("avg_quality"))
+      .orderBy(col("lang"))
   }
 
   // ------------------------------------------------------------ registry
@@ -168,7 +205,8 @@ object TextAnalysis {
     "td3_fingerprint" -> ((s: SparkSession, d: String) => fingerprints(Tables.documents(s, d))),
     "td4_token_counts" -> ((s: SparkSession, d: String) => tokenCounts(Tables.documents(s, d))),
     "td5_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprints(Tables.documentsRebalanced(s, d))),
-    "td6_quality_filter" -> ((s: SparkSession, d: String) => qualityFilter(Tables.documents(s, d))))
+    "td6_quality_filter" -> ((s: SparkSession, d: String) => qualityFilter(Tables.documents(s, d))),
+    "td7_corpus_rollup" -> ((s: SparkSession, d: String) => corpusRollup(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "td1_text_stats" ->
@@ -212,6 +250,23 @@ object TextAnalysis {
          |FROM t)
          |SELECT *, r_n_tokens AND r_token_len AND r_stopwords AND r_symbols AND r_distinct AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+    "td7_corpus_rollup" ->
+      s"""WITH t AS (SELECT lang, source, text, string_split(trim(text), ' ') AS toks FROM documents),
+         |s AS (SELECT lang, source, len(toks) AS n,
+         |  len(list_filter(toks, x -> x IN $stopSql)) AS n_stop,
+         |  (len(toks) BETWEEN 20 AND 1000)
+         |    AND ((length(replace(trim(text), ' ', '')) * 1.0 / len(toks)) BETWEEN 3.0 AND 10.0)
+         |    AND (len(list_filter(toks, x -> x IN $stopSql)) >= 2)
+         |    AND ((length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / greatest(length(text), 1)) <= 0.1)
+         |    AND ((len(list_distinct(toks)) * 1.0 / len(toks)) >= 0.3) AS keep,
+         |  round(least(1.0, len(toks) / 20.0) * (1.0 - len(list_filter(toks, x -> x IN $stopSql)) * 1.0 / len(toks)) * 1e6) / 1e6 AS q
+         |FROM t)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  round(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(q) * 1e6) / 1e6 AS avg_quality
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "td5_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |g AS (SELECT doc_id,
