@@ -105,8 +105,14 @@ object Dedup {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("s"))
+    // No broadcast HINT on the hot list, deliberately: in a healthy corpus
+    // it is tiny (boilerplate phrases) and AQE's runtime stats broadcast
+    // the anti-join anyway (asserted on the executed plan in PlanSpec) —
+    // but a pathologically duplicate-heavy corpus (the very input dedup
+    // ingests) can make MOST shingles hot, and a forced broadcast would
+    // die on Spark's broadcast limits where a shuffle anti-join just runs.
     val kept = ex
-      .join(broadcast(hot), Seq("s"), "left_anti")
+      .join(hot, Seq("s"), "left_anti")
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
     // posting list per shingle with sizes inline; sorted so pair emission
     // yields doc_a < doc_b deterministically
@@ -266,14 +272,20 @@ object Dedup {
     * fully).
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // Both edge directions in ONE pass over the pair stream (a
+    // fwd.union(fwd.reversed) would evaluate the upstream pair pipeline's
+    // post-shuffle stages twice when the checkpoint materializes).
     // localCheckpoint, not persist: persist caches the DATA but every
     // round's plan still carries (and re-analyzes) the full upstream pair
     // lineage — for a dd3 input that tripled the cold time. Checkpointing
     // truncates the lineage so each round plans against a flat in-memory
     // source (the standard iterative-graph pattern; at production scale
     // use reliable checkpoint() to survive executor loss).
-    val edges = fwd.union(fwd.select(col("dst"), col("src")))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
@@ -293,6 +305,14 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // LOUD on non-convergence: returning partially-propagated labels would
+    // silently leave one duplicate cluster with several "representatives".
+    // Components deeper than maxIter one-hop rounds mean a pathological
+    // chain corpus — raise maxIter, or switch the round body to
+    // pointer-doubling (label-of-label join) for O(log diameter) rounds.
+    require(converged,
+      s"dupClusters: min-label propagation did not converge in $maxIter rounds; " +
+        "component diameter exceeds maxIter")
     // the final labels stay persisted: the result's lineage is the whole
     // iteration and would otherwise recompute from round 0 at action time
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))

@@ -25,23 +25,29 @@ object TextAnalysis {
   def stopwordCount(toks: Column): Column =
     size(filter(toks, t => t.isin(EnglishStop: _*))).cast("long")
 
+  /** The bounded quality score, defined ONCE for td1 (per-doc stats) and
+    * td7 (corpus rollup): `r6(least(1, n_tokens/20) * (1 - stop_ratio))`.
+    */
+  def qualityScore(toks: Column): Column = {
+    val nToks = size(toks).cast("long")
+    r6(least(lit(1.0), nToks / 20.0) * (lit(1.0) - stopwordCount(toks) / nToks))
+  }
+
   /** Per-document stats: token count, char counts, average token length,
-    * stopword ratio, and a bounded quality score
-    * `least(1, n_tokens/20) * (1 - stop_ratio)`.
+    * stopword ratio, and the [[qualityScore]].
     */
   def textStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nToks = size(toks).cast("long")
     val nonWs = length(regexp_replace(trim(col("text")), " ", "")).cast("long")
-    val stopRatio = stopwordCount(toks) / nToks
     docs.select(
         col("doc_id"),
         nToks.as("n_tokens"),
         length(col("text")).cast("long").as("len_chars"),
         nonWs.as("len_nonws"),
         r6(nonWs / nToks).as("avg_token_len"),
-        r6(stopRatio).as("stop_ratio"),
-        r6(least(lit(1.0), nToks / 20.0) * (lit(1.0) - stopRatio)).as("quality_score"))
+        r6(stopwordCount(toks) / nToks).as("stop_ratio"),
+        qualityScore(toks).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -179,14 +185,11 @@ object TextAnalysis {
     * form is kept here because the oracle can hash-match it.
     */
   def corpusRollup(docs: DataFrame): DataFrame = {
-    val nToks = size(col("toks")).cast("long")
-    val stopRatio = stopwordCount(col("toks")) / nToks
-    val quality = r6(least(lit(1.0), nToks / 20.0) * (lit(1.0) - stopRatio))
     val keep = qualityRules(col("toks"), col("text")).map(_._2).reduce(_ && _)
     docs
       .select(col("lang"), col("source"), col("text"), tokens(col("text")).as("toks"))
-      .select(col("lang"), col("source"), nToks.as("n"),
-        keep.as("keep"), quality.as("q"))
+      .select(col("lang"), col("source"), size(col("toks")).cast("long").as("n"),
+        keep.as("keep"), qualityScore(col("toks")).as("q"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -59,7 +59,10 @@ object Ingest {
     * calling convention (`data/raw/<name>`, assignment1.ipynb:52–56).
     */
   def fetchInto(url: String, destDir: Path, timeoutMs: Int = TimeoutMs): Path = {
-    val name = Paths.get(URI.create(url).getPath).getFileName.toString
+    // getFileName is null for root paths ("http://host/") — fold that into
+    // the loud require instead of an accidental NPE
+    val name = Option(Paths.get(URI.create(url).getPath).getFileName)
+      .map(_.toString).getOrElse("")
     require(name.nonEmpty, s"cannot derive a file name from $url")
     val dest = destDir.resolve(name)
     fetch(url, dest, timeoutMs)

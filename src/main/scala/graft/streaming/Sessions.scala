@@ -74,14 +74,16 @@ object Sessions {
       // arrival order within a micro-batch is arbitrary — sort by event time
       rows.toSeq.sortBy(_._3).foreach { case (_, _, us, v) =>
         cur = cur match {
-          // |us − lastUs|: a cross-micro-batch late event (in-watermark,
-          // us < lastUs) merges only if it is genuinely within the gap of
-          // the open session — an unsigned check would merge ANY earlier
-          // event (negative delta <= gap is vacuously true), and the
-          // min(...) keeps session_start honest when the late event
-          // precedes the recorded start, matching the batch twin's
-          // min(ts) aggregation.
-          case Some(s) if math.abs(us - s.lastUs) <= gapUs =>
+          // Span-based merge, matching the batch twin for cross-micro-batch
+          // late events (in-watermark, us possibly < lastUs): an event
+          // INSIDE the open session's span always merges (inserting into a
+          // <=gap interval keeps every consecutive gap <=gap), an event
+          // before the span merges iff within gap of startUs, after the
+          // span iff within gap of lastUs. (A signed lastUs-only check
+          // merged ANY earlier event; an abs(lastUs) check split sessions
+          // the batch twin merges.) min/max keep the bounds honest,
+          // matching the batch min(ts)/max(ts) aggregation.
+          case Some(s) if us >= s.startUs - gapUs && us <= s.lastUs + gapUs =>
             Some(s.copy(
               startUs = math.min(s.startUs, us),
               lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + v))

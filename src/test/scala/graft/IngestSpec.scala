@@ -33,6 +33,13 @@ class IngestSpec extends AnyFunSuite {
     assert(Files.exists(dest))
   }
 
+  test("fetchInto: a root-path URL fails with the named require, not an NPE") {
+    val destDir = Files.createTempDirectory("ingest-dst4")
+    val e = intercept[IllegalArgumentException](
+      Ingest.fetchInto("file:///", destDir))
+    assert(e.getMessage.contains("cannot derive a file name"))
+  }
+
   test("fetch: a missing source fails loudly and leaves no partial file") {
     val destDir = Files.createTempDirectory("ingest-dst3")
     val dest = destDir.resolve("never.parquet")

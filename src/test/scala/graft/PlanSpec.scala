@@ -67,9 +67,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       val parts = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
       assert(parts === Seq("doc_id"), s"skew-unsafe window partitioned by $parts")
     }
-    val p = plan(df)
+    // the hot list carries no broadcast HINT (a forced broadcast would die
+    // on a pathologically duplicate-heavy corpus) — AQE's runtime stats
+    // must still broadcast it here, so audit the EXECUTED plan
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     assert(p.contains("LeftAnti"), s"hot-shingle cap is not an anti-join:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"hot-shingle anti-join is not broadcast:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"hot-shingle anti-join did not broadcast at runtime:\n$p")
   }
 
   test("sim3: corpus is never replicated — one Generate (query probes), probe join broadcasts") {
