@@ -11,6 +11,41 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
   private def micros(t: java.time.LocalDateTime): Long =
     t.toEpochSecond(ZoneOffset.UTC) * 1000000L + t.getNano / 1000
 
+  test("cross-micro-batch late event inside the session span merges (batch-twin semantics)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = Sessions.sessionizeStream(
+      input.toDF().toDF("user_id", "ts", "value"),
+      gapMinutes = 30, watermarkDelay = "2 hours") // delay > gap admits late rows
+    spark.catalog.dropTempView("late_parity")
+    val q = sessions.toDF().writeStream
+      .outputMode("append").format("memory").queryName("late_parity").start()
+    try {
+      // batch 1: one open session 10:00..10:50 (all gaps <= 30m)
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:25:00"), 1.0), (1L, ts("2024-01-01 10:50:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: late event INSIDE the span — 45m before lastUs, so an
+      // abs(us - lastUs) <= gap check would wrongly split; the batch twin
+      // (sorted: 10:00, 10:05, 10:25, 10:50) keeps one session
+      input.addData((1L, ts("2024-01-01 10:05:00"), 1.0))
+      q.processAllAvailable()
+      // batch 3: gap breaker closes and emits the first session
+      input.addData((1L, ts("2024-01-01 20:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("late_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def us(s: String) = micros(ts(s).toLocalDateTime)
+    assert(got.toSeq === Seq(
+      (1L, 1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:50:00"), 4L)))
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch lag/cumsum twin") {
     val events = Tables.events(spark, sf001)
     val maxUs = events
