@@ -153,6 +153,56 @@ object EventStreams {
       .orderBy(col("user_id"), col("event_type"), col("hour_start"))
   }
 
+  /** Batch twin of the attribution join: every (view, purchase) pair for
+    * the same user with the purchase at most `horizon` after the view —
+    * the classic event-attribution interval join.
+    */
+  def attributionBatch(events: DataFrame, horizonMinutes: Int = 60): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+    v.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
+      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"))
+  }
+
+  /** st6 — STREAM-STREAM interval self-join: the view and purchase sides
+    * are two filtered instances of the same event stream, each with its
+    * own watermark; the range condition (`purchase within horizon of
+    * view`) lets Spark bound BOTH join states — a view's state is evicted
+    * once the purchase-side watermark passes view_ts + horizon, and vice
+    * versa. That state bound is what makes the join runnable on an
+    * unbounded 100 TB stream; an equi-join without the range condition
+    * would keep every event forever. Inner join emits each matched pair
+    * as soon as both sides arrived — for the bounded driver input the
+    * result is exactly the batch twin (driver-oracle-checked).
+    */
+  def st6StreamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = eventStream(spark, sfDir)
+    val v = s.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = s.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = v.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 60 MINUTES"))
+      .select(col("user_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
+    runToMemory(joined, "st6_sink")
+    spark.table("st6_sink")
+      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -162,7 +212,8 @@ object EventStreams {
     "st4_enriched_window" ->
       ((s: SparkSession, d: String) =>
         enrichedBatch(Tables.events(s, d), Tables.customer(s, d))),
-    "st5_stream_dedup" -> (st5StreamDedup _))
+    "st5_stream_dedup" -> (st5StreamDedup _),
+    "st6_stream_attribution" -> (st6StreamAttribution _))
 
   val oracles: Map[String, String] = Map(
     "st1_windowed_agg" ->
@@ -182,5 +233,12 @@ object EventStreams {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "st5_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
-        |FROM events ORDER BY 1, 2, 3""".stripMargin)
+        |FROM events ORDER BY 1, 2, 3""".stripMargin,
+    "st6_stream_attribution" ->
+      """SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTES
+        |ORDER BY 1, 2, 3""".stripMargin)
 }

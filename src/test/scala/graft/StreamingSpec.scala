@@ -13,6 +13,13 @@ import graft.streaming.EventStreams
   */
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
+  test("st6: stream-stream interval attribution join == batch twin") {
+    val batch = EventStreams.attributionBatch(Tables.events(spark, sf001)).collect().toSeq
+    val streamed = EventStreams.st6StreamAttribution(spark, sf001).collect().toSeq
+    assert(batch.nonEmpty, "no view->purchase attributions in corpus — join untested")
+    assert(streamed === batch)
+  }
+
   test("st5: streaming dedup (dropDuplicatesWithinWatermark) == batch distinct, and actually drops rows") {
     val batch = EventStreams.dedupBatch(Tables.events(spark, sf001))
     val streamed = EventStreams.st5StreamDedup(spark, sf001)
