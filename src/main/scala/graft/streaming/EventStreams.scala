@@ -182,6 +182,11 @@ object EventStreams {
     * would keep every event forever. Inner join emits each matched pair
     * as soon as both sides arrived — for the bounded driver input the
     * result is exactly the batch twin (driver-oracle-checked).
+    *
+    * Local bench note: the wall time is dominated by FIXED stream-stream
+    * machinery (two source instances + 4 state stores × shuffle-partition
+    * snapshots per micro-batch), not data volume — on a long-running real
+    * stream that setup cost amortizes to nothing.
     */
   def st6StreamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
     val s = eventStream(spark, sfDir)
