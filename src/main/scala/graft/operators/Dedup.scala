@@ -291,7 +291,10 @@ object Dedup {
       .select(col("id"), col("id").as("lbl")).persist()
     var it = 0
     var converged = false
-    while (!converged && it < maxIter) {
+    // maxIter bounds the PROPAGATION rounds; convergence detection needs
+    // one extra no-change round, hence <= (a diameter-maxIter chain
+    // finishes changing on round maxIter and confirms on maxIter + 1)
+    while (!converged && it <= maxIter) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
       val next = labels.union(nbrMin)
@@ -310,9 +313,13 @@ object Dedup {
     // Components deeper than maxIter one-hop rounds mean a pathological
     // chain corpus — raise maxIter, or switch the round body to
     // pointer-doubling (label-of-label join) for O(log diameter) rounds.
-    require(converged,
-      s"dupClusters: min-label propagation did not converge in $maxIter rounds; " +
-        "component diameter exceeds maxIter")
+    // Unpersist before throwing: the caller may catch and keep the session.
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters: min-label propagation did not converge in $maxIter rounds; " +
+          "component diameter exceeds maxIter")
+    }
     // the final labels stay persisted: the result's lineage is the whole
     // iteration and would otherwise recompute from round 0 at action time
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))

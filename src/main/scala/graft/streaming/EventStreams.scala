@@ -153,11 +153,21 @@ object EventStreams {
       .orderBy(col("user_id"), col("event_type"), col("hour_start"))
   }
 
+  /** The attribution horizon shared by the batch twin, the streaming
+    * variant and the DuckDB oracle — one source of truth.
+    */
+  val AttributionHorizonMinutes = 60
+
   /** Batch twin of the attribution join: every (view, purchase) pair for
     * the same user with the purchase at most `horizon` after the view —
-    * the classic event-attribution interval join.
+    * the classic event-attribution interval join. `value` closes the sort
+    * key: (user, view_ts, purchase_ts) alone is not unique when one view
+    * matches two same-instant purchases, and the driver compare is
+    * order-sensitive.
     */
-  def attributionBatch(events: DataFrame, horizonMinutes: Int = 60): DataFrame = {
+  def attributionBatch(
+      events: DataFrame,
+      horizonMinutes: Int = AttributionHorizonMinutes): DataFrame = {
     val v = events.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"))
     val p = events.filter(col("event_type") === "purchase")
@@ -169,7 +179,7 @@ object EventStreams {
       .select(col("user_id"),
         col("view_ts").cast("timestamp_ntz").as("view_ts"),
         col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
-      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"))
+      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
 
   /** st6 — STREAM-STREAM interval self-join: the view and purchase sides
@@ -189,6 +199,7 @@ object EventStreams {
     * stream that setup cost amortizes to nothing.
     */
   def st6StreamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val horizon = AttributionHorizonMinutes
     val s = eventStream(spark, sfDir)
     val v = s.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"))
@@ -199,13 +210,13 @@ object EventStreams {
     val joined = v.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("view_ts") &&
-          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 60 MINUTES"))
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon MINUTES"))
       .select(col("user_id"),
         col("view_ts").cast("timestamp_ntz").as("view_ts"),
         col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
     runToMemory(joined, "st6_sink")
     spark.table("st6_sink")
-      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"))
+      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
 
   // ------------------------------------------------------------ registry
@@ -240,10 +251,10 @@ object EventStreams {
       """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
         |FROM events ORDER BY 1, 2, 3""".stripMargin,
     "st6_stream_attribution" ->
-      """SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
-        |FROM events v JOIN events p
-        |  ON v.user_id = p.user_id
-        | AND v.event_type = 'view' AND p.event_type = 'purchase'
-        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 60 MINUTES
-        |ORDER BY 1, 2, 3""".stripMargin)
+      s"""SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
+         |FROM events v JOIN events p
+         |  ON v.user_id = p.user_id
+         | AND v.event_type = 'view' AND p.event_type = 'purchase'
+         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL $AttributionHorizonMinutes MINUTES
+         |ORDER BY 1, 2, 3, 4""".stripMargin)
 }

@@ -21,6 +21,20 @@ import graft.sources.Tables
   *    timeout. State is bounded by (active users × one session record):
   *    the 100 TB-stream shape. Batch/stream parity is asserted in
   *    `SessionsSpec`.
+  *
+  * Parity contract: with `watermarkDelay <= gap` (the default: both 30m),
+  * the stream matches the batch twin EXACTLY — any event that could land
+  * before the open session's reach is already below the watermark (the
+  * user's own lastUs drives the global max forward) and is dropped before
+  * the operator. With `watermarkDelay > gap`, admitted late events that
+  * fall INSIDE or within gap of the open session's span merge correctly
+  * (span-based check below, tested with a multi-batch MemoryStream), but
+  * an event EARLIER than span-start − gap necessarily starts a backdated
+  * new session: append mode cannot revise already-emitted output, so a
+  * late event that would have BRIDGED two sessions in batch order cannot
+  * re-merge them. Exactness under unbounded disorder would need a
+  * hold-until-watermark event buffer in state — a deliberate non-goal
+  * (state would grow with disorder, not with users).
   */
 object Sessions {
 

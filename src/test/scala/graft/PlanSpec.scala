@@ -67,13 +67,29 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       val parts = w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
       assert(parts === Seq("doc_id"), s"skew-unsafe window partitioned by $parts")
     }
-    // the hot list carries no broadcast HINT (a forced broadcast would die
+    // The hot list carries no broadcast HINT (a forced broadcast would die
     // on a pathologically duplicate-heavy corpus) — AQE's runtime stats
-    // must still broadcast it here, so audit the EXECUTED plan
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("LeftAnti"), s"hot-shingle cap is not an anti-join:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"hot-shingle anti-join did not broadcast at runtime:\n$p")
+    // must still broadcast it. Two traps this test must avoid: the driver
+    // corpus has NO hot shingle at the default cap (AQE then eliminates
+    // the empty anti-join entirely), and executedPlan.toString appends the
+    // '== Initial Plan ==' section, where a naive contains() always
+    // matches. So: a crafted corpus with a genuinely hot phrase, and the
+    // assertion restricted to the FINAL adaptive plan section.
+    import spark.implicits._
+    // 8 docs share the hot prefix (df=8 > cap); docs 1-2 also share a
+    // distinctive tail (df=2 <= cap) so ONE pair survives — an
+    // all-pruned-away result would itself collapse to EmptyRelation
+    val hotDocs = ((1L to 2L).map(i => (i, "common hot phrase here alpha beta gamma delta")) ++
+      (3L to 8L).map(i => (i, s"common hot phrase here tail$i x$i y$i")))
+      .toDF("doc_id", "text")
+    val hot = Dedup.ngramJaccardPairs(hotDocs, maxDf = 3)
+    hot.collect()
+    val full = hot.queryExecution.executedPlan.toString
+    val finalPlan = full.split("== Initial Plan ==").head
+    assert(finalPlan.contains("LeftAnti"),
+      s"hot-shingle cap is not an anti-join in the final plan:\n$full")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"hot-shingle anti-join did not broadcast at runtime:\n$full")
   }
 
   test("sim3: corpus is never replicated — one Generate (query probes), probe join broadcasts") {
