@@ -70,6 +70,15 @@ object Bench {
         s""""cold_queries":${obj(ok.map(r => r._1 -> r._2))},""" +
         s""""methodology":"queries/value = second of two runs per query (warm); cold_queries/cold_total = first run",""" +
         s""""errors":$errs,"n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
+    // Truncation-proof record: the full line above can exceed a log
+    // capturer's tail window (round 3's official record lost the warm
+    // headline that way). A second, SHORT, totals-only line printed LAST
+    // survives any tail capture; a consumer that parses the final JSON
+    // line of stdout always gets the headline numbers.
+    println(
+      s"""{"metric":"total","value":${ok.map(_._3).sum},"unit":"sec",""" +
+        s""""cold_total":${ok.map(_._2).sum},"n_queries":${ok.size},""" +
+        s""""n_failed":${results.size - ok.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

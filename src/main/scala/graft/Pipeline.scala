@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, to_date}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
-import graft.operators.{Analytics, Cleaning, Derive, Feeds, Params}
+import graft.operators.{Analytics, CleanStore, Cleaning, Derive, Feeds, Params}
 import graft.sources.{SchemaContract, Tables}
 
 /** The reference's end-to-end batch flow (assignment1.ipynb Parts 1–3) as
@@ -41,22 +41,23 @@ object Pipeline {
     val derived = Derive.withTimeFeatures(
       cleaned.withColumn("l_receiptdate", expr("l_shipdate + INTERVAL 2 DAYS")),
       start = "l_shipdate", end = "l_receiptdate", distance = "l_quantity")
-    // 3. materialize the clean table (the notebook's parquet sink,
-    //    assignment1.ipynb:223), PARTITIONED by ship date (SURVEY §7.4(7)):
-    //    the dashboard's F1 date-range filter then becomes partition
-    //    pruning instead of a full scan — at 100 TB over ~7 years that is
-    //    ~2.5k partitions of ~40 GB, the right file granularity. The
-    //    repartition on the partition column lands all rows of a date in
-    //    ONE writer task → one file per date (without it every task opens
-    //    a file per date it sees — tasks × dates tiny files).
+    // 3. materialize the clean tables (the notebook's parquet sink,
+    //    assignment1.ipynb:223), date-PARTITIONED (SURVEY §7.4(7)): the
+    //    dashboard's F1 date-range filter then becomes partition pruning
+    //    instead of a full scan — at 100 TB over ~7 years that is ~2.5k
+    //    partitions of ~40 GB, the right file granularity. Write shape
+    //    (repartition-on-partition-column) defined once in CleanStore.
     val cleanPath = s"$outDir/clean_lineitem"
-    derived
-      .withColumn("ship_date", to_date(col("l_shipdate")))
-      .repartition(col("ship_date"))
-      .write.mode("overwrite").partitionBy("ship_date").parquet(cleanPath)
-    // 4. analytics + chart feeds from the SAME operator bodies
+    CleanStore.writeLineitem(derived, cleanPath)
+    val cleanEventsPath = s"$outDir/clean_events"
+    CleanStore.writeEvents(CleanStore.cleanEvents(spark, sfDir), cleanEventsPath)
+    // 4. chart feeds from the SAME operator bodies, served by RE-READING
+    //    the tables just staged (app.py:97's pattern) — the feed scans hit
+    //    the partitioned clean layer, never the raw corpus again
     val feedDir = s"$outDir/feeds"
-    Feeds.writeAll(spark, sfDir, feedDir)
+    Feeds.writeAll(spark, sfDir, feedDir,
+      Feeds.Served(
+        spark.read.parquet(cleanPath), spark.read.parquet(cleanEventsPath)))
     Result(cleanPath, counts, feedDir)
   }
 

@@ -22,8 +22,13 @@ import org.apache.spark.sql.types._
   * the product stays < 2^62 — no long overflow, and genuinely the universal
   * hash it claims (no silent wrap mod 2^64 before the mod).
   *
-  * Empty input (or all-null elements) ⇒ empty array, mirroring the old
-  * `when(size(hs) > 0, sig).otherwise(array())` guard.
+  * Empty input ⇒ empty array, mirroring the old
+  * `when(size(hs) > 0, sig).otherwise(array())` guard. A NULL element is
+  * hashed exactly as the HOF would: Spark's `xxhash64(NULL)` returns the
+  * seed (42), so the element contributes `(a_i·42 + b_i) mod P` to the
+  * minima — the bit-identical claim holds for null-containing arrays too
+  * (the pipeline's `word_shingles` emits containsNull=false, but the
+  * function is registered for general SQL use).
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
@@ -86,23 +91,26 @@ object MinHashSig {
     val (as, bs) = perms(k)
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
-    var nonNull = 0
     var i = 0
     while (i < m) {
-      if (!shingles.isNullAt(i)) {
-        nonNull += 1
-        val raw = XxHash64Function.hash(shingles.getUTF8String(i), StringType, Seed)
-        val mod = raw % P
-        val h = if (mod < 0) mod + P else mod
-        var j = 0
-        while (j < k) {
-          val v = (as(j) * h + bs(j)) % P
-          if (v < sig(j)) sig(j) = v
-          j += 1
+      // xxhash64(NULL) = seed in Spark SQL — reproduce it, don't skip, so
+      // the signature stays bit-identical to the HOF formulation for
+      // null-containing arrays as well
+      val h =
+        if (shingles.isNullAt(i)) Seed % P
+        else {
+          val raw = XxHash64Function.hash(shingles.getUTF8String(i), StringType, Seed)
+          val mod = raw % P
+          if (mod < 0) mod + P else mod
         }
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
       }
       i += 1
     }
-    if (nonNull == 0) Empty else new GenericArrayData(sig)
+    new GenericArrayData(sig)
   }
 }

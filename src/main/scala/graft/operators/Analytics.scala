@@ -111,9 +111,14 @@ object Analytics {
   /** J1+A1+O1: broadcast dim join → group-count → top-10 ("busiest pickup
     * zones", assignment1.ipynb:261–271).
     */
-  def q05TopParts(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-    val p = Tables.part(spark, sfDir)
+  def q05TopParts(spark: SparkSession, sfDir: String): DataFrame =
+    q05TopPartsOn(Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir))
+
+  /** The aggregate body over explicit inputs — the feed layer serves it
+    * from the CLEAN lineitem table ([[CleanStore]]), the registry from the
+    * raw scan.
+    */
+  def q05TopPartsOn(li: DataFrame, p: DataFrame): DataFrame =
     // no broadcast hint: part scales with SF (unlike the reference's fixed
     // 265-row zones dim) — size stats/AQE broadcast it at dashboard scale
     // and shuffle it at 100 TB, which a hardcoded hint would prevent
@@ -122,17 +127,17 @@ object Analytics {
       .agg(count(lit(1)).as("total_trips"))
       .orderBy(col("total_trips").desc, col("p_name"))
       .limit(10)
-  }
 
   // ---------------------------------------------------------------- q06
   /** A2+O3: avg value by hour ("hourly fare", assignment1.ipynb:298–306). */
-  def q06HourlyAvg(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
+  def q06HourlyAvg(spark: SparkSession, sfDir: String): DataFrame =
+    q06HourlyAvgOn(Tables.events(spark, sfDir))
+
+  def q06HourlyAvgOn(e: DataFrame): DataFrame =
     e.select(Derive.hourOf(col("ts")).as("event_hour"), col("value"))
       .groupBy(col("event_hour"))
       .agg(davg(col("value")).as("avg_value"), count(lit(1)).as("n_events"))
       .orderBy(col("event_hour"))
-  }
 
   // ---------------------------------------------------------------- q07
   /** A3+W1: percent-of-total via window over the aggregate (the reference's
@@ -210,42 +215,45 @@ object Analytics {
 
   // ---------------------------------------------------------------- q11
   /** A7: day-of-week × hour heatmap feed (app.py:323–329). */
-  def q11Heatmap(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
+  def q11Heatmap(spark: SparkSession, sfDir: String): DataFrame =
+    q11HeatmapOn(Tables.events(spark, sfDir))
+
+  def q11HeatmapOn(e: DataFrame): DataFrame =
     e.select(
         Derive.dayNameOf(col("ts")).as("day_of_week"),
         Derive.hourOf(col("ts")).as("event_hour"))
       .groupBy(col("day_of_week"), col("event_hour"))
       .agg(count(lit(1)).as("n"))
       .orderBy(weekdayRank(col("day_of_week")), col("event_hour"))
-  }
 
   // ---------------------------------------------------------------- q12
   /** A8+A9: global scalar metrics in ONE aggregate job (five dashboard
     * tiles + widget bounds, app.py:109–130).
     */
-  def q12GlobalMetrics(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
+  def q12GlobalMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    q12GlobalMetricsOn(Tables.events(spark, sfDir))
+
+  def q12GlobalMetricsOn(e: DataFrame): DataFrame =
     e.agg(
       count(lit(1)).as("n_events"),
       davg(col("value")).as("avg_value"),
       dsumr(col("value")).as("total_value"),
       epochSeconds(min(col("ts"))).as("min_ts_epoch"),
       epochSeconds(max(col("ts"))).as("max_ts_epoch"))
-  }
 
   // ---------------------------------------------------------------- q13
   /** A11+F4: equal-width histogram binning as an aggregation (the
     * trip-distance histogram feed, app.py:246–255).
     */
-  def q13Histogram(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+  def q13Histogram(spark: SparkSession, sfDir: String): DataFrame =
+    q13HistogramOn(Tables.lineitem(spark, sfDir))
+
+  def q13HistogramOn(li: DataFrame): DataFrame =
     li.filter(col("l_extendedprice") > 0 && col("l_extendedprice") < 100000)
       .select(floor(col("l_extendedprice") / 1000).cast("long").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("bin"))
-  }
 
   // ---------------------------------------------------------------- q14
   /** V10/A12: per-column null census as one aggregate row. */
@@ -254,12 +262,13 @@ object Analytics {
 
   // ---------------------------------------------------------------- q15
   /** A6: value_counts — group-count sorted descending (app.py:152–156). */
-  def q15ValueCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.events(spark, sfDir)
+  def q15ValueCounts(spark: SparkSession, sfDir: String): DataFrame =
+    q15ValueCountsOn(Tables.events(spark, sfDir))
+
+  def q15ValueCountsOn(e: DataFrame): DataFrame =
     e.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("event_type"))
-  }
 
   // ---------------------------------------------------------------- q16
   /** S2: projection + predicate — both must reach the parquet scan

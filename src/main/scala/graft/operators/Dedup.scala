@@ -224,6 +224,13 @@ object Dedup {
     * is still the bucket, never docs².
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // The C(5,2) pair-banding is exhaustive ONLY for radius <= 3 (with 4
+    // dirty blocks no clean PAIR is guaranteed). Fail loudly rather than
+    // silently dropping pairs for a wider radius — a caller needing r >= 4
+    // must widen the scheme (C(6,2) blocks for r=4, etc.), not this one.
+    require(maxHamming <= 3,
+      s"simhashCandidates: the 5-block pair banding is exact only for " +
+        s"maxHamming <= 3, got $maxHamming")
     val sigs = docs.select(col("doc_id"), simhashExpr("text").as("sig"))
     // (band id | two block contents) fused into ONE long key so the plan
     // is a single linear lineage: explode keys → bucket posting lists →
@@ -289,6 +296,10 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
+    // the exact frame holding this round's cache entry (labels is a select
+    // OVER it from round 2 on — unpersisting the select would miss the
+    // cached plan and leak one cached frame per round)
+    var persisted = labels
     var it = 0
     var converged = false
     // maxIter bounds the PROPAGATION rounds; convergence detection needs
@@ -297,14 +308,22 @@ object Dedup {
     while (!converged && it <= maxIter) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(nbrMin)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      // Convergence detection folded into the round's OWN aggregation: the
+      // self row carries the previous label (each id contributes exactly
+      // one), so min-over-self IS prev and the round's single groupBy
+      // yields both the new label and the change flag — no second join
+      // over the full label set per round (which at production scale cost
+      // as much as the propagation itself).
+      val next = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
+        .union(nbrMin.select(col("id"), col("lbl"), lit(null).cast("long").as("prev")))
+        .groupBy(col("id"))
+        .agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev"))
         .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("lbl", "prev"), "id")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
+      // one action: materializes next into cache AND counts changes
+      val changed = next.filter(col("lbl") =!= col("prev")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       it += 1
     }
@@ -315,7 +334,7 @@ object Dedup {
     // pointer-doubling (label-of-label join) for O(log diameter) rounds.
     // Unpersist before throwing: the caller may catch and keep the session.
     if (!converged) {
-      labels.unpersist()
+      persisted.unpersist()
       throw new IllegalStateException(
         s"dupClusters: min-label propagation did not converge in $maxIter rounds; " +
           "component diameter exceeds maxIter")
@@ -326,6 +345,26 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dd9 — the step every training-data pipeline runs after clustering:
+    * emit the actual DEDUPLICATED corpus. Every doc that belongs to a dup
+    * cluster but is not its representative is dropped; cluster
+    * representatives and all unclustered docs survive. Output is (doc_id,
+    * text_hash) — id plus content hash, the manifest a downstream
+    * tokenizer run consumes.
+    *
+    * Scale: the drop list is only the NON-representative cluster members —
+    * a small fraction of the corpus by construction (it is exactly the
+    * data being removed) — so AQE broadcasts the anti-join and the corpus
+    * never shuffles. The md5 is a map-side projection on the survivors.
+    */
+  def dedupCorpus(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs
+      .join(
+        clusters.filter(col("doc_id") =!= col("rep_id")).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -335,7 +374,10 @@ object Dedup {
     "dd4_minhash_candidates" -> ((s: SparkSession, d: String) => minhashCandidates(Tables.documentsRebalanced(s, d))),
     "dd5_simhash_candidates" -> ((s: SparkSession, d: String) => simhashCandidates(Tables.documents(s, d))),
     "dd8_dup_clusters" -> ((s: SparkSession, d: String) =>
-      dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d)))))
+      dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d)))),
+    "dd9_dedup_corpus" -> ((s: SparkSession, d: String) =>
+      dedupCorpus(Tables.documents(s, d),
+        dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d))))))
 
   val oracles: Map[String, String] = Map(
     "dd1_exact_dups" ->
@@ -382,6 +424,31 @@ object Dedup {
         |  UNION
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin,
+    // dd8's transitive closure + the NOT IN drop of non-representative
+    // cluster members — the declarative twin of dedupCorpus
+    "dd9_dedup_corpus" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+        |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |reps AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id)
+        |SELECT d.doc_id, md5(d.text) AS text_hash FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep_id)
         |ORDER BY doc_id""".stripMargin)
   // dd4/dd5 are approximate (engine-specific hash functions) → rows-only
   // checks by design; dd4 recall and dd5 radius-exactness are asserted in

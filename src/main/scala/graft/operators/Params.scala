@@ -101,10 +101,29 @@ object Params {
   /** pf2 — the same surface with NON-default parameters over the UNcached
     * scan: the predicates push down to the parquet reader (the cold-start
     * path of the parameterized server; at 100 TB over a date-partitioned
-    * clean table F1 becomes partition pruning).
+    * clean table F1 becomes partition pruning — pf3 below IS that path).
     */
   def pf2ParamFilterAlt(spark: SparkSession, sfDir: String): DataFrame =
     typeSummary(Tables.events(spark, sfDir), altParams)
+
+  /** pf3 — the dashboard refresh served from the MATERIALIZED clean table
+    * (the reference's write-clean-then-re-read pattern, app.py:97): the
+    * date-partitioned staging [[CleanStore.events]] plus an explicit
+    * partition predicate derived from the F1 bounds, so the refresh scan
+    * reads ONLY the selected dates' files (PartitionFilters — audited in
+    * PlanSpec), with the precise ts/hour/type predicates evaluated on that
+    * pruned remainder. This is the 100 TB dashboard path: F1 as partition
+    * pruning instead of a raw-corpus scan.
+    */
+  def pf3ParamFilterClean(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = CleanStore.events(spark, sfDir)
+    val p = defaultParams
+    // the partition-pruning twin of F1: ts ∈ [tsLo, tsHi] ⇒ event_date ∈
+    // [date(tsLo), date(tsHi)] — a static predicate on the partition column
+    val pruned = clean.filter(col("event_date").between(
+      to_date(lit(p.tsLo).cast("timestamp")), to_date(lit(p.tsHi).cast("timestamp"))))
+    typeSummary(pruned, p)
+  }
 
   /** The SQL twin of [[typeSummary]] for arbitrary parameters — one
     * source of truth for pf1/pf2's DuckDB oracles AND the ParamsSpec
@@ -112,13 +131,20 @@ object Params {
     * through DECIMAL(38,6) + the shared r6 rounding form so results are
     * bit-comparable).
     */
+  /** Single-quote SQL string literal with `''` escaping — the one escape
+    * valid in BOTH Spark SQL and DuckDB. The Pipeline `--params` flag feeds
+    * user strings straight into [[oracleSqlFor]]; without this a type (or
+    * timestamp) containing a quote produces broken or injected SQL.
+    */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   def oracleSqlFor(p: EventParams): String =
     s"""SELECT event_type, count(*) AS n,
        |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) * 1e6) / 1e6 AS avg_value
        |FROM events
-       |WHERE ts BETWEEN TIMESTAMP '${p.tsLo}' AND TIMESTAMP '${p.tsHi}'
+       |WHERE ts BETWEEN TIMESTAMP ${sqlLit(p.tsLo)} AND TIMESTAMP ${sqlLit(p.tsHi)}
        |  AND hour(ts) BETWEEN ${p.hourLo} AND ${p.hourHi}
-       |  AND event_type IN (${p.types.map(t => s"'$t'").mkString(", ")})
+       |  AND event_type IN (${p.types.map(sqlLit).mkString(", ")})
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------- sample
@@ -156,12 +182,17 @@ object Params {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pf1_param_filter" -> (pf1ParamFilter _),
     "pf2_param_filter_alt" -> (pf2ParamFilterAlt _),
+    "pf3_param_filter_clean" -> (pf3ParamFilterClean _),
     "sa1_seeded_sample" -> (sa1SeededSample _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _))
 
   val oracles: Map[String, String] = Map(
     "pf1_param_filter" -> oracleSqlFor(defaultParams),
     "pf2_param_filter_alt" -> oracleSqlFor(altParams),
+    // pf3 serves from the clean staging, whose rows equal the raw events
+    // (the null drop removes nothing on this corpus) — the oracle runs the
+    // same parameter bundle over the raw table
+    "pf3_param_filter_clean" -> oracleSqlFor(defaultParams),
     "cs1_csv_dim_join" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

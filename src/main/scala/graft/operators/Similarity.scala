@@ -84,6 +84,23 @@ object Similarity {
     * linear cost (the multi-probe knob); `nPlanes` controls bucket
     * selectivity at scale.
     */
+  /** The shared ANN tail: attach the broadcast query vectors to a
+    * (query_id, neighbor_id, c_emb) candidate stream, verify each
+    * candidate with one exact dot, keep the per-query top-k.
+    */
+  private def verifyAndRank(cands: DataFrame, qEmb: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_raw").desc, col("neighbor_id"))
+    cands
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("sim_raw", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), r6(col("sim_raw")).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def lshAnn(
       emb: DataFrame, nQueries: Int = 20, k: Int = 5,
       nBands: Int = 24, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
@@ -95,22 +112,14 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("band"), col("bucket"))
     val qEmb = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_raw").desc, col("neighbor_id"))
-    banded
+    val cands = banded
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         col("band"), col("bucket"))
       .join(broadcast(qKeys), Seq("band", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(first(col("c_emb")).as("c_emb"))
-      .join(broadcast(qEmb), Seq("query_id"))
-      .withColumn("sim_raw", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), r6(col("sim_raw")).as("cosine"),
-        col("rank").cast("long").as("rank"))
-      .orderBy(col("query_id"), col("rank"))
+    verifyAndRank(cands, qEmb, k)
   }
 
   /** sim3 — IVF-style ANN via single-cell indexing + query-directed
@@ -145,18 +154,84 @@ object Similarity {
           lit(nPlanes), lit(dim), lit(seed), lit(nProbe))).as("bucket"))
     val qEmb = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_raw").desc, col("neighbor_id"))
-    corpus
+    val cands = corpus
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .join(broadcast(qEmb), Seq("query_id"))
-      .withColumn("sim_raw", cosine(col("q_emb"), col("c_emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), r6(col("sim_raw")).as("cosine"),
-        col("rank").cast("long").as("rank"))
-      .orderBy(col("query_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"))
+    verifyAndRank(cands, qEmb, k)
+  }
+
+  // ------------------------------------------------------- persisted IVF
+
+  /** Canonical location of the persisted IVF cell index for a scale dir
+    * (same repo-local staging area as the CSV dim and the clean tables).
+    */
+  def ivfIndexPath(sfDir: String): String =
+    s"${sys.props("user.dir")}/target/ivf/${new java.io.File(sfDir).getName}/cells"
+
+  /** Build the IVF cell index as a PERSISTED artifact: one row per corpus
+    * vector — (cell, id, vector) — written parquet PARTITIONED BY the cell
+    * id. This is the real IVF deployment shape: the index is built once
+    * (one linear pass over the corpus, one shuffle on the cell key for the
+    * writer), and every later ANN query probes it without re-hashing the
+    * corpus. Partitioning by cell means a probe touches only its cells'
+    * files — with a broadcast probe join Spark's dynamic partition pruning
+    * skips every unprobed cell at the SCAN (audited in PlanSpec).
+    *
+    * The vector is stored cast to `array<double>` — exactly the value
+    * [[cosine]] would cast at query time (float→double is exact), so
+    * probe results are bit-identical to the rebuild-per-query [[ivfAnn]]
+    * (asserted in SimilaritySpec).
+    */
+  def buildIvfIndex(
+      emb: DataFrame, path: String,
+      nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L): Unit = {
+    val cell = element_at(lshBuckets(col("embedding"), 1, nPlanes, dim, seed), 1)
+    emb.select(
+        col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("c_emb"),
+        cell.as("bucket"))
+      .repartition(col("bucket")) // one writer task per cell → one file per cell
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** sim4 — ANN over the PERSISTED index: ensure the cell index artifact
+    * exists (build-once, marker-and-mtime staleness like the clean
+    * tables), read it back, and serve the same margin-ranked multiprobe
+    * query [[ivfAnn]] runs — but against the stored cells, so the query
+    * plan never touches the corpus embeddings except for the `nQueries`
+    * query vectors themselves. Candidate generation is a broadcast join of
+    * the tiny (query × probe) key set against the cell-partitioned scan;
+    * results are bit-identical to [[ivfAnn]].
+    */
+  def ivfAnnIndexed(
+      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
+      nPlanes: Int = 4, dim: Int = 64, nProbe: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = ivfIndexPath(sfDir)
+    val marker = new java.io.File(s"$path/_SUCCESS")
+    val source = new java.io.File(Tables.path(sfDir, "embeddings"))
+    if (!marker.exists() || marker.lastModified() < source.lastModified())
+      buildIvfIndex(emb, path, nPlanes, dim, seed)
+    val corpus = spark.read.parquet(path)
+    val probes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(call_function("rhp_probes",
+          col("embedding").cast("array<double>"),
+          lit(nPlanes), lit(dim), lit(seed), lit(nProbe))).as("bucket_l"))
+      // the read-back partition column is inferred as int — cast the tiny
+      // probe side (in a separate projection: a generator can't nest
+      // inside the cast), keeping the scan's partition column bare so
+      // dynamic partition pruning can latch onto it
+      .select(col("query_id"), col("bucket_l").cast("int").as("bucket"))
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = corpus
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"))
+    verifyAndRank(cands, qEmb, k)
   }
 
   /** (vec_id, unit) — L2-normalized double vectors, norm materialized FIRST
@@ -239,6 +314,7 @@ object Similarity {
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
     "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(Tables.embeddings(s, d))),
+    "sim4_ann_ivf_indexed" -> ((s: SparkSession, d: String) => ivfAnnIndexed(s, d)),
     "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(Tables.embeddingsRebalanced(s, d))),
     "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))))
 
@@ -270,7 +346,9 @@ object Similarity {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.unit, b.unit) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin)
-  // sim2/sim3/dd7 are approximate (engine-specific plane hashing) →
+  // sim2/sim3/sim4/dd7 are approximate (engine-specific plane hashing) →
   // rows-only checks; recall vs the exact computations is asserted in
-  // src/test/scala/graft/SimilaritySpec.scala.
+  // src/test/scala/graft/SimilaritySpec.scala (sim4 additionally asserts
+  // bit-identity with sim3 — the persisted index changes WHERE the cells
+  // live, not what they contain).
 }

@@ -17,7 +17,9 @@ object TextAnalysis {
     */
   val EnglishStop: Seq[String] =
     Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
-  private val stopSql = EnglishStop.map(s => s"'$s'").mkString("(", ", ", ")")
+  private def stopSqlFor(stops: Seq[String]): String =
+    stops.map(s => s"'$s'").mkString("(", ", ", ")")
+  private val stopSql = stopSqlFor(EnglishStop)
 
   /** Count of tokens that are stopwords, via the `filter` higher-order
     * function (codegen-friendly; no explode, no shuffle).
@@ -51,17 +53,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** N-gram language-ID heuristic: the fraction of tokens that are English
-    * stopwords decides en vs und. (A multi-language scorer would broadcast
-    * per-language stop sets and argmax — same shape, still no shuffle.)
+  /** Per-language stopword lexicons for the multi-language scorer (keep in
+    * sync with the td2 oracle). Tiny fixed sets, so they ride along as
+    * expression literals — the declarative equivalent of a broadcast
+    * variable; a real-scale lexicon (thousands of entries per language)
+    * would become a broadcast-joined dimension instead. zh is deliberately
+    * absent: whitespace tokenization carries no signal for unsegmented
+    * scripts — that path needs char-n-gram features, a different operator.
+    */
+  val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> EnglishStop,
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "den", "von"),
+    "fr" -> Seq("le", "les", "et", "une", "est", "que", "pour", "dans", "avec", "sur"),
+    "es" -> Seq("el", "los", "de", "y", "un", "una", "es", "por", "con", "para"))
+
+  /** Multi-language n-gram language ID: one stop-ratio per language (the
+    * fraction of tokens in that language's lexicon), argmax with a fixed
+    * deterministic tie order (lexicon order above), `und` when even the
+    * best ratio is under `threshold`. Pure per-row expression work — one
+    * codegen'd pass, no shuffle, no UDF; scoring L languages multiplies
+    * map-side CPU by L, nothing else.
     */
   def langId(docs: DataFrame, threshold: Double = 0.15): DataFrame = {
-    val toks = tokens(col("text"))
-    val ratio = stopwordCount(toks) / size(toks).cast("long")
-    docs.select(
-        col("doc_id"),
-        r6(ratio).as("en_stop_ratio"),
-        when(ratio >= threshold, "en").otherwise("und").as("lang_pred"))
+    val toks = col("toks")
+    val nToks = size(toks).cast("long")
+    val ratios = LangStops.map { case (lang, stops) =>
+      lang -> (size(filter(toks, t => t.isin(stops: _*))).cast("long") / nToks)
+    }
+    // argmax by CASE chain: a language wins iff its ratio >= every later
+    // one (earlier languages take ties) — deterministic, and expressible
+    // verbatim in the DuckDB oracle
+    val best = ratios.map(_._2).reduce((a, b) => greatest(a, b))
+    def argmaxChain(rs: List[(String, Column)]): Column = rs match {
+      case (lang, _) :: Nil => lit(lang)
+      case (lang, r) :: rest =>
+        when(rest.map(r >= _._2).reduce(_ && _), lang).otherwise(argmaxChain(rest))
+      case Nil => lit("und")
+    }
+    val argmax = argmaxChain(ratios.toList)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id") +:
+          ratios.map { case (lang, r) => r6(r).as(s"${lang}_ratio") } :+
+          when(best >= threshold, argmax).otherwise("und").as("lang_pred"): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -224,13 +259,28 @@ object TextAnalysis {
          |  round(n_stop / n_tokens, 6) AS stop_ratio,
          |  round(least(1.0, n_tokens / 20.0) * (1.0 - n_stop / n_tokens), 6) AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin,
-    "td2_lang_id" ->
+    "td2_lang_id" -> {
+      val ratioDefs = LangStops.map { case (lang, stops) =>
+        s"len(list_filter(toks, x -> x IN ${stopSqlFor(stops)})) / len(toks) AS r_$lang"
+      }.mkString(",\n")
+      val langs = LangStops.map(_._1)
+      val rounded = langs
+        .map(l => s"round(r_$l * 1e6) / 1e6 AS ${l}_ratio").mkString(", ")
+      // the same argmax CASE chain as the engine: a language wins iff its
+      // ratio >= every later one (earlier languages take ties)
+      val argmax = langs.init.zipWithIndex.map { case (l, i) =>
+        val later = langs.drop(i + 1)
+        s"WHEN ${later.map(o => s"r_$l >= r_$o").mkString(" AND ")} THEN '$l'"
+      }.mkString(" ")
       s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
          |s AS (SELECT doc_id,
-         |        len(list_filter(toks, x -> x IN $stopSql)) / len(toks) AS ratio FROM t)
-         |SELECT doc_id, round(ratio, 6) AS en_stop_ratio,
-         |  CASE WHEN ratio >= 0.15 THEN 'en' ELSE 'und' END AS lang_pred
-         |FROM s ORDER BY doc_id""".stripMargin,
+         |$ratioDefs
+         |FROM t)
+         |SELECT doc_id, $rounded,
+         |  CASE WHEN greatest(${langs.map("r_" + _).mkString(", ")}) < 0.15 THEN 'und'
+         |    $argmax ELSE '${langs.last}' END AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
     "td3_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(string_split(trim(lower(text)), ' ')), ' ')) AS fp

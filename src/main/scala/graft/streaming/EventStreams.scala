@@ -59,9 +59,50 @@ object EventStreams {
       .select(col("w.start").cast("timestamp_ntz").as("window_start"),
         col("event_type"), col("n"), col("avg_value"))
 
-  /** Drive a streaming frame to a named in-memory table, synchronously
-    * (AvailableNow ⇒ processes the backlog and stops, with a final no-data
-    * micro-batch that flushes watermark-closed windows).
+  /** Drive a streaming frame through the PRODUCTION sink shape — a parquet
+    * file sink with a checkpoint location — synchronously (AvailableNow ⇒
+    * processes the backlog and stops, with a final no-data micro-batch
+    * that flushes watermark-closed state), then return the result read
+    * back from the sink's files. Executors write parquet; nothing
+    * data-scaled ever materializes on the driver. (The previous memory
+    * sink collected every emitted row into driver memory — fine for st2's
+    * bounded aggregate, a 100×-scale bottleneck for outputs that scale
+    * with data like st5's distinct-key set or st6's pair stream.) The
+    * read-back consults the sink's `_spark_metadata` transaction log, so
+    * only files of committed batches are visible — the streaming
+    * exactly-once contract; at production scale the same pair of paths
+    * lands on the cluster's distributed store and the checkpoint makes the
+    * query resumable.
+    */
+  def runToParquet(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_stream/$name")
+    // re-runnable: a stale sink metadata log would hide the new run's files
+    deleteRecursively(base)
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val chk = new java.io.File(base, "chk").getAbsolutePath
+    df.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    // explicit schema: a run whose final watermark closes nothing writes
+    // zero files, and schema inference over an empty sink dir would throw
+    spark.read.schema(df.schema).parquet(out)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
+  /** Test-harness sink for bounded MemoryStream parity inputs (see
+    * StreamingSpec/SessionsSpec) — NOT on any registry path: the memory
+    * sink materializes every emitted row in driver memory, which is
+    * exactly what [[runToParquet]] exists to avoid.
     */
   def runToMemory(df: DataFrame, name: String): StreamingQuery = {
     df.sparkSession.catalog.dropTempView(name) // re-runnable in one session
@@ -82,10 +123,9 @@ object EventStreams {
     * input, so the oracle is the batch aggregation HAVING
     * window_end ≤ max(ts) − 1h.
     */
-  def st2StreamWindowed(spark: SparkSession, sfDir: String): DataFrame = {
-    runToMemory(windowedStream(eventStream(spark, sfDir)), "st2_sink")
-    spark.table("st2_sink").orderBy(col("window_start"), col("event_type"))
-  }
+  def st2StreamWindowed(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquet(windowedStream(eventStream(spark, sfDir)), "st2_sink")
+      .orderBy(col("window_start"), col("event_type"))
 
   /** st4 — stream-static enrichment: the event stream joined against the
     * customer dimension, then the same windowed aggregation keyed by
@@ -148,8 +188,7 @@ object EventStreams {
         col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_start")
       .select(col("user_id"), col("event_type"), col("hour_start"))
-    runToMemory(deduped, "st5_sink")
-    spark.table("st5_sink")
+    runToParquet(deduped, "st5_sink")
       .orderBy(col("user_id"), col("event_type"), col("hour_start"))
   }
 
@@ -214,8 +253,7 @@ object EventStreams {
       .select(col("user_id"),
         col("view_ts").cast("timestamp_ntz").as("view_ts"),
         col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
-    runToMemory(joined, "st6_sink")
-    spark.table("st6_sink")
+    runToParquet(joined, "st6_sink")
       .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
 

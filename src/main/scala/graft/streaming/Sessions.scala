@@ -41,8 +41,26 @@ object Sessions {
   /** One open session per user: ordinal, bounds in epoch MICROseconds
     * (micros, not millis — the batch twin compares raw event times and a
     * sub-millisecond difference must not split sessions differently).
+    * `sumMicros` accumulates the value total as EXACT scaled-decimal longs
+    * (each double rounded to 6 dp the way Spark's double→DECIMAL(38,6)
+    * cast does), not as a running double: the long sum is
+    * order-independent and bit-identical to the batch twin's `dsumr`
+    * decimal aggregation — a double accumulation in arrival order would
+    * drift by ulps across micro-batch boundaries and could never be
+    * hash-compared against the decimal oracle.
     */
-  final case class SessState(ordinal: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+  final case class SessState(ordinal: Long, startUs: Long, lastUs: Long, n: Long, sumMicros: Long)
+
+  /** The double → 6-dp scaled long conversion Spark's `CAST(v AS
+    * DECIMAL(38,6))` performs: HALF_UP on the SHORTEST decimal string of
+    * the double (`Double.toString`), the exact semantics of
+    * `Decimal.fromDecimal(BigDecimal(d))` — so Σ scaled6 == the batch
+    * decimal sum, bit for bit.
+    */
+  private[streaming] def scaled6(v: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
 
   /** A closed session, timestamps in epoch microseconds. */
   final case class SessionOut(
@@ -77,7 +95,9 @@ object Sessions {
       rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
       state: GroupState[SessState]): Iterator[SessionOut] = {
     def closed(s: SessState) =
-      SessionOut(user, s.ordinal, s.startUs, s.lastUs, s.n, s.sum)
+      // the long→double division is the same single rounding DuckDB's
+      // CAST(decimal-sum AS DOUBLE) performs — values stay comparable
+      SessionOut(user, s.ordinal, s.startUs, s.lastUs, s.n, s.sumMicros / 1e6)
     if (state.hasTimedOut) {
       val s = state.get
       state.remove()
@@ -100,12 +120,13 @@ object Sessions {
           case Some(s) if us >= s.startUs - gapUs && us <= s.lastUs + gapUs =>
             Some(s.copy(
               startUs = math.min(s.startUs, us),
-              lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + v))
+              lastUs = math.max(s.lastUs, us), n = s.n + 1,
+              sumMicros = s.sumMicros + scaled6(v)))
           case Some(s) =>
             out += closed(s)
-            Some(SessState(s.ordinal + 1, us, us, 1, v))
+            Some(SessState(s.ordinal + 1, us, us, 1, scaled6(v)))
           case None =>
-            Some(SessState(1, us, us, 1, v))
+            Some(SessState(1, us, us, 1, scaled6(v)))
         }
       }
       cur.foreach { s =>
@@ -136,11 +157,57 @@ object Sessions {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(processGroup(gapUs))
   }
 
+  /** The deterministic-closed-subset margin shared by [[st7StreamSessions]]
+    * and its oracle: wide enough to absorb the watermark's micros→millis
+    * truncation and the `+1 ms` timeout nudge, negligible next to the
+    * 30-minute gap.
+    */
+  private val St7MarginUs = 2000000L
+
+  /** st7 — the streaming sessionizer run END-TO-END through the driver
+    * gate: start [[sessionizeStream]] over the parquet source, drain it
+    * (AvailableNow; the final no-data micro-batch fires the event-time
+    * timeouts), land the closed sessions in the parquet file sink, read
+    * them back. The gate then keeps only the DETERMINISTIC subset — the
+    * st2/st5 pattern: a session is provably flushed iff its timeout
+    * horizon (end + gap) precedes the final watermark (max ts − delay) by
+    * [[St7MarginUs]]; every such batch-twin session is either gap-broken
+    * by a later event or timed out by the final watermark, so the filtered
+    * stream output equals the identically-filtered batch result row for
+    * row (values included — the scaled-long state sum is bit-identical to
+    * the decimal oracle). Borderline sessions (end within the margin of
+    * the watermark) are excluded from BOTH sides, not asserted on.
+    */
+  def st7StreamSessions(
+      spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val result = EventStreams.runToParquet(
+      sessionizeStream(
+        EventStreams.eventStream(spark, sfDir), gapMinutes, watermarkDelay)
+        .toDF(),
+      "st7_sink")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val delayUs = 30L * 60 * 1000000L // matches watermarkDelay default
+    val maxTs = Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts"))).as("max_us"))
+    result
+      .crossJoin(broadcast(maxTs)) // 1-row scalar bound, broadcast probe
+      .filter(col("end_us") + gapUs + St7MarginUs < col("max_us") - delayUs)
+      .select(
+        col("user_id"), col("session_id"),
+        timestamp_micros(col("start_us")).cast("timestamp_ntz").as("session_start"),
+        timestamp_micros(col("end_us")).cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_sessionize" ->
-      ((s: SparkSession, d: String) => sessionizeBatch(Tables.events(s, d))))
+      ((s: SparkSession, d: String) => sessionizeBatch(Tables.events(s, d))),
+    "st7_stream_sessions" ->
+      ((s: SparkSession, d: String) => st7StreamSessions(s, d)))
 
   val oracles: Map[String, String] = Map(
     "st3_sessionize" ->
@@ -158,5 +225,29 @@ object Sessions {
         |SELECT user_id, session_id,
         |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the st3 batch result restricted to the deterministic closed subset —
+    // end + gap + margin before the final watermark (max ts − delay); the
+    // same filter the engine applies to the stream output
+    "st7_stream_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800.0
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM o),
+        |b AS (
+        |  SELECT user_id, session_id,
+        |    min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
+        |    round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+        |  FROM s GROUP BY 1, 2),
+        |m AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+        |SELECT b.* FROM b, m
+        |WHERE epoch_us(session_end) + 1800000000 + 2000000 < max_us - 1800000000
+        |ORDER BY user_id, session_id""".stripMargin)
 }

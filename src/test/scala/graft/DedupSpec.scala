@@ -23,6 +23,19 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(3L) === Set("x y x", "y x y")) // 6 raw trigrams, 2 distinct
   }
 
+  test("dd9: survivors = corpus minus non-representative cluster members; every representative survives") {
+    val docs = Tables.documents(spark, sf001)
+    val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(docs))
+    val dropped = clusters.filter(col("doc_id") =!= col("rep_id"))
+    val out = Dedup.dedupCorpus(docs, clusters)
+    assert(dropped.count() > 0, "test corpus must contain dup clusters")
+    assert(out.count() === docs.count() - dropped.count())
+    val survivors = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val reps = clusters.select("rep_id").collect().map(_.getLong(0)).toSet
+    assert(reps.subsetOf(survivors), "a cluster representative was dropped")
+    assert(dropped.select("doc_id").collect().map(_.getLong(0)).forall(!survivors.contains(_)))
+  }
+
   test("dd4 minhash candidates: recall >= 0.95 against dd3's exact Jaccard pairs") {
     val docs = Tables.documents(spark, sf001)
     val exact = pairSet(

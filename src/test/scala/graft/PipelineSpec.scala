@@ -25,9 +25,14 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
       .foreach(c => assert(clean.columns.contains(c), s"missing derived column $c"))
 
     // every chart feed materialized
-    Feeds.feeds.keys.foreach { name =>
+    Feeds.feedNames.foreach { name =>
       assert(new java.io.File(s"${res.feedDir}/$name").exists(), s"feed $name missing")
     }
+
+    // the clean EVENTS staging is also written, date-partitioned
+    assert(new java.io.File(s"$out/clean_events").listFiles()
+      .exists(_.getName.startsWith("event_date=")),
+      "clean events table missing or unpartitioned")
 
     // the clean table is PARTITIONED by ship date (SURVEY §7.4(7)) ...
     val partDirs = new java.io.File(res.cleanPath)

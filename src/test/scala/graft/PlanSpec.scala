@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
-import graft.operators.{Analytics, Dedup, Similarity, TextAnalysis}
+import graft.operators.{Analytics, CleanStore, Dedup, Params, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Physical-plan audits — the scale-posture invariants (SURVEY.md §4) as
@@ -100,6 +100,39 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val generates = p.linesIterator.count(l => l.contains(") Generate"))
     assert(generates === 1, s"expected 1 Generate (query probes), got $generates:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"probe join is not broadcast:\n$p")
+  }
+
+  test("pf3: the F1 date range prunes the clean events table at the scan") {
+    val df = Params.pf3ParamFilterClean(spark, sf001)
+    // static pruning is decided at planning — read it off the pre-AQE
+    // physical plan (AQE query stages are leaves; collect can't see
+    // through them after execution)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("event_date"),
+      s"F1 not applied as a partition filter: ${scan.metadata("PartitionFilters")}")
+    val total = new java.io.File(CleanStore.stagePath(sf001, "events"))
+      .listFiles().count(_.getName.startsWith("event_date="))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected < total,
+      s"partition pruning ineffective: $selected of $total date partitions read")
+    // the pruned scan still carries the precise pushed ts predicate for
+    // row-level filtering within the selected dates
+    assert(scan.metadata("PushedFilters").contains("ts"),
+      s"ts bounds not pushed: ${scan.metadata("PushedFilters")}")
+  }
+
+  test("sim4: probes the persisted cell index via broadcast with dynamic partition pruning") {
+    val df = Similarity.ivfAnnIndexed(spark, sf001)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), s"probe join is not broadcast:\n$p")
+    // the index scan must be pruned DYNAMICALLY to the probed cells — the
+    // probe keys are only known at run time, so static pruning can't apply
+    assert(finalPlan.contains("dynamicpruning") || p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the cell index scan:\n$p")
   }
 
   test("td6: quality filter reads only doc_id and text, no shuffle before the sort") {

@@ -46,6 +46,26 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
       (1L, 1L, us("2024-01-01 10:00:00"), us("2024-01-01 10:50:00"), 4L)))
   }
 
+  test("st7: the driver-gated closed subset equals the identically-filtered batch result, values bit-exact") {
+    import org.apache.spark.sql.functions._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1),
+        micros(r.getAs[java.time.LocalDateTime](2)),
+        micros(r.getAs[java.time.LocalDateTime](3)),
+        r.getLong(4), r.getDouble(5))
+    val got = Sessions.st7StreamSessions(spark, sf001).collect().map(key).toSeq
+    val maxUs = Tables.events(spark, sf001)
+      .selectExpr("max(unix_micros(ts))").collect().head.getLong(0)
+    val expected = Sessions.sessionizeBatch(Tables.events(spark, sf001))
+      .filter(unix_micros(col("session_end").cast("timestamp"))
+        + 1800000000L + 2000000L < lit(maxUs) - 1800000000L)
+      .collect().map(key).toSeq
+    assert(expected.nonEmpty, "gate subset empty — margin condition broken")
+    // exact equality INCLUDING total_value: the scaled-long state sum is
+    // bit-identical to the batch decimal aggregation
+    assert(got === expected)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch lag/cumsum twin") {
     val events = Tables.events(spark, sf001)
     val maxUs = events

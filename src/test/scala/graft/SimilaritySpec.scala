@@ -49,6 +49,15 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim4 persisted-index ANN is bit-identical to sim3 (the index changes WHERE cells live, not what they contain)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    val rebuilt = Similarity.ivfAnn(emb).collect().map(key).toSeq
+    val indexed = Similarity.ivfAnnIndexed(spark, sf001).collect().map(key).toSeq
+    assert(indexed === rebuilt)
+  }
+
   test("dd7 LSH near-dups: no false positives, recall >= 0.85 vs dd6 exact") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = Similarity.embedNearDupsExact(emb).collect()
