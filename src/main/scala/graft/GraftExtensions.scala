@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, MinHashSig, PairCombs, RhpBuckets, RhpProbes, SimHash64, WordShingles}
+import graft.functions.{DotProduct, MinHashSig, PairCombs, RhpBuckets, RhpProbes, SimHash64, StopCounts, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args.head, litInt(args, 1))))
+    ext.injectFunction((
+      FunctionIdentifier("stop_counts"),
+      new ExpressionInfo(classOf[StopCounts].getName, "stop_counts"),
+      (args: Seq[Expression]) => StopCounts(args.head)))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -12,20 +12,25 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  /** Stopword list shared with the DuckDB oracles (keep in sync with
-    * [[stopSql]]).
+  /** Stopword lexicons — data lives in [[graft.functions.StopLexicons]]
+    * (one source of truth for the native expression, these operators and
+    * the generated DuckDB oracles).
     */
-  val EnglishStop: Seq[String] =
-    Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+  val LangStops: Seq[(String, Seq[String])] = graft.functions.StopLexicons.langs
+  val EnglishStop: Seq[String] = LangStops.head._2
   private def stopSqlFor(stops: Seq[String]): String =
     stops.map(s => s"'$s'").mkString("(", ", ", ")")
   private val stopSql = stopSqlFor(EnglishStop)
 
-  /** Count of tokens that are stopwords, via the `filter` higher-order
-    * function (codegen-friendly; no explode, no shuffle).
+  /** Per-language stop counts in one pass — the native codegen'd
+    * [[graft.functions.StopCounts]] expression (a `filter` HOF lambda runs
+    * interpreted per token per language; this is one hash lookup per
+    * token).
     */
-  def stopwordCount(toks: Column): Column =
-    size(filter(toks, t => t.isin(EnglishStop: _*))).cast("long")
+  def stopCounts(toks: Column): Column = call_function("stop_counts", toks)
+
+  /** Count of tokens that are English stopwords (lexicon 1). */
+  def stopwordCount(toks: Column): Column = element_at(stopCounts(toks), 1)
 
   /** The bounded quality score, defined ONCE for td1 (per-doc stats) and
     * td7 (corpus rollup): `r6(least(1, n_tokens/20) * (1 - stop_ratio))`.
@@ -53,32 +58,20 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-language stopword lexicons for the multi-language scorer (keep in
-    * sync with the td2 oracle). Tiny fixed sets, so they ride along as
-    * expression literals — the declarative equivalent of a broadcast
-    * variable; a real-scale lexicon (thousands of entries per language)
-    * would become a broadcast-joined dimension instead. zh is deliberately
-    * absent: whitespace tokenization carries no signal for unsegmented
-    * scripts — that path needs char-n-gram features, a different operator.
-    */
-  val LangStops: Seq[(String, Seq[String])] = Seq(
-    "en" -> EnglishStop,
-    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "den", "von"),
-    "fr" -> Seq("le", "les", "et", "une", "est", "que", "pour", "dans", "avec", "sur"),
-    "es" -> Seq("el", "los", "de", "y", "un", "una", "es", "por", "con", "para"))
-
   /** Multi-language n-gram language ID: one stop-ratio per language (the
-    * fraction of tokens in that language's lexicon), argmax with a fixed
-    * deterministic tie order (lexicon order above), `und` when even the
-    * best ratio is under `threshold`. Pure per-row expression work — one
-    * codegen'd pass, no shuffle, no UDF; scoring L languages multiplies
-    * map-side CPU by L, nothing else.
+    * fraction of tokens in that language's lexicon, all L counted in the
+    * single [[stopCounts]] pass), argmax with a fixed deterministic tie
+    * order (lexicon order), `und` when even the best ratio is under
+    * `threshold`. Pure per-row expression work — one codegen'd pass, no
+    * shuffle, no UDF. zh is deliberately absent from the lexicons:
+    * whitespace tokenization carries no signal for unsegmented scripts —
+    * that path needs char-n-gram features, a different operator.
     */
   def langId(docs: DataFrame, threshold: Double = 0.15): DataFrame = {
     val toks = col("toks")
     val nToks = size(toks).cast("long")
-    val ratios = LangStops.map { case (lang, stops) =>
-      lang -> (size(filter(toks, t => t.isin(stops: _*))).cast("long") / nToks)
+    val ratios = LangStops.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> (element_at(col("sc"), i + 1) / nToks)
     }
     // argmax by CASE chain: a language wins iff its ratio >= every later
     // one (earlier languages take ties) — deterministic, and expressible
@@ -93,6 +86,9 @@ object TextAnalysis {
     val argmax = argmaxChain(ratios.toList)
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // materialize the counts array ONCE per row (expression lambdas get
+      // no CSE, and even plain subexpression sharing is per-projection)
+      .select(col("doc_id"), col("toks"), stopCounts(col("toks")).as("sc"))
       .select(
         col("doc_id") +:
           ratios.map { case (lang, r) => r6(r).as(s"${lang}_ratio") } :+

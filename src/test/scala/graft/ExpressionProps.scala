@@ -36,6 +36,28 @@ object ExpressionProps extends Properties("NativeExpressions") {
       got == shingleModel(toks, n)
     }
 
+  // stopword-ish material: real lexicon words, collision words ("de" is a
+  // Spanish stopword and a German one), and non-stop tokens
+  private val stopToken: Gen[String] = Gen.frequency(
+    3 -> Gen.oneOf("the", "a", "de", "la", "und", "es", "le", "y"),
+    2 -> Gen.oneOf("xx", "spark", "", "thee"))
+  private val stopToksGen: Gen[List[String]] =
+    Gen.choose(0, 15).flatMap(Gen.listOfN(_, stopToken))
+
+  property("stop_counts == size(filter(isin)) per language (the HOF formulation)") =
+    Prop.forAll(stopToksGen) { toks =>
+      val sp = spark
+      import sp.implicits._
+      val langs = graft.functions.StopLexicons.langs
+      val df = Seq(Tuple1(toks)).toDF("toks")
+      val native = df.select(call_function("stop_counts", col("toks")))
+        .collect().head.getSeq[Long](0).toList
+      val hof = df.select(langs.map { case (_, stops) =>
+          size(filter(col("toks"), t => t.isin(stops: _*))).cast("long")
+        }: _*).collect().head.toSeq.map(_.asInstanceOf[Long]).toList
+      native == hof
+    }
+
   private val P = 2147483647L
 
   property("minhash_sig == per-permutation running-minimum model") =
