@@ -74,21 +74,45 @@ object EventStreams {
     * lands on the cluster's distributed store and the checkpoint makes the
     * query resumable.
     */
-  def runToParquet(df: DataFrame, name: String): DataFrame = {
+  /** State-store parallelism for the driver-gate streaming runs. A
+    * stateful streaming query materializes one state store PER shuffle
+    * partition PER stateful operator PER micro-batch — that parallelism is
+    * a throughput knob sized to the STREAM (key cardinality × event rate),
+    * not inherited from the batch-analytics default: on the driver corpus
+    * (a single-file backlog) 32-way state parallelism is pure fixed
+    * overhead (st6 runs 4 stateful operators = 128 store instances per
+    * micro-batch), while a 100 TB production stream would raise it well
+    * past the batch default. The checkpoint binds the number at first
+    * start — a real deployment picks it ONCE per query, which is exactly
+    * what this parameter models.
+    */
+  val GateStatePartitions = 8
+
+  def runToParquet(
+      df: DataFrame, name: String,
+      statePartitions: Int = GateStatePartitions): DataFrame = {
     val spark = df.sparkSession
     val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_stream/$name")
     // re-runnable: a stale sink metadata log would hide the new run's files
     deleteRecursively(base)
     val out = new java.io.File(base, "out").getAbsolutePath
     val chk = new java.io.File(base, "chk").getAbsolutePath
-    df.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", chk)
-      .trigger(Trigger.AvailableNow())
-      .start()
-      .awaitTermination()
+    // scoped conf flip: the streaming query captures shuffle.partitions at
+    // START (and pins it in the checkpoint); restore the session value for
+    // whatever batch work follows. Gate runs are sequential per session,
+    // so the flip races nothing.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      df.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     // explicit schema: a run whose final watermark closes nothing writes
     // zero files, and schema inference over an empty sink dir would throw
     spark.read.schema(df.schema).parquet(out)
