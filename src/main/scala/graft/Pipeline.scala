@@ -1,9 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
-import graft.operators.{Analytics, CleanStore, Cleaning, Derive, Feeds, Params}
+import graft.operators.{Analytics, CleanStore, Cleaning, Feeds, Params}
 import graft.sources.{SchemaContract, Tables}
 
 /** The reference's end-to-end batch flow (assignment1.ipynb Parts 1–3) as
@@ -37,10 +36,9 @@ object Pipeline {
     // 1. scan + validate (fail fast, driver-side)
     val raw = lineitemContract.validate(Tables.lineitem(spark, sfDir))
     // 2. clean with one-pass observe() accounting + derive, one lineage
+    //    (derive body shared with the canonical CleanStore staging)
     val (cleaned, counts) = Cleaning.cleanAndCount(raw, Analytics.cleaningRules)
-    val derived = Derive.withTimeFeatures(
-      cleaned.withColumn("l_receiptdate", expr("l_shipdate + INTERVAL 2 DAYS")),
-      start = "l_shipdate", end = "l_receiptdate", distance = "l_quantity")
+    val derived = CleanStore.deriveCleaned(cleaned)
     // 3. materialize the clean tables (the notebook's parquet sink,
     //    assignment1.ipynb:223), date-PARTITIONED (SURVEY §7.4(7)): the
     //    dashboard's F1 date-range filter then becomes partition pruning

@@ -20,8 +20,20 @@ object StopLexicons {
   val langs: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "to", "and", "in", "is", "it", "for", "on"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit", "den", "von"),
-    "fr" -> Seq("le", "les", "et", "une", "est", "que", "pour", "dans", "avec", "sur"),
-    "es" -> Seq("el", "los", "de", "y", "un", "una", "es", "por", "con", "para"))
+    "fr" -> Seq("le", "les", "et", "une", "est", "que", "pour", "dans", "de", "sur"),
+    "es" -> Seq("el", "los", "de", "y", "un", "una", "es", "por", "con", "a"))
+
+  /** Cross-lexicon membership is REAL in natural lexicons and the scorer
+    * must count such a token for every language that claims it: here
+    * "de" ∈ {fr, es} (the most common French word and a core Spanish
+    * preposition) and "a" ∈ {en, es}. These overlaps also keep the
+    * multi-bit path of [[StopCounts]] genuinely exercised (asserted in
+    * ExpressionProps).
+    */
+  val overlapping: Set[String] = {
+    val all = langs.flatMap(_._2)
+    all.groupBy(identity).collect { case (w, os) if os.size > 1 => w }.toSet
+  }
 }
 
 /** Per-language stopword occurrence counts of a token array in ONE pass:
@@ -66,8 +78,8 @@ object StopCounts {
   private val nLangs = StopLexicons.langs.size
 
   /** token → bitmask of the lexicons containing it (a word may belong to
-    * several languages — e.g. "a" en / "es" es-lexicon collisions are real
-    * in natural lexicons and must count for each).
+    * several languages — see [[StopLexicons.overlapping]]: "de" ∈ {fr, es},
+    * "a" ∈ {en, es} — and must count for each).
     */
   private val mask: java.util.HashMap[UTF8String, Integer] = {
     val m = new java.util.HashMap[UTF8String, Integer]()

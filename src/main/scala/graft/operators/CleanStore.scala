@@ -39,14 +39,22 @@ object CleanStore {
     Tables.events(spark, sfDir)
       .filter(Cleaning.notNull(Seq("ts", "user_id", "event_type", "value")))
 
+  /** The derive stage over an already-CLEANED lineitem frame — one source
+    * of truth for the synthetic receipt date and the time-feature bundle
+    * (the Pipeline cleans with `cleanAndCount` for its accounting and
+    * hands the cleaned frame here; editing the derive in one place keeps
+    * the Pipeline-served feeds and the canonical staging identical).
+    */
+  def deriveCleaned(cleaned: DataFrame): DataFrame =
+    Derive.withTimeFeatures(
+      cleaned.withColumn("l_receiptdate", expr("l_shipdate + INTERVAL 2 DAYS")),
+      start = "l_shipdate", end = "l_receiptdate", distance = "l_quantity")
+
   /** The Pipeline's stage-2 body, defined once: cleaning rules (shared with
-    * q02/q17) + derived time features over the synthetic receipt date.
+    * q02/q17) + [[deriveCleaned]].
     */
   def derivedLineitem(spark: SparkSession, sfDir: String): DataFrame =
-    Derive.withTimeFeatures(
-      Cleaning.clean(Tables.lineitem(spark, sfDir), Analytics.cleaningRules)
-        .withColumn("l_receiptdate", expr("l_shipdate + INTERVAL 2 DAYS")),
-      start = "l_shipdate", end = "l_receiptdate", distance = "l_quantity")
+    deriveCleaned(Cleaning.clean(Tables.lineitem(spark, sfDir), Analytics.cleaningRules))
 
   /** Date-partitioned parquet write. The `repartition` on the partition
     * column lands all rows of a date in ONE writer task → one file per

@@ -165,9 +165,14 @@ object Similarity {
 
   /** Canonical location of the persisted IVF cell index for a scale dir
     * (same repo-local staging area as the CSV dim and the clean tables).
+    * The build parameters are part of the path: an index is only valid for
+    * the exact (nPlanes, dim, seed) that hashed it — a probe in a
+    * different bucket space against stale cells would silently return
+    * wrong candidates, so different parameters get different artifacts.
     */
-  def ivfIndexPath(sfDir: String): String =
-    s"${sys.props("user.dir")}/target/ivf/${new java.io.File(sfDir).getName}/cells"
+  def ivfIndexPath(sfDir: String, nPlanes: Int, dim: Int, seed: Long): String =
+    s"${sys.props("user.dir")}/target/ivf/${new java.io.File(sfDir).getName}" +
+      s"/cells_p${nPlanes}_d${dim}_s$seed"
 
   /** Build the IVF cell index as a PERSISTED artifact: one row per corpus
     * vector — (cell, id, vector) — written parquet PARTITIONED BY the cell
@@ -209,7 +214,7 @@ object Similarity {
       nPlanes: Int = 4, dim: Int = 64, nProbe: Int = 8,
       seed: Long = 42L): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val path = ivfIndexPath(sfDir)
+    val path = ivfIndexPath(sfDir, nPlanes, dim, seed)
     val marker = new java.io.File(s"$path/_SUCCESS")
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
     if (!marker.exists() || marker.lastModified() < source.lastModified())

@@ -92,8 +92,13 @@ object EventStreams {
       df: DataFrame, name: String,
       statePartitions: Int = GateStatePartitions): DataFrame = {
     val spark = df.sparkSession
-    val base = new java.io.File(sys.props("java.io.tmpdir"), s"graft_stream/$name")
-    // re-runnable: a stale sink metadata log would hide the new run's files
+    // per-PROCESS staging: a fixed shared path would let two JVMs on one
+    // machine (a bench run next to the test suite) delete each other's
+    // live checkpoint mid-query; within a process, re-runs of the same
+    // query wipe their own previous sink (a stale metadata log would hide
+    // the new run's files)
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream/p${ProcessHandle.current().pid()}/$name")
     deleteRecursively(base)
     val out = new java.io.File(base, "out").getAbsolutePath
     val chk = new java.io.File(base, "chk").getAbsolutePath

@@ -180,14 +180,18 @@ object Sessions {
     */
   def st7StreamSessions(
       spark: SparkSession, sfDir: String, gapMinutes: Int = 30,
-      watermarkDelay: String = "30 minutes"): DataFrame = {
+      delayMinutes: Int = 30): DataFrame = {
+    // delay as minutes, not a free-form string: the gate filter below must
+    // use the SAME delay the stream's watermark ran with — two parameters
+    // could silently diverge
     val result = EventStreams.runToParquet(
       sessionizeStream(
-        EventStreams.eventStream(spark, sfDir), gapMinutes, watermarkDelay)
+        EventStreams.eventStream(spark, sfDir), gapMinutes,
+        s"$delayMinutes minutes")
         .toDF(),
       "st7_sink")
     val gapUs = gapMinutes * 60L * 1000000L
-    val delayUs = 30L * 60 * 1000000L // matches watermarkDelay default
+    val delayUs = delayMinutes * 60L * 1000000L
     val maxTs = Tables.events(spark, sfDir)
       .agg(max(unix_micros(col("ts"))).as("max_us"))
     result

@@ -36,15 +36,21 @@ object ExpressionProps extends Properties("NativeExpressions") {
       got == shingleModel(toks, n)
     }
 
-  // stopword-ish material: real lexicon words, collision words ("de" is a
-  // Spanish stopword and a German one), and non-stop tokens
+  // stopword-ish material: real lexicon words, MULTI-LEXICON words
+  // ("de" ∈ {fr, es}, "a" ∈ {en, es} — StopLexicons.overlapping), and
+  // non-stop tokens
   private val stopToken: Gen[String] = Gen.frequency(
     3 -> Gen.oneOf("the", "a", "de", "la", "und", "es", "le", "y"),
     2 -> Gen.oneOf("xx", "spark", "", "thee"))
   private val stopToksGen: Gen[List[String]] =
     Gen.choose(0, 15).flatMap(Gen.listOfN(_, stopToken))
 
-  property("stop_counts == size(filter(isin)) per language (the HOF formulation)") =
+  property("stop_counts == size(filter(isin)) per language (the HOF formulation)") = {
+    // the multi-bit accumulation path must be genuinely reachable: if the
+    // lexicons ever stop overlapping, this property silently loses its
+    // ability to cover that path — fail loudly instead
+    require(graft.functions.StopLexicons.overlapping.nonEmpty,
+      "lexicons no longer overlap; multi-bit path uncovered")
     Prop.forAll(stopToksGen) { toks =>
       val sp = spark
       import sp.implicits._
@@ -57,6 +63,7 @@ object ExpressionProps extends Properties("NativeExpressions") {
         }: _*).collect().head.toSeq.map(_.asInstanceOf[Long]).toList
       native == hof
     }
+  }
 
   private val P = 2147483647L
 
