@@ -365,6 +365,38 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .orderBy(col("doc_id"))
 
+  /** dd10 — benchmark DECONTAMINATION: flag training documents sharing at
+    * least `minShared` n-gram shingles with any held-out evaluation
+    * document (the GPT-3 §C / PaLM-style n-gram overlap screen — published
+    * methodology, re-expressed over this corpus; docs below `nEval` stand
+    * in for the benchmark set). Output is the contaminated (train, eval)
+    * pair list with its overlap count — the audit artifact a training run
+    * stores next to the corpus manifest.
+    *
+    * Scale: the eval side is BOUNDED BY CONSTRUCTION (benchmarks are a few
+    * thousand documents no matter how big the training corpus grows), so
+    * its exploded shingle list is broadcast — the 100 TB training side
+    * streams through a broadcast hash join and shuffles only the matched
+    * (train, eval) pairs into the overlap count, whose map-side partial
+    * aggregation bounds skew exactly as in dd3. A real 13-gram screen is
+    * the same plan with n=13; the synthetic small-vocabulary corpus needs
+    * n=3 to produce any matches at all.
+    */
+  def decontaminate(
+      docs: DataFrame, nEval: Long = 20, n: Int = 3,
+      minShared: Int = 3): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(shinglesOf(tokens(col("text")), n)).as("s"))
+    val evalSh = ex.filter(col("doc_id") < nEval)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    ex.filter(col("doc_id") >= nEval)
+      .join(broadcast(evalSh), Seq("s")) // eval set bounded ⇒ hint is safe
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"), col("eval_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -377,7 +409,9 @@ object Dedup {
       dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d)))),
     "dd9_dedup_corpus" -> ((s: SparkSession, d: String) =>
       dedupCorpus(Tables.documents(s, d),
-        dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d))))))
+        dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d))))),
+    "dd10_decontaminate" -> ((s: SparkSession, d: String) =>
+      decontaminate(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
     "dd1_exact_dups" ->
@@ -449,7 +483,17 @@ object Dedup {
         |reps AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id)
         |SELECT d.doc_id, md5(d.text) AS text_hash FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "dd10_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |SELECT a.doc_id, b.doc_id AS eval_id, count(*) AS n_shared
+        |FROM ex a JOIN ex b ON a.s = b.s
+        |WHERE a.doc_id >= 20 AND b.doc_id < 20
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY 1, 2""".stripMargin)
   // dd4/dd5 are approximate (engine-specific hash functions) → rows-only
   // checks by design; dd4 recall and dd5 radius-exactness are asserted in
   // src/test/scala/graft/DedupSpec.scala.

@@ -163,6 +163,24 @@ object Params {
     seededSample(Tables.lineitem(spark, sfDir), 1000, 42L,
       Seq("l_orderkey", "l_linenumber"))
 
+  /** SA2 — stratified seeded sample: per-stratum Bernoulli fractions via
+    * `sampleBy` — the "rebalance the language mix" training-data op
+    * (downsample the dominant language, keep the long tail). One map-only
+    * pass over the scan: each row draws against its stratum's fraction
+    * under the seed — no shuffle, no collect, composes with the quality
+    * filter in the same stage at 100 TB. Row identity is engine-RNG-bound
+    * like SA1 ⇒ rows-only gate; seed-determinism and per-stratum
+    * proportions are asserted in ParamsSpec.
+    */
+  val sa2Fractions: Map[String, Double] =
+    Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.5)
+
+  def sa2StratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .stat.sampleBy("lang", sa2Fractions, 42L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   // ----------------------------------------------------------- csv dim
 
   /** cs1 — S3: the dimension join with the dim read from CSV (the
@@ -184,6 +202,7 @@ object Params {
     "pf2_param_filter_alt" -> (pf2ParamFilterAlt _),
     "pf3_param_filter_clean" -> (pf3ParamFilterClean _),
     "sa1_seeded_sample" -> (sa1SeededSample _),
+    "sa2_stratified_sample" -> (sa2StratifiedSample _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -197,5 +216,6 @@ object Params {
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin)
-  // sa1 is engine-RNG-specific by design → rows-only check (exactly n rows).
+  // sa1/sa2 are engine-RNG-specific by design → rows-only checks
+  // (exact-n / seed-determinism + proportions asserted in ParamsSpec).
 }

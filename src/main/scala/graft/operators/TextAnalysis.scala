@@ -231,6 +231,26 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** td8 — corpus n-gram document frequencies, top-k: the "what phrases
+    * dominate this corpus" report (boilerplate detection, the input to
+    * dd3's DF cap choice, contamination screening). `word_shingles` emits
+    * DISTINCT shingles per document, so the count IS document frequency.
+    *
+    * Scale: explode → hash aggregate → top-k. The aggregation is map-side
+    * partial (each mapper emits one row per distinct shingle it saw), so a
+    * hot boilerplate shingle never funnels its occurrences through one
+    * reducer — the same skew-immunity argument as dd3's DF cap — and the
+    * top-k plans as TakeOrderedAndProject (per-partition heaps of k, no
+    * global sort).
+    */
+  def ngramFreq(docs: DataFrame, n: Int = 3, k: Int = 100): DataFrame =
+    docs
+      .select(explode(Dedup.shinglesOf(tokens(col("text")), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("ngram"))
+      .limit(k)
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -240,7 +260,8 @@ object TextAnalysis {
     "td4_token_counts" -> ((s: SparkSession, d: String) => tokenCounts(Tables.documents(s, d))),
     "td5_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprints(Tables.documentsRebalanced(s, d))),
     "td6_quality_filter" -> ((s: SparkSession, d: String) => qualityFilter(Tables.documents(s, d))),
-    "td7_corpus_rollup" -> ((s: SparkSession, d: String) => corpusRollup(Tables.documents(s, d))))
+    "td7_corpus_rollup" -> ((s: SparkSession, d: String) => corpusRollup(Tables.documents(s, d))),
+    "td8_ngram_freq" -> ((s: SparkSession, d: String) => ngramFreq(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
     "td1_text_stats" ->
@@ -316,6 +337,13 @@ object TextAnalysis {
          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          |  round(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(q) * 1e6) / 1e6 AS avg_quality
          |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+    "td8_ngram_freq" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+        |SELECT s AS ngram, count(*) AS df FROM ex GROUP BY 1
+        |ORDER BY df DESC, ngram LIMIT 100""".stripMargin,
     "td5_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
         |g AS (SELECT doc_id,

@@ -60,4 +60,24 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     val kept = Params.paramFilter(df, p).select("id").as[Long].collect().toSet
     assert(kept === Set(1L, 3L))
   }
+
+  test("sa2: stratified sample is seed-deterministic, respects strata, and tracks the target fractions") {
+    val a = Params.sa2StratifiedSample(spark, sf001).collect().map(_.getLong(0)).toSeq
+    val b = Params.sa2StratifiedSample(spark, sf001).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "same seed must give the same rows")
+    val byLang = Params.sa2StratifiedSample(spark, sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = graft.sources.Tables.documents(spark, sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Params.sa2Fractions.foreach { case (lang, f) =>
+      val n = byLang.getOrElse(lang, 0L).toDouble
+      val expected = total(lang) * f
+      if (f == 1.0) assert(n === total(lang).toDouble, s"$lang: full stratum must survive")
+      // Bernoulli tolerance: 4 sigma of binomial std dev (loose, deterministic seed)
+      else assert(math.abs(n - expected) <= 4 * math.sqrt(total(lang) * f * (1 - f)) + 1,
+        s"$lang: got $n of ${total(lang)}, wanted ~$expected")
+    }
+  }
 }
