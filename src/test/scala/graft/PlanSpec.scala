@@ -135,6 +135,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"no dynamic partition pruning on the cell index scan:\n$p")
   }
 
+  test("td8: n-gram frequency top-k plans as TakeOrderedAndProject over a partial-agg shuffle") {
+    val p = plan(TextAnalysis.ngramFreq(Tables.documents(spark, sf001)))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
+    // partial aggregation before the exchange — the skew-immunity claim
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+
+  test("dd10: the eval shingle side broadcasts — the training corpus never shuffles for candidates") {
+    val p = plan(Dedup.decontaminate(Tables.documents(spark, sf001)))
+    assert(p.contains("BroadcastHashJoin"), s"eval join is not broadcast:\n$p")
+  }
+
   test("td6: quality filter reads only doc_id and text, no shuffle before the sort") {
     val df = TextAnalysis.qualityFilter(Tables.documents(spark, sf001))
     val p = plan(df)

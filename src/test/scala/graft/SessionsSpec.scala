@@ -71,14 +71,14 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
     val maxUs = events
       .selectExpr("max(unix_micros(ts))").collect().head.getLong(0)
 
-    // (user, session_id, start_us, end_us, n_events, value@4dp) — the
-    // streaming side accumulates doubles, batch sums exact decimals, so
-    // values compare at 4 decimals
+    // (user, session_id, start_us, end_us, n_events, total_value) — the
+    // streaming state accumulates EXACT scaled-long decimal sums, so the
+    // value compares bit-for-bit against the batch decimal aggregation
     val batch = Sessions.sessionizeBatch(events).collect().map { r =>
       (r.getLong(0), r.getLong(1),
         micros(r.getAs[java.time.LocalDateTime](2)),
         micros(r.getAs[java.time.LocalDateTime](3)),
-        r.getLong(4), math.rint(r.getDouble(5) * 1e4) / 1e4)
+        r.getLong(4), r.getDouble(5))
     }.toSet
 
     val streamed = {
@@ -86,7 +86,7 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
       EventStreams.runToMemory(ds.toDF(), "st3_parity")
       spark.table("st3_parity").collect().map { r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-          r.getLong(4), math.rint(r.getDouble(5) * 1e4) / 1e4)
+          r.getLong(4), r.getDouble(5))
       }.toSet
     }
 
