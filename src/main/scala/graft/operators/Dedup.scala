@@ -61,6 +61,14 @@ object Dedup {
   /** Convenience for single-use contexts (tests, candidates pre-filter). */
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
+  /** (doc_id, s) — one row per DISTINCT n-gram shingle per document: the
+    * shared front of every shingle-family plan (dd3's inverted index,
+    * dd10's overlap screen, td8's frequency report). Defined once so a
+    * tokenizer or distinctness change cannot silently diverge them.
+    */
+  def explodedShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shinglesOf(tokens(col("text")), n)).as("s"))
+
   // ------------------------------------------------------------ jaccard
 
   /** Exact n-gram Jaccard similarity over DISCRIMINATIVE shingles: shingles
@@ -87,8 +95,7 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
       maxDf: Int = 50): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"), explode(shinglesOf(tokens(col("text")), n)).as("s"))
+    val ex = explodedShingles(docs, n)
     // The DF cap must be SKEW-PROOF: an earlier formulation annotated each
     // exploded row with `count over (partition by s)`, which shuffles every
     // occurrence of a hot shingle (10M rows of boilerplate at 100 TB) to
@@ -385,8 +392,7 @@ object Dedup {
   def decontaminate(
       docs: DataFrame, nEval: Long = 20, n: Int = 3,
       minShared: Int = 3): DataFrame = {
-    val ex = docs
-      .select(col("doc_id"), explode(shinglesOf(tokens(col("text")), n)).as("s"))
+    val ex = explodedShingles(docs, n)
     val evalSh = ex.filter(col("doc_id") < nEval)
       .select(col("doc_id").as("eval_id"), col("s"))
     ex.filter(col("doc_id") >= nEval)

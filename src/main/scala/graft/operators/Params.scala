@@ -168,9 +168,15 @@ object Params {
     * (downsample the dominant language, keep the long tail). One map-only
     * pass over the scan: each row draws against its stratum's fraction
     * under the seed — no shuffle, no collect, composes with the quality
-    * filter in the same stage at 100 TB. Row identity is engine-RNG-bound
-    * like SA1 ⇒ rows-only gate; seed-determinism and per-stratum
-    * proportions are asserted in ParamsSpec.
+    * filter in the same stage at 100 TB. The fraction map is an explicit
+    * ALLOWLIST: a stratum absent from it samples at 0 and is dropped —
+    * deliberate for a training mix (every admitted language is a decision,
+    * and an unexpected new lang value must not silently flow through at
+    * full weight), and ParamsSpec pins the corpus lang set against the
+    * map's keys so a corpus change surfaces as a test failure, not a
+    * silent drop. Row identity is engine-RNG-bound like SA1 ⇒ rows-only
+    * gate; seed-determinism and per-stratum proportions are asserted in
+    * ParamsSpec.
     */
   val sa2Fractions: Map[String, Double] =
     Map("en" -> 0.25, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.5)

@@ -244,8 +244,8 @@ object TextAnalysis {
     * global sort).
     */
   def ngramFreq(docs: DataFrame, n: Int = 3, k: Int = 100): DataFrame =
-    docs
-      .select(explode(Dedup.shinglesOf(tokens(col("text")), n)).as("ngram"))
+    Dedup.explodedShingles(docs, n)
+      .select(col("s").as("ngram")) // doc_id pruned by Catalyst
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("ngram"))

@@ -96,9 +96,11 @@ object EventStreams {
     // machine (a bench run next to the test suite) delete each other's
     // live checkpoint mid-query; within a process, re-runs of the same
     // query wipe their own previous sink (a stale metadata log would hide
-    // the new run's files)
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream/p${ProcessHandle.current().pid()}/$name")
+    // the new run's files). Dead processes can't clean up after
+    // themselves, so each run sweeps dirs whose owning pid is gone.
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_stream")
+    sweepDeadProcessDirs(root)
+    val base = new java.io.File(root, s"p${ProcessHandle.current().pid()}/$name")
     deleteRecursively(base)
     val out = new java.io.File(base, "out").getAbsolutePath
     val chk = new java.io.File(base, "chk").getAbsolutePath
@@ -127,6 +129,18 @@ object EventStreams {
     if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
     f.delete(); ()
   }
+
+  /** Remove `p<pid>` staging dirs whose owning process no longer exists —
+    * without this, every JVM that ever ran a streaming gate leaves its
+    * (data-scaled) sink + checkpoint in the tmp filesystem forever.
+    */
+  private def sweepDeadProcessDirs(root: java.io.File): Unit =
+    Option(root.listFiles()).getOrElse(Array.empty).foreach { d =>
+      val pid = d.getName.stripPrefix("p")
+      val alive = pid.toLongOption.exists(p =>
+        ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
+      if (d.getName.startsWith("p") && !alive) deleteRecursively(d)
+    }
 
   /** Test-harness sink for bounded MemoryStream parity inputs (see
     * StreamingSpec/SessionsSpec) — NOT on any registry path: the memory

@@ -71,6 +71,11 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     val total = graft.sources.Tables.documents(spark, sf001)
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the fraction map is an explicit allowlist (absent stratum ⇒ dropped):
+    // pin the corpus lang set against it so a corpus change surfaces here
+    // instead of as a silent drop (or a full-weight leak) in sa2 output
+    assert(total.keySet === Params.sa2Fractions.keySet,
+      s"corpus langs ${total.keySet} drifted from sa2Fractions ${Params.sa2Fractions.keySet}")
     Params.sa2Fractions.foreach { case (lang, f) =>
       val n = byLang.getOrElse(lang, 0L).toDouble
       val expected = total(lang) * f
