@@ -92,16 +92,7 @@ object EventStreams {
       df: DataFrame, name: String,
       statePartitions: Int = GateStatePartitions): DataFrame = {
     val spark = df.sparkSession
-    // per-PROCESS staging: a fixed shared path would let two JVMs on one
-    // machine (a bench run next to the test suite) delete each other's
-    // live checkpoint mid-query; within a process, re-runs of the same
-    // query wipe their own previous sink (a stale metadata log would hide
-    // the new run's files). Dead processes can't clean up after
-    // themselves, so each run sweeps dirs whose owning pid is gone.
-    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_stream")
-    sweepDeadProcessDirs(root)
-    val base = new java.io.File(root, s"p${ProcessHandle.current().pid()}/$name")
-    deleteRecursively(base)
+    val base = stagingDir(name)
     val out = new java.io.File(base, "out").getAbsolutePath
     val chk = new java.io.File(base, "chk").getAbsolutePath
     // scoped conf flip: the streaming query captures shuffle.partitions at
@@ -123,6 +114,22 @@ object EventStreams {
     // explicit schema: a run whose final watermark closes nothing writes
     // zero files, and schema inference over an empty sink dir would throw
     spark.read.schema(df.schema).parquet(out)
+  }
+
+  /** A fresh per-process staging dir for one streaming gate run.
+    * Per-PROCESS because a fixed shared path would let two JVMs on one
+    * machine (a bench run next to the test suite) delete each other's
+    * live checkpoint mid-query; within a process, re-runs of the same
+    * query wipe their own previous sink (a stale metadata log would hide
+    * the new run's files). Dead processes can't clean up after
+    * themselves, so each call also sweeps dirs whose owning pid is gone.
+    */
+  private def stagingDir(name: String): java.io.File = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_stream")
+    sweepDeadProcessDirs(root)
+    val base = new java.io.File(root, s"p${ProcessHandle.current().pid()}/$name")
+    deleteRecursively(base)
+    base
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -300,6 +307,40 @@ object EventStreams {
       .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** st8 — STREAMING INGESTION into the clean serving layer: the event
+    * stream written continuously to a DATE-PARTITIONED parquet table
+    * (`partitionBy` on the streaming file sink + checkpoint) — the
+    * always-on twin of [[graft.operators.CleanStore.writeEvents]]'s batch
+    * staging, and the piece that turns the dashboard's clean table into a
+    * continuously-fresh one. Stateless append: every input row lands
+    * exactly once (checkpoint + sink transaction log), no watermark
+    * needed, so the read-back equals the batch clean table row-for-row —
+    * driver-oracle-checked. At 100 TB the same query tails an unbounded
+    * source and the partition layout keeps dashboard F1 pruning working
+    * on data seconds old.
+    */
+  def st8StreamIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val ingested = eventStream(spark, sfDir)
+      .withColumn("event_date", to_date(col("ts")))
+    val base = stagingDir("st8_sink")
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val chk = new java.io.File(base, "chk").getAbsolutePath
+    ingested.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .partitionBy("event_date")
+      .option("path", out)
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    spark.read.schema(ingested.schema).parquet(out)
+      .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"),
+        col("event_date"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -310,7 +351,8 @@ object EventStreams {
       ((s: SparkSession, d: String) =>
         enrichedBatch(Tables.events(s, d), Tables.customer(s, d))),
     "st5_stream_dedup" -> (st5StreamDedup _),
-    "st6_stream_attribution" -> (st6StreamAttribution _))
+    "st6_stream_attribution" -> (st6StreamAttribution _),
+    "st8_stream_ingest" -> (st8StreamIngest _))
 
   val oracles: Map[String, String] = Map(
     "st1_windowed_agg" ->
@@ -337,5 +379,11 @@ object EventStreams {
          |  ON v.user_id = p.user_id
          | AND v.event_type = 'view' AND p.event_type = 'purchase'
          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL $AttributionHorizonMinutes MINUTES
-         |ORDER BY 1, 2, 3, 4""".stripMargin)
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // stateless exactly-once append ⇒ the ingested partitioned table IS the
+    // events table plus its partition column
+    "st8_stream_ingest" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |CAST(ts AS DATE) AS event_date
+        |FROM events ORDER BY event_id""".stripMargin)
 }
