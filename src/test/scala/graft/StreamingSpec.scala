@@ -13,6 +13,23 @@ import graft.streaming.EventStreams
   */
 class StreamingSpec extends AnyFunSuite with SparkFixture {
 
+  test("runToParquet: a run that emits nothing reads back as an empty frame, not an error") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // an aggregate over an EMPTY stream: no window ever closes, the sink
+    // writes zero files — the explicit-schema read-back must return an
+    // empty frame (schema inference over the empty dir would throw)
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val out = EventStreams.runToParquet(agg, "empty_sink_test")
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq === Seq("window", "n"))
+  }
+
   test("st6: stream-stream interval attribution join == batch twin") {
     val batch = EventStreams.attributionBatch(Tables.events(spark, sf001)).collect().toSeq
     val streamed = EventStreams.st6StreamAttribution(spark, sf001).collect().toSeq
