@@ -85,9 +85,28 @@ object CleanStore {
     val dir = stagePath(sfDir, name)
     val marker = new java.io.File(s"$dir/_SUCCESS")
     val source = new java.io.File(Tables.path(sfDir, sourceTable))
-    // rebuild when absent OR stale (source parquet newer than the staging)
-    if (!marker.exists() || marker.lastModified() < source.lastModified())
-      write(build, dir)
+    // The staging is stale when the SOURCE is newer — or when the BUILD
+    // LOGIC changed: the spec file records the built frame's schema plus
+    // the cleaning predicate, so an edit to the rules or the derive
+    // columns rebuilds instead of silently serving a table the current
+    // code never produced. (Computing the spec analyzes the lazy plan but
+    // runs no job.)
+    val specFile = new java.io.File(s"$dir/_graft_spec")
+    lazy val built = build
+    def spec: String =
+      built.schema.catalogString + "\n" +
+        built.queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.sql
+        }.mkString("\n")
+    val fresh = marker.exists() &&
+      marker.lastModified() >= source.lastModified() &&
+      specFile.exists() &&
+      new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
+    if (!fresh) {
+      write(built, dir)
+      java.nio.file.Files.write(specFile.toPath, spec.getBytes)
+    }
     spark.read.parquet(dir)
   }
 
