@@ -284,8 +284,17 @@ object Dedup {
     * and the previous round unpersisted so lineage stays one round deep
     * (at production scale, checkpoint every few rounds to truncate it
     * fully).
+    *
+    * Deep components (a pathological chain corpus) would need diameter
+    * one-hop rounds — so after `escalateAfter` rounds without convergence
+    * the round body ADDS pointer doubling (label-of-label: `lbl(id) ←
+    * min(..., lbl(lbl(id)))`, one extra self-join of the label table),
+    * which halves the remaining label-chain depth every round ⇒ O(log
+    * diameter) rounds total. Shallow corpora — the normal case — converge
+    * before the escalation and never pay for the extra join.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(
+      pairs: DataFrame, maxIter: Int = 20, escalateAfter: Int = 6): DataFrame = {
     // Both edge directions in ONE pass over the pair stream (a
     // fwd.union(fwd.reversed) would evaluate the upstream pair pipeline's
     // post-shuffle stages twice when the checkpoint materializes).
@@ -315,17 +324,33 @@ object Dedup {
     while (!converged && it <= maxIter) {
       val nbrMin = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("lbl"))
+      // pointer doubling once the one-hop phase has overstayed its welcome:
+      // adopt the label OF my label too (labels ⋈ labels on lbl = id)
+      val hops =
+        if (it < escalateAfter) nbrMin
+        else nbrMin.union(
+          labels.select(col("id").as("via"), col("lbl"))
+            .join(labels.select(col("id"), col("lbl").as("ll")), col("lbl") === col("id"))
+            .select(col("via").as("id"), col("ll").as("lbl")))
       // Convergence detection folded into the round's OWN aggregation: the
       // self row carries the previous label (each id contributes exactly
       // one), so min-over-self IS prev and the round's single groupBy
       // yields both the new label and the change flag — no second join
       // over the full label set per round (which at production scale cost
       // as much as the propagation itself).
-      val next = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
-        .union(nbrMin.select(col("id"), col("lbl"), lit(null).cast("long").as("prev")))
+      val nextCore = labels.select(col("id"), col("lbl"), col("lbl").as("prev"))
+        .union(hops.select(col("id"), col("lbl"), lit(null).cast("long").as("prev")))
         .groupBy(col("id"))
         .agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev"))
-        .persist()
+      // Pre-escalation: persist + unpersist keeps exactly one cached label
+      // table alive. Once pointer doubling references the label table
+      // THREE times per round, persist is not enough — the logical plan
+      // triples per round (plan-string construction alone OOMed at depth
+      // ~10), so the round result must be CHECKPOINTED to a flat plan;
+      // the superseded blocks are released by GC.
+      val next =
+        if (it + 1 >= escalateAfter) nextCore.localCheckpoint(true)
+        else nextCore.persist()
       // one action: materializes next into cache AND counts changes
       val changed = next.filter(col("lbl") =!= col("prev")).count()
       persisted.unpersist()
@@ -336,9 +361,8 @@ object Dedup {
     }
     // LOUD on non-convergence: returning partially-propagated labels would
     // silently leave one duplicate cluster with several "representatives".
-    // Components deeper than maxIter one-hop rounds mean a pathological
-    // chain corpus — raise maxIter, or switch the round body to
-    // pointer-doubling (label-of-label join) for O(log diameter) rounds.
+    // With pointer doubling active past escalateAfter, reaching maxIter
+    // means diameter > ~2^(maxIter - escalateAfter) — raise maxIter.
     // Unpersist before throwing: the caller may catch and keep the session.
     if (!converged) {
       persisted.unpersist()

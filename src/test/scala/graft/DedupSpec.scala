@@ -126,6 +126,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("dd8 pointer doubling: a chain deeper than maxIter one-hop rounds still converges") {
+    import spark.implicits._
+    // a 65-node chain has diameter 64: one-hop propagation alone needs 64
+    // rounds and would throw at maxIter=14; the label-of-label escalation
+    // (after round 6) halves the remaining depth per round instead
+    val chain = (1L until 65L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(chain, maxIter = 14).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 65)
+    assert(got.values.forall(_ == 1L), s"chain not fully collapsed: $got")
+  }
+
   test("dd3 document-frequency cap drops hot shingles from both sets symmetrically") {
     import spark.implicits._
     // "common phrase here" appears in all 4 docs -> df=4 > maxDf=3 -> capped
