@@ -66,9 +66,31 @@ package object functions {
   def epochSeconds(ts: Column): Column =
     floor(ts.cast("timestamp").cast("double")).cast("long")
 
-  /** Whitespace tokenizer shared by the text operators; `trim` first so a
-    * trailing blank does not produce an empty token. Matches DuckDB
-    * `string_split(trim(text), ' ')`.
+  /** Whitespace character class shared VERBATIM by Spark (Java regex) and
+    * the DuckDB oracles (RE2). Deliberately NOT `\s`: Java's `\s` includes
+    * `\x0B` (vertical tab) but RE2's does not, so the same `\s+` pattern
+    * tokenizes differently in the two engines. Both engines parse the
+    * `\t \n \r \f \x0B` escapes identically, so spelling the class out
+    * makes one string the single source of truth.
     */
-  def tokens(text: Column): Column = split(trim(text), " ")
+  val WsClass: String = "[ \\t\\n\\r\\f\\x0B]"
+
+  /** Whitespace tokenizer shared by the text operators: split on RUNS of
+    * whitespace (tabs, newlines, multiple spaces — a single-space split
+    * minted fake empty tokens for all of these), then drop the empty
+    * tokens a leading/trailing non-space whitespace run leaves behind
+    * (`trim` only strips spaces; interior empties cannot occur under a
+    * `+`-quantified split). A whitespace-only document therefore has ZERO
+    * tokens — callers dividing by the token count guard with `nullif`.
+    * Matches [[tokensSql]] exactly.
+    */
+  def tokens(text: Column): Column =
+    array_remove(split(trim(text), WsClass + "+"), "")
+
+  /** The DuckDB twin of [[tokens]], generated from the same [[WsClass]]
+    * (DuckDB standard string literals pass the backslashes through to RE2
+    * unprocessed, so the pattern text is byte-identical).
+    */
+  def tokensSql(textExpr: String): String =
+    s"list_filter(regexp_split_to_array(trim($textExpr), '$WsClass+'), x -> x != '')"
 }

@@ -204,7 +204,7 @@ object Dedup {
     * re-hashed) the token array 64 times per row. Bit-identical signatures.
     */
   def simhashExpr(textCol: String): Column =
-    expr(s"simhash64(split(trim($textCol), ' '))")
+    call_function("simhash64", tokens(col(textCol)))
 
   /** Pigeonhole blocks for Hamming radius 3: split the 64-bit signature
     * into 5 blocks (13/13/13/13/12 bits). With ≤3 bit errors at most 3
@@ -443,16 +443,22 @@ object Dedup {
     "dd10_decontaminate" -> ((s: SparkSession, d: String) =>
       decontaminate(Tables.documentsRebalanced(s, d))))
 
+  /** DuckDB token-array expression over `text` — same tokenizer spec as
+    * the engine's [[graft.functions.tokens]] (see
+    * [[graft.functions.tokensSql]]).
+    */
+  private val toksSql = tokensSql("text")
+
   val oracles: Map[String, String] = Map(
     "dd1_exact_dups" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd2_fingerprint_dups" ->
-      """SELECT md5(array_to_string(list_sort(string_split(trim(lower(text)), ' ')), ' ')) AS fp,
-        |count(*) AS n_copies, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""SELECT md5(array_to_string(list_sort(${tokensSql("lower(text)")}), ' ')) AS fp,
+         |count(*) AS n_copies, min(doc_id) AS keep_id
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd3_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -469,7 +475,7 @@ object Dedup {
     // recursive min-label reachability — the declarative twin of the
     // iterative propagation
     "dd8_dup_clusters" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -492,7 +498,7 @@ object Dedup {
     // dd8's transitive closure + the NOT IN drop of non-representative
     // cluster members — the declarative twin of dedupCorpus
     "dd9_dedup_corpus" ->
-      """WITH RECURSIVE t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -515,7 +521,7 @@ object Dedup {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep_id)
         |ORDER BY doc_id""".stripMargin,
     "dd10_decontaminate" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)

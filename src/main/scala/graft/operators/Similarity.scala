@@ -225,11 +225,15 @@ object Similarity {
         explode(call_function("rhp_probes",
           col("embedding").cast("array<double>"),
           lit(nPlanes), lit(dim), lit(seed), lit(nProbe))).as("bucket_l"))
-      // the read-back partition column is inferred as int — cast the tiny
-      // probe side (in a separate projection: a generator can't nest
-      // inside the cast), keeping the scan's partition column bare so
-      // dynamic partition pruning can latch onto it
-      .select(col("query_id"), col("bucket_l").cast("int").as("bucket"))
+      // cast the tiny probe side to whatever type partition-column
+      // inference actually gave the read-back (int today, but a wider
+      // parameterization could infer long — a hardcoded int would then
+      // truncate and silently empty the join); the cast lives in a
+      // separate projection (a generator can't nest inside a cast),
+      // keeping the scan's partition column bare so dynamic partition
+      // pruning can latch onto it
+      .select(col("query_id"),
+        col("bucket_l").cast(corpus.schema("bucket").dataType).as("bucket"))
     val qEmb = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val cands = corpus

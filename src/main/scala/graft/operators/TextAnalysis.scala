@@ -22,6 +22,18 @@ object TextAnalysis {
     stops.map(s => s"'$s'").mkString("(", ", ", ")")
   private val stopSql = stopSqlFor(EnglishStop)
 
+  /** Word-or-whitespace character class for the symbol-ratio rule —
+    * everything NOT matched counts as a symbol. Embeds the tokenizer's
+    * [[graft.functions.WsClass]] so tabs/newlines are never symbols;
+    * engine-portable for the same reason that class is.
+    */
+  val SymClass: String = "[A-Za-z0-9" + WsClass.stripPrefix("[")
+  /** DuckDB token-array expression over the `text` column (the `t` CTE of
+    * every text/dedup oracle) — generated from the same tokenizer spec as
+    * the engine's [[graft.functions.tokens]].
+    */
+  private val toksSql = tokensSql("text")
+
   /** Per-language stop counts in one pass — the native codegen'd
     * [[graft.functions.StopCounts]] expression (a `filter` HOF lambda runs
     * interpreted per token per language; this is one hash lookup per
@@ -37,7 +49,8 @@ object TextAnalysis {
     */
   def qualityScore(toks: Column): Column = {
     val nToks = size(toks).cast("long")
-    r6(least(lit(1.0), nToks / 20.0) * (lit(1.0) - stopwordCount(toks) / nToks))
+    r6(least(lit(1.0), nToks / 20.0) *
+      (lit(1.0) - stopwordCount(toks) / nullif(nToks, lit(0L))))
   }
 
   /** Per-document stats: token count, char counts, average token length,
@@ -45,11 +58,14 @@ object TextAnalysis {
     */
   def textStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    val nToks = size(toks).cast("long")
-    val nonWs = length(regexp_replace(trim(col("text")), " ", "")).cast("long")
+    // nullif: a whitespace-only document has ZERO tokens under the regex
+    // tokenizer; null ratios beat a div-by-zero (Spark would produce IEEE
+    // NaN where DuckDB produces NULL — nullif makes both engines NULL)
+    val nToks = nullif(size(toks).cast("long"), lit(0L))
+    val nonWs = length(regexp_replace(col("text"), WsClass, "")).cast("long")
     docs.select(
         col("doc_id"),
-        nToks.as("n_tokens"),
+        size(toks).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("len_chars"),
         nonWs.as("len_nonws"),
         r6(nonWs / nToks).as("avg_token_len"),
@@ -69,7 +85,7 @@ object TextAnalysis {
     */
   def langId(docs: DataFrame, threshold: Double = 0.15): DataFrame = {
     val toks = col("toks")
-    val nToks = size(toks).cast("long")
+    val nToks = nullif(size(toks).cast("long"), lit(0L))
     val ratios = LangStops.zipWithIndex.map { case ((lang, _), i) =>
       lang -> (element_at(col("sc"), i + 1) / nToks)
     }
@@ -101,7 +117,7 @@ object TextAnalysis {
     * cheap exact-near-dup key (see [[Dedup]] for the graded variants).
     */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", sort_array(split(trim(lower(text)), " "))))
+    md5(concat_ws(" ", sort_array(tokens(lower(text)))))
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -179,11 +195,11 @@ object TextAnalysis {
       minAvgTokLen: Double = 3.0, maxAvgTokLen: Double = 10.0,
       minStopHits: Int = 2, maxSymbolRatio: Double = 0.1,
       minDistinctRatio: Double = 0.3): Seq[(String, Column)] = {
-    val nToks = size(toks).cast("long")
+    val nToks = nullif(size(toks).cast("long"), lit(0L))
     val avgTokLen =
-      length(regexp_replace(trim(text), " ", "")).cast("double") / nToks
+      length(regexp_replace(text, WsClass, "")).cast("double") / nToks
     val symbolRatio =
-      length(regexp_replace(text, "[A-Za-z0-9 ]", "")).cast("double") /
+      length(regexp_replace(text, SymClass, "")).cast("double") /
         greatest(length(text), lit(1))
     val distinctRatio = size(array_distinct(toks)).cast("double") / nToks
     Seq(
@@ -265,20 +281,20 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "td1_text_stats" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, text, len(toks) AS n_tokens,
          |        len(list_filter(toks, x -> x IN $stopSql)) AS n_stop,
-         |        length(replace(trim(text), ' ', '')) AS len_nonws FROM t)
+         |        length(regexp_replace(text, '$WsClass', '', 'g')) AS len_nonws FROM t)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS len_chars,
          |  CAST(len_nonws AS BIGINT) AS len_nonws,
-         |  round(len_nonws / n_tokens, 6) AS avg_token_len,
-         |  round(n_stop / n_tokens, 6) AS stop_ratio,
-         |  round(least(1.0, n_tokens / 20.0) * (1.0 - n_stop / n_tokens), 6) AS quality_score
+         |  round(len_nonws / nullif(n_tokens, 0), 6) AS avg_token_len,
+         |  round(n_stop / nullif(n_tokens, 0), 6) AS stop_ratio,
+         |  round(least(1.0, n_tokens / 20.0) * (1.0 - n_stop / nullif(n_tokens, 0)), 6) AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin,
     "td2_lang_id" -> {
       val ratioDefs = LangStops.map { case (lang, stops) =>
-        s"len(list_filter(toks, x -> x IN ${stopSqlFor(stops)})) / len(toks) AS r_$lang"
+        s"len(list_filter(toks, x -> x IN ${stopSqlFor(stops)})) / nullif(len(toks), 0) AS r_$lang"
       }.mkString(",\n")
       val langs = LangStops.map(_._1)
       val rounded = langs
@@ -289,47 +305,48 @@ object TextAnalysis {
         val later = langs.drop(i + 1)
         s"WHEN ${later.map(o => s"r_$l >= r_$o").mkString(" AND ")} THEN '$l'"
       }.mkString(" ")
-      s"""WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id,
          |$ratioDefs
          |FROM t)
          |SELECT doc_id, $rounded,
-         |  CASE WHEN greatest(${langs.map("r_" + _).mkString(", ")}) < 0.15 THEN 'und'
-         |    $argmax ELSE '${langs.last}' END AS lang_pred
+         |  CASE WHEN greatest(${langs.map("r_" + _).mkString(", ")}) >= 0.15 THEN
+         |    CASE $argmax ELSE '${langs.last}' END
+         |  ELSE 'und' END AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
     },
     "td3_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(array_to_string(list_sort(string_split(trim(lower(text)), ' ')), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(${tokensSql("lower(text)")}), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "td4_token_counts" ->
       s"""SELECT doc_id,
-         |  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+         |  CAST(len($toksSql) AS BIGINT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '$WordPattern')) AS BIGINT) AS word_tokens,
          |  CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS bpeish_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
     "td6_quality_filter" ->
-      s"""WITH t AS (SELECT doc_id, text, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |r AS (SELECT doc_id,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  len(toks) BETWEEN 20 AND 1000 AS r_n_tokens,
-         |  (length(replace(trim(text), ' ', '')) * 1.0 / len(toks)) BETWEEN 3.0 AND 10.0 AS r_token_len,
+         |  (length(regexp_replace(text, '$WsClass', '', 'g')) * 1.0 / nullif(len(toks), 0)) BETWEEN 3.0 AND 10.0 AS r_token_len,
          |  len(list_filter(toks, x -> x IN $stopSql)) >= 2 AS r_stopwords,
-         |  (length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / greatest(length(text), 1)) <= 0.1 AS r_symbols,
-         |  (len(list_distinct(toks)) * 1.0 / len(toks)) >= 0.3 AS r_distinct
+         |  (length(regexp_replace(text, '$SymClass', '', 'g')) * 1.0 / greatest(length(text), 1)) <= 0.1 AS r_symbols,
+         |  (len(list_distinct(toks)) * 1.0 / nullif(len(toks), 0)) >= 0.3 AS r_distinct
          |FROM t)
          |SELECT *, r_n_tokens AND r_token_len AND r_stopwords AND r_symbols AND r_distinct AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
     "td7_corpus_rollup" ->
-      s"""WITH t AS (SELECT lang, source, text, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT lang, source, text, $toksSql AS toks FROM documents),
          |s AS (SELECT lang, source, len(toks) AS n,
          |  len(list_filter(toks, x -> x IN $stopSql)) AS n_stop,
          |  (len(toks) BETWEEN 20 AND 1000)
-         |    AND ((length(replace(trim(text), ' ', '')) * 1.0 / len(toks)) BETWEEN 3.0 AND 10.0)
+         |    AND ((length(regexp_replace(text, '$WsClass', '', 'g')) * 1.0 / nullif(len(toks), 0)) BETWEEN 3.0 AND 10.0)
          |    AND (len(list_filter(toks, x -> x IN $stopSql)) >= 2)
-         |    AND ((length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) * 1.0 / greatest(length(text), 1)) <= 0.1)
-         |    AND ((len(list_distinct(toks)) * 1.0 / len(toks)) >= 0.3) AS keep,
-         |  round(least(1.0, len(toks) / 20.0) * (1.0 - len(list_filter(toks, x -> x IN $stopSql)) * 1.0 / len(toks)) * 1e6) / 1e6 AS q
+         |    AND ((length(regexp_replace(text, '$SymClass', '', 'g')) * 1.0 / greatest(length(text), 1)) <= 0.1)
+         |    AND ((len(list_distinct(toks)) * 1.0 / nullif(len(toks), 0)) >= 0.3) AS keep,
+         |  round(least(1.0, len(toks) / 20.0) * (1.0 - len(list_filter(toks, x -> x IN $stopSql)) * 1.0 / nullif(len(toks), 0)) * 1e6) / 1e6 AS q
          |FROM t)
          |SELECT lang, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -338,14 +355,14 @@ object TextAnalysis {
          |  round(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(q) * 1e6) / 1e6 AS avg_quality
          |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "td8_ngram_freq" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
         |SELECT s AS ngram, count(*) AS df FROM ex GROUP BY 1
         |ORDER BY df DESC, ngram LIMIT 100""".stripMargin,
     "td5_winnow_fingerprint" ->
-      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |g AS (SELECT doc_id,
         |  [md5(array_to_string(toks[i+1:i+3], ' ')) FOR i IN range(len(toks)-2)] AS grams FROM t),
         |w AS (SELECT doc_id,

@@ -135,7 +135,10 @@ object EventStreams {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles.foreach(deleteRecursively)
+    // listFiles is null on a race (two JVMs sweeping the same dead-pid dir,
+    // or a dir removed mid-walk) — treat as already-gone, like the root sweep
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()
   }
 

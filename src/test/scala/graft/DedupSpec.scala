@@ -65,10 +65,11 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val docs = Tables.documents(spark, sf001).limit(100)
     val hof = expr(
       """aggregate(sequence(0, 63), 0L, (acc, b) -> acc | IF(
-        |  aggregate(split(trim(text), ' '), 0L,
+        |  aggregate(tk, 0L,
         |    (a2, t) -> a2 + IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)) > 0,
         |  shiftleft(1L, b), 0L))""".stripMargin)
     val mismatches = docs
+      .select(col("text"), graft.functions.tokens(col("text")).as("tk"))
       .select(Dedup.simhashExpr("text").as("fast"), hof.as("slow"))
       .filter(col("fast") =!= col("slow")).count()
     assert(mismatches === 0L)

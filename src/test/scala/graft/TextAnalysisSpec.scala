@@ -37,4 +37,35 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       assert(r.getBoolean(r.fieldIndex("keep")) === conj)
     }
   }
+
+  test("tokenizer: runs of whitespace yield no empty tokens; ws-only docs have zero") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq("a b", "a  b", "\ta b\n", "   ", "", "ab", "x  \t y")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+      .select(col("id"), graft.functions.tokens(col("text")).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(0L) === Seq("a", "b"))
+    assert(got(1L) === Seq("a", "b"), "double space minted an empty token")
+    assert(got(2L) === Seq("a", "b"), "leading tab / trailing newline leaked")
+    assert(got(3L) === Seq.empty, "whitespace-only doc must have zero tokens")
+    assert(got(4L) === Seq.empty)
+    assert(got(5L) === Seq("ab"))
+    assert(got(6L) === Seq("x", "y"))
+  }
+
+  test("text stats survive a zero-token document: null ratios, not NaN or a crash") {
+    val docs = Seq((1L, "the cat sat"), (2L, "   ")).toDF("doc_id", "text")
+    val rows = TextAnalysis.textStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(2L).getLong(rows(2L).fieldIndex("n_tokens")) === 0L)
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("avg_token_len")))
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("stop_ratio")))
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("quality_score")))
+    assert(rows(1L).getLong(rows(1L).fieldIndex("n_tokens")) === 3L)
+    // and the language classifier: an unclassifiable zero-token doc is 'und'
+    val lid = TextAnalysis.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.fieldIndex("lang_pred"))).toMap
+    assert(lid(2L) === "und")
+  }
 }
