@@ -34,6 +34,33 @@ object TextAnalysis {
     */
   private val toksSql = tokensSql("text")
 
+  /** td9 thresholds — single source for the operator defaults AND the
+    * generated oracle SQL (a drifted constant would hash-mismatch).
+    */
+  val ScriptMin = 0.5
+  val KanaMin = 0.05
+
+  /** DuckDB twins of [[wordRatios]]/[[wordArgmax]] over a `toks` column —
+    * the td2 scoring pieces, shared with td9's Latin fallback.
+    */
+  private def wordRatioDefsSql: String =
+    LangStops.map { case (lang, stops) =>
+      s"len(list_filter(toks, x -> x IN ${stopSqlFor(stops)})) / nullif(len(toks), 0) AS r_$lang"
+    }.mkString(",\n")
+
+  private def wordPredSql(threshold: Double): String = {
+    val langs = LangStops.map(_._1)
+    // the same argmax CASE chain as the engine: a language wins iff its
+    // ratio >= every later one (earlier languages take ties)
+    val argmax = langs.init.zipWithIndex.map { case (l, i) =>
+      val later = langs.drop(i + 1)
+      s"WHEN ${later.map(o => s"r_$l >= r_$o").mkString(" AND ")} THEN '$l'"
+    }.mkString(" ")
+    s"""CASE WHEN greatest(${langs.map("r_" + _).mkString(", ")}) >= $threshold THEN
+       |    CASE $argmax ELSE '${langs.last}' END
+       |  ELSE 'und' END""".stripMargin
+  }
+
   /** Per-language stop counts in one pass — the native codegen'd
     * [[graft.functions.StopCounts]] expression (a `filter` HOF lambda runs
     * interpreted per token per language; this is one hash lookup per
@@ -83,23 +110,34 @@ object TextAnalysis {
     * whitespace tokenization carries no signal for unsegmented scripts —
     * that path needs char-n-gram features, a different operator.
     */
-  def langId(docs: DataFrame, threshold: Double = 0.15): DataFrame = {
-    val toks = col("toks")
-    val nToks = nullif(size(toks).cast("long"), lit(0L))
-    val ratios = LangStops.zipWithIndex.map { case ((lang, _), i) =>
-      lang -> (element_at(col("sc"), i + 1) / nToks)
+  /** Per-language word-path stop ratios over a materialized `sc` counts
+    * column (shared by td2 and td9's Latin-script fallback).
+    */
+  private def wordRatios(sc: Column, nToks: Column): Seq[(String, Column)] =
+    LangStops.zipWithIndex.map { case ((lang, _), i) =>
+      lang -> (element_at(sc, i + 1) / nToks)
     }
-    // argmax by CASE chain: a language wins iff its ratio >= every later
-    // one (earlier languages take ties) — deterministic, and expressible
-    // verbatim in the DuckDB oracle
+
+  /** Word-path argmax by CASE chain: a language wins iff its ratio >=
+    * every later one (earlier languages take ties) — deterministic, and
+    * expressible verbatim in the DuckDB oracle ([[wordPredSql]]); `und`
+    * when even the best ratio is under `threshold` (or null — a
+    * zero-token document).
+    */
+  private def wordArgmax(ratios: Seq[(String, Column)], threshold: Double): Column = {
     val best = ratios.map(_._2).reduce((a, b) => greatest(a, b))
-    def argmaxChain(rs: List[(String, Column)]): Column = rs match {
+    def chain(rs: List[(String, Column)]): Column = rs match {
       case (lang, _) :: Nil => lit(lang)
       case (lang, r) :: rest =>
-        when(rest.map(r >= _._2).reduce(_ && _), lang).otherwise(argmaxChain(rest))
+        when(rest.map(r >= _._2).reduce(_ && _), lang).otherwise(chain(rest))
       case Nil => lit("und")
     }
-    val argmax = argmaxChain(ratios.toList)
+    when(best >= threshold, chain(ratios.toList)).otherwise("und")
+  }
+
+  def langId(docs: DataFrame, threshold: Double = 0.15): DataFrame = {
+    val nToks = nullif(size(col("toks")).cast("long"), lit(0L))
+    val ratios = wordRatios(col("sc"), nToks)
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       // materialize the counts array ONCE per row (expression lambdas get
@@ -108,7 +146,61 @@ object TextAnalysis {
       .select(
         col("doc_id") +:
           ratios.map { case (lang, r) => r6(r).as(s"${lang}_ratio") } :+
-          when(best >= threshold, argmax).otherwise("und").as("lang_pred"): _*)
+          wordArgmax(ratios, threshold).as("lang_pred"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** td9 — language ID with UNSEGMENTED-SCRIPT support, closing td2's
+    * documented gap: whitespace tokenization carries no signal for
+    * zh/ja/ko/th, so those are classified by their character inventory —
+    * per-script code-point-range counts ([[graft.functions.ScriptCounts]],
+    * the char-unigram profile stage of the published textcat/CLD family)
+    * — and Latin-script documents fall back to the td2 word path. Kana
+    * presence separates Japanese from Chinese inside the shared Han
+    * block (the standard CLD discriminator).
+    *
+    * Decision chain (deterministic, null ratios fall through — a
+    * zero-character document ends as `latn` → word path → `und`):
+    * hangul ≥ `minScript` ⇒ ko; han+kana ≥ `minScript` with kana ≥
+    * `kanaMin` ⇒ ja; han ≥ `minScript` ⇒ zh; thai ≥ `minScript` ⇒ th;
+    * else Latin-script word argmax.
+    *
+    * Scale: two native codegen'd counting passes (script_counts over
+    * chars, stop_counts over tokens) + scalar arithmetic — map-only, no
+    * shuffle, no UDF; the profile table rides inside the expression.
+    */
+  def langIdScript(
+      docs: DataFrame, minScript: Double = ScriptMin,
+      kanaMin: Double = KanaMin, threshold: Double = 0.15): DataFrame = {
+    val nChars = nullif(element_at(col("scc"), ScriptProfiles.nScripts + 1), lit(0L))
+    def scr(name: String): Column =
+      element_at(col("scc"), ScriptProfiles.index(name) + 1) / nChars
+    val (hanR, kanaR, hangulR, thaiR, latinR) =
+      (scr("han"), scr("kana"), scr("hangul"), scr("thai"), scr("latin"))
+    val nToks = nullif(size(col("toks")).cast("long"), lit(0L))
+    val scriptPred =
+      when(hangulR >= minScript, "ko")
+        .when((hanR + kanaR >= minScript) && (kanaR >= kanaMin), "ja")
+        .when(hanR >= minScript, "zh")
+        .when(thaiR >= minScript, "th")
+        .otherwise("latn")
+    docs
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        call_function("script_counts", col("text")).as("scc"),
+        stopCounts(col("toks")).as("sc"),
+        col("toks"))
+      .select(col("doc_id"),
+        r6(hanR).as("han_ratio"), r6(kanaR).as("kana_ratio"),
+        r6(hangulR).as("hangul_ratio"), r6(thaiR).as("thai_ratio"),
+        r6(latinR).as("latin_ratio"),
+        scriptPred.as("script_pred"),
+        wordArgmax(wordRatios(col("sc"), nToks), threshold).as("word_pred"))
+      .select(col("doc_id"),
+        col("han_ratio"), col("kana_ratio"), col("hangul_ratio"),
+        col("thai_ratio"), col("latin_ratio"), col("script_pred"),
+        when(col("script_pred") =!= "latn", col("script_pred"))
+          .otherwise(col("word_pred")).as("lang_pred"))
       .orderBy(col("doc_id"))
   }
 
@@ -272,6 +364,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td1_text_stats" -> ((s: SparkSession, d: String) => textStats(Tables.documents(s, d))),
     "td2_lang_id" -> ((s: SparkSession, d: String) => langId(Tables.documents(s, d))),
+    "td9_lang_id_script" -> ((s: SparkSession, d: String) => langIdScript(Tables.documents(s, d))),
     "td3_fingerprint" -> ((s: SparkSession, d: String) => fingerprints(Tables.documents(s, d))),
     "td4_token_counts" -> ((s: SparkSession, d: String) => tokenCounts(Tables.documents(s, d))),
     "td5_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprints(Tables.documentsRebalanced(s, d))),
@@ -293,27 +386,48 @@ object TextAnalysis {
          |  round(least(1.0, n_tokens / 20.0) * (1.0 - n_stop / nullif(n_tokens, 0)), 6) AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin,
     "td2_lang_id" -> {
-      val ratioDefs = LangStops.map { case (lang, stops) =>
-        s"len(list_filter(toks, x -> x IN ${stopSqlFor(stops)})) / nullif(len(toks), 0) AS r_$lang"
-      }.mkString(",\n")
-      val langs = LangStops.map(_._1)
-      val rounded = langs
+      val rounded = LangStops.map(_._1)
         .map(l => s"round(r_$l * 1e6) / 1e6 AS ${l}_ratio").mkString(", ")
-      // the same argmax CASE chain as the engine: a language wins iff its
-      // ratio >= every later one (earlier languages take ties)
-      val argmax = langs.init.zipWithIndex.map { case (l, i) =>
-        val later = langs.drop(i + 1)
-        s"WHEN ${later.map(o => s"r_$l >= r_$o").mkString(" AND ")} THEN '$l'"
-      }.mkString(" ")
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id,
-         |$ratioDefs
+         |$wordRatioDefsSql
          |FROM t)
          |SELECT doc_id, $rounded,
-         |  CASE WHEN greatest(${langs.map("r_" + _).mkString(", ")}) >= 0.15 THEN
-         |    CASE $argmax ELSE '${langs.last}' END
-         |  ELSE 'und' END AS lang_pred
+         |  ${wordPredSql(0.15)} AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "td9_lang_id_script" -> {
+      val scriptDefs = ScriptProfiles.scripts.map { case (name, _) =>
+        s"len(regexp_extract_all(text, '${ScriptProfiles.classLiteral(name)}')) AS c_$name"
+      }.mkString(",\n")
+      val ratioDefs = ScriptProfiles.scripts.map { case (name, _) =>
+        s"c_$name / nullif(c_nonws, 0) AS ${name}_r"
+      }.mkString(",\n")
+      val rounded = ScriptProfiles.scripts.map { case (name, _) =>
+        s"round(${name}_r * 1e6) / 1e6 AS ${name}_ratio"
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |$scriptDefs,
+         |  length(regexp_replace(text, '$WsClass', '', 'g')) AS c_nonws,
+         |$wordRatioDefsSql
+         |FROM t),
+         |p AS (SELECT doc_id,
+         |$ratioDefs,
+         |  ${wordPredSql(0.15)} AS word_pred
+         |FROM s),
+         |q AS (SELECT *,
+         |  CASE WHEN hangul_r >= $ScriptMin THEN 'ko'
+         |       WHEN han_r + kana_r >= $ScriptMin AND kana_r >= $KanaMin THEN 'ja'
+         |       WHEN han_r >= $ScriptMin THEN 'zh'
+         |       WHEN thai_r >= $ScriptMin THEN 'th'
+         |       ELSE 'latn' END AS script_pred
+         |FROM p)
+         |SELECT doc_id,
+         |$rounded,
+         |  script_pred,
+         |  CASE WHEN script_pred != 'latn' THEN script_pred ELSE word_pred END AS lang_pred
+         |FROM q ORDER BY doc_id""".stripMargin
     },
     "td3_fingerprint" ->
       s"""SELECT doc_id,

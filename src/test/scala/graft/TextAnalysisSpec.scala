@@ -54,6 +54,59 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(got(6L) === Seq("x", "y"))
   }
 
+  test("td9 script language ID: unsegmented scripts classified by character inventory") {
+    val docs = Seq(
+      (1L, "这是一个没有空格的中文句子需要字符级别的语言识别"),
+      (2L, "これは日本語の文章です漢字と仮名が混ざっています"),
+      (3L, "이것은한국어문장입니다한글만사용합니다"),
+      (4L, "นี่คือประโยคภาษาไทยที่ไม่มีช่องว่าง"),
+      (5L, "the quick brown fox is on the table and it is quick"),
+      (6L, "   ")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langIdScript(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(r.fieldIndex("script_pred")), r.getString(r.fieldIndex("lang_pred"))))).toMap
+    assert(got(1L) === (("zh", "zh")), "Han-only must classify zh")
+    assert(got(2L) === (("ja", "ja")), "kana presence must separate ja from zh")
+    assert(got(3L) === (("ko", "ko")))
+    assert(got(4L) === (("th", "th")))
+    assert(got(5L)._1 === "latn")
+    assert(got(5L)._2 === "en", "Latin script must fall back to the word path")
+    assert(got(6L) === (("latn", "und")), "zero-char doc ends at the word path's und")
+  }
+
+  test("script_counts native expression matches its regexp twin; counts code points") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{ScriptProfiles, WsClass}
+    // the emoji is a supplementary-plane char (4-byte UTF-8): ONE code point
+    val docs = Seq(
+      (1L, "abc 漢字 かな ハム 한글 ไทย éß 😀 x"),
+      (2L, "mixed 語とカナ English 한 text"),
+      (3L, "")).toDF("doc_id", "text")
+    val scc = call_function("script_counts", col("text"))
+    val twins = ScriptProfiles.scripts.zipWithIndex.map { case ((name, _), i) =>
+      (element_at(scc, i + 1) ===
+        regexp_count(col("text"), lit(ScriptProfiles.classLiteral(name))).cast("long"))
+        .as(s"ok_$name")
+    } :+ (element_at(scc, ScriptProfiles.nScripts + 1) ===
+      length(regexp_replace(col("text"), WsClass, "")).cast("long")).as("ok_nonws")
+    val rows = docs.select(twins: _*).collect()
+    rows.foreach { r =>
+      (0 until r.length).foreach { i =>
+        assert(r.getBoolean(i), s"column ${r.schema.fieldNames(i)} diverged: $r")
+      }
+    }
+    // explicit code-point check: emoji + accents count once each in nonws
+    val counts = docs.filter(col("doc_id") === 1L)
+      .select(scc).head().getSeq[Long](0)
+    assert(counts(ScriptProfiles.index("han")) === 2L)
+    assert(counts(ScriptProfiles.index("kana")) === 4L)
+    assert(counts(ScriptProfiles.index("hangul")) === 2L)
+    assert(counts(ScriptProfiles.index("thai")) === 3L)
+    assert(counts(ScriptProfiles.index("latin")) === 4L)
+    assert(counts(ScriptProfiles.nScripts) === 18L) // 2+4+2+3+4 + é ß 😀 = 18
+  }
+
   test("text stats survive a zero-token document: null ratios, not NaN or a crash") {
     val docs = Seq((1L, "the cat sat"), (2L, "   ")).toDF("doc_id", "text")
     val rows = TextAnalysis.textStats(docs).collect()
