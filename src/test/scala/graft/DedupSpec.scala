@@ -127,6 +127,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       8L -> 8L, 9L -> 8L))
   }
 
+  test("dd8 reliable-checkpoint knob: identical labels, round state written to the dir") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dd8ck").toFile
+    try {
+      // deep enough to cross the escalation boundary, so BOTH truncation
+      // paths (edges + escalated rounds) run through reliable checkpoint
+      val chain = (1L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      val got = Dedup.dupClusters(chain, maxIter = 14,
+          checkpointDir = Some(dir.getAbsolutePath)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 20)
+      assert(got.values.forall(_ == 1L), s"chain not fully collapsed: $got")
+      def files(f: java.io.File): Seq[java.io.File] = {
+        val kids = Option(f.listFiles).getOrElse(Array.empty).toSeq
+        kids ++ kids.flatMap(files)
+      }
+      assert(files(dir).exists(_.isFile),
+        "reliable checkpoint produced no files — the knob is not wired")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("dd8 pointer doubling: a chain deeper than maxIter one-hop rounds still converges") {
     import spark.implicits._
     // a 65-node chain has diameter 64: one-hop propagation alone needs 64

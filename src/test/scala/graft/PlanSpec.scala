@@ -135,6 +135,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"no dynamic partition pruning on the cell index scan:\n$p")
   }
 
+  test("dd9: serves from the persisted cluster-label artifact — no shingle recompute") {
+    val clusters = Dedup.clusterLabels(spark, sf001) // build-once artifact
+    val p = plan(Dedup.dedupCorpus(Tables.documents(spark, sf001), clusters))
+    // the manifest must anti-join a SCAN of the stored labels; any
+    // word_shingles / pair generation in this plan means dd9 is
+    // re-running the whole dedup pipeline inline again
+    assert(!p.contains("word_shingles"),
+      s"dd9 recomputes shingles instead of reading the artifact:\n$p")
+    val generates = p.linesIterator.count(l => l.contains(") Generate"))
+    assert(generates === 0, s"unexpected Generate in the manifest plan:\n$p")
+    assert(p.contains("clusters_n3_t0.2_df50"),
+      s"no scan of the cluster-label artifact in the plan:\n$p")
+  }
+
   test("td8: n-gram frequency top-k plans as TakeOrderedAndProject over a partial-agg shuffle") {
     val p = plan(TextAnalysis.ngramFreq(Tables.documents(spark, sf001)))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
