@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, MinHashSig, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash64, StopCounts, WordShingles}
+import graft.functions.{DotProduct, ImageHeader, MinHashSig, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash64, StopCounts, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("stop_counts"),
       new ExpressionInfo(classOf[StopCounts].getName, "stop_counts"),
       (args: Seq[Expression]) => StopCounts(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("image_header"),
+      new ExpressionInfo(classOf[ImageHeader].getName, "image_header"),
+      (args: Seq[Expression]) => ImageHeader(args.head)))
     ext.injectFunction((
       FunctionIdentifier("script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),

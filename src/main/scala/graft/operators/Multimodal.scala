@@ -116,9 +116,36 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm5 — REAL image-container header decode via the native
+    * [[graft.functions.ImageHeader]] expression: format, pixel dimensions
+    * and channels parsed from actual PNG/JPEG/GIF header bytes (public
+    * format specs, no codec library) — the step that replaces mm1's stub
+    * dimensions the moment genuine image payloads flow through the
+    * binary column. Map-only, codegen'd, no shuffle.
+    *
+    * Over the driver's text corpus every payload is UTF-8 prose: the
+    * PNG/JPEG magics are invalid UTF-8 lead bytes and can never occur, so
+    * those branches are provably dead here and are exercised on crafted
+    * real image bytes in MultimodalSpec; the GIF magic IS printable
+    * ASCII, so the oracle replicates that branch (including the
+    * little-endian dimension parse) and the catch-all.
+    */
+  def imageHeaders(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    docs
+      .select(col("doc_id"), length(payload).cast("long").as("byte_len"),
+        call_function("image_header", payload).as("hdr"))
+      .select(col("doc_id"), col("byte_len"),
+        col("hdr.format").as("format"), col("hdr.width").as("width"),
+        col("hdr.height").as("height"), col("hdr.channels").as("channels"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm5_image_headers" -> ((s: SparkSession, d: String) =>
+      imageHeaders(Tables.documents(s, d))),
     "mm1_binary_meta" -> ((s: SparkSession, d: String) => binaryMeta(Tables.documents(s, d))),
     // mm2 exercises the mapPartitions decode path end-to-end (the stub
     // decode is deterministic, so it is fully oracle-checkable).
@@ -130,6 +157,29 @@ object Multimodal {
       resizePlan(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // The corpus is VARCHAR (valid UTF-8): PNG's 0x89 and JPEG's 0xFF are
+    // continuation/invalid lead bytes that cannot start a UTF-8 string,
+    // so only the (printable-ASCII) GIF branch and the unknown catch-all
+    // are reachable — the oracle states exactly that decision, GIF
+    // little-endian dims included (ascii() == byte value for the ASCII
+    // prefix the magic guarantees). PNG/JPEG parsing is spec-verified on
+    // real bytes in MultimodalSpec.
+    "mm5_image_headers" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  octet_length(encode(text)) >= 10
+        |    AND (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%') AS is_gif
+        |  FROM documents)
+        |SELECT doc_id, byte_len,
+        |  CASE WHEN is_gif THEN 'gif' ELSE 'unknown' END AS format,
+        |  CASE WHEN is_gif THEN CAST(ascii(substring(text, 7, 1))
+        |         + 256 * ascii(substring(text, 8, 1)) AS INTEGER)
+        |       ELSE CAST(NULL AS INTEGER) END AS width,
+        |  CASE WHEN is_gif THEN CAST(ascii(substring(text, 9, 1))
+        |         + 256 * ascii(substring(text, 10, 1)) AS INTEGER)
+        |       ELSE CAST(NULL AS INTEGER) END AS height,
+        |  CAST(NULL AS INTEGER) AS channels
+        |FROM m ORDER BY doc_id""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
