@@ -405,9 +405,11 @@ object Dedup {
     * another, so different parameterizations get different artifacts.
     */
   def clusterLabelsPath(
-      sfDir: String, n: Int, threshold: Double, maxDf: Int): String =
+      sfDir: String, n: Int, threshold: Double, maxDf: Int,
+      upTo: Long = Long.MaxValue): String =
     s"${sys.props("user.dir")}/target/dedup/${new java.io.File(sfDir).getName}" +
-      s"/clusters_n${n}_t${threshold}_df$maxDf"
+      s"/clusters_n${n}_t${threshold}_df$maxDf" +
+      (if (upTo == Long.MaxValue) "" else s"_upto$upTo")
 
   /** The (doc_id, rep_id) cluster labels as a BUILD-ONCE persisted
     * artifact: at 100 TB nobody re-runs shingling + pair generation +
@@ -420,15 +422,21 @@ object Dedup {
     */
   def clusterLabels(
       spark: SparkSession, sfDir: String, n: Int = 3,
-      threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
-    val path = clusterLabelsPath(sfDir, n, threshold, maxDf)
+      threshold: Double = 0.2, maxDf: Int = 50,
+      upTo: Long = Long.MaxValue): DataFrame = {
+    val path = clusterLabelsPath(sfDir, n, threshold, maxDf, upTo)
     val source = new java.io.File(Tables.path(sfDir, "documents"))
     graft.sources.Staging.withExclusiveLock(new java.io.File(path).getParentFile) {
       val marker = new java.io.File(s"$path/_SUCCESS")
-      if (!marker.exists() || marker.lastModified() < source.lastModified())
-        dupClusters(ngramJaccardPairs(
-            Tables.documentsRebalanced(spark, sfDir), n, threshold, maxDf))
+      if (!marker.exists() || marker.lastModified() < source.lastModified()) {
+        // `upTo` bounds the clustered corpus (doc_id < upTo) — the
+        // "yesterday's corpus" artifact dd11 deduplicates new batches
+        // against; the DF cap statistics are the bounded corpus's own
+        val docs = Tables.documentsRebalanced(spark, sfDir)
+          .filter(col("doc_id") < upTo)
+        dupClusters(ngramJaccardPairs(docs, n, threshold, maxDf))
           .write.mode("overwrite").parquet(path)
+      }
     }
     spark.read.parquet(path)
   }
@@ -452,6 +460,82 @@ object Dedup {
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .orderBy(col("doc_id"))
+
+  /** dd11 — INCREMENTAL dedup: label a NEW batch of documents against the
+    * existing corpus WITHOUT re-clustering it — the daily-ingest step the
+    * persisted cluster artifact exists for. At 100 TB the corpus's own
+    * pair graph and label propagation ran once (dd8, persisted); a new
+    * day's batch only needs (new ↔ corpus) and (new ↔ new) candidate
+    * pairs plus a BATCH-SIZED connected-components pass.
+    *
+    * Semantics (the standard frozen-history contract): existing cluster
+    * assignments never change — an old document's edge contributes its
+    * REPRESENTATIVE as the node, so a new doc joining an old cluster
+    * adopts that cluster's rep, and a new doc bridging two old clusters
+    * takes the minimum rep without retroactively merging them. Output is
+    * (doc_id, rep_id) for the new batch only; unmatched new docs are
+    * their own representative.
+    *
+    * Scale: the candidate join BROADCASTS the batch's shingles — the
+    * corpus side streams through a broadcast hash join and never
+    * shuffles for candidates (dd10's decontamination shape). The two
+    * corpus-linear aggregations (DF cap + per-doc shingle counts over
+    * the post-ingest corpus) are map-side partial and skew-immune; the
+    * mini-CC input scales with the batch, not the corpus.
+    */
+  /** The lazy candidate/edge stage of [[incrementalDedupLabels]] — split
+    * out so its plan (batch-side broadcast, artifact-served old labels)
+    * is auditable before the mini-CC's eager rounds consume it.
+    */
+  def incrementalDedupEdges(
+      docs: DataFrame, oldLabels: DataFrame, newFrom: Long,
+      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    val ex = explodedShingles(docs, n)
+    // DF cap over the POST-INGEST corpus (today's statistics govern
+    // today's candidates; yesterday's clustering used yesterday's —
+    // that is what the artifact froze)
+    val hot = ex.groupBy(col("s"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("s"))
+    val kept = ex.join(hot, Seq("s"), "left_anti")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val newSh = kept.filter(col("doc_id") >= newFrom)
+      .select(col("doc_id").as("new_id"), col("s"))
+    // batch side broadcast; doc_id < new_id keeps each pair once (new ids
+    // are the largest ids, so old↔new pairs always land here too)
+    val inter = kept
+      .join(broadcast(newSh), Seq("s"))
+      .filter(col("doc_id") < col("new_id"))
+      .groupBy(col("doc_id").as("doc_a"), col("new_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))
+    val pairs = inter
+      .join(sizes.select(col("doc_id").as("ia"), col("n_sh").as("na")),
+        col("doc_a") === col("ia"))
+      .join(sizes.select(col("doc_id").as("ib"), col("n_sh").as("nb")),
+        col("doc_b") === col("ib"))
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    // an old endpoint contributes its cluster REPRESENTATIVE as the node
+    // (docs absent from the label table are their own rep)
+    val reps = oldLabels.select(col("doc_id").as("o_id"), col("rep_id").as("o_rep"))
+    pairs
+      .join(reps, col("doc_a") === col("o_id"), "left")
+      .select(coalesce(col("o_rep"), col("doc_a")).as("doc_a"), col("doc_b"))
+  }
+
+  def incrementalDedupLabels(
+      docs: DataFrame, oldLabels: DataFrame, newFrom: Long,
+      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    val edges = incrementalDedupEdges(docs, oldLabels, newFrom, n, threshold, maxDf)
+    val mini = dupClusters(edges)
+      .select(col("doc_id"), col("rep_id").as("r"))
+    docs.filter(col("doc_id") >= newFrom).select(col("doc_id"))
+      .join(mini, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("r"), col("doc_id")).as("rep_id"))
+      .orderBy(col("doc_id"))
+  }
 
   /** dd10 — benchmark DECONTAMINATION: flag training documents sharing at
     * least `minShared` n-gram shingles with any held-out evaluation
@@ -497,7 +581,14 @@ object Dedup {
     "dd9_dedup_corpus" -> ((s: SparkSession, d: String) =>
       dedupCorpus(Tables.documents(s, d), clusterLabels(s, d))),
     "dd10_decontaminate" -> ((s: SparkSession, d: String) =>
-      decontaminate(Tables.documentsRebalanced(s, d))))
+      decontaminate(Tables.documentsRebalanced(s, d))),
+    "dd11_incremental_dedup" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documentsRebalanced(s, d)
+      // the last 50 ids stand in for "today's batch" at any scale; the
+      // max-id probe is a metadata-scale scalar, not a data collect
+      val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+      incrementalDedupLabels(docs, clusterLabels(s, d, upTo = newFrom), newFrom)
+    }))
 
   /** DuckDB token-array expression over `text` — same tokenizer spec as
     * the engine's [[graft.functions.tokens]] (see
@@ -576,6 +667,54 @@ object Dedup {
         |SELECT d.doc_id, md5(d.text) AS text_hash FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep_id)
         |ORDER BY doc_id""".stripMargin,
+    // The frozen-history incremental contract, declaratively: yesterday's
+    // labels from yesterday's corpus (its own DF cap), today's candidate
+    // pairs from the post-ingest corpus's statistics, old endpoints
+    // mapped to their representatives, transitive closure over the
+    // batch-sized mini graph only.
+    "dd11_incremental_dedup" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ex_old AS (SELECT * FROM ex WHERE doc_id < (SELECT v FROM nf)),
+         |dfc_old AS (SELECT s FROM ex_old GROUP BY s HAVING count(*) <= 50),
+         |kept_old AS (SELECT ex_old.doc_id, ex_old.s FROM ex_old JOIN dfc_old USING (s)),
+         |sz_old AS (SELECT doc_id, count(*) AS n_sh FROM kept_old GROUP BY doc_id),
+         |inter_old AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM kept_old a JOIN kept_old b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs_old AS (SELECT doc_a, doc_b
+         |  FROM inter_old JOIN sz_old sa ON doc_a = sa.doc_id JOIN sz_old sb ON doc_b = sb.doc_id
+         |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+         |old_edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs_old
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs_old),
+         |old_reach(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM old_edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM old_reach r JOIN old_edges e ON e.src = r.id),
+         |old_reps AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM old_reach GROUP BY id),
+         |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         |inter_new AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  WHERE b.doc_id >= (SELECT v FROM nf) GROUP BY 1, 2),
+         |pairs_new AS (SELECT doc_a, doc_b
+         |  FROM inter_new JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+         |edges0 AS (SELECT coalesce(r.rep_id, p.doc_a) AS src, p.doc_b AS dst
+         |  FROM pairs_new p LEFT JOIN old_reps r ON p.doc_a = r.doc_id),
+         |mini_edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0),
+         |mini_reach(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM mini_edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM mini_reach r JOIN mini_edges e ON e.src = r.id),
+         |mini_reps AS (SELECT id, min(lbl) AS rep FROM mini_reach GROUP BY id)
+         |SELECT d.doc_id, coalesce(m.rep, d.doc_id) AS rep_id
+         |FROM documents d LEFT JOIN mini_reps m ON d.doc_id = m.id
+         |WHERE d.doc_id >= (SELECT v FROM nf)
+         |ORDER BY doc_id""".stripMargin,
     "dd10_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,

@@ -165,6 +165,30 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got.values.forall(_ == 1L), s"chain not fully collapsed: $got")
   }
 
+  test("dd11 incremental dedup: new batch adopts old reps, old structure frozen") {
+    import spark.implicits._
+    val a = "alpha beta gamma delta epsilon"
+    val b = "zeta eta theta iota kappa"
+    val c = "lambda mu nu xi omicron"
+    val docs = Seq(
+      1L -> a, 2L -> a,      // old cluster {1,2}, rep 1
+      3L -> b,               // old singleton (no pair => not in label table)
+      10L -> a,              // joins the {1,2} cluster via its rep
+      11L -> b,              // pairs with unlabeled old doc 3 => rep 3
+      12L -> c, 13L -> c,    // new-new pair => rep 12
+      14L -> "pi rho sigma tau upsilon" // unmatched => itself
+    ).toDF("doc_id", "text")
+    val oldLabels = Seq(1L -> 1L, 2L -> 1L).toDF("doc_id", "rep_id")
+    val got = Dedup.incrementalDedupLabels(docs, oldLabels, newFrom = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 1L, 11L -> 3L, 12L -> 12L, 13L -> 12L, 14L -> 14L))
+    // all-unique batch: empty candidate set must not break the mini-CC
+    val quiet = Seq(1L -> a, 10L -> "solo words only here now").toDF("doc_id", "text")
+    val got2 = Dedup.incrementalDedupLabels(quiet, oldLabels.limit(0), newFrom = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === Map(10L -> 10L))
+  }
+
   test("dd3 document-frequency cap drops hot shingles from both sets symmetrically") {
     import spark.implicits._
     // "common phrase here" appears in all 4 docs -> df=4 > maxDf=3 -> capped

@@ -149,6 +149,20 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"no scan of the cluster-label artifact in the plan:\n$p")
   }
 
+  test("dd11: batch shingles broadcast — corpus never shuffles for candidates; old labels from the artifact") {
+    val docs = Tables.documentsRebalanced(spark, sf001)
+    val newFrom = docs.agg(org.apache.spark.sql.functions.max(
+      org.apache.spark.sql.functions.col("doc_id"))).head.getLong(0) - 49L
+    val labels = Dedup.clusterLabels(spark, sf001, upTo = newFrom)
+    // audit the lazy candidate/edge stage: the mini-CC that follows is
+    // iterative (eager) and consumes this plan before the result exists
+    val p = plan(Dedup.incrementalDedupEdges(docs, labels, newFrom))
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch-side candidate join is not broadcast:\n$p")
+    assert(p.contains(s"clusters_n3_t0.2_df50_upto$newFrom"),
+      s"old labels are not served from the persisted artifact:\n$p")
+  }
+
   test("td8: n-gram frequency top-k plans as TakeOrderedAndProject over a partial-agg shuffle") {
     val p = plan(TextAnalysis.ngramFreq(Tables.documents(spark, sf001)))
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
