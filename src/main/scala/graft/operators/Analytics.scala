@@ -308,9 +308,32 @@ object Analytics {
       .orderBy(col("r_name"))
   }
 
+  // ---------------------------------------------------------------- q19
+  /** A13: exact percentile profile of the price distribution per return
+    * flag — the summary q13's bin choice comes from. Spark's exact
+    * `percentile` aggregate and DuckDB's `quantile_cont` share the
+    * (n−1)·p linear-interpolation definition, so the profile is
+    * oracle-hashable (r6 absorbs last-ulp interpolation-order
+    * differences). Scale: one hash aggregate on a 3-value key; the exact
+    * form holds per-group value counts — at 100 TB swap
+    * `percentile_approx` (bounded-memory sketch, identical plan shape);
+    * the exact form is kept because the oracle can hash-match it.
+    */
+  def q19Percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("q"))
+      .select(col("l_returnflag"), col("n"),
+        r6(col("q")(0)).as("p25"), r6(col("q")(1)).as("p50"),
+        r6(col("q")(2)).as("p75"), r6(col("q")(3)).as("p95"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_percentiles" -> (q19Percentiles _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_clean_lineitem" -> ((s: SparkSession, d: String) => q02CleanLineitem(s, d)),
     "q03_derived" -> ((s: SparkSession, d: String) => q03Derived(s, d)),
@@ -458,5 +481,12 @@ object Analytics {
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY r_name ORDER BY r_name""".stripMargin)
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q19_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(l_extendedprice, 0.25) * 1e6) / 1e6 AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5) * 1e6) / 1e6 AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75) * 1e6) / 1e6 AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.95) * 1e6) / 1e6 AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
