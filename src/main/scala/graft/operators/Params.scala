@@ -187,6 +187,36 @@ object Params {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** SA3 — deterministic train/val/test split by STABLE hashing: each doc
+    * lands in a bucket 0–99 via md5 of a salted key, and the bucket maps
+    * to a split by fixed cut points. Unlike the RNG samples (sa1/sa2)
+    * this is pure deterministic arithmetic — the assignment is a property
+    * of the key, so re-runs, incremental batches (dd11's daily ingest)
+    * and other engines all agree: eval contamination by reshuffled
+    * splits is structurally impossible. Exactly oracle-hashable: md5 and
+    * the hex-prefix→integer bucket are engine-portable (15 hex chars
+    * < 2^60 — no overflow either side). Map-only, codegen'd, no shuffle.
+    * Keyed by doc_id here (the stable ingest id); a content-keyed split
+    * is the same expression over `text`.
+    */
+  def sa3HashSplit(
+      docs: DataFrame, trainPct: Int = 90, valPct: Int = 5,
+      salt: String = "graft-split-v1"): DataFrame = {
+    val bucket = conv(
+      substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long") % 100
+    docs
+      .select(col("doc_id"), bucket.as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sa3HashSplitQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa3HashSplit(Tables.documents(spark, sfDir))
+
   // ----------------------------------------------------------- csv dim
 
   /** cs1 — S3: the dimension join with the dim read from CSV (the
@@ -209,6 +239,7 @@ object Params {
     "pf3_param_filter_clean" -> (pf3ParamFilterClean _),
     "sa1_seeded_sample" -> (sa1SeededSample _),
     "sa2_stratified_sample" -> (sa2StratifiedSample _),
+    "sa3_hash_split" -> (sa3HashSplitQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -221,7 +252,16 @@ object Params {
     "cs1_csv_dim_join" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "sa3_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substring(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 90 THEN 'train'
+        |       WHEN bucket < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin)
   // sa1/sa2 are engine-RNG-specific by design → rows-only checks
   // (exact-n / seed-determinism + proportions asserted in ParamsSpec).
 }

@@ -359,6 +359,39 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("ngram"))
       .limit(k)
 
+  /** td10 — repetition metrics (the Gopher §A1.1 duplicate-line family,
+    * published heuristics): per document, the fraction of LINES whose
+    * value occurs more than once — counted by occurrence and by character
+    * mass — plus the line count. Boilerplate-heavy documents (headers,
+    * navigation, chat logs with repeated stamps) light up here when
+    * td6's distinct-TOKEN ratio stays quiet. Lines are raw `\n` splits,
+    * empties kept (a run of blank lines IS repetition).
+    *
+    * Scale: explode lines → (doc, line) hash aggregate (map-side partial,
+    * a hot boilerplate line never funnels through one reducer) → per-doc
+    * rollup. A document of unique lines scores 0; a blank-only document
+    * has zero line characters ⇒ null char fraction (nullif-guarded in
+    * both engines).
+    */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val dup = col("c") > 1
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "\n", -1)).as("line"))
+      .groupBy(col("doc_id"), col("line"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_lines"),
+        sum(when(dup, col("c")).otherwise(lit(0L))).as("dup_lines"),
+        sum(length(col("line")).cast("long") * col("c")).as("chars"),
+        sum(when(dup, length(col("line")).cast("long") * col("c"))
+          .otherwise(lit(0L))).as("dup_chars"))
+      .select(col("doc_id"), col("n_lines"),
+        r6(col("dup_lines") / nullif(col("n_lines"), lit(0L))).as("dup_line_frac"),
+        r6(col("dup_chars") / nullif(col("chars"), lit(0L))).as("dup_char_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -370,7 +403,8 @@ object TextAnalysis {
     "td5_winnow_fingerprint" -> ((s: SparkSession, d: String) => winnowFingerprints(Tables.documentsRebalanced(s, d))),
     "td6_quality_filter" -> ((s: SparkSession, d: String) => qualityFilter(Tables.documents(s, d))),
     "td7_corpus_rollup" -> ((s: SparkSession, d: String) => corpusRollup(Tables.documents(s, d))),
-    "td8_ngram_freq" -> ((s: SparkSession, d: String) => ngramFreq(Tables.documentsRebalanced(s, d))))
+    "td8_ngram_freq" -> ((s: SparkSession, d: String) => ngramFreq(Tables.documentsRebalanced(s, d))),
+    "td10_repetition" -> ((s: SparkSession, d: String) => repetitionMetrics(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
     "td1_text_stats" ->
@@ -475,6 +509,18 @@ object TextAnalysis {
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
         |SELECT s AS ngram, count(*) AS df FROM ex GROUP BY 1
         |ORDER BY df DESC, ngram LIMIT 100""".stripMargin,
+    "td10_repetition" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+        |g AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(c) AS n_lines,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+        |  sum(length(line) * c) AS chars,
+        |  sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS dup_chars
+        |FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  round(dup_lines / nullif(n_lines, 0) * 1e6) / 1e6 AS dup_line_frac,
+        |  round(dup_chars / nullif(chars, 0) * 1e6) / 1e6 AS dup_char_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
     "td5_winnow_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |g AS (SELECT doc_id,

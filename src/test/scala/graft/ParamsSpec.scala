@@ -85,4 +85,26 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
         s"$lang: got $n of ${total(lang)}, wanted ~$expected")
     }
   }
+
+  test("sa3: hash split is deterministic, complete, and tracks the cut points") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val a = Params.sa3HashSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = Params.sa3HashSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.toSeq === b.toSeq, "hash split must be run-to-run identical")
+    assert(a.length === docs.count(), "every doc gets exactly one assignment")
+    a.foreach { case (id, bucket, split) =>
+      assert(bucket >= 0 && bucket < 100, s"doc $id bucket $bucket out of range")
+      val want = if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+      assert(split === want, s"doc $id: bucket $bucket mapped to $split")
+    }
+    // the split must follow the KEY, not row order: a filtered subset
+    // keeps identical assignments (the eval-contamination guarantee)
+    val sub = Params.sa3HashSplit(docs.filter(col("doc_id") % 7 === 0)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val full = a.map(t => t._1 -> t._3).toMap
+    sub.foreach { case (id, s) => assert(full(id) === s, s"doc $id drifted on subset") }
+  }
 }

@@ -107,6 +107,29 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(counts(ScriptProfiles.nScripts) === 18L) // 2+4+2+3+4 + é ß 😀 = 18
   }
 
+  test("td10 repetition metrics: duplicate lines counted by occurrence and char mass") {
+    val docs = Seq(
+      (1L, "aa\nbb\naa\ncccc"),   // 4 lines, 'aa' x2 -> 2/4; chars 2+2+2+4=10, dup 4 -> 0.4
+      (2L, "x\ny\nz"),            // all unique -> 0
+      (3L, "\n\n"),               // 3 empty lines, all dups; zero chars -> null char frac
+      (4L, "solo")                // single line
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def frac(id: Long, f: String): Option[Double] = {
+      val r = rows(id); val i = r.fieldIndex(f)
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    assert(rows(1L).getLong(1) === 4L)
+    assert(frac(1L, "dup_line_frac") === Some(0.5))
+    assert(frac(1L, "dup_char_frac") === Some(0.4))
+    assert(frac(2L, "dup_line_frac") === Some(0.0))
+    assert(rows(3L).getLong(1) === 3L)
+    assert(frac(3L, "dup_line_frac") === Some(1.0))
+    assert(frac(3L, "dup_char_frac") === None, "zero line chars must yield null, not NaN")
+    assert(frac(4L, "dup_line_frac") === Some(0.0))
+  }
+
   test("text stats survive a zero-token document: null ratios, not NaN or a crash") {
     val docs = Seq((1L, "the cat sat"), (2L, "   ")).toDF("doc_id", "text")
     val rows = TextAnalysis.textStats(docs).collect()
