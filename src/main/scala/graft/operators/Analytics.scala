@@ -309,22 +309,27 @@ object Analytics {
   }
 
   // ---------------------------------------------------------------- q19
-  /** A13: exact percentile profile of the price distribution per return
-    * flag — the summary q13's bin choice comes from. Spark's exact
+  /** A13: exact percentile profile of the quantity distribution per
+    * return flag — the summary q13's bin choice comes from. Spark's exact
     * `percentile` aggregate and DuckDB's `quantile_cont` share the
     * (n−1)·p linear-interpolation definition, so the profile is
     * oracle-hashable (r6 absorbs last-ulp interpolation-order
-    * differences). Scale: one hash aggregate on a 3-value key; the exact
-    * form holds per-group value counts — at 100 TB swap
-    * `percentile_approx` (bounded-memory sketch, identical plan shape);
-    * the exact form is kept because the oracle can hash-match it.
+    * differences). Scale: exact percentile state is a value→count map,
+    * so its memory AND its partial-agg shuffle scale with the DISTINCT
+    * values per group — quantity's bounded domain (~50 values) keeps
+    * that tiny at any corpus size, the same reason production exact
+    * percentiles run on bucketed/decimal-scaled columns. (The first cut
+    * ran on the near-unique l_extendedprice: 2.5 s warm at sf0.1, all of
+    * it map-side state churn.) An unbounded-domain column takes the same
+    * plan with `percentile_approx`; the exact form is kept because the
+    * oracle can hash-match it.
     */
   def q19Percentiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("q"))
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D))").as("q"))
       .select(col("l_returnflag"), col("n"),
         r6(col("q")(0)).as("p25"), r6(col("q")(1)).as("p50"),
         r6(col("q")(2)).as("p75"), r6(col("q")(3)).as("p95"))
@@ -484,9 +489,9 @@ object Analytics {
          |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
-        |  round(quantile_cont(l_extendedprice, 0.25) * 1e6) / 1e6 AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5) * 1e6) / 1e6 AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75) * 1e6) / 1e6 AS p75,
-        |  round(quantile_cont(l_extendedprice, 0.95) * 1e6) / 1e6 AS p95
+        |  round(quantile_cont(l_quantity, 0.25) * 1e6) / 1e6 AS p25,
+        |  round(quantile_cont(l_quantity, 0.5) * 1e6) / 1e6 AS p50,
+        |  round(quantile_cont(l_quantity, 0.75) * 1e6) / 1e6 AS p75,
+        |  round(quantile_cont(l_quantity, 0.95) * 1e6) / 1e6 AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 }
