@@ -335,10 +335,41 @@ object Analytics {
         r6(col("q")(2)).as("p75"), r6(col("q")(3)).as("p95"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- q20
+  /** AS-OF join (last-observation-carried-forward): attach to every event
+    * the timestamp of the same user's most recent PRIOR-or-equal `signup`
+    * event — the session-anchor/feature-engineering primitive ("state as
+    * of this moment") that Spark has no native operator for. Preference
+    * order per the build rules: COMPOSE before customizing — an
+    * ignore-nulls `last` over a (user, time)-ordered running window IS
+    * the as-of join when the two sides share a partition key: one
+    * shuffle on user_id, no range join, no custom SparkPlan. A true
+    * two-table as-of (market-data style) is the same plan over the
+    * UNION of both sides tagged by origin. Tie order is pinned by
+    * (ts, event_id) so the result is deterministic and oracle-hashable;
+    * DuckDB's `last_value(... IGNORE NULLS)` over the identical frame is
+    * the twin.
+    */
+  def q20AsofAnchor(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("anchor_ts",
+        last(when(col("event_type") === "signup", col("ts")), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"),
+        epochSeconds(col("ts")).as("ts_sec"),
+        epochSeconds(col("anchor_ts")).as("anchor_sec"),
+        (epochSeconds(col("ts")) - epochSeconds(col("anchor_ts"))).as("since_anchor_sec"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_percentiles" -> (q19Percentiles _),
+    "q20_asof_anchor" -> (q20AsofAnchor _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_clean_lineitem" -> ((s: SparkSession, d: String) => q02CleanLineitem(s, d)),
     "q03_derived" -> ((s: SparkSession, d: String) => q03Derived(s, d)),
@@ -487,6 +518,17 @@ object Analytics {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q20_asof_anchor" ->
+      """WITH a AS (SELECT event_id, user_id, ts,
+        |  last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS anchor_ts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  CAST(floor(epoch(anchor_ts)) AS BIGINT) AS anchor_sec,
+        |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(anchor_ts)) AS BIGINT) AS since_anchor_sec
+        |FROM a ORDER BY event_id""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_quantity, 0.25) * 1e6) / 1e6 AS p25,
