@@ -178,6 +178,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), s"eval join is not broadcast:\n$p")
   }
 
+  test("td9: script language ID is map-only — two native counting passes, no shuffle before the sort") {
+    val p = plan(TextAnalysis.langIdScript(Tables.documents(spark, sf001)))
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 1, s"td9 should be map-only pre-sort:\n$p")
+    assert(p.contains("script_counts") && p.contains("stop_counts"),
+      s"native counting expressions missing from the plan:\n$p")
+  }
+
+  test("sa3: hash split is map-only and prunes the scan to doc_id") {
+    val p = plan(Params.sa3HashSplit(Tables.documents(spark, sf001)))
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 1, s"sa3 should be map-only pre-sort:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"scan not pruned to doc_id: $read")
+  }
+
+  test("q20: the as-of join is ONE window pass — a user_id shuffle plus the final sort") {
+    val p = plan(Analytics.q20AsofAnchor(spark, sf001))
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"as-of window should shuffle once on user_id:\n$p")
+    assert(p.contains("Window"), s"no window operator in the as-of plan:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"as-of fell back to a cartesian:\n$p")
+  }
+
   test("td6: quality filter reads only doc_id and text, no shuffle before the sort") {
     val df = TextAnalysis.qualityFilter(Tables.documents(spark, sf001))
     val p = plan(df)
