@@ -90,6 +90,9 @@ object ImageHeader {
         if (u8(b, i) != 0xFF) return row("jpeg", null, null, null) // corrupt
         var j = i
         while (j + 1 < n && u8(b, j + 1) == 0xFF) j += 1 // fill bytes
+        // a fill-byte run reaching end-of-input is a truncated stream —
+        // degrade, don't read past the buffer
+        if (j + 1 >= n) return row("jpeg", null, null, null)
         val m = u8(b, j + 1)
         if (m == 0xD9 || m == 0xDA) // EOI / SOS: no SOF seen
           return row("jpeg", null, null, null)

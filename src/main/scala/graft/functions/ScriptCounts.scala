@@ -106,17 +106,23 @@ object ScriptCounts {
     while (i < len) {
       val b0 = bytes(i) & 0xFF
       var cp = 0
-      // standard UTF-8 decode (inputs come from Spark's own UTF8String,
-      // already validated — no need to re-check continuation bytes)
+      // standard UTF-8 decode, DEFENSIVE: Spark UTF8String is not
+      // guaranteed valid UTF-8 (a binary→string cast is a byte copy), so
+      // an invalid lead byte or a truncated tail must degrade — each bad
+      // byte counts as one replacement code point and the loop resyncs —
+      // never read past the buffer (a cleaning pipeline's whole point is
+      // surviving dirty text)
       if (b0 < 0x80) { cp = b0; i += 1 }
-      else if ((b0 & 0xE0) == 0xC0) {
+      else if ((b0 & 0xE0) == 0xC0 && i + 1 < len) {
         cp = ((b0 & 0x1F) << 6) | (bytes(i + 1) & 0x3F); i += 2
-      } else if ((b0 & 0xF0) == 0xE0) {
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < len) {
         cp = ((b0 & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) |
           (bytes(i + 2) & 0x3F); i += 3
-      } else {
+      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < len) {
         cp = ((b0 & 0x07) << 18) | ((bytes(i + 1) & 0x3F) << 12) |
           ((bytes(i + 2) & 0x3F) << 6) | (bytes(i + 3) & 0x3F); i += 4
+      } else {
+        cp = 0xFFFD; i += 1
       }
       if (!isWs(cp)) {
         counts(n) += 1

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -79,59 +79,49 @@ object CleanStore {
   def stagePath(sfDir: String, name: String): String =
     s"${sys.props("user.dir")}/target/clean/${new java.io.File(sfDir).getName}/$name"
 
-  /** Build-logic fingerprint of a staged frame: schema + every Filter
-    * predicate + every Project list. The Project lists matter — a change
-    * to a derive FORMULA (the receiptdate interval, a time-feature
-    * expression) alters values without touching schema or filters, and a
-    * schema+filters-only spec would silently serve a staging the current
-    * code never produced. `Expression.sql` is stable across sessions
-    * (no exprIds), unlike the full plan string. Computing the spec
-    * analyzes the lazy plan but runs no job.
+  /** Per-date (row count, order-independent hash SUM) fingerprints — the
+    * incremental-refresh diff key. The per-row xxhash64 values are summed
+    * as DECIMAL(38,0): a wrapping sum is multiset-faithful (an XOR was
+    * not — any EVEN multiset change cancels: two identical rows XOR to
+    * zero, so replacing a duplicate pair with a different duplicate pair
+    * was invisible), decimal keeps ANSI mode from throwing on long
+    * overflow, and 38 digits hold ~1e19 rows/date of ±2^63 terms without
+    * saturating. One map-side aggregation scan; date cardinality is
+    * bounded (~2.5k at 100 TB), so the collect is a driver-side map of a
+    * few thousand entries, never data-scaled. Fingerprints are compared
+    * Spark-vs-Spark only (no oracle involvement), and `dataCols` pins
+    * the hashed column set/order so the build-side and staged-side
+    * computations agree.
     */
-  private def buildSpec(built: DataFrame): String = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
-    built.schema.catalogString + "\n" +
-      built.queryExecution.analyzed.collect {
-        case f: Filter => "F:" + f.condition.sql
-        case p: Project => "P:" + p.projectList.map(_.sql).mkString(", ")
-      }.mkString("\n")
-  }
-
-  /** Per-date (row count, order-independent xxhash64 XOR) fingerprints of
-    * the frame to stage — the incremental-refresh diff key. One map-side
-    * aggregation scan; the date cardinality is bounded (~2.5k dates at
-    * 100 TB), so the collect is a driver-side map of a few thousand
-    * entries, never data-scaled.
-    */
-  private def partitionFingerprints(
-      df: DataFrame, tsCol: String, partCol: String): Map[String, (Long, Long)] = {
-    val cols = df.columns.map(col).toSeq
-    df.select(to_date(col(tsCol)).cast("string").as(partCol),
-        xxhash64(struct(cols: _*)).as("h"))
-      .groupBy(col(partCol))
-      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("hx"))
+  private def fingerprintAgg(
+      df: DataFrame, partKey: Column, dataCols: Seq[String]): Map[String, (Long, String)] =
+    df.select(partKey.cast("string").as("__part"),
+        xxhash64(struct(dataCols.map(col): _*))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("h"))
+      .groupBy(col("__part"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("hs"))
       .collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).toBigInteger.toString)))
       .toMap
-  }
+
+  /** Fingerprints computed from the SOURCE-side build (the incremental
+    * diff's "current" side).
+    */
+  private def sourceFingerprints(
+      built: DataFrame, tsCol: String, partCol: String): Map[String, (Long, String)] =
+    fingerprintAgg(built, to_date(col(tsCol)), built.columns.toSeq)
 
   private def writeFingerprints(
-      f: java.io.File, fps: Map[String, (Long, Long)]): Unit =
+      f: java.io.File, fps: Map[String, (Long, String)]): Unit =
     java.nio.file.Files.write(f.toPath,
       fps.toSeq.sorted.map { case (d, (n, h)) => s"$d\t$n\t$h" }
         .mkString("\n").getBytes)
 
-  private def readFingerprints(f: java.io.File): Map[String, (Long, Long)] =
+  private def readFingerprints(f: java.io.File): Map[String, (Long, String)] =
     new String(java.nio.file.Files.readAllBytes(f.toPath)).linesIterator
       .filter(_.nonEmpty)
-      .map { l => val p = l.split('\t'); p(0) -> ((p(1).toLong, p(2).toLong)) }
+      .map { l => val p = l.split('\t'); p(0) -> ((p(1).toLong, p(2))) }
       .toMap
-
-  private def deleteDir(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles).getOrElse(Array.empty).foreach(deleteDir)
-    f.delete(); ()
-  }
 
   /** Serve the staged table, (re)building only what is actually stale:
     *
@@ -154,21 +144,30 @@ object CleanStore {
       spark: SparkSession, sfDir: String, name: String, sourceTable: String,
       tsCol: String, partCol: String)(build: => DataFrame): DataFrame = {
     val dir = stagePath(sfDir, name)
+    // the served frame's file listing is captured INSIDE the lock: ensure
+    // never hands out a half-written table (a scan already in flight when
+    // a LATER rebuild hits is the in-place-overwrite residual documented
+    // on Staging)
     graft.sources.Staging.withExclusiveLock(new java.io.File(dir).getParentFile) {
       val marker = new java.io.File(s"$dir/_SUCCESS")
       val source = new java.io.File(Tables.path(sfDir, sourceTable))
       val specFile = new java.io.File(s"$dir/_graft_spec")
       val fpFile = new java.io.File(s"$dir/_graft_partitions")
       lazy val built = build
-      lazy val spec = buildSpec(built)
+      lazy val spec = graft.sources.Staging.planSpec(built)
       val specFresh = marker.exists() && specFile.exists() && fpFile.exists() &&
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
       if (!specFresh) {
         writePartitioned(built, tsCol, partCol, dir)
-        writeFingerprints(fpFile, partitionFingerprints(built, tsCol, partCol))
+        // fingerprint the STAGED output (one read of the clean table),
+        // not a second full build scan over the raw source; the hashed
+        // column set/order is pinned to the build's so a later
+        // source-side diff compares like with like
+        writeFingerprints(fpFile,
+          fingerprintAgg(spark.read.parquet(dir), col(partCol), built.columns.toSeq))
         java.nio.file.Files.write(specFile.toPath, spec.getBytes)
       } else if (marker.lastModified() < source.lastModified()) {
-        val current = partitionFingerprints(built, tsCol, partCol)
+        val current = sourceFingerprints(built, tsCol, partCol)
         val recorded = readFingerprints(fpFile)
         val changed = current.keySet.filter(d => !recorded.get(d).contains(current(d)))
         val removed = recorded.keySet -- current.keySet
@@ -187,15 +186,16 @@ object CleanStore {
             case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
           }
         }
-        removed.foreach(d => deleteDir(new java.io.File(dir, s"$partCol=$d")))
+        removed.foreach(d =>
+          graft.sources.Staging.deleteRecursively(new java.io.File(dir, s"$partCol=$d")))
         writeFingerprints(fpFile, current)
         // the no-op case (mtime touch, content unchanged) refreshes the
         // marker so the next ensure takes the fast path without a scan
         if (!marker.exists()) java.nio.file.Files.createFile(marker.toPath)
         marker.setLastModified(System.currentTimeMillis()); ()
       }
+      spark.read.parquet(dir)
     }
-    spark.read.parquet(dir)
   }
 
   /** The clean events table, materialized once per scale dir. */

@@ -428,17 +428,29 @@ object Dedup {
     val source = new java.io.File(Tables.path(sfDir, "documents"))
     graft.sources.Staging.withExclusiveLock(new java.io.File(path).getParentFile) {
       val marker = new java.io.File(s"$path/_SUCCESS")
-      if (!marker.exists() || marker.lastModified() < source.lastModified()) {
-        // `upTo` bounds the clustered corpus (doc_id < upTo) — the
-        // "yesterday's corpus" artifact dd11 deduplicates new batches
-        // against; the DF cap statistics are the bounded corpus's own
-        val docs = Tables.documentsRebalanced(spark, sfDir)
-          .filter(col("doc_id") < upTo)
-        dupClusters(ngramJaccardPairs(docs, n, threshold, maxDf))
-          .write.mode("overwrite").parquet(path)
+      val specFile = new java.io.File(s"$path/_graft_spec")
+      // `upTo` bounds the clustered corpus (doc_id < upTo) — the
+      // "yesterday's corpus" artifact dd11 deduplicates new batches
+      // against; the DF cap statistics are the bounded corpus's own.
+      // The LAZY pair pipeline's plan fingerprints the build logic
+      // (tokenizer, shingling, DF cap, jaccard filter): a code change
+      // invalidates the artifact even when the corpus file did not move.
+      // The eager propagation downstream of it is not in the spec —
+      // a labeling-algorithm change must also bump this tag:
+      val pairs = ngramJaccardPairs(
+        Tables.documentsRebalanced(spark, sfDir).filter(col("doc_id") < upTo),
+        n, threshold, maxDf)
+      val spec = "min-label-cc-v1\n" + graft.sources.Staging.planSpec(pairs)
+      val fresh = marker.exists() &&
+        marker.lastModified() >= source.lastModified() &&
+        specFile.exists() &&
+        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
+      if (!fresh) {
+        dupClusters(pairs).write.mode("overwrite").parquet(path)
+        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
       }
+      spark.read.parquet(path)
     }
-    spark.read.parquet(path)
   }
 
   /** dd9 — the step every training-data pipeline runs after clustering:

@@ -160,14 +160,19 @@ object Multimodal {
     // The corpus is VARCHAR (valid UTF-8): PNG's 0x89 and JPEG's 0xFF are
     // continuation/invalid lead bytes that cannot start a UTF-8 string,
     // so only the (printable-ASCII) GIF branch and the unknown catch-all
-    // are reachable — the oracle states exactly that decision, GIF
-    // little-endian dims included (ascii() == byte value for the ASCII
-    // prefix the magic guarantees). PNG/JPEG parsing is spec-verified on
-    // real bytes in MultimodalSpec.
+    // are reachable. The oracle's GIF branch is scoped to a 10-char,
+    // 10-BYTE prefix — the domain where character positions ARE byte
+    // positions, so ascii() equals the byte value the engine reads.
+    // DuckDB VARCHAR has no byte indexing, so a text doc whose GIF magic
+    // is followed by non-ASCII within the dimension chars is outside the
+    // oracle's expressible domain (the engine reads its UTF-8 encoding
+    // bytes; the driver corpus is all-ASCII and cannot produce it).
+    // PNG/JPEG parsing is spec-verified on real bytes in MultimodalSpec.
     "mm5_image_headers" ->
       """WITH m AS (SELECT doc_id, text,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  octet_length(encode(text)) >= 10
+        |  length(text) >= 10
+        |    AND octet_length(encode(substring(text, 1, 10))) = 10
         |    AND (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%') AS is_gif
         |  FROM documents)
         |SELECT doc_id, byte_len,

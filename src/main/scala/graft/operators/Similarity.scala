@@ -188,17 +188,25 @@ object Similarity {
     * probe results are bit-identical to the rebuild-per-query [[ivfAnn]]
     * (asserted in SimilaritySpec).
     */
-  def buildIvfIndex(
-      emb: DataFrame, path: String,
-      nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L): Unit = {
+  /** The LAZY index frame — one row per corpus vector, keyed by its cell.
+    * Split out so the build-logic spec can fingerprint it (the bucket
+    * expression carries the hashing parameters).
+    */
+  private def ivfIndexFrame(
+      emb: DataFrame, nPlanes: Int, dim: Int, seed: Long): DataFrame = {
     val cell = element_at(lshBuckets(col("embedding"), 1, nPlanes, dim, seed), 1)
     emb.select(
-        col("vec_id").as("neighbor_id"),
-        col("embedding").cast("array<double>").as("c_emb"),
-        cell.as("bucket"))
+      col("vec_id").as("neighbor_id"),
+      col("embedding").cast("array<double>").as("c_emb"),
+      cell.as("bucket"))
+  }
+
+  def buildIvfIndex(
+      emb: DataFrame, path: String,
+      nPlanes: Int = 4, dim: Int = 64, seed: Long = 42L): Unit =
+    ivfIndexFrame(emb, nPlanes, dim, seed)
       .repartition(col("bucket")) // one writer task per cell → one file per cell
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-  }
 
   /** sim4 — ANN over the PERSISTED index: ensure the cell index artifact
     * exists (build-once, marker-and-mtime staleness like the clean
@@ -218,13 +226,25 @@ object Similarity {
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
     // check-and-build under the cross-process staging lock (double-checked:
     // a concurrent builder's finished marker makes the re-check skip the
-    // write) — two JVMs sharing target/ must not interleave here
-    graft.sources.Staging.withExclusiveLock(new java.io.File(path).getParentFile) {
+    // write) — two JVMs sharing target/ must not interleave here; the
+    // build-logic spec invalidates an index staged under an older bucket
+    // formula even when the embeddings file did not move
+    val corpus = graft.sources.Staging.withExclusiveLock(
+        new java.io.File(path).getParentFile) {
       val marker = new java.io.File(s"$path/_SUCCESS")
-      if (!marker.exists() || marker.lastModified() < source.lastModified())
+      val specFile = new java.io.File(s"$path/_graft_spec")
+      val spec = graft.sources.Staging.planSpec(
+        ivfIndexFrame(emb, nPlanes, dim, seed))
+      val fresh = marker.exists() &&
+        marker.lastModified() >= source.lastModified() &&
+        specFile.exists() &&
+        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
+      if (!fresh) {
         buildIvfIndex(emb, path, nPlanes, dim, seed)
+        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
+      }
+      spark.read.parquet(path)
     }
-    val corpus = spark.read.parquet(path)
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         explode(call_function("rhp_probes",

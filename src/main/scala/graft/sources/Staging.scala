@@ -15,8 +15,13 @@ import java.util.concurrent.ConcurrentHashMap
   * check-freshness-then-maybe-write critical section, DOUBLE-CHECKED: the
   * winner builds, and the loser re-runs its staleness check under the
   * lock, sees the fresh marker, and skips its own write. Markers
-  * (`_SUCCESS` + spec files) are written only after the data, so a
-  * reader that passed `ensure` never observes a torn table.
+  * (`_SUCCESS` + spec files) are written only after the data, and the
+  * served DataFrame's file listing is captured while still holding the
+  * lock — so no reader is ever handed a half-written table. What the
+  * lock does NOT cover (inherent to in-place overwrite without a
+  * transactional table format): a reader's IN-FLIGHT scan concurrent
+  * with a later rebuild can hit deleted files — the 100 TB posture for
+  * that is a pointer-swap manifest / table format, not a lock.
   *
   * `FileChannel.lock` is process-scoped, so a JVM-wide monitor per
   * canonical path serializes same-process callers first (overlapping
@@ -30,6 +35,41 @@ import java.util.concurrent.ConcurrentHashMap
 object Staging {
 
   private val monitors = new ConcurrentHashMap[String, Object]()
+
+  /** Build-logic fingerprint of a LAZY frame: schema + every Filter
+    * predicate, Project list, Generate generator and Aggregate list in
+    * the analyzed plan. A value-changing logic edit (a derive formula,
+    * the tokenizer inside a shingle generator, a new cleaning rule)
+    * alters at least one of these, so an artifact staged under old logic
+    * is invalidated instead of silently served — the CleanStore staging,
+    * the IVF cell index and the dedup cluster labels all record this
+    * next to their data. `Expression.sql` is stable across sessions (no
+    * exprIds), unlike the full plan string; computing the spec analyzes
+    * the plan but runs no job. (A logic change strictly downstream of
+    * the fingerprinted frame — e.g. inside an eager iterative consumer —
+    * is not captured; keep the fingerprinted frame as close to the
+    * artifact's full lineage as laziness allows.)
+    */
+  def planSpec(df: org.apache.spark.sql.DataFrame): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, Project}
+    df.schema.catalogString + "\n" +
+      df.queryExecution.analyzed.collect {
+        case f: Filter => "F:" + f.condition.sql
+        case p: Project => "P:" + p.projectList.map(_.sql).mkString(", ")
+        case g: Generate => "G:" + g.generator.sql
+        case a: Aggregate => "A:" + a.aggregateExpressions.map(_.sql).mkString(", ")
+      }.mkString("\n")
+  }
+
+  /** Recursive delete, null-race safe (listFiles is null when another
+    * process sweeps the same dir concurrently) — the ONE copy every
+    * staging caller shares.
+    */
+  def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
 
   /** Run `body` holding an exclusive lock on `root/.graft_lock` (creating
     * `root` if needed). Reentrant across nested calls is NOT supported —

@@ -134,13 +134,9 @@ object EventStreams {
     base
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    // listFiles is null on a race (two JVMs sweeping the same dead-pid dir,
-    // or a dir removed mid-walk) — treat as already-gone, like the root sweep
-    if (f.isDirectory)
-      Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
+  // the shared null-race-safe recursive delete (one copy for all staging)
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.sources.Staging.deleteRecursively(f)
 
   /** Remove `p<pid>` staging dirs whose owning process no longer exists —
     * without this, every JVM that ever ran a streaming gate leaves its

@@ -66,6 +66,19 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got(6L) === (("unknown", None, None, None)))
   }
 
+  test("image_header: truncated streams degrade, never read past the buffer") {
+    // JPEG ending in a fill-byte run (the marker scan must stop, not index b(n))
+    val fillTail = bytes(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF)
+    val r = graft.functions.ImageHeader.compute(fillTail)
+    assert(r.getUTF8String(0).toString === "jpeg" && r.isNullAt(1) && r.isNullAt(2))
+    // segment whose declared length runs past the end
+    val overLen = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x7F, 0xFF, 0x00)
+    val r2 = graft.functions.ImageHeader.compute(overLen)
+    assert(r2.getUTF8String(0).toString === "jpeg" && r2.isNullAt(1))
+    assert(graft.functions.ImageHeader.compute(Array.empty[Byte])
+      .getUTF8String(0).toString === "unknown")
+  }
+
   test("image_header channel table follows the PNG color types") {
     val colorTypes = Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
     colorTypes.foreach { case (ct, want) =>

@@ -107,6 +107,20 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(counts(ScriptProfiles.nScripts) === 18L) // 2+4+2+3+4 + é ß 😀 = 18
   }
 
+  test("script_counts survives invalid UTF-8 (binary->string casts are byte copies)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.ScriptProfiles
+    // truncated 3-byte lead, then a bare continuation byte: each resyncs
+    // as one replacement code point — counted as non-whitespace, no crash
+    val bad = UTF8String.fromBytes(Array(0xE4.toByte, 0xB8.toByte))
+    val counts = graft.functions.ScriptCounts.compute(bad)
+    assert(counts.getLong(ScriptProfiles.nScripts) === 2L)
+    ScriptProfiles.scripts.indices.foreach(i => assert(counts.getLong(i) === 0L))
+    // a truncated 4-byte lead at end-of-buffer must not read past it
+    val tail = UTF8String.fromBytes(Array('a'.toByte, 0xF0.toByte))
+    assert(graft.functions.ScriptCounts.compute(tail).getLong(ScriptProfiles.nScripts) === 2L)
+  }
+
   test("td10 repetition metrics: duplicate lines counted by occurrence and char mass") {
     val docs = Seq(
       (1L, "aa\nbb\naa\ncccc"),   // 4 lines, 'aa' x2 -> 2/4; chars 2+2+2+4=10, dup 4 -> 0.4
