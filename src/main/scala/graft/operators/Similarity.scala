@@ -268,6 +268,173 @@ object Similarity {
     verifyAndRank(cands, qEmb, k)
   }
 
+  // --------------------------------------------------- learned IVF (sim5)
+
+  /** Deterministic Lloyd's k-means over the embedding corpus — the cell
+    * TRAINER for learned IVF (the production ANN shape: cells follow the
+    * data distribution instead of random hyperplanes, so the same probe
+    * budget finds more true neighbors).
+    *
+    * Determinism contract (this repo's discipline even for rows-only
+    * consumers): init = the k lowest-`vec_id` vectors (a production run
+    * swaps in k-means||, same plan shape); assignment ties break on the
+    * lower cell id via a lexicographic min-struct; centroid updates sum
+    * components as DECIMAL(38,18), so training is independent of
+    * partitioning and repeats bit-for-bit (asserted in SimilaritySpec).
+    *
+    * Scale per iteration: the corpus cross-joins the BROADCAST k-row
+    * centroid table map-side, and the min-struct aggregation's map-side
+    * partial collapse means the shuffle carries ONE row per vector, not
+    * k; the component-mean aggregation shuffles (k × dim) partial rows
+    * and collects k × dim values to the driver — centroid-scale, never
+    * data-scale. Iterations are driver-looped like dd8's rounds.
+    */
+  def kmeansCentroids(
+      emb: DataFrame, k: Int = 16, iters: Int = 5): Seq[(Int, Seq[Double])] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val x = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    var centroids: Seq[(Int, Seq[Double])] = x.orderBy(col("vec_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
+    var it = 0
+    while (it < iters) {
+      val sums = assignCells(x, centroids)
+        .select(col("cell"), posexplode(col("x")).as(Seq("pos", "comp")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("s"))
+        .collect()
+        .groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, prev) =>
+        sums.get(cid) match {
+          case Some(rows) =>
+            val byPos = rows.map(r => r.getInt(1) ->
+              r.getDecimal(3).divide(new java.math.BigDecimal(r.getLong(2)),
+                java.math.MathContext.DECIMAL128).doubleValue()).toMap
+            cid -> prev.indices.map(p => byPos(p))
+          case None => cid -> prev // empty cell keeps its centroid
+        }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** (cell, x) — each vector labeled with its nearest centroid. The
+    * |c|² − 2x·c score orders identically to the L2 distance (|x|² is
+    * constant per row); the min-struct carries the vector through the
+    * aggregation so no second corpus join is needed.
+    */
+  private def assignCells(
+      x: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val spark = x.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec")))
+    val score = dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col("x"), col("cvec"))
+    x.crossJoin(cdf)
+      .select(col("vec_id"),
+        struct(score.as("s"), col("cid").as("c"), col("x").as("v")).as("sc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("sc")).as("m"))
+      .select(col("vec_id"), col("m.c").as("cell"), col("m.v").as("x"))
+  }
+
+  /** Sum of squared distances to the assigned centroids (the k-means
+    * objective), decimal-summed so it is deterministic — SimilaritySpec
+    * asserts it never increases with more Lloyd iterations.
+    */
+  def kmeansObjective(
+      emb: DataFrame, centroids: Seq[(Int, Seq[Double])]): Double = {
+    val x = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.toDF("cid", "cvec")
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec")))
+    val d2 = dot(col("x"), col("x")) + dot(col("cvec"), col("cvec")) -
+      lit(2.0) * dot(col("x"), col("cvec"))
+    x.crossJoin(cdf)
+      .groupBy(col("vec_id")).agg(min(d2).as("d2"))
+      .agg(sum(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 18))))
+      .head.getDecimal(0).doubleValue()
+  }
+
+  /** Canonical location of the LEARNED IVF artifact: trained centroids +
+    * the corpus index partitioned by learned cell. Training parameters
+    * are part of the path; a `_graft_spec` tag records the algorithm
+    * version so a trainer change invalidates the artifact.
+    */
+  def learnedIvfPath(sfDir: String, k: Int, iters: Int): String =
+    s"${sys.props("user.dir")}/target/ivf/${new java.io.File(sfDir).getName}" +
+      s"/learned_k${k}_i$iters"
+
+  /** sim5 — ANN over LEARNED cells: ensure the k-means artifact (train
+    * once under the staging lock, persist centroids + the cell-partitioned
+    * corpus index), then serve queries by probing the `nProbe` nearest
+    * centroids — a broadcast join of the tiny (query × probe) key set
+    * against the partitioned scan, dynamic partition pruning skipping
+    * every unprobed cell, exact cosine verify on the candidates. Fully
+    * deterministic end-to-end, but k-means is not SQL-practical to twin,
+    * so the driver check is rows-only; SimilaritySpec holds the
+    * determinism, objective-descent and recall floors.
+    */
+  def ivfAnnLearned(
+      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
+      kCells: Int = 16, iters: Int = 5, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = learnedIvfPath(sfDir, kCells, iters)
+    val source = new java.io.File(Tables.path(sfDir, "embeddings"))
+    val spec = "kmeans-lloyd-v1 init=lowest-ids ties=cid sums=decimal38.18"
+    val corpus = graft.sources.Staging.withExclusiveLock(
+        new java.io.File(path).getParentFile) {
+      val marker = new java.io.File(s"$path/_marker")
+      val specFile = new java.io.File(s"$path/_graft_spec")
+      val fresh = marker.exists() &&
+        marker.lastModified() >= source.lastModified() &&
+        specFile.exists() &&
+        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
+      if (!fresh) {
+        import spark.implicits._
+        val centroids = kmeansCentroids(emb, kCells, iters)
+        centroids.toDF("cid", "cvec")
+          .write.mode("overwrite").parquet(s"$path/centroids")
+        assignCells(
+            emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x")),
+            centroids)
+          .select(col("vec_id").as("neighbor_id"), col("x").as("c_emb"),
+            col("cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
+        if (!marker.exists()) java.nio.file.Files.createFile(marker.toPath)
+        marker.setLastModified(System.currentTimeMillis())
+      }
+      spark.read.parquet(s"$path/cells")
+    }
+    val centroidsDf = broadcast(spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec")))
+    // nProbe nearest centroids per query — (queries × k) rows, all tiny
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qx"))
+    val score = dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col("qx"), col("cvec"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("ps"), col("cid"))
+    val probes = q.crossJoin(centroidsDf)
+      .select(col("query_id"), col("cid"), score.as("ps"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"),
+        col("cid").cast(corpus.schema("cell").dataType).as("cell"))
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = corpus
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"))
+    verifyAndRank(cands, qEmb, k)
+  }
+
   /** (vec_id, unit) — L2-normalized double vectors, norm materialized FIRST
     * so it is computed once per row (an inline `x / sqrt(norm2(v))` inside
     * the transform lambda would re-evaluate the norm per ELEMENT: no
@@ -349,6 +516,7 @@ object Similarity {
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
     "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(Tables.embeddings(s, d))),
     "sim4_ann_ivf_indexed" -> ((s: SparkSession, d: String) => ivfAnnIndexed(s, d)),
+    "sim5_ann_ivf_learned" -> ((s: SparkSession, d: String) => ivfAnnLearned(s, d)),
     "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(Tables.embeddingsRebalanced(s, d))),
     "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))))
 

@@ -36,6 +36,8 @@ class HarnessSpec extends AnyFunSuite with SparkFixture {
       "dd4_minhash_candidates", "dd5_simhash_candidates",
       "dd7_embed_neardup_lsh", "sim2_ann_lsh", "sim3_ann_ivf",
       "sim4_ann_ivf_indexed", // bit-identical to sim3 (SimilaritySpec)
+      "sim5_ann_ivf_learned", // deterministic but k-means is not SQL-twinnable;
+                              // determinism/objective/recall in SimilaritySpec
       "sa1_seeded_sample", "sa2_stratified_sample"))
     // and no oracle may exist without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)

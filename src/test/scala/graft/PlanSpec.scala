@@ -135,6 +135,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"no dynamic partition pruning on the cell index scan:\n$p")
   }
 
+  test("sim5: probes the learned cells via broadcast with dynamic partition pruning") {
+    val df = Similarity.ivfAnnLearned(spark, sf001)
+    df.collect() // finalize the AQE plan
+    val p = df.queryExecution.executedPlan.toString
+    val finalPlan = p.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"), s"probe join is not broadcast:\n$p")
+    assert(finalPlan.contains("dynamicpruning") || p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the learned-cell scan:\n$p")
+  }
+
   test("dd9: serves from the persisted cluster-label artifact — no shingle recompute") {
     val clusters = Dedup.clusterLabels(spark, sf001) // build-once artifact
     val p = plan(Dedup.dedupCorpus(Tables.documents(spark, sf001), clusters))

@@ -58,6 +58,33 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(indexed === rebuilt)
   }
 
+  test("sim5 learned IVF: k-means deterministic, objective descends, recall floor, cosines exact") {
+    val emb = Tables.embeddings(spark, sf001)
+    // bit-for-bit training determinism (decimal sums + fixed init + tie order)
+    val a = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+    val b = Similarity.kmeansCentroids(emb, k = 8, iters = 3)
+    assert(a === b, "k-means training is not deterministic")
+    // Lloyd's objective never increases with more iterations
+    val o1 = Similarity.kmeansObjective(emb, Similarity.kmeansCentroids(emb, 8, 1))
+    val o3 = Similarity.kmeansObjective(emb, a)
+    assert(o3 <= o1 + 1e-9, s"objective rose: 1 iter $o1 -> 3 iters $o3")
+    // the served query: recall floor vs exact on the worst-case corpus,
+    // and every reported cosine equals the exact computation
+    val exactRows = Similarity.topkExact(emb).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactCos = exactRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Similarity.ivfAnnLearned(spark, sf001).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // 4 of 16 learned cells probed; floor set at the sim3 parity point —
+    // learned cells must at least match random hyperplanes' budget curve
+    assert(recall >= 0.5, s"sim5 recall $recall")
+    info(f"sim5 learned-IVF recall at 4/16 cells: $recall%.2f")
+    rows.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach(c => assert(r.getDouble(2) === c))
+    }
+  }
+
   test("dd7 LSH near-dups: no false positives, recall >= 0.85 vs dd6 exact") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = Similarity.embedNearDupsExact(emb).collect()
