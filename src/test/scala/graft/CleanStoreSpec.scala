@@ -38,6 +38,42 @@ class CleanStoreSpec extends AnyFunSuite with SparkFixture {
       s"the receiptdate derive formula is not in the spec:\n$spec")
   }
 
+  test("concurrent first builds: the loser double-checks under the lock and skips its rebuild") {
+    import org.apache.spark.sql.functions._
+    val tmpSf = Files.createTempDirectory("graft_conc").toFile
+    val stageDir = new java.io.File(CleanStore.stagePath(tmpSf.getAbsolutePath, "events"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    try {
+      val base = graft.sources.Tables.events(spark, sf001)
+      val d0 = base.select(to_date(col("ts")).as("d")).orderBy(col("d")).head.getDate(0)
+      val src = base.filter(to_date(col("ts")) === lit(d0))
+      val expected = src.count()
+      src.write.parquet(new java.io.File(tmpSf, "events.parquet").getAbsolutePath)
+
+      // two racers ensure the SAME never-built staging; the lock serializes
+      // them and the loser's re-check must see the winner's marker+spec and
+      // serve instead of rebuilding — if it rebuilt, the winner's already-
+      // captured file listing would point at deleted files and its count
+      // would throw
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map { _ =>
+        new Thread(() =>
+          try out.add(CleanStore.events(spark.newSession(), tmpSf.getAbsolutePath))
+          catch { case t: Throwable => errs.add(t); () })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"a racer failed: ${Option(errs.peek()).map(_.toString)}")
+      val counts = out.toArray(Array.empty[org.apache.spark.sql.DataFrame]).map(_.count())
+      assert(counts.length === 2 && counts.forall(_ === expected),
+        s"torn or double-built staging: counts ${counts.toSeq}, wanted $expected")
+    } finally {
+      rm(tmpSf); rm(stageDir)
+    }
+  }
+
   test("incremental refresh: a source change restages only the affected date partitions") {
     import org.apache.spark.sql.functions._
     val tmpSf = Files.createTempDirectory("graft_incr").toFile
