@@ -108,4 +108,30 @@ object ExpressionProps extends Properties("NativeExpressions") {
         probes.distinct == probes &&
         probes.size == math.min(nProbe, maxSubsets)
     }
+
+  // ---- malformed-input fuzz: the two byte-level decoders must DEGRADE on
+  // arbitrary bytes, never throw — a cleaning pipeline's inputs are dirty
+  // by definition, and both parsers run inside whole-stage codegen where
+  // one bad row fails the whole task (pure JVM calls: no Spark per case)
+
+  private val bytesGen: Gen[Array[Byte]] =
+    Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+
+  property("image_header never throws on arbitrary bytes; format is always set") =
+    Prop.forAll(bytesGen) { b =>
+      val r = graft.functions.ImageHeader.compute(b)
+      Set("png", "jpeg", "gif", "unknown")(r.getUTF8String(0).toString)
+    }
+
+  property("script_counts never reads out of bounds; counts bounded by byte length") =
+    Prop.forAll(bytesGen) { b =>
+      val counts = graft.functions.ScriptCounts.compute(UTF8String.fromBytes(b))
+      val n = graft.functions.ScriptProfiles.nScripts
+      // non-ws total can never exceed the byte count (every code point
+      // consumes >= 1 byte), and per-script counts can never exceed it
+      val total = counts.getLong(n)
+      total <= b.length &&
+        (0 until n).forall(i => counts.getLong(i) <= total)
+    }
 }
