@@ -392,6 +392,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** td11 — document novelty vs the corpus: each doc scored by the
+    * document frequencies of its own n-gram shingles — `mean_df` high ⇒
+    * the doc is assembled from corpus boilerplate, `novelty` (mean 1/df)
+    * high ⇒ its phrasing is rare. The per-document companion to td8's
+    * corpus-level frequency report and the standard input to
+    * quality-weighted sampling (prefer novel docs, downweight templates).
+    * Deliberately 1/df rather than the textbook −log(df/N): `log` is not
+    * IEEE-correctly-rounded and differs in the last ulp across libm
+    * implementations, which would poison the cross-engine hash — division
+    * is exact, and the ordering it induces is the same.
+    *
+    * Scale: shingle DF is the skew-immune partial-agg count (td8's
+    * shape); the ex ⋈ df join's only hot keys are boilerplate shingles —
+    * a plain inner join, which AQE's skew-join splitting handles (unlike
+    * an aggregation, nothing funnels through one reducer by NECESSITY);
+    * the per-doc rollup is partial-aggregated on doc_id.
+    */
+  def docNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ex = Dedup.explodedShingles(docs, n)
+    val dfc = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    ex.join(dfc, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        davg(col("df")).as("mean_df"),
+        davg(lit(1.0) / col("df")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -404,7 +432,8 @@ object TextAnalysis {
     "td6_quality_filter" -> ((s: SparkSession, d: String) => qualityFilter(Tables.documents(s, d))),
     "td7_corpus_rollup" -> ((s: SparkSession, d: String) => corpusRollup(Tables.documents(s, d))),
     "td8_ngram_freq" -> ((s: SparkSession, d: String) => ngramFreq(Tables.documentsRebalanced(s, d))),
-    "td10_repetition" -> ((s: SparkSession, d: String) => repetitionMetrics(Tables.documents(s, d))))
+    "td10_repetition" -> ((s: SparkSession, d: String) => repetitionMetrics(Tables.documents(s, d))),
+    "td11_doc_novelty" -> ((s: SparkSession, d: String) => docNovelty(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
     "td1_text_stats" ->
@@ -509,6 +538,17 @@ object TextAnalysis {
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
         |SELECT s AS ngram, count(*) AS df FROM ex GROUP BY 1
         |ORDER BY df DESC, ngram LIMIT 100""".stripMargin,
+    "td11_doc_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+         |SELECT doc_id, count(*) AS n_shingles,
+         |  round(CAST(SUM(CAST(df AS DECIMAL(38,6))) AS DOUBLE) / COUNT(df) * 1e6) / 1e6 AS mean_df,
+         |  round(CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / df AS DECIMAL(38,6))) AS DOUBLE) / COUNT(df) * 1e6) / 1e6 AS novelty
+         |FROM ex JOIN dfc USING (s)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "td10_repetition" ->
       """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
         |g AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
