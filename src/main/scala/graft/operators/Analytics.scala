@@ -365,10 +365,126 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  // ---------------------------------------------------------------- q21
+  /** Top-k PER GROUP (top-3 suppliers per nation by revenue) — the
+    * grouped-leaderboard shape every dashboard and per-bucket report
+    * needs, distinct from the global top-k (q05): a `row_number` window
+    * over the aggregate, filtered to k. Spark rewrites the rank filter
+    * into WindowGroupLimit (per-partition top-k heaps BEFORE the window
+    * sort — audited in PlanSpec), so no group ever materializes more
+    * than k + heap rows: the plan survives a nation with a billion
+    * suppliers. Revenue is the exact DECIMAL sum rounded (r6) — both
+    * engines rank the identical double, ties broken by name.
+    */
+  def q21TopPerGroup(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val rev = li.join(s, col("l_suppkey") === col("s_suppkey"))
+      // supplier scales with SF — no hint; nation is fixed 25 rows
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_name"))
+      .agg(dsumr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("revenue").desc, col("s_name"))
+    rev.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Ordered event funnel (view → click-within-24h → purchase-within-
+    * 24h): per user, the first view, the first click inside the
+    * 24-hour window after that view, and the first purchase inside the
+    * 24-hour window after that click — then one corpus-level conversion
+    * row. The sequential dependency (stage n's window condition
+    * references stage n−1's result) is expressed as CHAINED window
+    * aggregates over the same `user_id` partitioning, so Catalyst plans
+    * ONE exchange and evaluates all three stages in a single window
+    * pass per partition (audited in PlanSpec) — the
+    * self-join-per-stage formulation would shuffle the fact table once
+    * per stage. State per user is three timestamps: safe at any scale.
+    */
+  def q22Funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val step = expr("INTERVAL 24 HOURS")
+    val s1 = min(when(col("event_type") === "view", col("ts"))).over(w)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("s1", s1)
+      .withColumn("s2",
+        min(when(col("event_type") === "click" && col("ts") >= col("s1")
+          && col("ts") <= col("s1") + step, col("ts"))).over(w))
+      .withColumn("s3",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("s2")
+          && col("ts") <= col("s2") + step, col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("s1")).as("u1"), min(col("s2")).as("u2"), min(col("s3")).as("u3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("u1")).as("n_view"),
+        count(col("u2")).as("n_click_after_view"),
+        count(col("u3")).as("n_purchase_after_click"),
+        r6(count(col("u3")) * lit(100.0) / count(col("u1"))).as("conversion_pct"))
+  }
+
+  // ---------------------------------------------------------------- q23
+  /** Rolling time-series feature: daily event counts per type with a
+    * trailing 7-day moving average — the ROWS-frame window family (q07
+    * is the unbounded frame, q20 the running frame; this is the sliding
+    * frame). The window partitions by `event_type`, so after the daily
+    * aggregate (whose output is bounded by types × days) no single
+    * partition ever holds more than one type's history — there is no
+    * global single-partition sort at any scale. The average is the
+    * exact integer window sum divided by the window count: identical
+    * arithmetic in both engines.
+    */
+  def q23RollingDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("ma7", r6(sum(col("n")).over(w) / count(col("n")).over(w)))
+      .select(col("event_type"), ntz(col("day")).as("day"), col("n"), col("ma7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** Semi-structured extraction: parse the `props` JSON payload column
+    * with an EXPLICIT schema (`from_json` — one codegen'd parse per row;
+    * schema-on-read with a declared contract, never the
+    * infer-by-sampling path, which at 100 TB means a second full scan)
+    * and roll the extracted field up per event type. Malformed or
+    * missing payloads parse to null and are counted, not thrown — the
+    * PERMISSIVE posture a pipeline needs when one bad row must not kill
+    * a day's ingest.
+    */
+  def q24JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        r6(sum(col("k")) / count(col("k"))).as("avg_k"))
+      .orderBy(col("event_type"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q19_percentiles" -> (q19Percentiles _),
+    "q21_top_per_group" -> ((s: SparkSession, d: String) => q21TopPerGroup(s, d)),
+    "q22_funnel" -> (q22Funnel _),
+    "q23_rolling_daily" -> (q23RollingDaily _),
+    "q24_json_extract" -> (q24JsonExtract _),
     "q20_asof_anchor" -> (q20AsofAnchor _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_clean_lineitem" -> ((s: SparkSession, d: String) => q02CleanLineitem(s, d)),
@@ -529,6 +645,52 @@ object Analytics {
         |  CAST(floor(epoch(anchor_ts)) AS BIGINT) AS anchor_sec,
         |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(anchor_ts)) AS BIGINT) AS since_anchor_sec
         |FROM a ORDER BY event_id""".stripMargin,
+    "q21_top_per_group" ->
+      s"""WITH r AS (SELECT n_name, s_name,
+         |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY 1, 2),
+         |k AS (SELECT n_name, s_name, revenue,
+         |  row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, s_name) AS rk
+         |  FROM r)
+         |SELECT n_name, s_name, revenue, rk FROM k WHERE rk <= 3
+         |ORDER BY n_name, rk""".stripMargin,
+    "q22_funnel" ->
+      """WITH a AS (SELECT user_id, event_type, ts,
+        |  min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS s1 FROM events),
+        |b AS (SELECT user_id, event_type, ts, s1,
+        |  min(CASE WHEN event_type = 'click' AND ts >= s1
+        |           AND ts <= s1 + INTERVAL 24 HOURS THEN ts END)
+        |    OVER (PARTITION BY user_id) AS s2 FROM a),
+        |c AS (SELECT user_id, s1, s2,
+        |  min(CASE WHEN event_type = 'purchase' AND ts >= s2
+        |           AND ts <= s2 + INTERVAL 24 HOURS THEN ts END)
+        |    OVER (PARTITION BY user_id) AS s3 FROM b),
+        |u AS (SELECT user_id, min(s1) AS u1, min(s2) AS u2, min(s3) AS u3
+        |  FROM c GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(u1) AS n_view,
+        |  count(u2) AS n_click_after_view, count(u3) AS n_purchase_after_click,
+        |  round(count(u3) * 100.0 / count(u1) * 1e6) / 1e6 AS conversion_pct
+        |FROM u""".stripMargin,
+    "q23_rolling_daily" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+        |  round(CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w * 1e6) / 1e6 AS ma7
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "q24_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  round(CAST(sum(k) AS DOUBLE) / count(k) * 1e6) / 1e6 AS avg_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_quantity, 0.25) * 1e6) / 1e6 AS p25,

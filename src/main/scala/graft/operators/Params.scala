@@ -217,6 +217,45 @@ object Params {
   def sa3HashSplitQ(spark: SparkSession, sfDir: String): DataFrame =
     sa3HashSplit(Tables.documents(spark, sfDir))
 
+  /** SA4 — WEIGHTED sampling (importance sampling ∝ token count, the
+    * "sample long documents proportionally more" mix op) made fully
+    * DETERMINISTIC and therefore oracle-hashable — the property sa1/sa2
+    * cannot have: instead of an engine RNG, each doc's uniform draw is a
+    * salted md5 hash mapped to [0,1) (13 hex chars = 52 bits, exact in a
+    * double), and the doc is kept iff `u < min(1, targetN·w/ΣW)`. The
+    * expected sample size is targetN (docs whose clipped probability
+    * saturates at 1 contribute deterministically); re-runs, subsets and
+    * other engines agree row-for-row because the draw is a property of
+    * the (salt, doc_id) key — the same structural-stability argument as
+    * sa3's split.
+    *
+    * Scale: one pass computes weights; ΣW is a 1-row aggregate broadcast
+    * back; the draw-and-keep is map-only. Nothing shuffles. Weights here
+    * are token counts; any non-negative score column (novelty, quality)
+    * drops in unchanged.
+    */
+  def sa4WeightedSample(
+      docs: DataFrame, targetN: Int = 150,
+      salt: String = "graft-wsample-v1"): DataFrame = {
+    val weighted = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("w"))
+    val tot = weighted.agg(sum(col("w")).as("tot_w"))
+    val u = conv(
+      substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    val p = least(lit(1.0),
+      lit(targetN.toDouble) * col("w").cast("double") / col("tot_w").cast("double"))
+    weighted.crossJoin(broadcast(tot))
+      .withColumn("u", u)
+      .withColumn("p", p)
+      .filter(col("u") < col("p"))
+      .select(col("doc_id"), col("w"), r6(col("p")).as("p_inc"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sa4WeightedSampleQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa4WeightedSample(Tables.documents(spark, sfDir))
+
   // ----------------------------------------------------------- csv dim
 
   /** cs1 — S3: the dimension join with the dim read from CSV (the
@@ -240,6 +279,7 @@ object Params {
     "sa1_seeded_sample" -> (sa1SeededSample _),
     "sa2_stratified_sample" -> (sa2StratifiedSample _),
     "sa3_hash_split" -> (sa3HashSplitQ _),
+    "sa4_weighted_sample" -> (sa4WeightedSampleQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _))
 
   val oracles: Map[String, String] = Map(
@@ -253,6 +293,16 @@ object Params {
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "sa4_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, len(${tokensSql("text")}) AS w FROM documents),
+         |s AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM t),
+         |b AS (SELECT doc_id, w,
+         |  ('0x' || substring(md5('graft-wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+         |    / CAST(4503599627370496 AS DOUBLE) AS u,
+         |  least(CAST(1 AS DOUBLE), CAST(150 AS DOUBLE) * w / CAST(tot_w AS DOUBLE)) AS p
+         |  FROM t, s)
+         |SELECT doc_id, CAST(w AS BIGINT) AS w, round(p * 1e6) / 1e6 AS p_inc
+         |FROM b WHERE u < p ORDER BY doc_id""".stripMargin,
     "sa3_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |  ('0x' || substring(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket

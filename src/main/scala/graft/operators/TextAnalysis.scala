@@ -420,6 +420,113 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** td12 — PII scan/redaction patterns, defined ONCE for the engine (Java
+    * regex) and the generated oracle (RE2). Deliberately alternation-free
+    * and plain-greedy: Java's leftmost-FIRST backtracking and RE2's
+    * leftmost-LONGEST matching agree on such patterns, so match counts and
+    * replacement spans are engine-identical (asserted in
+    * TextAnalysisSpec on crafted PII docs — the synthetic corpus itself is
+    * digit-free, so the spec is where the behavior is exercised).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** td12 — PII detection and redaction: per document, match counts for
+    * email / IPv4 / phone-shaped spans, the conjunctive `pii_free` flag,
+    * and an md5 fingerprint of the REDACTED text (emails first, then IPs,
+    * then phones — order matters: a phone-shaped run inside an already-
+    * redacted span must not double-fire). The fingerprint lets the gate
+    * verify the redaction itself without shipping the (possibly
+    * sensitive) text through the comparison — the same posture a real
+    * pipeline takes: redact in place, log only counts and hashes.
+    *
+    * Scale: three codegen'd regex passes, map-only, no shuffle — composes
+    * with the quality filter in one stage. Patterns are shared verbatim
+    * with the DuckDB oracle (see [[EmailPattern]] note on regex-engine
+    * agreement).
+    */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "<EMAIL>"),
+          Ipv4Pattern, "<IP>"),
+        PhonePattern, "<PHONE>")
+    docs.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+        regexp_count(col("text"), lit(PhonePattern)).cast("long").as("n_phones"),
+        md5(redacted).as("redacted_fp"))
+      .withColumn("pii_free",
+        col("n_emails") === 0 && col("n_ipv4") === 0 && col("n_phones") === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** td13 — BM25-style keyword relevance (Robertson & Walker's Okapi
+    * formula) for a fixed query, top-k: per document, per-term tf over
+    * the shared tokenizer, document length dl, corpus stats (N, avgdl,
+    * per-term df) from ONE auxiliary aggregate broadcast back, then
+    *
+    *   score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with the RATIONAL idf `(N − df + 0.5)/(df + 0.5)` instead of the
+    * textbook log of it: `log` is not IEEE-correctly-rounded and differs
+    * in the last ulp across libm implementations (the td11 rule), while
+    * this form is division-exact in both engines and induces the same
+    * per-term ordering. The per-term scores are summed in FIXED query
+    * order (explicit column addition, never an agg over an unordered
+    * set), so the total is bit-reproducible.
+    *
+    * Scale: one linear pass computes tf/dl; the stats side is a 1-row
+    * aggregate cross-joined back (Spark plans a broadcast nested loop of
+    * one row); top-k is TakeOrderedAndProject. The corpus never
+    * shuffles. A multi-query batch is the same plan with the query set
+    * exploded and the stats keyed by query_id.
+    */
+  /** All four constants are spelled as LITERALS (never derived — `1.2 +
+    * 1.0` in double arithmetic lands on a round-to-even knife edge vs the
+    * parsed literal `2.2`), so the Scala plan and the oracle SQL parse the
+    * exact same doubles.
+    */
+  val Bm25K1 = 1.2
+  val Bm25K1Plus1 = 2.2
+  val Bm25B = 0.75
+  val Bm25OneMinusB = 0.25
+
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 50): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty query")
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            // tf as |toks| − |toks without t|: array_remove is a codegen'd
+            // collection op — a `filter` HOF lambda runs interpreted per row
+            (size(col("toks")) - size(array_remove(col("toks"), t)))
+              .cast("long").as(s"tf_$i")
+          }: _*)
+    val statAggs = count(lit(1)).as("n_docs") +: sum(col("dl")).as("sum_dl") +:
+      terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val perTerm = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val idf = (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))
+      idf * tf * lit(Bm25K1Plus1) /
+        (tf + lit(Bm25K1) * (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl") / avgdl))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        r6(perTerm.reduce(_ + _)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The registry's fixed demo query — mid-frequency corpus terms. */
+  val Bm25Terms: Seq[String] = Seq("spark", "vector", "customer")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -433,7 +540,9 @@ object TextAnalysis {
     "td7_corpus_rollup" -> ((s: SparkSession, d: String) => corpusRollup(Tables.documents(s, d))),
     "td8_ngram_freq" -> ((s: SparkSession, d: String) => ngramFreq(Tables.documentsRebalanced(s, d))),
     "td10_repetition" -> ((s: SparkSession, d: String) => repetitionMetrics(Tables.documents(s, d))),
-    "td11_doc_novelty" -> ((s: SparkSession, d: String) => docNovelty(Tables.documentsRebalanced(s, d))))
+    "td11_doc_novelty" -> ((s: SparkSession, d: String) => docNovelty(Tables.documentsRebalanced(s, d))),
+    "td12_pii_scan" -> ((s: SparkSession, d: String) => piiScan(Tables.documents(s, d))),
+    "td13_bm25" -> ((s: SparkSession, d: String) => bm25(Tables.documents(s, d), Bm25Terms)))
 
   val oracles: Map[String, String] = Map(
     "td1_text_stats" ->
@@ -561,6 +670,44 @@ object TextAnalysis {
         |  round(dup_lines / nullif(n_lines, 0) * 1e6) / 1e6 AS dup_line_frac,
         |  round(dup_chars / nullif(chars, 0) * 1e6) / 1e6 AS dup_char_frac
         |FROM a ORDER BY doc_id""".stripMargin,
+    "td12_pii_scan" ->
+      s"""WITH r AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+         |  len(regexp_extract_all(text, '$Ipv4Pattern')) AS n_ipv4,
+         |  len(regexp_extract_all(text, '$PhonePattern')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$Ipv4Pattern', '<IP>', 'g'),
+         |    '$PhonePattern', '<PHONE>', 'g')) AS redacted_fp
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+         |  CAST(n_ipv4 AS BIGINT) AS n_ipv4, CAST(n_phones AS BIGINT) AS n_phones,
+         |  redacted_fp, n_emails = 0 AND n_ipv4 = 0 AND n_phones = 0 AS pii_free
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "td13_bm25" -> {
+      val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(toks) - len(list_filter(toks, x -> x != '$t')) AS tf_$i"
+      }.mkString(",\n")
+      val dfDefs = Bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+        .mkString(",\n")
+      val termSql = Bm25Terms.indices.map { i =>
+        s"(CAST(n_docs - df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)" +
+          s" * tf_$i * CAST($Bm25K1Plus1 AS DOUBLE)" +
+          s" / (tf_$i + CAST($Bm25K1 AS DOUBLE) * (CAST($Bm25OneMinusB AS DOUBLE)" +
+          s" + CAST($Bm25B AS DOUBLE) * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+      }.mkString("\n  + ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, len(toks) AS dl,
+         |$tfDefs
+         |FROM t),
+         |s AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |$dfDefs
+         |FROM b)
+         |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+         |  round(($termSql) * 1e6) / 1e6 AS score
+         |FROM b, s ORDER BY score DESC, doc_id LIMIT 50""".stripMargin
+    },
     "td5_winnow_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |g AS (SELECT doc_id,

@@ -107,4 +107,33 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     val full = a.map(t => t._1 -> t._3).toMap
     sub.foreach { case (id, s) => assert(full(id) === s, s"doc $id drifted on subset") }
   }
+
+  test("sa4: weighted sample is deterministic, near-target-sized, and weight-monotone") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val a = Params.sa4WeightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = Params.sa4WeightedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.toSeq === b.toSeq, "weighted sample must be run-to-run identical")
+    // expected size = Σ min(1, targetN·w/ΣW) = targetN when nothing clips;
+    // the hash draw concentrates tightly around it (±40% is generous)
+    val n = a.length
+    assert(n > 150 * 0.6 && n < 150 * 1.4, s"sample size $n far from target 150")
+    // inclusion probability is monotone in the weight
+    val byW = a.map(t => t._2 -> t._3)
+    byW.sortBy(_._1).sliding(2).foreach {
+      case Array((w1, p1), (w2, p2)) =>
+        assert(p1 <= p2 + 1e-9, s"p_inc not monotone: w=$w1 p=$p1 vs w=$w2 p=$p2")
+      case _ =>
+    }
+    // a doc's draw is a property of its key: the kept set of a subset is
+    // the subset of the kept set ONLY when the weight total is held fixed —
+    // here we just pin determinism of u via a changed target (p scales,
+    // u does not): every doc kept at target 150 with p_inc scaled by 2
+    // is kept at target 300
+    val big = Params.sa4WeightedSample(docs, targetN = 300).collect()
+      .map(r => r.getLong(0)).toSet
+    a.foreach { case (id, _, _) =>
+      assert(big.contains(id), s"doc $id kept at target 150 but dropped at 300") }
+  }
 }

@@ -225,6 +225,60 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 1, s"quality filter should be map-only pre-sort:\n$p")
   }
 
+  test("q21: per-group top-k plans as WindowGroupLimit — no group ever materializes fully") {
+    val p = plan(Analytics.q21TopPerGroup(spark, sf001))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not rewritten to WindowGroupLimit:\n$p")
+  }
+
+  test("q22: the three funnel stages share ONE user_id shuffle") {
+    val p = plan(Analytics.q22Funnel(spark, sf001))
+    // one user_id exchange feeding the window chain + the final single-row
+    // aggregate's exchange — the per-user rollup rides the window
+    // partitioning, and no stage re-shuffles the fact table
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges === 2, s"funnel should shuffle exactly twice, got $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"window chain does not partition by user_id:\n$p")
+    val windows = p.linesIterator.count(_.contains(") Window"))
+    assert(windows === 3, s"expected 3 chained window stages, got $windows:\n$p")
+  }
+
+  test("q24: JSON extraction prunes the scan to event_type + props") {
+    val p = plan(Analytics.q24JsonExtract(spark, sf001))
+    val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(read.contains("event_type") && read.contains("props") && !read.contains("value"),
+      s"scan not pruned to event_type+props: $read")
+  }
+
+  test("td12: PII scan is map-only and prunes the scan to doc_id + text") {
+    val p = plan(TextAnalysis.piiScan(Tables.documents(spark, sf001)))
+    val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") && !read.contains("lang"),
+      s"scan not pruned to doc_id+text: $read")
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 1, s"PII scan should be map-only pre-sort:\n$p")
+  }
+
+  test("td13: BM25 broadcasts the 1-row stats and plans top-k as TakeOrderedAndProject") {
+    val p = plan(TextAnalysis.bm25(Tables.documents(spark, sf001), TextAnalysis.Bm25Terms))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus stats are not broadcast back:\n$p")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"stats join fell back to a cartesian:\n$p")
+  }
+
+  test("sa4: weighted sample broadcasts the 1-row total and stays map-only") {
+    val p = plan(Params.sa4WeightedSample(Tables.documents(spark, sf001)))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"weight total is not broadcast back:\n$p")
+    // one exchange for the 1-row total aggregate, one for the final sort —
+    // the draw-and-keep itself must not shuffle the corpus
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"weighted sample shuffles the corpus:\n$p")
+  }
+
   test("whole-stage codegen covers the cleaning+derive hot path") {
     val df = Analytics.q03Derived(spark, sf001, ordered = false)
     df.collect() // finalize the AQE plan — codegen spans appear post-execution

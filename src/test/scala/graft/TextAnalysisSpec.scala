@@ -144,6 +144,66 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(frac(4L, "dup_line_frac") === Some(0.0))
   }
 
+  test("td12 PII scan: crafted emails/IPs/phones are counted and redacted (corpus is PII-free)") {
+    import org.apache.spark.sql.functions.{col, md5, lit}
+    val docs = Seq(
+      (1L, "contact alice.smith+dev@example.co.uk or bob@test.org today"),
+      (2L, "server at 192.168.1.250 and 10.0.0.1 responded"),
+      (3L, "call +1 (555) 123-4567 or 08001234567 now"),
+      (4L, "clean document with no sensitive spans at all"),
+      (5L, "mixed: eve@corp.io from 127.0.0.1 dialed 555-867-5309")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiScan(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = (
+      rows(id).getLong(rows(id).fieldIndex("n_emails")),
+      rows(id).getLong(rows(id).fieldIndex("n_ipv4")),
+      rows(id).getLong(rows(id).fieldIndex("n_phones")))
+    assert(counts(1L) === ((2L, 0L, 0L)))
+    assert(counts(2L) === ((0L, 2L, 0L)))
+    assert(counts(3L)._3 >= 2L, s"phone spans not detected: ${counts(3L)}")
+    assert(counts(4L) === ((0L, 0L, 0L)))
+    assert(counts(5L)._1 === 1L)
+    assert(counts(5L)._2 === 1L)
+    assert(counts(5L)._3 >= 1L)
+    assert(rows(4L).getBoolean(rows(4L).fieldIndex("pii_free")))
+    assert(!rows(1L).getBoolean(rows(1L).fieldIndex("pii_free")))
+    // a PII-free doc's fingerprint is the md5 of the ORIGINAL text;
+    // a redacted doc's fingerprint differs from it
+    val fp4 = docs.filter(col("doc_id") === 4L)
+      .select(md5(col("text"))).head.getString(0)
+    assert(rows(4L).getString(rows(4L).fieldIndex("redacted_fp")) === fp4)
+    val fp1 = docs.filter(col("doc_id") === 1L)
+      .select(md5(col("text"))).head.getString(0)
+    assert(rows(1L).getString(rows(1L).fieldIndex("redacted_fp")) !== fp1)
+    // the redaction literally replaces the spans (checked end-to-end)
+    val red1 = docs.filter(col("doc_id") === 1L)
+      .select(md5(lit("contact <EMAIL> or <EMAIL> today"))).head.getString(0)
+    assert(rows(1L).getString(rows(1L).fieldIndex("redacted_fp")) === red1)
+  }
+
+  test("td13 BM25: tf raises relevance, rare terms outweigh common ones, scores reproduce") {
+    // 'rare' appears in 1 of 6 docs, 'common' in 5 — with matching tf, the
+    // rare-term doc must outrank the common-term doc (idf dominance)
+    val docs = Seq(
+      (1L, "rare word here with some filler text around it"),
+      (2L, "common word here with some filler text around it"),
+      (3L, "common filler text one"),
+      (4L, "common filler text two"),
+      (5L, "common filler text three"),
+      (6L, "common common common heavy repetition of the common term")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, Seq("rare", "common"), k = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("score"))).toMap
+    assert(got(1L) > got(2L), s"idf dominance violated: $got")
+    // tf monotonicity among same-length docs of the same term
+    assert(got(6L) > got(3L), s"tf monotonicity violated: $got")
+    // deterministic: a second run reproduces bit-identical scores
+    val again = TextAnalysis.bm25(docs, Seq("rare", "common"), k = 6).collect()
+      .map(r => r.getLong(0) -> r.getDouble(r.fieldIndex("score"))).toMap
+    assert(got === again)
+  }
+
   test("text stats survive a zero-token document: null ratios, not NaN or a crash") {
     val docs = Seq((1L, "the cat sat"), (2L, "   ")).toDF("doc_id", "text")
     val rows = TextAnalysis.textStats(docs).collect()
