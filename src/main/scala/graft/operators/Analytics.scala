@@ -477,9 +477,85 @@ object Analytics {
         r6(sum(col("k")) / count(col("k"))).as("avg_k"))
       .orderBy(col("event_type"))
 
+  // ---------------------------------------------------------------- q25
+  /** ANTI-join analytics: customers with NO events (the churn/inactive
+    * report), rolled up by market segment. The anti join is the
+    * existence-check operator — no `distinct` pre-pass (the join itself
+    * is a set-membership probe, and a distinct would add a second
+    * shuffle of the fact side). Both sides scale with SF, so the join
+    * shuffles on the key at 100 TB (and AQE broadcasts whichever side
+    * its runtime stats say is small enough). The SEMI join is the same
+    * plan with `left_semi`.
+    */
+  def q25InactiveCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
+    c.join(e, col("c_custkey") === col("user_id"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_inactive"), davg(col("c_acctbal")).as("avg_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** PIVOT: daily event counts spread into one column per event type —
+    * the wide dashboard feed. The pivot values are an EXPLICIT list
+    * (never inferred: inference is a full extra scan at 100 TB, and an
+    * unexpected new type silently widening the schema is a contract
+    * violation, not a feature); absent combinations are 0, not null,
+    * matching the conditional-count SQL twin.
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def q26PivotDaily(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .select(ntz(col("day")).as("day") +: EventTypes.map(col): _*)
+      .orderBy(col("day"))
+
+  // ---------------------------------------------------------------- q27
+  /** ROLLUP (grouping sets): customer counts and exact account-balance
+    * sums at three grain levels — (region, nation), (region), grand
+    * total — in ONE aggregation pass (Spark expands the grouping sets
+    * map-side; the alternative is three jobs over the same scan).
+    * Subtotal rows carry NULL group keys; the deterministic order
+    * pins NULLS FIRST explicitly because Spark's ascending default and
+    * DuckDB's disagree (Spark NULLS FIRST, DuckDB NULLS LAST).
+    */
+  def q27RollupTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"), dsumr(col("c_acctbal")).as("sum_acctbal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Set operation (EXCEPT): customer keys that placed orders but never
+    * produced an event — the §2.10 family the reference lacks entirely.
+    * `except` is DISTINCT set difference: both sides dedup map-side
+    * then anti-join on the full row — one shuffle each, no driver
+    * materialization. INTERSECT and UNION [DISTINCT] are the same plan
+    * shape with the join type flipped.
+    */
+  def q28ExceptKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+      .except(Tables.events(spark, sfDir).select(col("user_id").as("custkey")))
+      .orderBy(col("custkey"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_inactive_customers" -> (q25InactiveCustomers _),
+    "q26_pivot_daily" -> (q26PivotDaily _),
+    "q27_rollup_totals" -> (q27RollupTotals _),
+    "q28_except_keys" -> (q28ExceptKeys _),
     "q19_percentiles" -> (q19Percentiles _),
     "q21_top_per_group" -> ((s: SparkSession, d: String) => q21TopPerGroup(s, d)),
     "q22_funnel" -> (q22Funnel _),
@@ -645,6 +721,29 @@ object Analytics {
         |  CAST(floor(epoch(anchor_ts)) AS BIGINT) AS anchor_sec,
         |  CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(anchor_ts)) AS BIGINT) AS since_anchor_sec
         |FROM a ORDER BY event_id""".stripMargin,
+    "q25_inactive_customers" ->
+      s"""SELECT c_mktsegment, count(*) AS n_inactive,
+         |${davgSql("c_acctbal")} AS avg_acctbal
+         |FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q26_pivot_daily" ->
+      s"""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+         |${EventTypes.map(t => s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""").mkString(",\n")}
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q27_rollup_totals" ->
+      s"""SELECT r_name, n_name, count(*) AS n_customers,
+         |${dsumSql("c_acctbal")} AS sum_acctbal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)
+         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q28_except_keys" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT user_id AS custkey FROM events
+        |ORDER BY custkey""".stripMargin,
     "q21_top_per_group" ->
       s"""WITH r AS (SELECT n_name, s_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue

@@ -279,6 +279,40 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"weighted sample shuffles the corpus:\n$p")
   }
 
+  test("q25: inactive-customer report is a LEFT ANTI join, never a cartesian") {
+    val p = plan(Analytics.q25InactiveCustomers(spark, sf001))
+    assert(p.contains("LeftAnti"), s"existence check is not an anti join:\n$p")
+    assert(!p.toLowerCase.contains("cartesian"), s"anti join fell back to a cartesian:\n$p")
+  }
+
+  test("q26: pivot is ONE aggregation pass over the scan (explicit values, no inference scan)") {
+    val p = plan(Analytics.q26PivotDaily(spark, sf001))
+    // inference would plan a SECOND scan of events (collect distinct types)
+    val scans = p.linesIterator.count(_.contains(") Scan parquet"))
+    assert(scans === 1, s"pivot value inference added a scan, got $scans:\n$p")
+    // Spark's two-phase pivot: (day, type) counts, then pivot-first over
+    // day, then the presentation sort — both aggregates reduce before
+    // their exchange, so nothing row-scaled shuffles
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 3, s"unexpected extra shuffles in the pivot plan:\n$p")
+  }
+
+  test("q27: rollup expands grouping sets map-side — one aggregation, one shuffle") {
+    val p = plan(Analytics.q27RollupTotals(spark, sf001))
+    assert(p.contains("Expand"), s"rollup did not plan grouping-set Expand:\n$p")
+    // one partial+final aggregate pair over the expanded rows — NOT one
+    // job per grain level
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"rollup re-shuffles per grain:\n$p")
+  }
+
+  test("q28: EXCEPT plans as distinct + anti join, both sides partial-aggregated") {
+    val p = plan(Analytics.q28ExceptKeys(spark, sf001))
+    assert(p.contains("LeftAnti"), s"except is not an anti join:\n$p")
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 2, s"set-op dedup is not partial-aggregated:\n$p")
+  }
+
   test("whole-stage codegen covers the cleaning+derive hot path") {
     val df = Analytics.q03Derived(spark, sf001, ordered = false)
     df.collect() // finalize the AQE plan — codegen spans appear post-execution
