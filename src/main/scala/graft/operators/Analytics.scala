@@ -549,9 +549,35 @@ object Analytics {
       .except(Tables.events(spark, sfDir).select(col("user_id").as("custkey")))
       .orderBy(col("custkey"))
 
+  // ---------------------------------------------------------------- q29
+  /** The SKETCH variants the 100 TB plans name as their scale path, shipped
+    * as a real operator instead of a comment: per return flag,
+    * `approx_count_distinct` (HLL — bounded memory, order-independent
+    * register-max merge) next to the exact distinct count, and
+    * `percentile_approx` (bounded-memory quantile sketch) next to the
+    * exact percentile (q19's operator). An exact distinct over a
+    * high-cardinality column keys a partial-dedup map that scales with
+    * the distinct count per group; the HLL is fixed-size per group at
+    * any cardinality. Sketch estimates are engine-specific by nature
+    * (DuckDB's HLL produces different estimates from Spark's) ⇒
+    * rows-only gate; the accuracy floors vs the exact twins are
+    * asserted in SqlTwinsSpec.
+    */
+  def q29ApproxSketches(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("percentile(l_quantity, 0.5D)").as("exact_p50"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
+      .orderBy(col("l_returnflag"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_approx_sketches" -> (q29ApproxSketches _),
     "q25_inactive_customers" -> (q25InactiveCustomers _),
     "q26_pivot_daily" -> (q26PivotDaily _),
     "q27_rollup_totals" -> (q27RollupTotals _),

@@ -21,4 +21,24 @@ class SqlTwinsSpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("q29: sketch estimates track their exact twins (HLL within 3·rsd, quantile within one step)") {
+    val rows = graft.operators.Analytics.q29ApproxSketches(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(r.fieldIndex("exact_parts")).toDouble
+      val approx = r.getLong(r.fieldIndex("approx_parts")).toDouble
+      // default HLL rsd is 0.05; 3 standard deviations is a generous,
+      // non-flaky bound at these cardinalities
+      assert(math.abs(approx - exact) <= math.max(3.0, 0.15 * exact),
+        s"${r.getString(0)}: HLL estimate $approx vs exact $exact")
+      val ep50 = r.getDouble(r.fieldIndex("exact_p50"))
+      val ap50 = r.getDouble(r.fieldIndex("approx_p50"))
+      // accuracy 10000 on a ~50-value integer-ish domain: the sketch
+      // must land on an actual data value within one step of the exact
+      // interpolated median
+      assert(math.abs(ap50 - ep50) <= 1.0,
+        s"${r.getString(0)}: approx p50 $ap50 vs exact $ep50")
+    }
+  }
 }
