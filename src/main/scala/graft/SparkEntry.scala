@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, Dedup, Multimodal, Params, Similarity, Sql, TextAnalysis}
-import graft.streaming.{EventStreams, Sessions}
+import graft.streaming.{EventStreams, MaterializedView, Sessions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventStreams.queries ++
-      Sessions.queries ++ Sql.queries ++ Params.queries
+      Sessions.queries ++ Sql.queries ++ Params.queries ++
+      MaterializedView.queries
 
   /** The bench variant: identical except that row-level outputs drop the
     * verify-only canonical `orderBy`, so the bench measures the operator,
@@ -43,5 +44,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles ++
-      Sessions.oracles ++ Sql.oracles ++ Params.oracles
+      Sessions.oracles ++ Sql.oracles ++ Params.oracles ++
+      MaterializedView.oracles
 }

@@ -9,11 +9,15 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg (dev workflow): comma-separated query-name subset
+    val only = args.lift(2).map(_.split(',').toSet)
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     def q(s: String): String = "\"" + GraftSession.jsonEscape(s) + "\""
-    val errors = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val errors = selected.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

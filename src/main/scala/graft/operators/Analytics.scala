@@ -574,10 +574,64 @@ object Analytics {
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- q30
+  /** CO-LOCATED fact⋈fact join served from the bucketed staging
+    * ([[graft.sources.BucketStore]]): lineitem and orders are both
+    * bucketed by their join key at staging time, so this join reads
+    * bucket i against bucket i with NO Exchange on either side — the
+    * sort-merge join's sorts are also satisfied by the bucket files'
+    * `sortBy` order (PlanSpec audits zero exchanges below the join).
+    * The `merge` hint pins the co-located SMJ at every scale factor:
+    * without it the optimizer would broadcast the small driver-corpus
+    * orders side and the bench would measure a plan that cannot exist
+    * at 100 TB. Contrast q03/q09, which join the same facts through the
+    * shuffle path — that pair is the "first join of a fresh dataset"
+    * cost; this is the "every nightly join after staging once" cost.
+    */
+  def q30BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = graft.sources.BucketStore.lineitemByOrderkey(spark, sfDir)
+    val o = graft.sources.BucketStore.ordersByOrderkey(spark, sfDir)
+    li.hint("merge")
+      .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsumr(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** LAG window (inter-event gaps): per user, the time since the same
+    * user's previous event — the sequential-dependency window family
+    * (q20 is ignore-nulls `last`, q23 the sliding frame; this is the
+    * offset function). One shuffle on `user_id`; the per-user output is
+    * a bounded aggregate row, so nothing data-scaled leaves the window
+    * stage. Gaps are integer epoch-second differences (exact in both
+    * engines); the mean divides the exact integer sum — a user's first
+    * event has a NULL gap and drops out of `count(gap)` in both engines
+    * identically. Tie order inside a user is pinned by (ts, event_id).
+    */
+  def q31EventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_sec",
+        epochSeconds(col("ts")) - lag(epochSeconds(col("ts")), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("gap_sec")).as("n_gaps"),
+        r6(sum(col("gap_sec")) / count(col("gap_sec"))).as("avg_gap_sec"),
+        max(col("gap_sec")).as("max_gap_sec"))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_approx_sketches" -> (q29ApproxSketches _),
+    "q30_bucketed_join" -> (q30BucketedJoin _),
+    "q31_event_gaps" -> (q31EventGaps _),
     "q25_inactive_customers" -> (q25InactiveCustomers _),
     "q26_pivot_daily" -> (q26PivotDaily _),
     "q27_rollup_totals" -> (q27RollupTotals _),
@@ -816,6 +870,23 @@ object Analytics {
         |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
         |  round(CAST(sum(k) AS DOUBLE) / count(k) * 1e6) / 1e6 AS avg_k
         |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q30_bucketed_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q31_event_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  count(ts_sec - prev_sec) AS n_gaps,
+        |  round(CAST(sum(ts_sec - prev_sec) AS DOUBLE)
+        |    / count(ts_sec - prev_sec) * 1e6) / 1e6 AS avg_gap_sec,
+        |  max(ts_sec - prev_sec) AS max_gap_sec
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_quantity, 0.25) * 1e6) / 1e6 AS p25,

@@ -126,7 +126,7 @@ object EventStreams {
     * the new run's files). Dead processes can't clean up after
     * themselves, so each call also sweeps dirs whose owning pid is gone.
     */
-  private def stagingDir(name: String): java.io.File = {
+  private[streaming] def stagingDir(name: String): java.io.File = {
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_stream")
     sweepDeadProcessDirs(root)
     val base = new java.io.File(root, s"p${ProcessHandle.current().pid()}/$name")

@@ -1,0 +1,67 @@
+package graft
+
+import java.io.File
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{BucketStore, Tables}
+
+/** The bucketed staging's lifecycle: build once, re-register (not rebuild)
+  * when a fresh session's in-memory catalog hasn't seen existing files,
+  * rebuild when the staging is stale.
+  */
+class BucketStoreSpec extends AnyFunSuite with SparkFixture {
+
+  private def dataFiles(dir: File): Map[String, Long] =
+    Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-"))
+      .map(f => f.getName -> f.lastModified)
+      .toMap
+
+  test("catalog registration survives a drop without rewriting the files") {
+    val first = BucketStore.lineitemByOrderkey(spark, sf001)
+    val expected = Tables.lineitem(spark, sf001).count()
+    assert(first.count() === expected)
+    val dir = new File(BucketStore.dataDir(sf001, "lineitem"))
+    val before = dataFiles(dir)
+    assert(before.nonEmpty, "staging produced no bucket files")
+    // a new JVM's in-memory catalog is empty — model it by dropping the table
+    spark.sql(
+      s"DROP TABLE IF EXISTS ${BucketStore.tableName(sf001, "lineitem", "l_orderkey")}")
+    val again = BucketStore.lineitemByOrderkey(spark, sf001)
+    assert(again.count() === expected)
+    assert(dataFiles(dir) === before,
+      "re-registration rewrote the staged files instead of reusing them")
+  }
+
+  test("the registered table is bucketed (8 buckets on the join key)") {
+    BucketStore.ordersByOrderkey(spark, sf001)
+    val desc = spark.sql(
+      s"DESCRIBE EXTENDED ${BucketStore.tableName(sf001, "orders", "o_orderkey")}")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets=8"), s"table not bucketed:\n$desc")
+    assert(desc.contains("o_orderkey"), s"bucket key missing:\n$desc")
+  }
+
+  test("one file per bucket — the repartition aligns with the bucket hash") {
+    BucketStore.lineitemByOrderkey(spark, sf001)
+    val dir = new File(BucketStore.dataDir(sf001, "lineitem"))
+    assert(dataFiles(dir).size === BucketStore.NumBuckets,
+      s"expected exactly ${BucketStore.NumBuckets} bucket files")
+  }
+
+  test("a stale marker forces a rebuild") {
+    BucketStore.ordersByOrderkey(spark, sf001)
+    val dir = new File(BucketStore.dataDir(sf001, "orders"))
+    val before = dataFiles(dir)
+    // age the marker behind the (read-only) source to simulate staleness
+    val marker = new File(dir, "_SUCCESS")
+    val source = new File(Tables.path(sf001, "orders"))
+    assert(marker.setLastModified(source.lastModified() - 60000))
+    val again = BucketStore.ordersByOrderkey(spark, sf001)
+    assert(again.count() === Tables.orders(spark, sf001).count())
+    val after = dataFiles(dir)
+    assert(after.nonEmpty)
+    // a rebuild writes fresh files (new names or newer mtimes)
+    assert(after !== before, "stale staging was not rebuilt")
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.io.File
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.streaming.MaterializedView
+
+/** The maintenance loop's contracts, driven batch-by-batch (what the
+  * single-file AvailableNow gate cannot show): merging across batches,
+  * idempotent replay, and partition-level incrementality.
+  */
+class MaterializedViewSpec extends AnyFunSuite with SparkFixture {
+
+  private def events(rows: (String, String, Double)*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (ts, t, v) =>
+        org.apache.spark.sql.Row(Timestamp.valueOf(ts), t, v)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+  }
+
+  private def freshDir(name: String): String = {
+    val d = new File(sys.props("java.io.tmpdir"), s"graft_mv_spec/$name")
+    graft.sources.Staging.deleteRecursively(d)
+    d.getAbsolutePath
+  }
+
+  private def servingRows(dir: String): Seq[(String, String, Long, Double)] =
+    MaterializedView.readServing(spark, dir).collect()
+      // timestamp_ntz collects as java.time.LocalDateTime
+      .map(r => (r.get(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  test("batches merge: two overlapping-day batches equal the from-scratch aggregate") {
+    val dir = freshDir("merge")
+    val b0 = events(
+      ("2024-01-01 10:00:00", "view", 1.0), ("2024-01-01 11:00:00", "view", 2.0),
+      ("2024-01-02 09:00:00", "click", 4.0))
+    val b1 = events(
+      ("2024-01-02 10:00:00", "click", 6.0), ("2024-01-03 08:00:00", "view", 10.0))
+    MaterializedView.upsertBatch(b0, dir, 0L)
+    MaterializedView.upsertBatch(b1, dir, 1L)
+    assert(servingRows(dir) === Seq(
+      ("2024-01-01T00:00", "view", 2L, 1.5),
+      ("2024-01-02T00:00", "click", 2L, 5.0),
+      ("2024-01-03T00:00", "view", 1L, 10.0)))
+  }
+
+  test("replayed batch ids are dropped — the upsert is idempotent") {
+    val dir = freshDir("replay")
+    val b0 = events(("2024-01-01 10:00:00", "view", 1.0))
+    MaterializedView.upsertBatch(b0, dir, 0L)
+    val once = servingRows(dir)
+    // at-least-once redelivery of the SAME batch id must be a no-op
+    MaterializedView.upsertBatch(b0, dir, 0L)
+    assert(servingRows(dir) === once)
+    // and a stale id arriving after a newer one is dropped too
+    MaterializedView.upsertBatch(events(("2024-01-01 10:00:00", "view", 99.0)), dir, 0L)
+    assert(servingRows(dir) === once)
+  }
+
+  test("a batch rewrites ONLY the date partitions it touches") {
+    val dir = freshDir("incremental")
+    MaterializedView.upsertBatch(events(
+      ("2024-01-01 10:00:00", "view", 1.0), ("2024-01-02 10:00:00", "view", 2.0)), dir, 0L)
+    val day1 = new File(dir, "data/day=2024-01-01")
+    val before = Option(day1.listFiles).get
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    MaterializedView.upsertBatch(events(("2024-01-02 12:00:00", "view", 4.0)), dir, 1L)
+    val after = Option(day1.listFiles).get
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    assert(after === before, "untouched partition was rewritten")
+    assert(servingRows(dir) === Seq(
+      ("2024-01-01T00:00", "view", 1L, 1.0),
+      ("2024-01-02T00:00", "view", 2L, 3.0)))
+  }
+
+  test("empty batches advance the applied-id watermark without writing data") {
+    val dir = freshDir("empty")
+    MaterializedView.upsertBatch(events(), dir, 0L)
+    MaterializedView.upsertBatch(events(("2024-01-01 10:00:00", "view", 1.0)), dir, 1L)
+    assert(servingRows(dir) === Seq(("2024-01-01T00:00", "view", 1L, 1.0)))
+  }
+}

@@ -245,10 +245,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("q24: JSON extraction prunes the scan to event_type + props") {
+    // cache isolation: if pf1's cachedEvents ran first in this shared
+    // session, the cache manager substitutes the FULL-column
+    // InMemoryRelation into any plan containing the events subtree and the
+    // audit would read the cached table's schema instead of the parquet
+    // scan's (the cached read still prunes columns batch-side — this audit
+    // is about the UNCACHED scan shape)
+    spark.catalog.clearCache()
     val p = plan(Analytics.q24JsonExtract(spark, sf001))
     val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
     assert(read.contains("event_type") && read.contains("props") && !read.contains("value"),
       s"scan not pruned to event_type+props: $read")
+  }
+
+  test("q30: co-located bucketed join — both scans bucketed, ZERO exchange below the SMJ") {
+    val p = plan(Analytics.q30BucketedJoin(spark, sf001))
+    assert(p.contains("SortMergeJoin"), s"bucketed join is not a sort-merge join:\n$p")
+    assert("SelectedBucketsCount: 8 out of 8".r.findAllIn(p).size === 2,
+      s"expected both sides to scan bucketed files:\n$p")
+    // the formatted details section numbers operators leaf-first, so every
+    // Exchange must appear AFTER the join: the only shuffles in this plan
+    // are the post-join aggregate's and the output sort's
+    val smj = p.indexOf(") SortMergeJoin")
+    val ex = p.indexOf(") Exchange")
+    assert(smj >= 0 && (ex == -1 || ex > smj),
+      s"exchange below the co-located join — bucketing not honored:\n$p")
+  }
+
+  test("q31: gap window and per-user rollup share ONE user_id shuffle") {
+    val p = plan(Analytics.q31EventGaps(spark, sf001))
+    assert(p.contains("hashpartitioning(user_id"),
+      s"lag window does not partition by user_id:\n$p")
+    // user_id exchange feeding the window (the groupBy reuses its
+    // partitioning) + the final orderBy's range exchange — nothing else
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges === 2, s"expected exactly 2 exchanges, got $exchanges:\n$p")
   }
 
   test("td12: PII scan is map-only and prunes the scan to doc_id + text") {
