@@ -35,6 +35,11 @@ object Analytics {
     * shape; reference: assignment1.ipynb:262–305).
     */
   def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    // measured, not assumed: the testdata's single-row-group lineitem file
+    // makes this scan+partial-agg single-task, but a rebalancing exchange
+    // does NOT help (warm 1.7 s → 1.9 s at sf0.1) — the serial parquet
+    // decode dominates, not the decimal aggregation, so the plain scan is
+    // the right plan at every layout
     val li = Tables.lineitem(spark, sfDir)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -563,16 +568,30 @@ object Analytics {
     * rows-only gate; the accuracy floors vs the exact twins are
     * asserted in SqlTwinsSpec.
     */
-  def q29ApproxSketches(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
-      .groupBy(col("l_returnflag"))
+  def q29ApproxSketches(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    // The exact distinct count runs as its OWN aggregation, joined back on
+    // the 3-row result: mixing countDistinct with buffer-heavy aggregates
+    // in one agg makes Spark key the FIRST partial aggregate by
+    // (group, distinct-col) — every percentile/HLL buffer then exists once
+    // per (flag, partkey) pair (~20k buffers here, one per distinct key at
+    // 100 TB) and is merged through two extra exchanges. Measured at
+    // sf0.1: 7.9 s → ~1 s warm. The split is the plan you want at scale:
+    // sketches stream once over the data; the distinct count dedups
+    // (flag, partkey) with plain map-side combine.
+    val sketches = li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         expr("percentile(l_quantity, 0.5D)").as("exact_p50"),
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
+    val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    sketches.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"), col("exact_parts"),
+        col("approx_parts"), col("exact_p50"), col("approx_p50"))
       .orderBy(col("l_returnflag"))
+  }
 
   // ---------------------------------------------------------------- q30
   /** CO-LOCATED fact⋈fact join served from the bucketed staging
@@ -626,12 +645,61 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q32
+  /** Moment statistics (stddev / correlation) with CROSS-ENGINE-EXACT
+    * results: the five sufficient moments (n, Σx, Σy, Σx², Σy², Σxy) are
+    * exact DECIMAL(38,6) sums — order-independent, mergeable, one
+    * map-side-combined pass — and the statistics are derived from them
+    * with the IDENTICAL double expression in both engines (each IEEE op
+    * on identical inputs is deterministic; sqrt is correctly rounded
+    * everywhere). The built-in `stddev`/`corr` aggregates stream
+    * Welford-style updates whose double accumulation is partition-order
+    * dependent — fine in isolation, unhashable across engines; the
+    * moment formulation is the portable (and at 100 TB the CHEAPER)
+    * plan: five decimal sums per group, no second pass. Moments are over
+    * (quantity, discount) — bounded magnitudes, so the 6-decimal cast of
+    * the squared terms is far from the double-shortest-repr knife edge.
+    */
+  def q32MomentStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_discount")).as("sy"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sxx"),
+        dsum(col("l_discount") * col("l_discount")).as("syy"),
+        dsum(col("l_quantity") * col("l_discount")).as("sxy"))
+      .select(col("l_returnflag"), n,
+        r6(sx / n).as("mean_qty"),
+        r6(sqrt((sxx - sx * sx / n) / n)).as("stddev_qty"),
+        r6((sxy - sx * sy / n) /
+          sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_disc"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------- q33
+  /** INTERSECT — the q28 claim ("same plan shape, join type flipped")
+    * shipped as an operator: customer keys that BOTH placed orders AND
+    * produced events. Distinct set intersection = map-side dedup of each
+    * side, then a LEFT SEMI join; one shuffle per side, no driver
+    * materialization, same scale posture as EXCEPT.
+    */
+  def q33IntersectKeys(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+      .intersect(Tables.events(spark, sfDir).select(col("user_id").as("custkey")))
+      .orderBy(col("custkey"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_approx_sketches" -> (q29ApproxSketches _),
     "q30_bucketed_join" -> (q30BucketedJoin _),
     "q31_event_gaps" -> (q31EventGaps _),
+    "q32_moment_stats" -> (q32MomentStats _),
+    "q33_intersect_keys" -> (q33IntersectKeys _),
     "q25_inactive_customers" -> (q25InactiveCustomers _),
     "q26_pivot_daily" -> (q26PivotDaily _),
     "q27_rollup_totals" -> (q27RollupTotals _),
@@ -887,6 +955,28 @@ object Analytics {
         |    / count(ts_sec - prev_sec) * 1e6) / 1e6 AS avg_gap_sec,
         |  max(ts_sec - prev_sec) AS max_gap_sec
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q32_moment_stats" -> {
+      val dsum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
+      s"""WITH s AS (SELECT l_returnflag, count(*) AS n,
+         |  ${dsum("l_quantity")} AS sx,
+         |  ${dsum("l_discount")} AS sy,
+         |  ${dsum("l_quantity * l_quantity")} AS sxx,
+         |  ${dsum("l_discount * l_discount")} AS syy,
+         |  ${dsum("l_quantity * l_discount")} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  round(sx / n * 1e6) / 1e6 AS mean_qty,
+         |  round(sqrt((sxx - sx * sx / n) / n) * 1e6) / 1e6 AS stddev_qty,
+         |  round((sxy - sx * sy / n)
+         |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) * 1e6) / 1e6
+         |    AS corr_qty_disc
+         |FROM s ORDER BY l_returnflag""".stripMargin
+    },
+    "q33_intersect_keys" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT user_id AS custkey FROM events
+        |ORDER BY custkey""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_quantity, 0.25) * 1e6) / 1e6 AS p25,

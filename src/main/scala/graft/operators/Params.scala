@@ -270,6 +270,20 @@ object Params {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("n_name"))
 
+  /** js1 — S8: the same dimension join with the dim read from JSON lines
+    * through the explicit-schema PERMISSIVE contract
+    * ([[Tables.jsonSource]]) — corrupt lines are captured and filtered,
+    * never thrown. Identical result contract to cs1, different source
+    * format surface.
+    */
+  def js1JsonDimJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nationJson(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_name"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -280,7 +294,8 @@ object Params {
     "sa2_stratified_sample" -> (sa2StratifiedSample _),
     "sa3_hash_split" -> (sa3HashSplitQ _),
     "sa4_weighted_sample" -> (sa4WeightedSampleQ _),
-    "cs1_csv_dim_join" -> (cs1CsvDimJoin _))
+    "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
+    "js1_json_dim_join" -> (js1JsonDimJoin _))
 
   val oracles: Map[String, String] = Map(
     "pf1_param_filter" -> oracleSqlFor(defaultParams),
@@ -290,6 +305,12 @@ object Params {
     // same parameter bundle over the raw table
     "pf3_param_filter_clean" -> oracleSqlFor(defaultParams),
     "cs1_csv_dim_join" ->
+      """SELECT n_name, count(*) AS n_customers
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the JSON export carries the nation dim verbatim (no corrupt lines in
+    // a Spark-written export), so the oracle is the same dim join
+    "js1_json_dim_join" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,

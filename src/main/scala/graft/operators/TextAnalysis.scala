@@ -529,7 +529,28 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ registry
 
+  /** td14 — heavy hitters over the corpus vocabulary via the Misra–Gries
+    * sketch aggregate ([[graft.functions.MisraGries]]): the bounded-memory
+    * candidate-generation twin of td8's exact top-k. One pass, k counters
+    * per partial aggregate at ANY vocabulary size; the emitted estimates
+    * are merge-order dependent (like every sketch ⇒ rows-only gate), but
+    * the GUARANTEES — no term above the N/(k+1) threshold missed,
+    * estimates never above truth, undershoot ≤ N/(k+1) — hold under any
+    * order and are asserted against exact counts in TextAnalysisSpec.
+    */
+  def heavyHitters(docs: DataFrame, k: Int = 32): DataFrame = {
+    val sketch = udaf(new MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    docs
+      .select(explode(tokens(col("text"))).as("term"))
+      .agg(sketch(col("term")).as("mg"))
+      .select(explode(col("mg")).as(Seq("term", "est_count")))
+      .orderBy(col("est_count").desc, col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td14_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      heavyHitters(Tables.documentsRebalanced(s, d))),
     "td1_text_stats" -> ((s: SparkSession, d: String) => textStats(Tables.documents(s, d))),
     "td2_lang_id" -> ((s: SparkSession, d: String) => langId(Tables.documents(s, d))),
     "td9_lang_id_script" -> ((s: SparkSession, d: String) => langIdScript(Tables.documents(s, d))),

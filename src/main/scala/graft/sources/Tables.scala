@@ -69,6 +69,12 @@ object Tables {
   def embeddingsRebalanced(spark: SparkSession, sfDir: String): DataFrame =
     rebalanced(spark, embeddings(spark, sfDir), s"$sfDir/embeddings")
 
+  // NOTE: no lineitemRebalanced — measured at sf0.1, q01's cost is the
+  // serial decode of the single-row-group testdata file, and a rebalancing
+  // exchange after it only adds shuffle time (1.7 s → 1.9 s warm). The
+  // documents/embeddings rebalances above earn their exchange because the
+  // downstream per-row CPU (shingling, vector math) dwarfs the decode.
+
   private def rebalanced(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
     val target = spark.sparkContext.defaultParallelism
     // the physical-partition probe (df.rdd) costs ~100s of ms — cache it
@@ -119,6 +125,41 @@ object Tables {
     * inside the repo's target dir) and read back with an EXPLICIT schema —
     * inferSchema is nondeterministic under sampling and costs an extra scan.
     */
+  /** S8 — JSON-lines source with the production read contract: EXPLICIT
+    * schema (inference is a second full scan and nondeterministic under
+    * sampling) plus PERMISSIVE corrupt-record capture — a malformed line
+    * lands in `_corrupt_record` with every data column null, instead of
+    * killing the ingest; callers count the bad rows and filter them, the
+    * same posture as q24's malformed-payload accounting.
+    */
+  def jsonSource(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** The nation dim as a JSON-lines export (same idempotent
+    * marker-and-mtime scheme as [[nationCsv]]), read back through
+    * [[jsonSource]]'s explicit-schema permissive contract.
+    */
+  def nationJson(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = new java.io.File(sfDir).getName
+    val jsonDir = s"${sys.props("user.dir")}/target/jsondim/$sfName/nation"
+    val marker = new java.io.File(s"$jsonDir/_SUCCESS")
+    val source = new java.io.File(path(sfDir, "nation"))
+    if (!marker.exists() || marker.lastModified() < source.lastModified()) {
+      nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
+        .coalesce(1)
+        .write.mode("overwrite").json(jsonDir)
+    }
+    jsonSource(spark, jsonDir, StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType))))
+      .filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+  }
+
   def nationCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val sfName = new java.io.File(sfDir).getName
     val csvDir = s"${sys.props("user.dir")}/target/csvdim/$sfName/nation"

@@ -308,6 +308,43 @@ object EventStreams {
       .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** st10 — LEFT-OUTER stream-stream interval join: st6's attribution
+    * pairs PLUS one null-extended row per view that never converted
+    * inside the horizon — the funnel-drop-off report as a stream. The
+    * outer semantics are what distinguish it operationally: an unmatched
+    * view can only be emitted once the purchase-side watermark has passed
+    * `view_ts + horizon` (before that, a match could still arrive), so
+    * null rows surface exactly when the join STATE for that view is
+    * evicted — the same range-bounded state that keeps the join runnable
+    * on an unbounded stream also defines the outer-result timing. For the
+    * bounded driver input the final watermark lands at `max(ts) − 1h`,
+    * making the emitted subset deterministic: all matched pairs, plus
+    * null rows for unmatched views with `view_ts + horizon` strictly
+    * before the final watermark (younger unmatched views remain in state
+    * when the backlog drains — exactly what a restart would resume with).
+    */
+  def st10StreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val horizon = AttributionHorizonMinutes
+    val s = eventStream(spark, sfDir)
+    val v = s.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = s.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = v.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon MINUTES"),
+        "left_outer")
+      .select(col("user_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
+    runToParquet(joined, "st10_sink")
+      .orderBy(col("user_id").asc, col("view_ts").asc,
+        col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
+  }
+
   /** st8 — STREAMING INGESTION into the clean serving layer: the event
     * stream written continuously to a DATE-PARTITIONED parquet table
     * (`partitionBy` on the streaming file sink + checkpoint) — the
@@ -345,6 +382,7 @@ object EventStreams {
         enrichedBatch(Tables.events(s, d), Tables.customer(s, d))),
     "st5_stream_dedup" -> (st5StreamDedup _),
     "st6_stream_attribution" -> (st6StreamAttribution _),
+    "st10_stream_left_outer" -> (st10StreamLeftOuter _),
     "st8_stream_ingest" ->
       ((s: SparkSession, d: String) => st8StreamIngest(s, d)))
 
@@ -381,6 +419,24 @@ object EventStreams {
          | AND v.event_type = 'view' AND p.event_type = 'purchase'
          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL $AttributionHorizonMinutes MINUTES
          |ORDER BY 1, 2, 3, 4""".stripMargin,
+    // matched pairs verbatim from the inner twin, plus null-extended rows
+    // for unmatched views whose horizon closed under the final watermark
+    // (max(ts) − 1h); NULLS FIRST pinned — Spark's ascending default and
+    // DuckDB's disagree
+    "st10_stream_left_outer" ->
+      s"""WITH w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+         |v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+         |p AS (SELECT user_id AS p_user, ts AS purchase_ts, value
+         |      FROM events WHERE event_type = 'purchase'),
+         |j AS (SELECT v.user_id, v.view_ts, p.purchase_ts, p.value
+         |      FROM v LEFT JOIN p
+         |        ON v.user_id = p.p_user
+         |       AND p.purchase_ts >= v.view_ts
+         |       AND p.purchase_ts <= v.view_ts + INTERVAL $AttributionHorizonMinutes MINUTES)
+         |SELECT user_id, view_ts, purchase_ts, value FROM j
+         |WHERE purchase_ts IS NOT NULL
+         |   OR view_ts + INTERVAL $AttributionHorizonMinutes MINUTES < (SELECT wm FROM w)
+         |ORDER BY user_id, view_ts, purchase_ts NULLS FIRST, value NULLS FIRST""".stripMargin,
     // stateless exactly-once append ⇒ the ingested partitioned table IS the
     // events table plus its partition column
     "st8_stream_ingest" ->

@@ -204,6 +204,43 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(got === again)
   }
 
+  test("td14: Misra–Gries guarantees hold against exact counts on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val k = 16
+    val sketch = TextAnalysis.heavyHitters(docs, k).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.nonEmpty && sketch.size <= k)
+    val exact = docs
+      .select(explode(graft.functions.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val threshold = n.toDouble / (k + 1)
+    // no false negatives above the threshold (the MG guarantee)
+    exact.foreach { case (t, c) =>
+      if (c > threshold)
+        assert(sketch.contains(t), s"heavy hitter '$t' (count $c > $threshold) missed")
+    }
+    // estimates never exceed truth, undershoot bounded by the threshold
+    sketch.foreach { case (t, est) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est <= truth, s"'$t' overestimated: $est > $truth")
+      assert(truth - est <= threshold.ceil.toLong,
+        s"'$t' undershoots too far: $truth - $est > $threshold")
+    }
+  }
+
+  test("td14: the reduce path decrements on overflow exactly as Misra–Gries") {
+    val mg = new graft.functions.MisraGries(2)
+    // a a b -> {a:2, b:1}; c overflows: all decrement, c not inserted
+    val b = Seq("a", "a", "b", "c").foldLeft(mg.zero)(mg.reduce)
+    assert(b === Map("a" -> 1L))
+    // merge trims to k by subtracting the (k+1)-th largest count
+    val merged = mg.merge(Map("a" -> 5L, "b" -> 3L), Map("c" -> 2L))
+    assert(merged === Map("a" -> 3L, "b" -> 1L))
+  }
+
   test("text stats survive a zero-token document: null ratios, not NaN or a crash") {
     val docs = Seq((1L, "the cat sat"), (2L, "   ")).toDF("doc_id", "text")
     val rows = TextAnalysis.textStats(docs).collect()
