@@ -88,6 +88,29 @@ object Sessions {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** st11 — the NATIVE `session_window` operator (compose-before-custom:
+    * st3 derives sessions with a lag/cumsum window chain, st7 with custom
+    * `flatMapGroupsWithState`; since Spark 3.2 the engine has a dedicated
+    * session-window aggregate, and on a stream the SAME expression runs
+    * with a watermark and bounded per-key state). Semantics differ from
+    * st3 at the edges, and the oracle encodes the native contract
+    * exactly: a new session starts when the gap is ≥ the timeout (window
+    * ends are EXCLUSIVE — an event landing exactly at `prev + gap` does
+    * not extend), and the reported `session_end` is `last_ts + gap` (the
+    * window bound), not the last event time.
+    */
+  def st11SessionWindow(
+      spark: SparkSession, sfDir: String, gapMinutes: Int = 30): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsumr(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").cast("timestamp_ntz").as("session_start"),
+        col("sw.end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   // ----------------------------------------------------------- streaming
 
   private def processGroup(gapUs: Long)(
@@ -210,6 +233,7 @@ object Sessions {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st3_sessionize" ->
       ((s: SparkSession, d: String) => sessionizeBatch(Tables.events(s, d))),
+    "st11_session_window" -> (st11SessionWindow(_, _)),
     "st7_stream_sessions" ->
       ((s: SparkSession, d: String) => st7StreamSessions(s, d)))
 
@@ -230,6 +254,26 @@ object Sessions {
         |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // native session_window contract: new session at gap >= timeout
+    // (exclusive window ends), session_end = last event + gap
+    "st11_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800.0
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |  FROM o)
+        |SELECT user_id,
+        |  min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTES AS session_end,
+        |  count(*) AS n_events,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     // the st3 batch result restricted to the deterministic closed subset —
     // end + gap + margin before the final watermark (max ts − delay); the
     // same filter the engine applies to the stream output
