@@ -692,6 +692,33 @@ object Analytics {
       .intersect(Tables.events(spark, sfDir).select(col("user_id").as("custkey")))
       .orderBy(col("custkey"))
 
+  // ---------------------------------------------------------------- q34
+  /** Date-spine gap filling: the complete (event_type × day) grid over
+    * the corpus date range, with absent combinations as explicit zeros —
+    * the time-series continuity operator every dashboard and rolling
+    * window needs (q23's 7-day average silently skips missing days
+    * without it). The spine is GENERATED, not scanned: a 1-row global
+    * min/max aggregate broadcast into `sequence()` + `explode` against
+    * the distinct type list — types × days rows, never data-scaled —
+    * then a left join fills observed counts. At 100 TB the daily
+    * aggregate is the only full scan; the spine costs nothing.
+    */
+  def q34DateSpineFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val daily = e.select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val bounds = e.agg(
+      min(to_date(col("ts"))).as("dmin"), max(to_date(col("ts"))).as("dmax"))
+    val spine = e.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("dmin"), col("dmax"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), ntz(col("day")).as("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -700,6 +727,7 @@ object Analytics {
     "q31_event_gaps" -> (q31EventGaps _),
     "q32_moment_stats" -> (q32MomentStats _),
     "q33_intersect_keys" -> (q33IntersectKeys _),
+    "q34_date_spine_fill" -> (q34DateSpineFill _),
     "q25_inactive_customers" -> (q25InactiveCustomers _),
     "q26_pivot_daily" -> (q26PivotDaily _),
     "q27_rollup_totals" -> (q27RollupTotals _),
@@ -977,6 +1005,18 @@ object Analytics {
         |INTERSECT
         |SELECT user_id AS custkey FROM events
         |ORDER BY custkey""".stripMargin,
+    "q34_date_spine_fill" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax
+        |           FROM events),
+        |spine AS (SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS day
+        |          FROM b),
+        |grid AS (SELECT t.event_type, s.day
+        |         FROM (SELECT DISTINCT event_type FROM events) t, spine s),
+        |d AS (SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |SELECT g.event_type, g.day, coalesce(d.n, 0) AS n
+        |FROM grid g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day
+        |ORDER BY g.event_type, g.day""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_quantity, 0.25) * 1e6) / 1e6 AS p25,

@@ -256,6 +256,44 @@ object Params {
   def sa4WeightedSampleQ(spark: SparkSession, sfDir: String): DataFrame =
     sa4WeightedSample(Tables.documents(spark, sfDir))
 
+  /** sa5 — TEMPERATURE-rebalanced mixture sampling over a skewed domain
+    * (language): each domain's target share is ∝ n^α with α = 1/2, the
+    * multilingual-corpus rebalancing move (a flat α=1 keeps the head
+    * language dominant; α=0 is uniform) — rare languages are kept at a
+    * HIGHER rate than common ones, and the whole draw stays fully
+    * deterministic and therefore oracle-HASHABLE: the per-domain rate is
+    * derived arithmetic (α = 1/2 is spelled as `sqrt`, which is
+    * correctly rounded everywhere — a general `pow` is not), the weight
+    * sum crosses domains as an exact DECIMAL(38,6), and the per-doc
+    * uniform draw is sa4's salted-md5 → [0,1) mapping. Plan shape: one
+    * domain-count aggregate (5 rows) broadcast back; the corpus pass is
+    * map-only.
+    */
+  def sa5MixtureSample(
+      docs: DataFrame, targetN: Int = 250,
+      salt: String = "graft-mixture-v1"): DataFrame = {
+    val byLang = docs.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val sw = byLang.agg(
+      sum(sqrt(col("nl")).cast("decimal(38,6)")).as("sw"))
+    val rates = byLang.crossJoin(broadcast(sw))
+      .select(col("lang"),
+        least(lit(1.0),
+          lit(targetN.toDouble) * sqrt(col("nl"))
+            / col("sw").cast("double") / col("nl")).as("rate"))
+    val u = conv(
+      substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .withColumn("u", u)
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("lang"), r6(col("rate")).as("p_inc"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sa5MixtureSampleQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa5MixtureSample(Tables.documents(spark, sfDir))
+
   // ----------------------------------------------------------- csv dim
 
   /** cs1 — S3: the dimension join with the dim read from CSV (the
@@ -294,6 +332,7 @@ object Params {
     "sa2_stratified_sample" -> (sa2StratifiedSample _),
     "sa3_hash_split" -> (sa3HashSplitQ _),
     "sa4_weighted_sample" -> (sa4WeightedSampleQ _),
+    "sa5_mixture_sample" -> (sa5MixtureSampleQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
@@ -324,6 +363,19 @@ object Params {
          |  FROM t, s)
          |SELECT doc_id, CAST(w AS BIGINT) AS w, round(p * 1e6) / 1e6 AS p_inc
          |FROM b WHERE u < p ORDER BY doc_id""".stripMargin,
+    "sa5_mixture_sample" ->
+      s"""WITH l AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+         |w AS (SELECT sum(CAST(sqrt(nl) AS DECIMAL(38,6))) AS sw FROM l),
+         |r AS (SELECT lang,
+         |  least(CAST(1 AS DOUBLE),
+         |        CAST(250 AS DOUBLE) * sqrt(nl) / CAST(sw AS DOUBLE) / nl) AS rate
+         |  FROM l, w),
+         |b AS (SELECT doc_id, d.lang, rate,
+         |  ('0x' || substring(md5('graft-mixture-v1:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+         |    / CAST(4503599627370496 AS DOUBLE) AS u
+         |  FROM documents d JOIN r ON d.lang = r.lang)
+         |SELECT doc_id, lang, round(rate * 1e6) / 1e6 AS p_inc
+         |FROM b WHERE u < rate ORDER BY doc_id""".stripMargin,
     "sa3_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |  ('0x' || substring(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket

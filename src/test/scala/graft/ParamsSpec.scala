@@ -108,6 +108,32 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     sub.foreach { case (id, s) => assert(full(id) === s, s"doc $id drifted on subset") }
   }
 
+  test("sa5: temperature mixture upsamples rare domains and is deterministic") {
+    import spark.implicits._
+    // crafted 10:1 skew so the rebalancing is visible (the sf0.001 corpus
+    // is too small for sub-1.0 rates at the default target)
+    val docs = ((1L to 200L).map(i => (i, "en")) ++ (201L to 220L).map(i => (i, "fr")))
+      .toDF("doc_id", "lang")
+    val kept = Params.sa5MixtureSample(docs, targetN = 60).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("lang")),
+        r.getDouble(r.fieldIndex("p_inc"))))
+    val again = Params.sa5MixtureSample(docs, targetN = 60).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("lang")),
+        r.getDouble(r.fieldIndex("p_inc"))))
+    assert(kept.toSeq === again.toSeq, "mixture sample must be run-to-run identical")
+    // α=1/2: en target ∝ √200, fr target ∝ √20 — fr's PER-DOC rate must
+    // exceed en's (rare domains upsampled), both strictly below 1
+    val rateBy = kept.groupBy(_._2).map { case (l, rs) => l -> rs.head._3 }
+    assert(rateBy("fr") > rateBy("en"),
+      s"rare domain not upsampled: $rateBy")
+    assert(rateBy("en") < 1.0 && rateBy("fr") < 1.0)
+    // and the kept mix is flatter than the 10:1 input mix
+    val keptEn = kept.count(_._2 == "en").toDouble
+    val keptFr = kept.count(_._2 == "fr").toDouble
+    assert(keptFr > 0 && keptEn / keptFr < 10.0,
+      s"kept mix not flatter than input: en=$keptEn fr=$keptFr")
+  }
+
   test("sa4: weighted sample is deterministic, near-target-sized, and weight-monotone") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val a = Params.sa4WeightedSample(docs).collect()
