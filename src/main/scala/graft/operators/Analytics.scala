@@ -719,6 +719,27 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  // ---------------------------------------------------------------- q35
+  /** Latest record per key (CDC compaction / dedup-by-recency): each
+    * user's most recent event — the upsert-log → current-snapshot
+    * operator every mutable-entity pipeline runs. `row_number() = 1`
+    * over (ts, event_id) DESC, which Spark rewrites to WindowGroupLimit
+    * (audited): per-partition one-row heaps before the window sort, so a
+    * key with a billion updates never materializes its history. Tie
+    * order pinned by event_id so the snapshot is deterministic.
+    */
+  def q35LatestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"), col("event_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), ntz(col("ts")).as("ts"), col("event_type"),
+        col("value"), col("event_id"))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -728,6 +749,7 @@ object Analytics {
     "q32_moment_stats" -> (q32MomentStats _),
     "q33_intersect_keys" -> (q33IntersectKeys _),
     "q34_date_spine_fill" -> (q34DateSpineFill _),
+    "q35_latest_per_key" -> (q35LatestPerKey _),
     "q25_inactive_customers" -> (q25InactiveCustomers _),
     "q26_pivot_daily" -> (q26PivotDaily _),
     "q27_rollup_totals" -> (q27RollupTotals _),
@@ -1017,6 +1039,12 @@ object Analytics {
         |SELECT g.event_type, g.day, coalesce(d.n, 0) AS n
         |FROM grid g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day
         |ORDER BY g.event_type, g.day""".stripMargin,
+    "q35_latest_per_key" ->
+      """WITH r AS (SELECT user_id, ts, event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, ts, event_type, value, event_id
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_quantity, 0.25) * 1e6) / 1e6 AS p25,

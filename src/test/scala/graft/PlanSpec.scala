@@ -282,6 +282,12 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges === 2, s"expected exactly 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("q35: latest-per-key plans as WindowGroupLimit — no key's history materializes") {
+    val p = plan(Analytics.q35LatestPerKey(spark, sf001))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-1 filter not rewritten to WindowGroupLimit:\n$p")
+  }
+
   test("td12: PII scan is map-only and prunes the scan to doc_id + text") {
     val p = plan(TextAnalysis.piiScan(Tables.documents(spark, sf001)))
     val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
