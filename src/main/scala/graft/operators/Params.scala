@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions._
@@ -294,6 +295,46 @@ object Params {
   def sa5MixtureSampleQ(spark: SparkSession, sfDir: String): DataFrame =
     sa5MixtureSample(Tables.documents(spark, sfDir))
 
+  /** sa6 — token-budget SHARDING (sequence packing for training
+    * dataloaders): documents in stable doc_id order are packed into
+    * consecutive shards of ~`budgetTokens` each — shard = exclusive
+    * running token total ÷ budget. The naive formulation is a GLOBAL
+    * cumsum: one unpartitioned window = every row through a single
+    * partition, the canonical scale-killer. This plan is the distributed
+    * two-phase prefix sum instead: (1) per-range-bucket partial sums —
+    * the only data-scaled aggregation, map-side combined; (2) an
+    * exclusive running offset over the BUCKET sums (a bounded-cardinality
+    * window: 64 rows here, thousands at 100 TB — never data-scaled);
+    * (3) an intra-bucket exclusive cumsum partitioned BY bucket, plus
+    * the broadcast offset. Identical result to the global cumsum (the
+    * oracle IS the naive global formulation), audited in PlanSpec: no
+    * unpartitioned window ever sees fact rows.
+    */
+  def sa6TokenShards(
+      docs: DataFrame, budgetTokens: Long = 20000L, buckets: Int = 64): DataFrame = {
+    val w = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("w"))
+    val span = w.agg((floor(max(col("doc_id")) / buckets) + 1).cast("long").as("span"))
+    val bucketed = w.crossJoin(broadcast(span))
+      .withColumn("b", expr("doc_id div span"))
+    val offsets = bucketed.groupBy(col("b")).agg(sum(col("w")).as("bw"))
+      .withColumn("off",
+        coalesce(sum(col("bw")).over(
+          Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("b"), col("off"))
+    val intra = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("b"))
+      .withColumn("excl", col("off") + coalesce(sum(col("w")).over(intra), lit(0L)))
+      .select(col("doc_id"), col("w"),
+        expr(s"excl div $budgetTokens").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sa6TokenShardsQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa6TokenShards(Tables.documents(spark, sfDir))
+
   // ----------------------------------------------------------- csv dim
 
   /** cs1 — S3: the dimension join with the dim read from CSV (the
@@ -333,6 +374,7 @@ object Params {
     "sa3_hash_split" -> (sa3HashSplitQ _),
     "sa4_weighted_sample" -> (sa4WeightedSampleQ _),
     "sa5_mixture_sample" -> (sa5MixtureSampleQ _),
+    "sa6_token_shards" -> (sa6TokenShardsQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
@@ -376,6 +418,17 @@ object Params {
          |  FROM documents d JOIN r ON d.lang = r.lang)
          |SELECT doc_id, lang, round(rate * 1e6) / 1e6 AS p_inc
          |FROM b WHERE u < rate ORDER BY doc_id""".stripMargin,
+    // the oracle is the NAIVE global exclusive cumsum — the distributed
+    // two-phase plan must reproduce it row-for-row
+    "sa6_token_shards" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS w
+         |           FROM documents),
+         |c AS (SELECT doc_id, w,
+         |  coalesce(sum(w) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+         |  FROM t)
+         |SELECT doc_id, w, CAST(excl // 20000 AS BIGINT) AS shard_id
+         |FROM c ORDER BY doc_id""".stripMargin,
     "sa3_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |  ('0x' || substring(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket

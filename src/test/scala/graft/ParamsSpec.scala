@@ -134,6 +134,24 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
       s"kept mix not flatter than input: en=$keptEn fr=$keptFr")
   }
 
+  test("sa6: two-phase sharding equals the naive global cumsum, shards nondecreasing") {
+    val rows = Params.sa6TokenShards(
+      graft.sources.Tables.documents(spark, sf001), budgetTokens = 5000L)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("w")),
+        r.getLong(r.fieldIndex("shard_id"))))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // replicate the naive exclusive cumsum driver-side
+    var cum = 0L
+    rows.foreach { case (id, w, shard) =>
+      assert(shard === cum / 5000L, s"doc $id: shard $shard != ${cum / 5000L}")
+      cum += w
+    }
+    // contiguity: shard ids never decrease in doc order
+    assert(rows.map(_._3).sliding(2).forall(s => s.length < 2 || s(0) <= s(1)))
+  }
+
   test("sa4: weighted sample is deterministic, near-target-sized, and weight-monotone") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val a = Params.sa4WeightedSample(docs).collect()

@@ -288,6 +288,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"rank-1 filter not rewritten to WindowGroupLimit:\n$p")
   }
 
+  test("sa6: distributed prefix sum — no unpartitioned window ever sees fact rows") {
+    val p = plan(Params.sa6TokenShards(Tables.documents(spark, sf001)))
+    // the intra-bucket cumsum is partitioned by the range bucket
+    assert(p.contains("hashpartitioning(b#"),
+      s"intra-bucket window not partitioned by bucket:\n$p")
+    // any SinglePartition exchange must be fed by an aggregate (the
+    // 64-row bucket sums), never by the raw document stream
+    val numbered = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1).toInt)
+    numbered.foreach { k =>
+      val detail = p.substring(p.indexOf(s"($k) Exchange"))
+        .linesIterator.take(4).mkString("\n")
+      if (detail.contains("SinglePartition"))
+        assert(p.contains(s"(${k - 1}) HashAggregate"),
+          s"SinglePartition exchange ($k) not fed by the bucket aggregate:\n$p")
+    }
+  }
+
   test("td12: PII scan is map-only and prunes the scan to doc_id + text") {
     val p = plan(TextAnalysis.piiScan(Tables.documents(spark, sf001)))
     val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
