@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph analytics beyond dd8's connected components: PageRank
+  * over the trade network (customer-nation → supplier-nation edges from
+  * the q09 join chain), made CROSS-ENGINE-EXACT so an iterative
+  * fixed-point is oracle-hashable — floating-point PageRank never is
+  * (per-iteration double sums are partition-order dependent and libm
+  * rounding differs), so every quantity is SCALED-INTEGER arithmetic:
+  * ranks live at 1e12 scale, each hop is `rank div out_degree`, damping
+  * is `(85 * in_sum) div 100` — floor divisions and long sums are
+  * bit-identical in every engine. The oracle replays the identical
+  * formula as one chained CTE per iteration.
+  *
+  * Scale shape: the EDGE EXTRACTION is the data-scaled pass (the 5-way
+  * fact join, one scan); iterations then run on the aggregated graph —
+  * a join of the rank vector with the edge list per iteration, which is
+  * exactly production PageRank's per-iteration cost (edge-scaled, here
+  * bounded at 25×25). Lineage grows linearly with iterations; a
+  * 30-iteration production run checkpoints like dd8 does (the knob is
+  * there) — 5 iterations on a 625-edge graph doesn't need it.
+  *
+  * Dangling nodes (no out-edges) leak their rank mass — the simplest
+  * published variant; both engines share the leak, so results still
+  * hash. (The redistribute-to-all variant is one more aggregate per
+  * iteration if ever needed.)
+  */
+object Graphs {
+
+  val Scale = 1000000000000L // ranks at 1e12
+
+  /** Distinct cust-nation → supp-nation edges (the q09 join chain). */
+  def nationEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.as("cn")), col("c_nationkey") === col("cn.n_nationkey"))
+      .join(broadcast(n.as("sn")), col("s_nationkey") === col("sn.n_nationkey"))
+      .select(col("cn.n_name").as("src"), col("sn.n_name").as("dst"))
+      .distinct()
+  }
+
+  /** Scaled-integer PageRank over an edge list; returns (v, rank). */
+  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val nodes = edges.select(col("src").as("v"))
+      .union(edges.select(col("dst").as("v"))).distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // node count is a scalar of the AGGREGATED graph (bounded), never a
+    // fact-table count
+    val n = nodes.count()
+    val r0 = Scale / n
+    val teleport = (15L * r0) / 100L
+    var rank = nodes.withColumn("r", lit(r0))
+    (1 to iterations).foreach { _ =>
+      val contrib = edges
+        .join(rank, col("src") === col("v"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div d").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      rank = nodes.join(contrib, col("v") === col("dst"), "left")
+        .select(col("v"),
+          (lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    rank
+  }
+
+  def q36PageRank(spark: SparkSession, sfDir: String): DataFrame =
+    pageRank(nationEdges(spark, sfDir))
+      .select(col("v").as("n_name"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("n_name"))
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_pagerank" -> (q36PageRank _))
+
+  /** The oracle replays the identical scaled-integer formula, one CTE per
+    * iteration (generated, so Spark and SQL can never drift on the
+    * constants).
+    */
+  private def pageRankSql(iterations: Int): String = {
+    val base =
+      """WITH e AS (
+        |  SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+        |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT v, CAST(1000000000000 // n AS BIGINT) AS r FROM nodes, nn)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""inc$i AS (
+         |  SELECT e.dst AS v, CAST(sum(p.r // deg.d) AS BIGINT) AS s
+         |  FROM e JOIN r${i - 1} p ON e.src = p.v JOIN deg ON e.src = deg.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT nodes.v,
+         |    CAST((15 * (1000000000000 // nn.n)) // 100
+         |         + (85 * coalesce(inc$i.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN inc$i ON nodes.v = inc$i.v)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT v AS n_name, r AS rank_scaled FROM r$iterations
+       |ORDER BY rank_scaled DESC, n_name""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q36_pagerank" -> pageRankSql(5))
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graphs
+
+class GraphsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  test("pageRank matches a driver-side replication of the scaled-integer formula") {
+    val edgeList = Seq(("a", "b"), ("c", "b"), ("d", "b"), ("b", "a"))
+    val edges = edgeList.toDF("src", "dst")
+    val iterations = 3
+    val got = Graphs.pageRank(edges, iterations).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    // replicate the integer arithmetic exactly
+    val nodes = edgeList.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edgeList.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val r0 = Graphs.Scale / nodes.size
+    val teleport = (15L * r0) / 100L
+    var rank = nodes.map(_ -> r0).toMap
+    (1 to iterations).foreach { _ =>
+      val inc = edgeList
+        .map { case (s, d) => d -> rank(s) / deg(s) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      rank = nodes.map(v => v -> (teleport + (85L * inc.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    assert(got === rank)
+    // structure sanity: the hub out-ranks its sole target, which
+    // out-ranks the leaf sources
+    assert(got("b") > got("a") && got("a") > got("c") && got("c") === got("d"))
+  }
+
+  test("pageRank is deterministic run-to-run") {
+    val edges = Graphs.nationEdges(spark, sf001)
+    val a = Graphs.pageRank(edges).collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val b = Graphs.pageRank(edges).collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+  }
+}
