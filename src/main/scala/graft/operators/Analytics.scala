@@ -630,9 +630,9 @@ object Analytics {
     * event has a NULL gap and drops out of `count(gap)` in both engines
     * identically. Tie order inside a user is pinned by (ts, event_id).
     */
-  def q31EventGaps(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventGaps(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, sfDir)
+    events
       .select(col("user_id"), col("ts"), col("event_id"))
       .withColumn("gap_sec",
         epochSeconds(col("ts")) - lag(epochSeconds(col("ts")), 1).over(w))
@@ -644,6 +644,22 @@ object Analytics {
         max(col("gap_sec")).as("max_gap_sec"))
       .orderBy(col("user_id"))
   }
+
+  def q31EventGaps(spark: SparkSession, sfDir: String): DataFrame =
+    eventGaps(Tables.events(spark, sfDir))
+
+  // ---------------------------------------------------------------- q37
+  /** The SAME gap analysis served from the user-bucketed staging
+    * ([[graft.sources.BucketStore.eventsByUser]]): bucketing satisfies
+    * the window's distribution requirement, so the whole chain — lag
+    * window, per-user rollup — runs with ZERO hash exchange (PlanSpec
+    * audits: the only exchange left is the output sort). q30 is
+    * bucketing-for-joins; this is bucketing-for-windows — together the
+    * shuffle-once-serve-forever posture for every per-entity analysis
+    * at 100 TB.
+    */
+  def q37BucketedGaps(spark: SparkSession, sfDir: String): DataFrame =
+    eventGaps(graft.sources.BucketStore.eventsByUser(spark, sfDir))
 
   // ---------------------------------------------------------------- q32
   /** Moment statistics (stddev / correlation) with CROSS-ENGINE-EXACT
@@ -750,6 +766,7 @@ object Analytics {
     "q33_intersect_keys" -> (q33IntersectKeys _),
     "q34_date_spine_fill" -> (q34DateSpineFill _),
     "q35_latest_per_key" -> (q35LatestPerKey _),
+    "q37_bucketed_gaps" -> (q37BucketedGaps _),
     "q25_inactive_customers" -> (q25InactiveCustomers _),
     "q26_pivot_daily" -> (q26PivotDaily _),
     "q27_rollup_totals" -> (q27RollupTotals _),
@@ -993,6 +1010,20 @@ object Analytics {
          |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // identical rows to q31 — the bucketed staging changes the PLAN, not
+    // the result
+    "q37_bucketed_gaps" ->
+      """WITH g AS (SELECT user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+        |  lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  count(ts_sec - prev_sec) AS n_gaps,
+        |  round(CAST(sum(ts_sec - prev_sec) AS DOUBLE)
+        |    / count(ts_sec - prev_sec) * 1e6) / 1e6 AS avg_gap_sec,
+        |  max(ts_sec - prev_sec) AS max_gap_sec
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q31_event_gaps" ->
       """WITH g AS (SELECT user_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,

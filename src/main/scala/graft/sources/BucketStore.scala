@@ -99,4 +99,14 @@ object BucketStore {
 
   def ordersByOrderkey(spark: SparkSession, sfDir: String): DataFrame =
     ensure(spark, sfDir, "orders", "o_orderkey")
+
+  /** Events bucketed by user: bucketing satisfies not just join
+    * co-location but WINDOW and groupBy distribution requirements — every
+    * per-user window chain (gaps, funnels, as-of anchors, snapshots)
+    * reads this staging with ZERO hash exchange. The nanos→µs timestamp
+    * normalization is materialized into the staged files, so it is paid
+    * once at stage time, not per query.
+    */
+  def eventsByUser(spark: SparkSession, sfDir: String): DataFrame =
+    ensure(spark, sfDir, "events", "user_id")
 }

@@ -134,4 +134,43 @@ object ExpressionProps extends Properties("NativeExpressions") {
       total <= b.length &&
         (0 until n).forall(i => counts.getLong(i) <= total)
     }
+
+  // ------------------------------------------------------- Misra–Gries
+
+  private val mgStream: Gen[List[String]] =
+    Gen.choose(0, 120).flatMap(Gen.listOfN(_,
+      Gen.frequency(6 -> Gen.const("hot"), 3 -> Gen.oneOf("w1", "w2", "w3"),
+        2 -> Gen.oneOf((1 to 40).map("rare" + _)))))
+
+  /** The sketch's guarantees must hold for ANY split of the stream into
+    * partial buffers and ANY (left-fold) merge order — that is exactly
+    * the freedom a distributed aggregation exercises.
+    */
+  property("MisraGries guarantees survive arbitrary splits and merge orders") =
+    Prop.forAll(mgStream, Gen.choose(1, 5), Gen.choose(2, 6), Gen.long) {
+      (stream, nSplits, k, seed) =>
+        val mg = new graft.functions.MisraGries(k)
+        // random contiguous split into partial buffers
+        val rnd = new scala.util.Random(seed)
+        val cuts = (Seq(0, stream.length) ++
+          Seq.fill(nSplits - 1)(if (stream.isEmpty) 0 else rnd.nextInt(stream.length + 1)))
+          .distinct.sorted
+        val parts = cuts.zip(cuts.tail).map { case (a, b) =>
+          stream.slice(a, b).foldLeft(mg.zero)(mg.reduce)
+        }
+        // random merge order
+        val merged = rnd.shuffle(parts).foldLeft(mg.zero)(mg.merge)
+        val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+        val n = stream.size.toDouble
+        val bound = n / (k + 1)
+        val sizeOk = merged.size <= k
+        val noFalseNegatives = exact.forall { case (t, c) =>
+          c <= bound || merged.contains(t)
+        }
+        val estimatesBounded = merged.forall { case (t, est) =>
+          val truth = exact.getOrElse(t, 0L)
+          est <= truth && truth - est <= math.ceil(bound).toLong
+        }
+        sizeOk && noFalseNegatives && estimatesBounded
+    }
 }

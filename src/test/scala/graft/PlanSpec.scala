@@ -282,6 +282,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges === 2, s"expected exactly 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("q37: bucketed events satisfy the window — ZERO hash exchange in the whole chain") {
+    val p = plan(Analytics.q37BucketedGaps(spark, sf001))
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"),
+      s"not reading the bucketed staging:\n$p")
+    assert(!p.contains("hashpartitioning(user_id"),
+      s"window re-shuffled despite user bucketing:\n$p")
+    // the only exchange left is the output sort's range partitioning
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges === 1, s"expected only the sort exchange, got $exchanges:\n$p")
+  }
+
   test("q35: latest-per-key plans as WindowGroupLimit — no key's history materializes") {
     val p = plan(Analytics.q35LatestPerKey(spark, sf001))
     assert(p.contains("WindowGroupLimit"),
