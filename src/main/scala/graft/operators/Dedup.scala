@@ -580,9 +580,49 @@ object Dedup {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  // ------------------------------------------------------------- dd12
+  /** EXACT-SUBSTRING duplication (the suffix-array dedup family from the
+    * published training-data dedup literature, approximated by hashing):
+    * every k-token rolling span is hashed; a span hash occurring in ≥ 2
+    * DISTINCT documents marks both occurrences as duplicated text. Per
+    * document: span count, duplicated-span count, duplicated fraction —
+    * the "how much of this doc is copied from elsewhere" signal that
+    * document-level near-dup (dd3/dd4) structurally cannot give (a doc
+    * that is 20% boilerplate is no one's near-duplicate). Plan shape is
+    * the dd3 posting-list family: spans explode linearly (one row per
+    * token position), the dup set is a distinct + count ≥ 2 aggregate,
+    * and the per-doc rollup joins on the span hash — no pairwise
+    * expansion anywhere. The md5 span hash is engine-portable, so the
+    * whole operator is oracle-hashable.
+    */
+  def substringDups(docs: DataFrame, k: Int = 16): DataFrame = {
+    val toks = tokens(col("text"))
+    val spans = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => md5(array_join(slice(toks, i, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    // explode_outer keeps zero-span (short) docs with a null hash so the
+    // rollup still emits their row
+    val ex = docs.select(col("doc_id"), explode_outer(spans).as("h"))
+    val dup = ex.filter(col("h").isNotNull)
+      .select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"), lit(1).as("isdup"))
+    ex.join(dup, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_spans"), count(col("isdup")).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          r6(col("n_dup_spans").cast("double") / col("n_spans"))))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd12_substring_dups" -> ((s: SparkSession, d: String) =>
+      substringDups(Tables.documentsRebalanced(s, d))),
     "dd1_exact_dups" -> ((s: SparkSession, d: String) => exactGroups(Tables.documents(s, d))),
     "dd2_fingerprint_dups" -> ((s: SparkSession, d: String) => fingerprintGroups(Tables.documents(s, d))),
     "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),
@@ -609,6 +649,24 @@ object Dedup {
   private val toksSql = tokensSql("text")
 
   val oracles: Map[String, String] = Map(
+    "dd12_substring_dups" ->
+      s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |sp AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 16
+         |    THEN list_transform(generate_series(1, len(toks) - 15),
+         |         i -> md5(array_to_string(toks[i:i+15], ' ')))
+         |    ELSE CAST([] AS VARCHAR[]) END) AS h
+         |  FROM t),
+         |d AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM sp)
+         |      GROUP BY h HAVING count(*) >= 2),
+         |j AS (SELECT sp.doc_id, sp.h, CASE WHEN d.h IS NOT NULL THEN 1 END AS isdup
+         |      FROM sp LEFT JOIN d ON sp.h = d.h),
+         |p AS (SELECT t.doc_id, count(j.h) AS n_spans, count(j.isdup) AS n_dup_spans
+         |      FROM t LEFT JOIN j ON t.doc_id = j.doc_id GROUP BY t.doc_id)
+         |SELECT doc_id, n_spans, n_dup_spans,
+         |  CASE WHEN n_spans > 0
+         |       THEN round(CAST(n_dup_spans AS DOUBLE) / n_spans * 1e6) / 1e6 END AS dup_frac
+         |FROM p ORDER BY doc_id""".stripMargin,
     "dd1_exact_dups" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -48,13 +48,26 @@ object Graphs {
       .distinct()
   }
 
-  /** Scaled-integer PageRank over an edge list; returns (v, rank). */
-  def pageRank(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  /** Scaled-integer PageRank over an edge list; returns (v, rank).
+    *
+    * The edge list, node list and degree table are PERSISTED before the
+    * loop — every iteration joins against them, and without the cache
+    * the upstream extraction (here a 5-way fact join) re-executes once
+    * per iteration (measured: 2.4 s → 1.7 s warm at sf0.1 for 5
+    * iterations; the remainder is fixed per-iteration micro-job cost on
+    * the 25-node graph). Standard posture for iterative graph jobs; at 100 TB
+    * the cached edge list is the working set, spilling to disk via
+    * MEMORY_AND_DISK.
+    */
+  def pageRank(edges0: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = edges0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("v"))
       .union(edges.select(col("dst").as("v"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // node count is a scalar of the AGGREGATED graph (bounded), never a
-    // fact-table count
+    // fact-table count — and it materializes the caches before the loop
     val n = nodes.count()
     val r0 = Scale / n
     val teleport = (15L * r0) / 100L

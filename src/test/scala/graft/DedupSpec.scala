@@ -13,6 +13,27 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
   private def pairSet(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
     rows.map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("dd12: a copied 16-token span flags BOTH docs; unique and short docs stay clean") {
+    import spark.implicits._
+    val span = (1 to 16).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, span + " unique tail alpha beta gamma delta"),
+      (2L, "other opening words here then " + span),
+      (3L, (1 to 30).map("solo" + _).mkString(" ")), // unique 30 tokens
+      (4L, "too short for any span")                 // < 16 tokens
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.substringDups(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(rows(1L).fieldIndex("n_dup_spans")) >= 1L)
+    assert(rows(2L).getLong(rows(2L).fieldIndex("n_dup_spans")) >= 1L)
+    assert(rows(3L).getLong(rows(3L).fieldIndex("n_dup_spans")) === 0L)
+    assert(rows(4L).getLong(rows(4L).fieldIndex("n_spans")) === 0L)
+    assert(rows(4L).isNullAt(rows(4L).fieldIndex("dup_frac")))
+    // the copied span is exactly one position in each doc
+    assert(rows(1L).getLong(rows(1L).fieldIndex("n_dup_spans")) === 1L)
+    assert(rows(2L).getLong(rows(2L).fieldIndex("n_dup_spans")) === 1L)
+  }
+
   test("shingles: shorter than n tokens -> empty; 4 tokens -> 2 trigrams; de-duped") {
     import spark.implicits._
     val df = Seq((1L, "a b"), (2L, "a b c d"), (3L, "x y x y x y x y")).toDF("doc_id", "text")
