@@ -93,4 +93,22 @@ package object functions {
     */
   def tokensSql(textExpr: String): String =
     s"list_filter(regexp_split_to_array(trim($textExpr), '$WsClass+'), x -> x != '')"
+
+  /** Deterministic salted uniform draw in [0,1): the first 13 hex chars
+    * (52 bits — exact in a double) of md5("salt:id"), divided by 2^52.
+    * The ONE source of truth for every hash-randomized sampler (sa4
+    * importance sampling, sa5 mixture rebalancing) and its oracle twin —
+    * the constants (hash width, divisor, salt-concat shape) must never
+    * drift between the Spark expression and the SQL, or between samplers.
+    */
+  def saltedUniform(salt: String, id: Column): Column =
+    conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 13), 16, 10)
+      .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+
+  /** The DuckDB twin of [[saltedUniform]], generated from the same
+    * constants.
+    */
+  def saltedUniformSql(salt: String, idExpr: String): String =
+    s"('0x' || substring(md5('$salt:' || CAST($idExpr AS VARCHAR)), 1, 13))::BIGINT" +
+      " / CAST(4503599627370496 AS DOUBLE)"
 }

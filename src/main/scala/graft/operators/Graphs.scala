@@ -82,7 +82,13 @@ object Graphs {
         .select(col("v"),
           (lit(teleport) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
     }
-    rank
+    // materialize the (node-scaled, bounded) rank vector, then RELEASE the
+    // cached graph — without this the edge extraction stays pinned in
+    // executor storage for the rest of the session, shrinking the unified
+    // memory pool for every later query
+    val out = rank.localCheckpoint(true)
+    edges.unpersist(); nodes.unpersist(); deg.unpersist()
+    out
   }
 
   def q36PageRank(spark: SparkSession, sfDir: String): DataFrame =

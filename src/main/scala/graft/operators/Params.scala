@@ -241,9 +241,7 @@ object Params {
     val weighted = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("w"))
     val tot = weighted.agg(sum(col("w")).as("tot_w"))
-    val u = conv(
-      substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    val u = saltedUniform(salt, col("doc_id"))
     val p = least(lit(1.0),
       lit(targetN.toDouble) * col("w").cast("double") / col("tot_w").cast("double"))
     weighted.crossJoin(broadcast(tot))
@@ -281,9 +279,7 @@ object Params {
         least(lit(1.0),
           lit(targetN.toDouble) * sqrt(col("nl"))
             / col("sw").cast("double") / col("nl")).as("rate"))
-    val u = conv(
-      substring(md5(concat(lit(s"$salt:"), col("doc_id").cast("string"))), 1, 13),
-      16, 10).cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+    val u = saltedUniform(salt, col("doc_id"))
     docs.select(col("doc_id"), col("lang"))
       .join(broadcast(rates), Seq("lang"))
       .withColumn("u", u)
@@ -399,8 +395,7 @@ object Params {
       s"""WITH t AS (SELECT doc_id, len(${tokensSql("text")}) AS w FROM documents),
          |s AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM t),
          |b AS (SELECT doc_id, w,
-         |  ('0x' || substring(md5('graft-wsample-v1:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
-         |    / CAST(4503599627370496 AS DOUBLE) AS u,
+         |  ${saltedUniformSql("graft-wsample-v1", "doc_id")} AS u,
          |  least(CAST(1 AS DOUBLE), CAST(150 AS DOUBLE) * w / CAST(tot_w AS DOUBLE)) AS p
          |  FROM t, s)
          |SELECT doc_id, CAST(w AS BIGINT) AS w, round(p * 1e6) / 1e6 AS p_inc
@@ -413,8 +408,7 @@ object Params {
          |        CAST(250 AS DOUBLE) * sqrt(nl) / CAST(sw AS DOUBLE) / nl) AS rate
          |  FROM l, w),
          |b AS (SELECT doc_id, d.lang, rate,
-         |  ('0x' || substring(md5('graft-mixture-v1:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
-         |    / CAST(4503599627370496 AS DOUBLE) AS u
+         |  ${saltedUniformSql("graft-mixture-v1", "doc_id")} AS u
          |  FROM documents d JOIN r ON d.lang = r.lang)
          |SELECT doc_id, lang, round(rate * 1e6) / 1e6 AS p_inc
          |FROM b WHERE u < rate ORDER BY doc_id""".stripMargin,

@@ -55,7 +55,8 @@ object Compaction {
       .filter(d => d.isDirectory && d.getName.startsWith(".trash_"))
       .foreach { trash =>
         val part = new File(root, trash.getName.stripPrefix(".trash_"))
-        if (!part.exists()) { trash.renameTo(part); () }
+        if (!part.exists())
+          require(trash.renameTo(part), s"repair failed: could not restore $trash")
         else Staging.deleteRecursively(trash)
       }
 

@@ -317,11 +317,14 @@ object EventStreams {
     * null rows surface exactly when the join STATE for that view is
     * evicted — the same range-bounded state that keeps the join runnable
     * on an unbounded stream also defines the outer-result timing. For the
-    * bounded driver input the final watermark lands at `max(ts) − 1h`,
-    * making the emitted subset deterministic: all matched pairs, plus
-    * null rows for unmatched views with `view_ts + horizon` strictly
-    * before the final watermark (younger unmatched views remain in state
-    * when the backlog drains — exactly what a restart would resume with).
+    * bounded driver input the final watermark lands at
+    * `least(max view ts, max purchase ts) − 1h` — each watermark node
+    * only observes its own filtered side, and the default
+    * multipleWatermarkPolicy takes the MIN — making the emitted subset
+    * deterministic: all matched pairs, plus null rows for unmatched
+    * views with `view_ts + horizon` strictly before that watermark
+    * (younger unmatched views remain in state when the backlog drains —
+    * exactly what a restart would resume with).
     */
   def st10StreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
     val horizon = AttributionHorizonMinutes
@@ -420,11 +423,19 @@ object EventStreams {
          | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL $AttributionHorizonMinutes MINUTES
          |ORDER BY 1, 2, 3, 4""".stripMargin,
     // matched pairs verbatim from the inner twin, plus null-extended rows
-    // for unmatched views whose horizon closed under the final watermark
-    // (max(ts) − 1h); NULLS FIRST pinned — Spark's ascending default and
-    // DuckDB's disagree
+    // for unmatched views whose horizon closed under the final watermark.
+    // The watermark model is Spark's exactly: each withWatermark node only
+    // sees ITS filtered side, and the default multipleWatermarkPolicy is
+    // MIN — so the global watermark is least(max view ts, max purchase ts)
+    // − 1h, NOT max(all ts) − 1h (on this corpus those differ by over an
+    // hour; the max-of-all model would emit null rows for views Spark
+    // still holds in state). NULLS FIRST pinned — Spark's ascending
+    // default and DuckDB's disagree
     "st10_stream_left_outer" ->
-      s"""WITH w AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM events),
+      s"""WITH w AS (SELECT least(
+         |    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+         |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         |  - INTERVAL 1 HOUR AS wm),
          |v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
          |p AS (SELECT user_id AS p_user, ts AS purchase_ts, value
          |      FROM events WHERE event_type = 'purchase'),

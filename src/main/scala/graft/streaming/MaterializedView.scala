@@ -25,10 +25,12 @@ import graft.functions._
   *    (never stored: an avg is not mergeable).
   *  - `foreachBatch` is at-least-once: a batch can re-run after a crash
   *    BETWEEN the serving write and the checkpoint commit. The upsert is
-  *    made idempotent the standard way — the serving table records the
-  *    last applied batch id (written AFTER its data, inside the same
-  *    lock) and re-deliveries of a batch id ≤ the recorded one are
-  *    dropped before touching data.
+  *    idempotent AND crash-safe at any interior point via a WAL-style
+  *    commit protocol (see the commit-protocol section below): a pending
+  *    record is written atomically before any mutation, affected
+  *    partitions are renamed aside as backups, and the single commit
+  *    point is one atomic state-file flip — recovery restores the
+  *    backups and the redelivered batch re-applies onto original data.
   *  - the writer holds the cross-process staging lock for the
   *    read-merge-write, so a concurrent batch reader of the serving table
   *    never interleaves with a half-written upsert (same discipline as
@@ -51,19 +53,97 @@ object MaterializedView {
     batch.groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast(Exact)).as("sum_value"))
 
+  // --------------------------------------------------- commit protocol
+  //
+  // foreachBatch is at-least-once, and a naive "write data, then record
+  // the batch id" leaves a crash window between the two in which a
+  // redelivered batch double-counts. The upsert therefore runs a
+  // WAL-style protocol around ONE atomically-replaced state file:
+  //
+  //   applied <id>                    — steady state
+  //   pending <id> <prevId> <days…>   — written (atomic rename) BEFORE
+  //                                     any data is touched
+  //
+  // Data changes happen only between `pending` and the atomic flip back
+  // to `applied <id>`: each affected partition is first RENAMED aside to
+  // `.bak_day=…` (rename is atomic), the merge writes fresh partitions,
+  // and recovery on the next call — pending state found — deletes any
+  // day dir that has a backup (it is at best a partial or uncommitted
+  // rewrite), renames the backups home, and resets `applied <prevId>`,
+  // after which the redelivered batch re-applies onto the ORIGINAL data.
+  // The state-file flip is the single commit point; backups are deleted
+  // only after it (leftovers are swept by the next recovery pass).
+
+  private def stateFile(root: File) = new File(root, "_graft_state")
+
+  private def readState(root: File): (String, Long, Long, Seq[String]) = {
+    val f = stateFile(root)
+    if (!f.exists()) ("applied", -1L, -1L, Nil)
+    else {
+      val parts = new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.split("\\s+")
+      parts(0) match {
+        case "pending" => ("pending", parts(1).toLong, parts(2).toLong, parts.drop(3).toSeq)
+        case _ => ("applied", parts(1).toLong, -1L, Nil)
+      }
+    }
+  }
+
+  private def writeState(root: File, content: String): Unit = {
+    val tmp = new File(root, "_graft_state.tmp")
+    java.nio.file.Files.write(tmp.toPath, content.getBytes)
+    java.nio.file.Files.move(tmp.toPath, stateFile(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Undo a torn upsert (pending state) or sweep post-commit backup
+    * leftovers (applied state). Idempotent; runs under the caller's lock.
+    */
+  private def recover(root: File): Long = {
+    val dataDir = new File(root, "data")
+    readState(root) match {
+      case ("pending", _, prevId, days) =>
+        // each entry is "<day>:old" (partition existed when the batch
+        // started) or "<day>:new" (it did not) — written before any
+        // mutation, which is what disambiguates a crash BEFORE the
+        // backup rename (live dir = original, keep) from a partial
+        // write of a brand-new partition (live dir = garbage, delete)
+        days.foreach { tagged =>
+          val Array(d, tag) = tagged.split(":", 2)
+          val live = new File(dataDir, s"day=$d")
+          val bak = new File(dataDir, s".bak_day=$d")
+          if (bak.exists()) {
+            // backup exists ⇒ live (if any) is an uncommitted rewrite
+            graft.sources.Staging.deleteRecursively(live)
+            require(bak.renameTo(live), s"recovery failed restoring $bak")
+          } else if (tag == "new")
+            // never existed before the batch ⇒ any live content is an
+            // uncommitted partial write
+            graft.sources.Staging.deleteRecursively(live)
+          // else: old day, no backup ⇒ crash before its rename — original
+        }
+        writeState(root, s"applied $prevId")
+        prevId
+      case ("applied", id, _, _) =>
+        Option(dataDir.listFiles).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(".bak_day="))
+          .foreach(graft.sources.Staging.deleteRecursively)
+        id
+    }
+  }
+
   /** Idempotent partition-level upsert of one micro-batch into the serving
-    * table at `dir`. Public for the spec, which drives it directly with
-    * replayed batch ids.
+    * table at `dir` — crash-safe at any point via the commit protocol
+    * above. Public for the spec, which drives it directly with replayed
+    * batch ids and crafted torn states.
     */
   def upsertBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new File(dir)
+    root.mkdirs()
     graft.sources.Staging.withExclusiveLock(root) {
-      val idFile = new File(root, "_graft_last_batch")
-      val lastApplied =
-        if (idFile.exists())
-          new String(java.nio.file.Files.readAllBytes(idFile.toPath)).trim.toLong
-        else -1L
+      val lastApplied = recover(root)
       if (batchId > lastApplied) {
         // the delta set is bounded (days-in-batch × event types) — collect
         // once so the merge below re-reads rows, not the batch plan
@@ -74,13 +154,30 @@ object MaterializedView {
           val deltaDf = spark.createDataFrame(
             new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), deltas.schema)
           val dataDir = new File(root, "data")
-          val existing =
-            if (new File(dataDir, "_SUCCESS").exists() ||
-                Option(dataDir.listFiles).exists(_.exists(_.getName.startsWith("day="))))
-              spark.read.schema(servingSchema).parquet(dataDir.getAbsolutePath)
-                .filter(col("day").cast("string").isin(days: _*))
-            else spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](), servingSchema)
+          // write-ahead: declare the batch and its affected partitions,
+          // tagged by whether each existed BEFORE any mutation (the tag
+          // is what recovery needs to tell "crash before backup" from
+          // "partial write of a new partition")
+          val dayInfo = days.map(d => d -> new File(dataDir, s"day=$d").exists())
+          writeState(root, s"pending $batchId $lastApplied " +
+            dayInfo.map { case (d, old) => s"$d:${if (old) "old" else "new"}" }.mkString(" "))
+          // move the current partitions aside; the merge reads THEM
+          val baks = dayInfo.collect { case (d, true) =>
+            val live = new File(dataDir, s"day=$d")
+            val bak = new File(dataDir, s".bak_day=$d")
+            graft.sources.Staging.deleteRecursively(bak)
+            require(live.renameTo(bak), s"backup rename failed for $live")
+            d -> bak
+          }
+          val existing = baks
+            .map { case (d, bak) =>
+              spark.read.schema(StructType(servingSchema.filterNot(_.name == "day")))
+                .parquet(bak.getAbsolutePath)
+                .withColumn("day", lit(java.sql.Date.valueOf(d)))
+            }
+            .reduceOption(_.unionByName(_))
+            .getOrElse(spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), servingSchema))
           val merged = existing
             .unionByName(deltaDf.select(col("event_type"), col("n"), col("sum_value"), col("day")))
             .groupBy(col("day"), col("event_type"))
@@ -96,9 +193,10 @@ object MaterializedView {
             case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
             case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
           }
-        }
-        java.nio.file.Files.write(idFile.toPath, batchId.toString.getBytes)
-        ()
+          // COMMIT: one atomic state flip, then post-commit cleanup
+          writeState(root, s"applied $batchId")
+          baks.foreach { case (_, bak) => graft.sources.Staging.deleteRecursively(bak) }
+        } else writeState(root, s"applied $batchId")
       }
     }
   }

@@ -255,12 +255,16 @@ object Sessions {
         |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // native session_window contract: new session at gap >= timeout
-    // (exclusive window ends), session_end = last event + gap
+    // (exclusive window ends), session_end = last event + gap. The gap
+    // compare is EXACT microseconds (epoch_us longs): Spark compares µs
+    // longs internally, and a double epoch() difference at ~1.7e9 s
+    // magnitude has ulp ≈ 0.24 µs — an exact-1800 s gap could land at
+    // 1799.99999997 and merge sessions the engine splits
     "st11_session_window" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800.0
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
         |    THEN 1 ELSE 0 END AS is_new
         |  FROM events),
         |s AS (

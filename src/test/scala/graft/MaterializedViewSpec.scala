@@ -85,6 +85,51 @@ class MaterializedViewSpec extends AnyFunSuite with SparkFixture {
       ("2024-01-02T00:00", "view", 2L, 3.0)))
   }
 
+  test("crash between data write and commit: recovery restores, redelivery applies ONCE") {
+    val dir = freshDir("crash_precommit")
+    MaterializedView.upsertBatch(events(("2024-01-01 10:00:00", "view", 1.0)), dir, 0L)
+    val before = servingRows(dir)
+    // simulate the torn state batch 1 leaves when it dies AFTER its data
+    // write but BEFORE the commit flip: original partition renamed aside,
+    // an (uncommitted) rewrite in its place, state still pending
+    val data = new File(dir, "data")
+    val live = new File(data, "day=2024-01-01")
+    val bak = new File(data, ".bak_day=2024-01-01")
+    assert(live.renameTo(bak))
+    assert(live.mkdirs()) // stand-in for the uncommitted rewrite
+    java.nio.file.Files.write(new File(dir, "_graft_state").toPath,
+      "pending 1 0 2024-01-01:old".getBytes)
+    // redelivery of batch 1: recovery must restore the original, then
+    // apply the batch exactly once — NOT double-count
+    MaterializedView.upsertBatch(events(("2024-01-01 11:00:00", "view", 3.0)), dir, 1L)
+    assert(servingRows(dir) === Seq(("2024-01-01T00:00", "view", 2L, 2.0)))
+    assert(before === Seq(("2024-01-01T00:00", "view", 1L, 1.0)))
+  }
+
+  test("crash mid-write of a brand-new partition: the partial dir is discarded") {
+    val dir = freshDir("crash_newday")
+    MaterializedView.upsertBatch(events(("2024-01-01 10:00:00", "view", 1.0)), dir, 0L)
+    val data = new File(dir, "data")
+    val partial = new File(data, "day=2024-01-02")
+    assert(partial.mkdirs()) // uncommitted partial write, no backup
+    java.nio.file.Files.write(new File(dir, "_graft_state").toPath,
+      "pending 1 0 2024-01-02:new".getBytes)
+    MaterializedView.upsertBatch(events(("2024-01-02 09:00:00", "click", 4.0)), dir, 1L)
+    assert(servingRows(dir) === Seq(
+      ("2024-01-01T00:00", "view", 1L, 1.0),
+      ("2024-01-02T00:00", "click", 1L, 4.0)))
+  }
+
+  test("post-commit backup leftovers are swept, data untouched") {
+    val dir = freshDir("leftover")
+    MaterializedView.upsertBatch(events(("2024-01-01 10:00:00", "view", 1.0)), dir, 0L)
+    val stray = new File(dir, "data/.bak_day=2024-01-01")
+    assert(stray.mkdirs())
+    MaterializedView.upsertBatch(events(("2024-01-01 12:00:00", "view", 5.0)), dir, 1L)
+    assert(!stray.exists(), "post-commit backup not swept")
+    assert(servingRows(dir) === Seq(("2024-01-01T00:00", "view", 2L, 3.0)))
+  }
+
   test("empty batches advance the applied-id watermark without writing data") {
     val dir = freshDir("empty")
     MaterializedView.upsertBatch(events(), dir, 0L)
