@@ -348,6 +348,32 @@ object EventStreams {
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
   }
 
+  /** st12 — CHAINED stateful operators in ONE streaming query: exact
+    * distinct users per hour as streaming dedup (bounded
+    * within-watermark state, st5's operator) feeding a windowed count
+    * (st2's operator) — the multi-stage stateful pipeline shape
+    * (supported with watermark propagation between stateful operators).
+    * An exact streaming COUNT(DISTINCT) is otherwise impossible in one
+    * aggregation: the dedup stage holds one state entry per (hour, user)
+    * inside the watermark, the count stage one small row per open
+    * window — both bounded, and the composition emits exactly the
+    * closed windows' exact distinct counts (oracle-gated).
+    */
+  def st12StreamWindowUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val deduped = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"),
+        date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
+        col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "hour_start")
+    val counted = deduped
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"), col("n_users"))
+    runToParquet(counted, "st12_sink")
+      .orderBy(col("window_start"))
+  }
+
   /** st8 — STREAMING INGESTION into the clean serving layer: the event
     * stream written continuously to a DATE-PARTITIONED parquet table
     * (`partitionBy` on the streaming file sink + checkpoint) — the
@@ -386,6 +412,7 @@ object EventStreams {
     "st5_stream_dedup" -> (st5StreamDedup _),
     "st6_stream_attribution" -> (st6StreamAttribution _),
     "st10_stream_left_outer" -> (st10StreamLeftOuter _),
+    "st12_stream_window_users" -> (st12StreamWindowUsers _),
     "st8_stream_ingest" ->
       ((s: SparkSession, d: String) => st8StreamIngest(s, d)))
 
@@ -448,6 +475,15 @@ object EventStreams {
          |WHERE purchase_ts IS NOT NULL
          |   OR view_ts + INTERVAL $AttributionHorizonMinutes MINUTES < (SELECT wm FROM w)
          |ORDER BY user_id, view_ts, purchase_ts NULLS FIRST, value NULLS FIRST""".stripMargin,
+    // exact distinct users per closed window — the chained dedup+count
+    // pipeline must equal the batch COUNT(DISTINCT) on the same subset
+    // st2's append mode emits (window end ≤ final watermark)
+    "st12_stream_window_users" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1
+        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        |ORDER BY 1""".stripMargin,
     // stateless exactly-once append ⇒ the ingested partitioned table IS the
     // events table plus its partition column
     "st8_stream_ingest" ->

@@ -92,6 +92,40 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       s"stream withheld ${(mustEmit -- streamed).size} closed windows of ${mustEmit.size}")
   }
 
+  test("late events beyond the watermark are dropped AND accounted in query progress") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val windowed = EventStreams.windowedStream(
+      input.toDF().toDF("ts", "event_type", "value"))
+    spark.catalog.dropTempView("late_drop_sink")
+    val q = windowed.writeStream
+      .outputMode("append").format("memory").queryName("late_drop_sink").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1 advances the watermark to 13:00 − 1h = 12:00
+    input.addData((t("2024-01-01 10:00:00"), "view", 1.0),
+      (t("2024-01-01 13:00:00"), "view", 2.0))
+    q.processAllAvailable()
+    // batch 2: 10:30 lands in window [10:00, 11:00) whose end ≤ the
+    // 12:00 watermark — the aggregation must DROP it, not resurrect a
+    // closed window, and must say so in its progress metrics
+    input.addData((t("2024-01-01 10:30:00"), "view", 9.0))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 16:00:00"), "view", 3.0)) // flush more windows
+    q.processAllAvailable()
+    val emitted = spark.table("late_drop_sink").collect()
+      .map(r => r.getAs[java.time.LocalDateTime](0) -> r.getLong(2)).toMap
+    val w10 = java.time.LocalDateTime.parse("2024-01-01T10:00")
+    assert(emitted.get(w10).contains(1L),
+      s"late event resurrected or corrupted the closed 10:00 window: $emitted")
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    assert(dropped >= 1L,
+      "late-event drop not accounted in stateOperators.numRowsDroppedByWatermark")
+    q.stop()
+  }
+
   test("eventStream reads ONLY the events table (schema match, no cross-table glob)") {
     val stream = EventStreams.eventStream(spark, sf001)
     val batch = Tables.events(spark, sf001)
