@@ -756,9 +756,53 @@ object Analytics {
       .orderBy(col("user_id"))
   }
 
+  // ---------------------------------------------------------------- q38
+  /** Interval (range) join at scale: events matched to the campaign
+    * windows containing them — the point-in-interval join behind
+    * attribution, promo analysis and slowly-changing-dimension lookups.
+    * A non-equi join has no hash key, so Spark's only direct plan is a
+    * nested-loop — O(events × windows). This operator ships the
+    * DAY-BINNING rewrite instead: each interval is exploded into the
+    * calendar days it covers (bounded: days-per-window rows per interval,
+    * never data-scaled), the fact side computes its day ONCE, and the
+    * join becomes an EQUI join on the day bin plus a residual range
+    * predicate for the partial edge days. An event's bin is unique, so no
+    * event duplicates within one interval; overlapping intervals match
+    * independently (the semantics of the join). With a bounded window dim
+    * the binned dim broadcasts — the fact side never shuffles for the
+    * join (audited: BroadcastHashJoin, no BroadcastNestedLoopJoin); with
+    * a data-scaled interval side the same rewrite yields a plain
+    * day-keyed shuffle join — either way, never a nested loop.
+    *
+    * The windows are deliberately NOT day-aligned (06:00 starts, 4.5-day
+    * length, overlapping stride 3) so the residual predicate does real
+    * work. The distinct-user count runs through Spark's standard two-phase
+    * distinct aggregate (partial keyed by (campaign, user) — plain
+    * counts, no per-key buffers, the q29 trap doesn't apply).
+    */
+  def q38IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val windows = spark.range(10).select(
+      col("id").as("campaign_id"),
+      expr("timestamp'2024-01-01 06:00:00' + make_dt_interval(3 * id)").as("start_ts"),
+      expr("timestamp'2024-01-01 06:00:00' + make_dt_interval(3 * id) " +
+        "+ make_dt_interval(0, 108)").as("end_ts"))
+    val binned = windows.select(col("campaign_id"), col("start_ts"), col("end_ts"),
+      explode(sequence(to_date(col("start_ts")), to_date(col("end_ts")))).as("day"))
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .join(broadcast(binned), Seq("day"))
+      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsumr(col("value")).as("sum_value"))
+      .orderBy(col("campaign_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_interval_join" -> (q38IntervalJoin _),
     "q29_approx_sketches" -> (q29ApproxSketches _),
     "q30_bucketed_join" -> (q30BucketedJoin _),
     "q31_event_gaps" -> (q31EventGaps _),
@@ -815,6 +859,19 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    // the NAIVE range-predicate join is the oracle; the engine's
+    // day-binned equi-join rewrite must reproduce it row-for-row
+    "q38_interval_join" ->
+      s"""WITH w AS (SELECT i AS campaign_id,
+         |  TIMESTAMP '2024-01-01 06:00:00' + to_days(CAST(3 * i AS INTEGER)) AS start_ts,
+         |  TIMESTAMP '2024-01-01 06:00:00' + to_days(CAST(3 * i AS INTEGER))
+         |    + to_hours(108) AS end_ts
+         |  FROM range(10) t(i))
+         |SELECT w.campaign_id, count(*) AS n_events,
+         |  count(DISTINCT e.user_id) AS n_users,
+         |  ${dsumSql("e.value")} AS sum_value
+         |FROM events e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+         |GROUP BY w.campaign_id ORDER BY w.campaign_id""".stripMargin,
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |${dsumSql("l_quantity")} AS sum_qty,

@@ -96,10 +96,64 @@ object Graphs {
       .select(col("v").as("n_name"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("n_name"))
 
+  /** q40 — triangle counting + local clustering coefficient, the standard
+    * graph-quality metrics beside PageRank's centrality. The algorithm is
+    * the distributed ORIENTED edge join: canonicalize to undirected edges
+    * with a < b (self-loops dropped), join e1.b = e2.a so every candidate
+    * wedge already satisfies a < b < c, then close it against the edge
+    * set — each triangle is generated exactly ONCE, never 6 ways, and the
+    * orientation bounds the wedge fan-out of high-degree nodes (the
+    * published MapReduce triangle-count design). Per-node participation
+    * explodes the three corners; lcc = 2T / d(d−1) is one IEEE division
+    * on exact integers — correctly rounded, so it cross-engine hashes
+    * under r6.
+    *
+    * Scale shape: edge extraction is the one data-scaled pass (shared
+    * with q36); the triangle join is edge-scaled — at 100 TB the edge
+    * list shuffles on its join key like any fact join, and the a < b < c
+    * orientation is precisely what keeps a celebrity node from squaring
+    * its degree in wedges.
+    */
+  def triangles(edges0: DataFrame): DataFrame = {
+    val undirected = edges0
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = undirected.as("e1")
+      .join(undirected.as("e2"), col("e1.b") === col("e2.a"))
+      .join(undirected.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
+    val deg = undirected.select(col("a").as("v"))
+      .union(undirected.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val out = deg.join(perNode, Seq("v"), "left")
+      .select(col("v"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("lcc",
+        graft.functions.r6(when(col("degree") > 1,
+          lit(2.0) * col("triangles") / (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(0.0)))
+      .localCheckpoint(true)
+    undirected.unpersist()
+    out
+  }
+
+  def q40Triangles(spark: SparkSession, sfDir: String): DataFrame =
+    triangles(nationEdges(spark, sfDir))
+      .select(col("v").as("n_name"), col("degree"), col("triangles"), col("lcc"))
+      .orderBy(col("n_name"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q36_pagerank" -> (q36PageRank _))
+    "q36_pagerank" -> (q36PageRank _),
+    "q40_triangles" -> (q40Triangles _))
 
   /** The oracle replays the identical scaled-integer formula, one CTE per
     * iteration (generated, so Spark and SQL can never drift on the
@@ -137,5 +191,36 @@ object Graphs {
   }
 
   val oracles: Map[String, String] = Map(
-    "q36_pagerank" -> pageRankSql(5))
+    "q36_pagerank" -> pageRankSql(5),
+    // identical oriented a<b<c formulation; lcc is one IEEE division on
+    // exact integers, correctly rounded in both engines, hashed under r6
+    "q40_triangles" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |      FROM e0 WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |corners AS (
+        |  SELECT x AS v FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri),
+        |tc AS (SELECT v, count(*) AS triangles FROM corners GROUP BY v),
+        |deg AS (SELECT v, count(*) AS degree FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v)
+        |SELECT deg.v AS n_name, deg.degree,
+        |  coalesce(tc.triangles, 0) AS triangles,
+        |  round(CASE WHEN deg.degree > 1
+        |    THEN 2.0 * coalesce(tc.triangles, 0) / (deg.degree * (deg.degree - 1))
+        |    ELSE 0.0 END * 1e6) / 1e6 AS lcc
+        |FROM deg LEFT JOIN tc ON deg.v = tc.v
+        |ORDER BY n_name""".stripMargin)
 }

@@ -331,6 +331,33 @@ object Params {
   def sa6TokenShardsQ(spark: SparkSession, sfDir: String): DataFrame =
     sa6TokenShards(Tables.documents(spark, sfDir))
 
+  /** sa7 — EXACT-N deterministic sample via bottom-k on a salted hash:
+    * order every doc by its salted-md5 uniform draw and keep the k
+    * smallest. This is the exact-n sampler sa1 cannot be — sa1's
+    * `orderBy(rand(seed))` is engine-RNG-bound (rows-only check), while
+    * the hash draw is a property of the (salt, doc_id) key, so the SAME k
+    * rows come back from every engine, every re-run, and every cluster
+    * layout: fully oracle-HASHABLE. Statistically it is a uniform simple
+    * random sample (each key's draw is i.i.d. uniform under the
+    * random-oracle model of md5), and changing the salt redraws it.
+    *
+    * Scale: bottom-k is Spark's `TakeOrderedAndProject` — each partition
+    * keeps a k-row heap, the driver merges P·k rows, the corpus never
+    * shuffles (the canonical scale-safe exact-n shape; same plan family
+    * as sa1 but with a portable key). The draw reuses [[saltedUniform]] —
+    * one md5 per row, codegen'd, map-only.
+    */
+  def sa7BottomKSample(
+      docs: DataFrame, k: Int = 200,
+      salt: String = "graft-bottomk-v1"): DataFrame =
+    docs
+      .select(col("doc_id"), saltedUniform(salt, col("doc_id")).as("u"))
+      .orderBy(col("u"), col("doc_id"))
+      .limit(k)
+
+  def sa7BottomKSampleQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa7BottomKSample(Tables.documents(spark, sfDir))
+
   // ----------------------------------------------------------- csv dim
 
   /** cs1 — S3: the dimension join with the dim read from CSV (the
@@ -371,6 +398,7 @@ object Params {
     "sa4_weighted_sample" -> (sa4WeightedSampleQ _),
     "sa5_mixture_sample" -> (sa5MixtureSampleQ _),
     "sa6_token_shards" -> (sa6TokenShardsQ _),
+    "sa7_bottomk_sample" -> (sa7BottomKSampleQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
@@ -423,6 +451,12 @@ object Params {
          |  FROM t)
          |SELECT doc_id, w, CAST(excl // 20000 AS BIGINT) AS shard_id
          |FROM c ORDER BY doc_id""".stripMargin,
+    // bottom-k on the salted hash: the 52-bit draw is exact in a double
+    // and the /2^52 is a power-of-two scale, so u is bit-identical in both
+    // engines and the k-smallest set (tie order pinned by doc_id) hashes
+    "sa7_bottomk_sample" ->
+      s"""SELECT doc_id, ${saltedUniformSql("graft-bottomk-v1", "doc_id")} AS u
+         |FROM documents ORDER BY u, doc_id LIMIT 200""".stripMargin,
     "sa3_hash_split" ->
       """WITH b AS (SELECT doc_id,
         |  ('0x' || substring(md5('graft-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket

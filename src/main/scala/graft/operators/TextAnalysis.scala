@@ -527,6 +527,41 @@ object TextAnalysis {
   /** The registry's fixed demo query — mid-frequency corpus terms. */
   val Bm25Terms: Seq[String] = Seq("spark", "vector", "customer")
 
+  /** td15 — TF-IDF keyword extraction: each document's top-k most
+    * characteristic terms, score = tf · N/df. The idf is the RATIONAL
+    * N/df, not its textbook log — the td11/td13 portability rule: `log`
+    * drifts in the last ulp across libm implementations and would poison
+    * the cross-engine hash, while (tf·N)/df is one exact long product and
+    * one correctly-rounded IEEE division, bit-identical everywhere; the
+    * monotone log leaves the per-document ranking unchanged. Ties rank by
+    * term ascending, so the k-set is fully deterministic.
+    *
+    * Scale shape: tf is a (doc, term) partial-agg count (skew-immune —
+    * map-side combine absorbs hot terms); df reduces tf by term; the
+    * tf ⋈ df join's hot keys are exactly the stopword-grade terms, a
+    * plain inner join AQE skew-splits (td11's argument). The top-k filter
+    * is `row_number() <= k`, which Spark rewrites to WindowGroupLimit —
+    * no document ever materializes more than k + heap rows per partition
+    * (PlanSpec audit). N is a 1-row broadcast.
+    */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dft, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n")) / col("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        r6(col("score")).as("score"))
+      .orderBy(col("doc_id"), col("score").desc, col("term"))
+  }
+
   // ------------------------------------------------------------ registry
 
   /** td14 — heavy hitters over the corpus vocabulary via the Misra–Gries
@@ -563,9 +598,27 @@ object TextAnalysis {
     "td10_repetition" -> ((s: SparkSession, d: String) => repetitionMetrics(Tables.documents(s, d))),
     "td11_doc_novelty" -> ((s: SparkSession, d: String) => docNovelty(Tables.documentsRebalanced(s, d))),
     "td12_pii_scan" -> ((s: SparkSession, d: String) => piiScan(Tables.documents(s, d))),
-    "td13_bm25" -> ((s: SparkSession, d: String) => bm25(Tables.documents(s, d), Bm25Terms)))
+    "td13_bm25" -> ((s: SparkSession, d: String) => bm25(Tables.documents(s, d), Bm25Terms)),
+    "td15_tfidf_keywords" -> ((s: SparkSession, d: String) =>
+      tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the naive formulation IS the oracle: per-(doc,term) counts, doc
+    // frequencies, score = (tf*N)/df — one long product, one IEEE
+    // division, both engines identical; ties rank by term ascending
+    "td15_tfidf_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         |  (tf.tf * n.n) / dft.df AS score,
+         |  row_number() OVER (PARTITION BY tf.doc_id
+         |    ORDER BY (tf.tf * n.n) / dft.df DESC, tf.term) AS rk
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         |  round(score * 1e6) / 1e6 AS score
+         |FROM s WHERE rk <= 3 ORDER BY doc_id, score DESC, term""".stripMargin,
     "td1_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, text, len(toks) AS n_tokens,

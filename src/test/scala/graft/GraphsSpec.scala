@@ -31,6 +31,26 @@ class GraphsSpec extends AnyFunSuite with SparkFixture {
     assert(got("b") > got("a") && got("a") > got("c") && got("c") === got("d"))
   }
 
+  test("triangles counts each triangle once; lcc follows 2T/d(d-1)") {
+    // K4 on {a,b,c,d} (4 triangles, every node in 3) plus pendant e-a
+    // (e: degree 1, 0 triangles; a: degree 4, still 3 triangles).
+    // Directed duplicates and a self-loop must not change anything.
+    val edges = Seq(
+      ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("c", "d"), ("b", "d"),
+      ("e", "a"), ("c", "c")).toDF("src", "dst")
+    val got = Graphs.triangles(edges).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("e") === ((1L, 0L, 0.0)))
+    assert(got("a") === ((4L, 3L, 0.5)))          // 2*3/(4*3)
+    Seq("b", "c", "d").foreach { v =>
+      assert(got(v) === ((3L, 3L, 1.0)), s"node $v: ${got(v)}") // 2*3/(3*2)
+    }
+    // global count: sum of participations / 3 = 4 triangles
+    assert(got.values.map(_._2).sum === 12L)
+  }
+
   test("pageRank is deterministic run-to-run") {
     val edges = Graphs.nationEdges(spark, sf001)
     val a = Graphs.pageRank(edges).collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq

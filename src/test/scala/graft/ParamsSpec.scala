@@ -180,4 +180,28 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     a.foreach { case (id, _, _) =>
       assert(big.contains(id), s"doc $id kept at target 150 but dropped at 300") }
   }
+
+  test("sa7: bottom-k sample is exact-n, deterministic, and matches the md5 formula") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val k = 20
+    val a = Params.sa7BottomKSample(docs, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val b = Params.sa7BottomKSample(docs, k).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq === b.toSeq, "bottom-k sample must be run-to-run identical")
+    assert(a.length === k, s"exact-n violated: got ${a.length}")
+    assert(a.map(_._2).sliding(2).forall(s => s.length < 2 || s(0) <= s(1)),
+      "output not ordered by draw")
+    // independent replication of the draw: pure-JVM md5 over every key,
+    // k smallest must be exactly Spark's k rows (values bit-identical)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val expected = ids.map { id =>
+      val hex = md.digest(s"graft-bottomk-v1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      md.reset()
+      id -> java.lang.Long.parseLong(hex.take(13), 16).toDouble / 4503599627370496.0
+    }.sortBy(t => (t._2, t._1)).take(k)
+    assert(a.toSeq === expected.toSeq, "Spark bottom-k drifted from the md5 formula")
+  }
 }

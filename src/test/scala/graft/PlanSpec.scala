@@ -299,6 +299,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"rank-1 filter not rewritten to WindowGroupLimit:\n$p")
   }
 
+  test("q38: interval join runs as a day-binned broadcast equi-join, never a nested loop") {
+    val p = plan(Analytics.q38IntervalJoin(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"),
+      s"binned interval join not a broadcast equi-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range predicate fell back to a nested loop:\n$p")
+  }
+
+  test("td15: tf-idf top-k plans as WindowGroupLimit; sa7 bottom-k as TakeOrdered") {
+    val p = plan(TextAnalysis.tfidfKeywords(Tables.documents(spark, sf001)))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter not rewritten to WindowGroupLimit:\n$p")
+    val q = plan(Params.sa7BottomKSample(Tables.documents(spark, sf001)))
+    assert(q.contains("TakeOrderedAndProject"),
+      s"bottom-k not planned as TakeOrderedAndProject:\n$q")
+  }
+
   test("sa6: distributed prefix sum — no unpartitioned window ever sees fact rows") {
     val p = plan(Params.sa6TokenShards(Tables.documents(spark, sf001)))
     // the intra-bucket cumsum is partitioned by the range bucket
