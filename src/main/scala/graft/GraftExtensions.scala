@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, ImageHeader, MinHashSig, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash64, StopCounts, WordShingles}
+import graft.functions.{DotProduct, ImageHeader, MinHashSig, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash64, StopCounts, WavHeader, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("image_header"),
       new ExpressionInfo(classOf[ImageHeader].getName, "image_header"),
       (args: Seq[Expression]) => ImageHeader(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("wav_header"),
+      new ExpressionInfo(classOf[WavHeader].getName, "wav_header"),
+      (args: Seq[Expression]) => WavHeader(args.head)))
     ext.injectFunction((
       FunctionIdentifier("script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),

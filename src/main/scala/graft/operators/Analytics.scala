@@ -799,9 +799,53 @@ object Analytics {
       .orderBy(col("campaign_id"))
   }
 
+  // ---------------------------------------------------------------- q41
+  /** Exact EQUI-DEPTH histogram (equal-frequency deciles) of the price
+    * column: bin i holds rows ranked [i·N/k, (i+1)·N/k) in the global
+    * (price, orderkey, linenumber) order, reported as (count, min, max)
+    * per bin — the boundary profile q13's equal-WIDTH histogram and
+    * q19's fixed percentiles don't give. The naive formulation is a
+    * GLOBAL row_number — one unpartitioned window over every fact row,
+    * the canonical scale-killer — so the global rank is computed with
+    * sa6's distributed two-phase prefix sum instead: range-bucket on the
+    * price (any monotone bucketing preserves the total order), per-bucket
+    * counts → exclusive offsets over the BOUNDED bucket list, intra-bucket
+    * row_number partitioned by bucket, rank = offset + local rank.
+    * bin = rank·k div N in exact long arithmetic; the oracle IS the
+    * naive global formulation, reproduced row-for-row.
+    */
+  def q41EquidepthHistogram(
+      spark: SparkSession, sfDir: String, nbins: Int = 10, buckets: Int = 64): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").as("p"),
+        col("l_orderkey").as("k"), col("l_linenumber").as("ln"))
+    val bounds = li.agg(min(col("p")).as("pmin"), max(col("p")).as("pmax"),
+      count(lit(1)).as("total"))
+    val bucketed = li.crossJoin(broadcast(bounds))
+      .withColumn("b", least(lit(buckets - 1),
+        floor((col("p") - col("pmin")) * buckets / (col("pmax") - col("pmin") + 1.0))
+          .cast("int")))
+    val offsets = bucketed.groupBy(col("b")).agg(count(lit(1)).as("bn"))
+      .withColumn("off",
+        coalesce(sum(col("bn")).over(
+          Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("b"), col("off"))
+    val intra = Window.partitionBy(col("b"))
+      .orderBy(col("p"), col("k"), col("ln"))
+    bucketed.join(broadcast(offsets), Seq("b"))
+      .withColumn("rank", col("off") + row_number().over(intra) - 1)
+      .withColumn("bin_id", expr(s"(rank * $nbins) div total"))
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("p")).as("min_price"), max(col("p")).as("max_price"))
+      .orderBy(col("bin_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q41_equidepth_hist" -> ((s: SparkSession, d: String) => q41EquidepthHistogram(s, d)),
     "q38_interval_join" -> (q38IntervalJoin _),
     "q29_approx_sketches" -> (q29ApproxSketches _),
     "q30_bucketed_join" -> (q30BucketedJoin _),
@@ -859,6 +903,19 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    // the NAIVE global-row_number formulation is the oracle; the
+    // distributed two-phase rank must reproduce it row-for-row
+    "q41_equidepth_hist" ->
+      """WITH t AS (SELECT l_extendedprice AS p, l_orderkey AS k,
+        |                  l_linenumber AS ln FROM lineitem),
+        |n AS (SELECT count(*) AS total FROM t),
+        |r AS (SELECT p,
+        |  CAST(((row_number() OVER (ORDER BY p, k, ln) - 1) * 10) // total
+        |       AS BIGINT) AS bin_id
+        |  FROM t, n)
+        |SELECT bin_id, count(*) AS n_rows,
+        |  min(p) AS min_price, max(p) AS max_price
+        |FROM r GROUP BY bin_id ORDER BY bin_id""".stripMargin,
     // the NAIVE range-predicate join is the oracle; the engine's
     // day-binned equi-join rewrite must reproduce it row-for-row
     "q38_interval_join" ->

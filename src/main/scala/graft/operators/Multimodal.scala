@@ -141,9 +141,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm6 — REAL audio-container header decode via the native
+    * [[graft.functions.WavHeader]] expression: channels, sample rate, bit
+    * depth, PCM data size and an exact-integer duration parsed from
+    * actual RIFF/WAVE chunk bytes (public format spec, no codec) — the
+    * audio twin of mm5, covering the second modality the binary-column
+    * plumbing carries. Map-only, codegen'd, no shuffle.
+    *
+    * Over the driver's text corpus the 'RIFF' magic never occurs (the
+    * corpus is lowercase ASCII — verified zero uppercase bytes), so only
+    * the unknown branch is reachable and the oracle replicates exactly
+    * that, guarded by a LIKE so a changed corpus surfaces as a mismatch
+    * instead of silently passing; the WAV branch (fmt/data chunk walk,
+    * word alignment, truncation handling) is exercised on crafted real
+    * WAV bytes in MultimodalSpec.
+    */
+  def wavHeaders(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    docs
+      .select(col("doc_id"), length(payload).cast("long").as("byte_len"),
+        call_function("wav_header", payload).as("hdr"))
+      .select(col("doc_id"), col("byte_len"),
+        col("hdr.format").as("format"), col("hdr.channels").as("channels"),
+        col("hdr.sample_rate").as("sample_rate"),
+        col("hdr.bits_per_sample").as("bits_per_sample"),
+        col("hdr.data_bytes").as("data_bytes"),
+        col("hdr.duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm6_wav_headers" -> ((s: SparkSession, d: String) =>
+      wavHeaders(Tables.documents(s, d))),
     "mm5_image_headers" -> ((s: SparkSession, d: String) =>
       imageHeaders(Tables.documents(s, d))),
     "mm1_binary_meta" -> ((s: SparkSession, d: String) => binaryMeta(Tables.documents(s, d))),
@@ -168,6 +199,19 @@ object Multimodal {
     // oracle's expressible domain (the engine reads its UTF-8 encoding
     // bytes; the driver corpus is all-ASCII and cannot produce it).
     // PNG/JPEG parsing is spec-verified on real bytes in MultimodalSpec.
+    // all-lowercase corpus ⇒ only the unknown branch is reachable; the
+    // LIKE guard makes a future RIFF-prefixed doc a loud mismatch (the
+    // chunk walk is then outside SQL's domain, exercised in the spec)
+    "mm6_wav_headers" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CASE WHEN text LIKE 'RIFF%' THEN 'wav' ELSE 'unknown' END AS format,
+        |  CAST(NULL AS INTEGER) AS channels,
+        |  CAST(NULL AS INTEGER) AS sample_rate,
+        |  CAST(NULL AS INTEGER) AS bits_per_sample,
+        |  CAST(NULL AS BIGINT) AS data_bytes,
+        |  CAST(NULL AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm5_image_headers" ->
       """WITH m AS (SELECT doc_id, text,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -79,6 +79,56 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .getUTF8String(0).toString === "unknown")
   }
 
+  // real 44-byte canonical WAV header: PCM, stereo, 44100 Hz, 16-bit,
+  // byteRate = 44100*2*2 = 176400 (0x02B110), then a data chunk declaring
+  // 352800 bytes (= exactly 2000 ms) with a truncated payload
+  private def le16b(v: Int) = bytes(v & 0xFF, (v >> 8) & 0xFF)
+  private def le32b(v: Long) = bytes((v & 0xFF).toInt, ((v >> 8) & 0xFF).toInt,
+    ((v >> 16) & 0xFF).toInt, ((v >> 24) & 0xFF).toInt)
+  private val wav = "RIFF".getBytes ++ le32b(352836L) ++ "WAVE".getBytes ++
+    "fmt ".getBytes ++ le32b(16L) ++
+    le16b(1) ++ le16b(2) ++ le32b(44100L) ++ le32b(176400L) ++
+    le16b(4) ++ le16b(16) ++
+    "data".getBytes ++ le32b(352800L) ++ bytes(0, 0, 0, 0)
+
+  test("wav_header parses real RIFF/WAVE chunks and degrades honestly") {
+    val r = graft.functions.WavHeader.compute(wav)
+    assert(r.getUTF8String(0).toString === "wav")
+    assert(r.getInt(1) === 2 && r.getInt(2) === 44100 && r.getInt(3) === 16)
+    assert(r.getLong(4) === 352800L, "data size is the DECLARED size")
+    assert(r.getLong(5) === 2000L, "duration = dataBytes*1000/byteRate, exact")
+
+    // an odd-sized LIST chunk before fmt must be skipped with its pad byte
+    val padded = "RIFF".getBytes ++ le32b(100L) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32b(3L) ++ bytes(1, 2, 3, 0) ++ // 3 + 1 pad
+      wav.drop(12)
+    val r2 = graft.functions.WavHeader.compute(padded)
+    assert(r2.getInt(2) === 44100 && r2.getLong(5) === 2000L,
+      "odd chunk not word-aligned-skipped")
+
+    // RIFF/WAVE magic with no parseable chunks: format kept, all null
+    val bare = "RIFF".getBytes ++ le32b(4L) ++ "WAVE".getBytes
+    val r3 = graft.functions.WavHeader.compute(bare)
+    assert(r3.getUTF8String(0).toString === "wav" &&
+      (1 to 5).forall(r3.isNullAt), "bare magic must keep format, null fields")
+
+    // fmt present but no data chunk: duration null, format fields kept
+    val noData = wav.take(12 + 8 + 16)
+    val r4 = graft.functions.WavHeader.compute(noData)
+    assert(r4.getInt(1) === 2 && r4.isNullAt(4) && r4.isNullAt(5))
+
+    // a chunk whose declared size overruns the buffer ends the walk
+    val overrun = "RIFF".getBytes ++ le32b(100L) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(0x7FFFFFFFL) ++ bytes(1, 2)
+    val r5 = graft.functions.WavHeader.compute(overrun)
+    assert(r5.getUTF8String(0).toString === "wav" && r5.isNullAt(1))
+
+    assert(graft.functions.WavHeader.compute("plain prose".getBytes)
+      .getUTF8String(0).toString === "unknown")
+    assert(graft.functions.WavHeader.compute(Array.empty[Byte])
+      .getUTF8String(0).toString === "unknown")
+  }
+
   test("image_header channel table follows the PNG color types") {
     val colorTypes = Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
     colorTypes.foreach { case (ct, want) =>

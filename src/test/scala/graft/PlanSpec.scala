@@ -316,6 +316,23 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"bottom-k not planned as TakeOrderedAndProject:\n$q")
   }
 
+  test("q41: equi-depth rank is distributed — no unpartitioned window over fact rows") {
+    val p = plan(Analytics.q41EquidepthHistogram(spark, sf001))
+    // the intra-bucket rank is partitioned by the range bucket
+    assert(p.contains("hashpartitioning(b#"),
+      s"intra-bucket rank not partitioned by bucket:\n$p")
+    // any SinglePartition exchange must be fed by an aggregate (the
+    // bounded bucket counts), never by the raw fact stream
+    val numbered = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1).toInt)
+    numbered.foreach { k =>
+      val detail = p.substring(p.indexOf(s"($k) Exchange"))
+        .linesIterator.take(4).mkString("\n")
+      if (detail.contains("SinglePartition"))
+        assert(p.contains(s"(${k - 1}) HashAggregate"),
+          s"SinglePartition exchange ($k) not fed by the bucket aggregate:\n$p")
+    }
+  }
+
   test("sa6: distributed prefix sum — no unpartitioned window ever sees fact rows") {
     val p = plan(Params.sa6TokenShards(Tables.documents(spark, sf001)))
     // the intra-bucket cumsum is partitioned by the range bucket
