@@ -136,4 +136,75 @@ class MaterializedViewSpec extends AnyFunSuite with SparkFixture {
     MaterializedView.upsertBatch(events(("2024-01-01 10:00:00", "view", 1.0)), dir, 1L)
     assert(servingRows(dir) === Seq(("2024-01-01T00:00", "view", 1L, 1.0)))
   }
+
+  // ------------------------------------------------- st13 latest-per-key
+
+  private def uevents(rows: (Long, String, String, Double, Long)*): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      rows.map { case (u, ts, t, v, id) =>
+        org.apache.spark.sql.Row(u, Timestamp.valueOf(ts), t, v, id)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  private def latestRows(dir: String): Seq[(Long, String, String, Long)] =
+    MaterializedView.readLatest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.get(1).toString, r.getString(2), r.getLong(4)))
+      .toSeq
+
+  test("st13: newer batches override, older events never resurrect, replay is a no-op") {
+    val dir = freshDir("latest")
+    MaterializedView.upsertLatest(uevents(
+      (1L, "2024-01-01 09:00:00", "view", 1.0, 99L),
+      (1L, "2024-01-01 10:00:00", "click", 2.0, 100L),
+      (2L, "2024-01-01 11:00:00", "view", 3.0, 101L)), dir, 0L)
+    assert(latestRows(dir) === Seq(
+      (1L, "2024-01-01T10:00", "click", 100L),
+      (2L, "2024-01-01T11:00", "view", 101L)))
+    // batch 1: user 1 advances; user 2 gets an OLDER event (must not win)
+    val b1 = uevents(
+      (1L, "2024-01-01 12:00:00", "purchase", 4.0, 102L),
+      (2L, "2024-01-01 08:00:00", "view", 9.0, 50L),
+      (16L, "2024-01-01 13:00:00", "view", 5.0, 103L))
+    MaterializedView.upsertLatest(b1, dir, 1L)
+    val after = Seq(
+      (1L, "2024-01-01T12:00", "purchase", 102L),
+      (2L, "2024-01-01T11:00", "view", 101L),
+      (16L, "2024-01-01T13:00", "view", 103L))
+    assert(latestRows(dir) === after)
+    // at-least-once redelivery must be a no-op
+    MaterializedView.upsertLatest(b1, dir, 1L)
+    assert(latestRows(dir) === after)
+  }
+
+  test("st13: a batch rewrites only the key buckets it touches") {
+    val dir = freshDir("latest_buckets")
+    // users 1 (bucket 1), 2 (bucket 2), 16 (bucket 0)
+    MaterializedView.upsertLatest(uevents(
+      (1L, "2024-01-01 09:00:00", "view", 1.0, 1L),
+      (2L, "2024-01-01 09:00:00", "view", 1.0, 2L),
+      (16L, "2024-01-01 09:00:00", "view", 1.0, 3L)), dir, 0L)
+    val bucket2 = new File(dir, "data/bucket=2")
+    val before = Option(bucket2.listFiles).get
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    // batch touches buckets 0 and 1 only
+    MaterializedView.upsertLatest(uevents(
+      (1L, "2024-01-01 10:00:00", "click", 2.0, 4L),
+      (16L, "2024-01-01 10:00:00", "click", 2.0, 5L)), dir, 1L)
+    val after = Option(bucket2.listFiles).get
+      .filter(_.getName.startsWith("part-")).map(f => f.getName -> f.lastModified).toMap
+    assert(after === before, "untouched key bucket was rewritten")
+    assert(latestRows(dir).map(t => (t._1, t._4)) === Seq((1L, 4L), (2L, 2L), (16L, 5L)))
+  }
 }
