@@ -799,6 +799,36 @@ object Analytics {
       .orderBy(col("campaign_id"))
   }
 
+  // ---------------------------------------------------------------- q39
+  /** Schema-evolution union: merge two GENERATIONS of the event log —
+    * an early extract that never carried `value`/`props` and the current
+    * full schema — into one frame, absent columns null-filled. This is
+    * `unionByName(allowMissingColumns = true)`: position-based `union`
+    * would silently zip mismatched columns (the classic corruption), and
+    * a by-hand projection per generation is exactly what the operator
+    * automates. The generations are carved deterministically from the
+    * driver corpus (event_id parity) so the result is oracle-exact.
+    *
+    * Scale shape: a union is plan-level concatenation — zero shuffle,
+    * zero data movement; each side keeps its own pushed filters and
+    * pruned columns (the merged read is the union of the two
+    * generations' scans, which is what reading a schema-evolved
+    * partitioned table compiles to anyway).
+    */
+  def q39UnionEvolve(
+      spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val gen1 = e.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val gen2 = e.filter(col("event_id") % 2 === 1)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    val merged = gen1.unionByName(gen2, allowMissingColumns = true)
+      .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    if (ordered) merged.orderBy(col("event_id")) else merged
+  }
+
   // ---------------------------------------------------------------- q41
   /** Exact EQUI-DEPTH histogram (equal-frequency deciles) of the price
     * column: bin i holds rows ranked [i·N/k, (i+1)·N/k) in the global
@@ -845,6 +875,7 @@ object Analytics {
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
     "q41_equidepth_hist" -> ((s: SparkSession, d: String) => q41EquidepthHistogram(s, d)),
     "q38_interval_join" -> (q38IntervalJoin _),
     "q29_approx_sketches" -> (q29ApproxSketches _),
@@ -892,7 +923,8 @@ object Analytics {
   val benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q02_clean_lineitem" -> ((s: SparkSession, d: String) => q02CleanLineitem(s, d, ordered = false)),
     "q03_derived" -> ((s: SparkSession, d: String) => q03Derived(s, d, ordered = false)),
-    "q16_projection" -> ((s: SparkSession, d: String) => q16Projection(s, d, ordered = false)))
+    "q16_projection" -> ((s: SparkSession, d: String) => q16Projection(s, d, ordered = false)),
+    "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d, ordered = false)))
 
   private val dsumSql = (c: String) =>
     s"round(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE), 6)"
@@ -903,6 +935,16 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    // by-name union with null fill — the oracle spells the generations'
+    // projections and the missing-column nulls explicitly
+    "q39_union_evolve" ->
+      """SELECT event_id, ts, user_id, event_type,
+        |  CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS props
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin,
     // the NAIVE global-row_number formulation is the oracle; the
     // distributed two-phase rank must reproduce it row-for-row
     "q41_equidepth_hist" ->
