@@ -348,6 +348,96 @@ object EventStreams {
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
   }
 
+  // -------------------------------------------------- st14 heavy hitters
+
+  /** Atomic sketch-state file for [[st14HeavyUsers]]: first line the
+    * last-applied batch id, then one `count<TAB>term` line per counter.
+    * ONE file replaced by atomic rename is the whole commit protocol —
+    * there is no torn middle state, so at-least-once `foreachBatch`
+    * redelivery either sees the old id (and re-applies onto the old
+    * sketch) or the new id (and skips): exactly-once effect without st9's
+    * multi-partition WAL, because the state is a single bounded blob.
+    */
+  def readSketch(f: java.io.File): (Long, Map[String, Long]) =
+    if (!f.exists()) (-1L, Map.empty)
+    else {
+      val lines = java.nio.file.Files.readAllLines(f.toPath)
+      import scala.jdk.CollectionConverters._
+      val it = lines.asScala
+      (it.head.toLong, it.tail.map { l =>
+        val Array(c, t) = l.split("\t", 2)
+        t -> c.toLong
+      }.toMap)
+    }
+
+  private def writeSketch(f: java.io.File, id: Long, m: Map[String, Long]): Unit = {
+    val tmp = new java.io.File(f.getParentFile, f.getName + ".tmp")
+    val body = (id.toString +: m.toSeq.sortBy(_._1).map { case (t, c) => s"$c\t$t" })
+      .mkString("\n")
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Merge one micro-batch's (bounded, k-entry) Misra–Gries sketch into
+    * the state file — idempotent under batch-id replay, cross-process
+    * locked. Public for the spec, which drives it with crafted batches
+    * and replayed ids.
+    */
+  def upsertSketch(
+      stateF: java.io.File, batchId: Long, batch: Map[String, Long], k: Int): Unit =
+    graft.sources.Staging.withExclusiveLock(stateF.getParentFile) {
+      val (last, cur) = readSketch(stateF)
+      if (batchId > last)
+        writeSketch(stateF, batchId, new MisraGries(k).merge(cur, batch))
+    }
+
+  /** st14 — STREAMING heavy hitters: the dominant keys of an unbounded
+    * stream, maintained across micro-batches with O(k) state — td14's
+    * Misra–Gries sketch lifted from a batch aggregate to a continuously-
+    * maintained summary. Each micro-batch reduces to ONE k-entry map
+    * inside the cluster (per-partition partial sketches merged by the
+    * typed aggregate — only k counters ever reach the driver), then
+    * merges into the persisted sketch by the Agarwal-et-al mergeable-
+    * summaries step. The MG guarantees (no key above N/(k+1) missed,
+    * estimates never above truth, undershoot bounded) hold under ANY
+    * batch split/order — which is what makes the streaming lift sound;
+    * the specific estimates are merge-order dependent like every sketch,
+    * so the gate is rows-only and the guarantees are spec-asserted.
+    *
+    * At 100 TB this is the trending-keys report a windowed exact count
+    * can't afford: state is k counters total, not a per-key map.
+    */
+  def st14HeavyUsers(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
+    val base = stagingDir("st14_hh")
+    base.mkdirs()
+    val stateF = new java.io.File(base, "sketch")
+    val chk = new java.io.File(base, "chk").getAbsolutePath
+    val mg = udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", GateStatePartitions.toString)
+    try eventStream(spark, sfDir)
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val sketch = b.select(col("user_id").cast("string").as("t"))
+          .agg(mg(col("t")).as("mg"))
+          .collect()(0).getAs[Map[String, Long]]("mg")
+        upsertSketch(stateF, id, sketch, k)
+      }
+      .option("checkpointLocation", chk)
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val (_, fin) = readSketch(stateF)
+    import spark.implicits._
+    fin.toSeq.toDF("user_id", "est_count")
+      .select(col("user_id").cast("long").as("user_id"), col("est_count"))
+      .orderBy(col("est_count").desc, col("user_id"))
+  }
+
   /** st12 — CHAINED stateful operators in ONE streaming query: exact
     * distinct users per hour as streaming dedup (bounded
     * within-watermark state, st5's operator) feeding a windowed count
@@ -412,6 +502,10 @@ object EventStreams {
     "st5_stream_dedup" -> (st5StreamDedup _),
     "st6_stream_attribution" -> (st6StreamAttribution _),
     "st10_stream_left_outer" -> (st10StreamLeftOuter _),
+    // st14 is rows-only by design: sketch estimates are merge-order
+    // dependent (like dd4/sa1/q29's sketch columns); the MG guarantees
+    // are asserted in StreamingSpec against exact cross-batch counts
+    "st14_stream_heavy_users" -> ((s: SparkSession, d: String) => st14HeavyUsers(s, d)),
     "st12_stream_window_users" -> (st12StreamWindowUsers _),
     "st8_stream_ingest" ->
       ((s: SparkSession, d: String) => st8StreamIngest(s, d)))

@@ -30,6 +30,44 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(out.columns.toSeq === Seq("window", "n"))
   }
 
+  test("st14: sketch state merges across batches, replays are no-ops, guarantees hold") {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_st14_spec")
+    graft.sources.Staging.deleteRecursively(dir)
+    dir.mkdirs()
+    val f = new java.io.File(dir, "sketch")
+    val k = 3
+    // two batches whose exact counts are their own valid k-entry sketches
+    EventStreams.upsertSketch(f, 0L, Map("a" -> 5L, "b" -> 3L, "c" -> 1L), k)
+    assert(EventStreams.readSketch(f) === ((0L, Map("a" -> 5L, "b" -> 3L, "c" -> 1L))))
+    EventStreams.upsertSketch(f, 1L, Map("a" -> 2L, "d" -> 4L), k)
+    // merge: a7 b3 c1 d4 → 4 counters > k ⇒ subtract the (k+1)-th largest
+    // (1) and drop zeros: a6 b2 d3 — the Agarwal mergeable-summaries step
+    val (id, est) = EventStreams.readSketch(f)
+    assert(id === 1L && est === Map("a" -> 6L, "b" -> 2L, "d" -> 3L))
+    // replayed and stale ids must be dropped
+    EventStreams.upsertSketch(f, 1L, Map("a" -> 2L, "d" -> 4L), k)
+    EventStreams.upsertSketch(f, 0L, Map("z" -> 9L), k)
+    assert(EventStreams.readSketch(f) === ((1L, est)))
+    // guarantees vs the exact cross-batch truth (N = 15, N/(k+1) = 3.75)
+    val truth = Map("a" -> 7L, "b" -> 3L, "c" -> 1L, "d" -> 4L)
+    truth.foreach { case (t, c) =>
+      if (c > 15.0 / (k + 1)) assert(est.contains(t), s"heavy hitter $t missed")
+      est.get(t).foreach { e =>
+        assert(e <= c && c - e <= 15.0 / (k + 1), s"$t: est $e vs truth $c")
+      }
+    }
+  }
+
+  test("st14 end-to-end: below-k cardinality makes the sketch exact") {
+    // sf0.001 has 15 distinct users < k=16: Misra–Gries never decrements,
+    // so the maintained sketch must equal the exact per-user counts
+    val got = EventStreams.st14HeavyUsers(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf001).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === exact)
+  }
+
   test("st6: stream-stream interval attribution join == batch twin") {
     val batch = EventStreams.attributionBatch(Tables.events(spark, sf001)).collect().toSeq
     val streamed = EventStreams.st6StreamAttribution(spark, sf001).collect().toSeq
