@@ -872,9 +872,36 @@ object Analytics {
       .orderBy(col("bin_id"))
   }
 
+  // ---------------------------------------------------------------- q42
+  /** SCD Type-2 dimension build: each user's event-type history compacted
+    * into VERSIONED VALIDITY INTERVALS — a row per change of value with
+    * `valid_from`/`valid_to`/`is_current`, consecutive repeats collapsed
+    * — the slowly-changing-dimension shape every warehouse keeps beside
+    * the q35/st13 current-snapshot view (the snapshot answers "what is",
+    * the SCD2 table answers "what was, when"). Change detection is `lag`
+    * over the (user, time)-ordered history; interval chaining is `lead`
+    * over the surviving change rows. Both windows share ONE user_id
+    * partitioning — the filter between them preserves distribution and
+    * order, so the plan carries a single hash exchange (q31's argument,
+    * audited). Tie order pinned by event_id at both steps.
+    */
+  def q42Scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        ntz(col("ts")).as("valid_from"), ntz(col("valid_to")).as("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_scd2_history" -> (q42Scd2 _),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
     "q41_equidepth_hist" -> ((s: SparkSession, d: String) => q41EquidepthHistogram(s, d)),
     "q38_interval_join" -> (q38IntervalJoin _),
@@ -935,6 +962,19 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    // identical lag-filter-lead formulation; tie order pinned by event_id
+    "q42_scd2_history" ->
+      """WITH o AS (SELECT user_id, ts, event_type, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_type, ts, event_id
+        |  FROM o WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM c)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_type""".stripMargin,
     // by-name union with null fill — the oracle spells the generations'
     // projections and the missing-column nulls explicitly
     "q39_union_evolve" ->

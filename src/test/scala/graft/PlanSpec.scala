@@ -299,6 +299,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"rank-1 filter not rewritten to WindowGroupLimit:\n$p")
   }
 
+  test("q42: SCD2's lag and lead windows share ONE user_id shuffle") {
+    val p = plan(Analytics.q42Scd2(spark, sf001))
+    // exactly two exchanges: ONE user_id hash partitioning feeding both
+    // windows (the filter between them preserves distribution+order), and
+    // the output sort's range partitioning
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    val userHash = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(exchanges === 2 && userHash === 1,
+      s"expected one user_id hash exchange + the sort exchange, " +
+        s"got $exchanges exchanges / $userHash user_id hashes:\n$p")
+  }
+
   test("q38: interval join runs as a day-binned broadcast equi-join, never a nested loop") {
     val p = plan(Analytics.q38IntervalJoin(spark, sf001))
     assert(p.contains("BroadcastHashJoin"),
