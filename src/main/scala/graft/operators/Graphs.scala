@@ -48,6 +48,41 @@ object Graphs {
       .distinct()
   }
 
+  /** Build-once persisted edge-list artifact for the trade graph — the
+    * sim4/dd9 pattern applied to graph analytics: at 100 TB nobody
+    * re-runs the 5-way fact join once per graph algorithm, the EDGE
+    * EXTRACTION is staged once and every analysis (q36 PageRank, q40
+    * triangles, the next centrality) reads the aggregated graph.
+    * Staleness is marker-mtime vs the NEWEST source table plus the
+    * build-logic plan spec (an edge-formula edit invalidates the
+    * artifact even when no source moved); check-and-build runs
+    * double-checked under the cross-process staging lock like every
+    * other staging area. The edge list is graph-scaled (≤ 625 rows
+    * here), not fact-scaled — one file; a billion-edge graph raises the
+    * writer's partition count, nothing else.
+    */
+  def edgesArtifact(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"target/graph_edges/${new java.io.File(sfDir).getName}"
+    val newest = Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .map(t => new java.io.File(graft.sources.Tables.path(sfDir, t)).lastModified())
+      .max
+    graft.sources.Staging.withExclusiveLock(new java.io.File(path).getParentFile) {
+      val marker = new java.io.File(s"$path/_SUCCESS")
+      val specFile = new java.io.File(s"$path/_graft_spec")
+      val spec = graft.sources.Staging.planSpec(nationEdges(spark, sfDir))
+      val fresh = marker.exists() && marker.lastModified() >= newest &&
+        specFile.exists() &&
+        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
+      if (!fresh) {
+        nationEdges(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(path)
+        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
+        ()
+      }
+      spark.read.parquet(path)
+    }
+  }
+
   /** Scaled-integer PageRank over an edge list; returns (v, rank).
     *
     * The edge list, node list and degree table are PERSISTED before the
@@ -92,7 +127,7 @@ object Graphs {
   }
 
   def q36PageRank(spark: SparkSession, sfDir: String): DataFrame =
-    pageRank(nationEdges(spark, sfDir))
+    pageRank(edgesArtifact(spark, sfDir))
       .select(col("v").as("n_name"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("n_name"))
 
@@ -145,7 +180,7 @@ object Graphs {
   }
 
   def q40Triangles(spark: SparkSession, sfDir: String): DataFrame =
-    triangles(nationEdges(spark, sfDir))
+    triangles(edgesArtifact(spark, sfDir))
       .select(col("v").as("n_name"), col("degree"), col("triangles"), col("lcc"))
       .orderBy(col("n_name"))
 

@@ -51,6 +51,21 @@ class GraphsSpec extends AnyFunSuite with SparkFixture {
     assert(got.values.map(_._2).sum === 12L)
   }
 
+  test("edgesArtifact builds once, serves the same edges, and is reused when fresh") {
+    val a = Graphs.edgesArtifact(spark, sf001)
+    val marker = new java.io.File(
+      s"target/graph_edges/${new java.io.File(sf001).getName}/_SUCCESS")
+    assert(marker.exists())
+    val built = marker.lastModified()
+    // second call: fresh artifact ⇒ served from disk, no rebuild
+    val b = Graphs.edgesArtifact(spark, sf001)
+    assert(marker.lastModified() === built, "fresh artifact was rebuilt")
+    val direct = Graphs.nationEdges(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(a.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq === direct)
+    assert(b.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq === direct)
+  }
+
   test("pageRank is deterministic run-to-run") {
     val edges = Graphs.nationEdges(spark, sf001)
     val a = Graphs.pageRank(edges).collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
