@@ -898,9 +898,52 @@ object Analytics {
       .orderBy(col("user_id"), col("valid_from"), col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q43
+  /** CROSS-TABLE as-of join: each event matched to its user's most
+    * recent order at-or-before the event time — the enrich-facts-with-
+    * latest-dimension-state join (prices, risk scores, account tiers)
+    * that q20 solved within ONE table. The classic rewrite: UNION the
+    * two sides with a tag instead of range-joining them — order rows
+    * carry the payload, event rows carry null — then one (user, time)-
+    * ordered running `last(payload, ignoreNulls=true)` window and a
+    * filter back to events. One user_id shuffle for the whole join; a
+    * range join here is a nested loop (no equi-key on time), and a
+    * windowed self-join materializes every (event × order) candidate
+    * pair — the union-window plan touches each row exactly once.
+    *
+    * Order rows sort BEFORE event rows at the same instant (is_event in
+    * the sort key), making the match inclusive — exactly DuckDB's
+    * `ASOF JOIN … ON e.ts >= o.ts`, which is the oracle: the rewrite is
+    * checked against an ENGINE-NATIVE as-of implementation, not a twin
+    * of itself. Orders are pre-aggregated to one row per (customer,
+    * date) with a deterministic representative (max orderkey), so the
+    * at-same-instant winner is pinned in both engines.
+    */
+  def q43AsofEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+      .agg(max(col("o_orderkey")).as("anchor_order"))
+      .withColumn("is_event", lit(0))
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("is_event", lit(1))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_event"),
+        coalesce(col("event_id"), col("anchor_order")))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    o.unionByName(e, allowMissingColumns = true)
+      .withColumn("last_order", last(col("anchor_order"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+        col("last_order"))
+      .orderBy(col("event_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q43_asof_enrich" -> (q43AsofEnrich _),
     "q42_scd2_history" -> (q42Scd2 _),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
     "q41_equidepth_hist" -> ((s: SparkSession, d: String) => q41EquidepthHistogram(s, d)),
@@ -962,6 +1005,18 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    // the oracle is DuckDB's NATIVE ASOF JOIN — the union-window rewrite
+    // is checked against an independent engine implementation of the
+    // operator, not a transliteration of itself
+    "q43_asof_enrich" ->
+      """WITH o AS (SELECT o_custkey AS user_id,
+        |  CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |  max(o_orderkey) AS anchor_order
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ts, o.anchor_order AS last_order
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.ots
+        |ORDER BY e.event_id""".stripMargin,
     // identical lag-filter-lead formulation; tie order pinned by event_id
     "q42_scd2_history" ->
       """WITH o AS (SELECT user_id, ts, event_type, event_id,

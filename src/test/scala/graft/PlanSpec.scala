@@ -299,6 +299,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"rank-1 filter not rewritten to WindowGroupLimit:\n$p")
   }
 
+  test("q43: cross-table as-of join is union + ONE window — no nested loop, no pair blowup") {
+    val p = plan(Analytics.q43AsofEnrich(spark, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of rewrite fell back to a nested loop:\n$p")
+    val userHash = "hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(userHash === 1,
+      s"expected the single union-window user_id exchange, got $userHash:\n$p")
+  }
+
   test("q42: SCD2's lag and lead windows share ONE user_id shuffle") {
     val p = plan(Analytics.q42Scd2(spark, sf001))
     // exactly two exchanges: ONE user_id hash partitioning feeding both
