@@ -80,7 +80,26 @@ object Sql {
         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
-        |GROUP BY 1, 2 ORDER BY route_count DESC, cust_nation, supp_nation LIMIT 5""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY route_count DESC, cust_nation, supp_nation LIMIT 5""".stripMargin,
+    // sql6 — CORRELATED scalar subqueries, written in the correlated form
+    // and left to the optimizer: Catalyst decorrelates each subquery into
+    // an aggregate + join (RewriteCorrelatedScalarSubquery) — the
+    // declarative-optimizer showcase where the naive reading is a
+    // per-row rescan of the orders table. Semantics: orders worth more
+    // than TWICE their customer's average order. The predicate is spelled
+    // multiplication-only (price·n > 2·sum over exact DECIMALs) — an avg
+    // comparison would put engine-ulp differences on the keep/drop
+    // boundary; products and sums of DECIMAL(38,6) are exact in both
+    // engines, so the surviving set is identical. ONE string runs
+    // verbatim in Spark and DuckDB (it is its own oracle).
+    "sql6_correlated_whale_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(38,6))
+        |      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |    > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(38,6)))
+        |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
 
   /** The DataFrame twin of each SQL query, for the twin-equality test. */
   val dataFrameTwins: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -105,5 +124,7 @@ object Sql {
     "sql2_hourly_avg" -> Analytics.oracles("q06_hourly_avg"),
     "sql3_pct_of_total" -> Analytics.oracles("q07_pct_of_total"),
     "sql4_cond_avg_weekday" -> Analytics.oracles("q08_cond_avg_weekday"),
-    "sql5_top_routes" -> Analytics.oracles("q09_top_routes"))
+    "sql5_top_routes" -> Analytics.oracles("q09_top_routes"),
+    // one dialect-neutral string, two engines — its own oracle
+    "sql6_correlated_whale_orders" -> sparkSql("sql6_correlated_whale_orders"))
 }

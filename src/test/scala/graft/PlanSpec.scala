@@ -299,6 +299,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"rank-1 filter not rewritten to WindowGroupLimit:\n$p")
   }
 
+  test("sql6: correlated scalar subqueries decorrelate — aggregates + joins, no rescans") {
+    val s = spark
+    graft.operators.Sql.registerViews(s, sf001)
+    val p = plan(graft.operators.Sql.queries("sql6_correlated_whale_orders")(s, sf001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlated subquery planned as a nested loop:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"no decorrelated aggregate in the plan:\n$p")
+  }
+
   test("q43: cross-table as-of join is union + ONE window — no nested loop, no pair blowup") {
     val p = plan(Analytics.q43AsofEnrich(spark, sf001))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
