@@ -89,7 +89,10 @@ object WavHeader {
         // audioFormat(2) channels(2) sampleRate(4) byteRate(4)
         // blockAlign(2) bitsPerSample(2) — all little-endian
         channels = le16(b, i + 10)
-        sampleRate = le32(b, i + 12).toInt
+        // the spec field is unsigned 32-bit; a value past Int.MaxValue is
+        // a corrupt header — degrade to null, never a wrapped negative
+        val sr = le32(b, i + 12)
+        sampleRate = if (sr <= Int.MaxValue) sr.toInt else null
         byteRate = le32(b, i + 16)
         bits = le16(b, i + 22)
       } else if (tag(b, i, "data")) {

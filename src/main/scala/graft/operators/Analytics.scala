@@ -885,9 +885,10 @@ object Analytics {
     * order, so the plan carries a single hash exchange (q31's argument,
     * audited). Tie order pinned by event_id at both steps.
     */
-  def q42Scd2(spark: SparkSession, sfDir: String): DataFrame = {
+  def q42Scd2(
+      spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(spark, sfDir)
+    val out = Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
@@ -895,7 +896,13 @@ object Analytics {
       .select(col("user_id"), col("event_type"),
         ntz(col("ts")).as("valid_from"), ntz(col("valid_to")).as("valid_to"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+    // valid_to completes the TOTAL order (a user alternating types at one
+    // instant yields rows identical up to valid_to); nulls-first spelled
+    // explicitly because Spark's and DuckDB's ascending defaults disagree
+    if (ordered)
+      out.orderBy(col("user_id"), col("valid_from"), col("event_type"),
+        col("valid_to").asc_nulls_first)
+    else out
   }
 
   // ---------------------------------------------------------------- q43
@@ -919,7 +926,8 @@ object Analytics {
     * date) with a deterministic representative (max orderkey), so the
     * at-same-instant winner is pinned in both engines.
     */
-  def q43AsofEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+  def q43AsofEnrich(
+      spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
     val o = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("user_id"),
         col("o_orderdate").cast("timestamp").as("ts"))
@@ -932,19 +940,19 @@ object Analytics {
       .orderBy(col("ts"), col("is_event"),
         coalesce(col("event_id"), col("anchor_order")))
       .rowsBetween(Window.unboundedPreceding, 0)
-    o.unionByName(e, allowMissingColumns = true)
+    val enriched = o.unionByName(e, allowMissingColumns = true)
       .withColumn("last_order", last(col("anchor_order"), ignoreNulls = true).over(w))
       .filter(col("is_event") === 1)
       .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
         col("last_order"))
-      .orderBy(col("event_id"))
+    if (ordered) enriched.orderBy(col("event_id")) else enriched
   }
 
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q43_asof_enrich" -> (q43AsofEnrich _),
-    "q42_scd2_history" -> (q42Scd2 _),
+    "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d)),
+    "q42_scd2_history" -> ((s: SparkSession, d: String) => q42Scd2(s, d)),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
     "q41_equidepth_hist" -> ((s: SparkSession, d: String) => q41EquidepthHistogram(s, d)),
     "q38_interval_join" -> (q38IntervalJoin _),
@@ -994,7 +1002,9 @@ object Analytics {
     "q02_clean_lineitem" -> ((s: SparkSession, d: String) => q02CleanLineitem(s, d, ordered = false)),
     "q03_derived" -> ((s: SparkSession, d: String) => q03Derived(s, d, ordered = false)),
     "q16_projection" -> ((s: SparkSession, d: String) => q16Projection(s, d, ordered = false)),
-    "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d, ordered = false)))
+    "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d, ordered = false)),
+    "q42_scd2_history" -> ((s: SparkSession, d: String) => q42Scd2(s, d, ordered = false)),
+    "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d, ordered = false)))
 
   private val dsumSql = (c: String) =>
     s"round(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE), 6)"
@@ -1029,7 +1039,8 @@ object Analytics {
         |  FROM c)
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
-        |FROM v ORDER BY user_id, valid_from, event_type""".stripMargin,
+        |FROM v
+        |ORDER BY user_id, valid_from, event_type, valid_to NULLS FIRST""".stripMargin,
     // by-name union with null fill — the oracle spells the generations'
     // projections and the missing-column nulls explicitly
     "q39_union_evolve" ->

@@ -62,7 +62,8 @@ object Graphs {
     * writer's partition count, nothing else.
     */
   def edgesArtifact(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"target/graph_edges/${new java.io.File(sfDir).getName}"
+    val path =
+      s"${sys.props("user.dir")}/target/graph_edges/${new java.io.File(sfDir).getName}"
     val newest = Seq("lineitem", "orders", "customer", "supplier", "nation")
       .map(t => new java.io.File(graft.sources.Tables.path(sfDir, t)).lastModified())
       .max

@@ -207,7 +207,24 @@ object MaterializedView {
     * above. Public for the spec, which drives it directly with replayed
     * batch ids and crafted torn states.
     */
-  def upsertBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+  /** Cheap pre-gate: has this batch id already been applied? Read under
+    * the lock (recover also repairs any torn state on the way). The real
+    * idempotence gate stays inside [[runProtocol]] — this exists so a
+    * REDELIVERED batch skips its (cluster-scaled) delta aggregation
+    * instead of computing it and then discarding it at the gate.
+    */
+  private def alreadyApplied(dir: String, partCol: String, batchId: Long): Boolean = {
+    val root = new File(dir)
+    root.mkdirs()
+    graft.sources.Staging.withExclusiveLock(root) {
+      recover(root, partCol) >= batchId
+    }
+  }
+
+  def upsertBatch(batch: DataFrame, dir: String, batchId: Long): Unit =
+    if (!alreadyApplied(dir, "day", batchId)) upsertBatchInner(batch, dir, batchId)
+
+  private def upsertBatchInner(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     // the delta set is bounded (days-in-batch × event types) — collect
     // once so the merge below re-reads rows, not the batch plan
@@ -273,7 +290,10 @@ object MaterializedView {
     * re-execute the batch plan twice. Same WAL protocol, same crash
     * safety, same lock.
     */
-  def upsertLatest(batch: DataFrame, dir: String, batchId: Long): Unit = {
+  def upsertLatest(batch: DataFrame, dir: String, batchId: Long): Unit =
+    if (!alreadyApplied(dir, "bucket", batchId)) upsertLatestInner(batch, dir, batchId)
+
+  private def upsertLatestInner(batch: DataFrame, dir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val delta = batchLatest(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

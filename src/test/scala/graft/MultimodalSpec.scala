@@ -123,6 +123,16 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val r5 = graft.functions.WavHeader.compute(overrun)
     assert(r5.getUTF8String(0).toString === "wav" && r5.isNullAt(1))
 
+    // unsigned sample-rate field past Int.MaxValue: corrupt ⇒ null, not
+    // a wrapped negative
+    val hugeRate = "RIFF".getBytes ++ le32b(36L) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32b(16L) ++
+      le16b(1) ++ le16b(2) ++ le32b(0x80000000L) ++ le32b(176400L) ++
+      le16b(4) ++ le16b(16)
+    val r6w = graft.functions.WavHeader.compute(hugeRate)
+    assert(r6w.getInt(1) === 2 && r6w.isNullAt(2),
+      "overflowing sample rate must degrade to null")
+
     assert(graft.functions.WavHeader.compute("plain prose".getBytes)
       .getUTF8String(0).toString === "unknown")
     assert(graft.functions.WavHeader.compute(Array.empty[Byte])
