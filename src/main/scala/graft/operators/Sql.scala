@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** S5/P7 — the SQL entry point. The reference's analytics ARE five SQL
@@ -101,13 +102,31 @@ object Sql {
         |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin)
 
+  /** sql6's DataFrame twin is the HAND-decorrelated formulation — the
+    * per-customer aggregate joined back — so the twin test pins that
+    * Catalyst's automatic decorrelation of the subquery text computes
+    * exactly what the manual rewrite does.
+    */
+  private def sql6Twin(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val per = o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(38,6)")).as("total"))
+    o.join(per, Seq("o_custkey"))
+      .filter(col("o_totalprice").cast("decimal(38,6)") * col("n") >
+        lit(2) * col("total"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** The DataFrame twin of each SQL query, for the twin-equality test. */
   val dataFrameTwins: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql1_top_parts" -> (Analytics.q05TopParts _),
     "sql2_hourly_avg" -> (Analytics.q06HourlyAvg _),
     "sql3_pct_of_total" -> (Analytics.q07PctOfTotal _),
     "sql4_cond_avg_weekday" -> (Analytics.q08CondAvgByWeekday _),
-    "sql5_top_routes" -> (Analytics.q09TopRoutes _))
+    "sql5_top_routes" -> (Analytics.q09TopRoutes _),
+    "sql6_correlated_whale_orders" -> (sql6Twin _))
 
   // ------------------------------------------------------------ registry
 

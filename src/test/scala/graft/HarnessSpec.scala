@@ -42,6 +42,9 @@ class HarnessSpec extends AnyFunSuite with SparkFixture {
       "q29_approx_sketches", // sketch estimates are engine-specific by
                              // nature; accuracy floors vs the exact
                              // twins in SqlTwinsSpec
+      "st14_stream_heavy_users", // streaming MG sketch: merge-order-
+                                 // dependent estimates; guarantees +
+                                 // below-k exactness in StreamingSpec
       "td14_heavy_hitters")) // Misra–Gries estimates are merge-order
                              // dependent; the order-independent
                              // guarantees are asserted vs exact counts
