@@ -100,7 +100,31 @@ object Sql {
         |      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |    > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(38,6)))
         |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    // sql7 — IN-subquery membership, the companion to sql6's scalar
+    // subqueries: Catalyst plans the IN as a LEFT SEMI join (existence
+    // probe, no row duplication however many qualifying orders a
+    // customer has) — q25's anti join is the same family negated. One
+    // dialect-neutral string, two engines, its own oracle.
+    "sql7_in_subquery_semi" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin)
+
+  /** sql7's DataFrame twin: the explicit `left_semi` join the IN-subquery
+    * text must plan to.
+    */
+  private def sql7Twin(spark: SparkSession, sfDir: String): DataFrame = {
+    val whales = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey"))
+    Tables.customer(spark, sfDir)
+      .join(whales, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
 
   /** sql6's DataFrame twin is the HAND-decorrelated formulation — the
     * per-customer aggregate joined back — so the twin test pins that
@@ -126,7 +150,8 @@ object Sql {
     "sql3_pct_of_total" -> (Analytics.q07PctOfTotal _),
     "sql4_cond_avg_weekday" -> (Analytics.q08CondAvgByWeekday _),
     "sql5_top_routes" -> (Analytics.q09TopRoutes _),
-    "sql6_correlated_whale_orders" -> (sql6Twin _))
+    "sql6_correlated_whale_orders" -> (sql6Twin _),
+    "sql7_in_subquery_semi" -> (sql7Twin _))
 
   // ------------------------------------------------------------ registry
 
@@ -145,5 +170,6 @@ object Sql {
     "sql4_cond_avg_weekday" -> Analytics.oracles("q08_cond_avg_weekday"),
     "sql5_top_routes" -> Analytics.oracles("q09_top_routes"),
     // one dialect-neutral string, two engines — its own oracle
-    "sql6_correlated_whale_orders" -> sparkSql("sql6_correlated_whale_orders"))
+    "sql6_correlated_whale_orders" -> sparkSql("sql6_correlated_whale_orders"),
+    "sql7_in_subquery_semi" -> sparkSql("sql7_in_subquery_semi"))
 }

@@ -299,6 +299,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"rank-1 filter not rewritten to WindowGroupLimit:\n$p")
   }
 
+  test("sql7: IN-subquery plans as a LEFT SEMI join — existence probe, no duplication") {
+    val s = spark
+    graft.operators.Sql.registerViews(s, sf001)
+    val p = plan(graft.operators.Sql.queries("sql7_in_subquery_semi")(s, sf001))
+    assert(p.contains("LeftSemi"), s"IN-subquery not planned as a semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"IN-subquery planned as a nested loop:\n$p")
+  }
+
   test("sql6: correlated scalar subqueries decorrelate — aggregates + joins, no rescans") {
     val s = spark
     graft.operators.Sql.registerViews(s, sf001)
