@@ -780,14 +780,25 @@ object Analytics {
     * distinct aggregate (partial keyed by (campaign, user) — plain
     * counts, no per-key buffers, the q29 trap doesn't apply).
     */
-  def q38IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val windows = spark.range(10).select(
+  /** The q38/st15 campaign-window dim: 10 overlapping, non-day-aligned
+    * intervals (06:00 starts, 4.5-day length, stride 3).
+    */
+  def campaignWindows(spark: SparkSession): DataFrame =
+    spark.range(10).select(
       col("id").as("campaign_id"),
       expr("timestamp'2024-01-01 06:00:00' + make_dt_interval(3 * id)").as("start_ts"),
       expr("timestamp'2024-01-01 06:00:00' + make_dt_interval(3 * id) " +
         "+ make_dt_interval(0, 108)").as("end_ts"))
-    val binned = windows.select(col("campaign_id"), col("start_ts"), col("end_ts"),
+
+  /** Each interval exploded into the calendar days it covers — the
+    * equi-joinable side of the day-binning rewrite.
+    */
+  def binnedWindows(spark: SparkSession): DataFrame =
+    campaignWindows(spark).select(col("campaign_id"), col("start_ts"), col("end_ts"),
       explode(sequence(to_date(col("start_ts")), to_date(col("end_ts")))).as("day"))
+
+  def q38IntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = binnedWindows(spark)
     Tables.events(spark, sfDir)
       .withColumn("day", to_date(col("ts")))
       .join(broadcast(binned), Seq("day"))

@@ -348,6 +348,29 @@ object EventStreams {
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
   }
 
+  /** st15 — STREAM-STATIC interval join: the live stream tagged against
+    * q38's campaign windows with the SAME day-binning rewrite — each
+    * event computes its day bin once, equi-joins the broadcast binned
+    * window dim, and the residual range predicate trims the partial edge
+    * days. A range predicate on a stream has no direct plan at all
+    * without the rewrite (stream-static non-equi ⇒ nested loop per
+    * micro-batch); binned, it is a STATELESS broadcast hash join — no
+    * watermark, no state store, every matched (event, campaign) pair
+    * emitted exactly once as its micro-batch processes. The batch twin
+    * (identical semantics, the naive BETWEEN join) is the oracle.
+    */
+  def st15StreamIntervalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val binned = broadcast(graft.operators.Analytics.binnedWindows(spark))
+    val joined = eventStream(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .join(binned, Seq("day"))
+      .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      .select(col("event_id"), col("campaign_id"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+    runToParquet(joined, "st15_sink")
+      .orderBy(col("event_id"), col("campaign_id"))
+  }
+
   // -------------------------------------------------- st14 heavy hitters
 
   /** Atomic sketch-state file for [[st14HeavyUsers]]: first line the
@@ -506,6 +529,7 @@ object EventStreams {
     // dependent (like dd4/sa1/q29's sketch columns); the MG guarantees
     // are asserted in StreamingSpec against exact cross-batch counts
     "st14_stream_heavy_users" -> ((s: SparkSession, d: String) => st14HeavyUsers(s, d)),
+    "st15_stream_interval_join" -> (st15StreamIntervalJoin _),
     "st12_stream_window_users" -> (st12StreamWindowUsers _),
     "st8_stream_ingest" ->
       ((s: SparkSession, d: String) => st8StreamIngest(s, d)))
@@ -536,6 +560,17 @@ object EventStreams {
     "st5_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
         |FROM events ORDER BY 1, 2, 3""".stripMargin,
+    // the stateless stream-static join emits every pair — the oracle is
+    // the naive BETWEEN join over the same deterministic window dim
+    "st15_stream_interval_join" ->
+      """WITH w AS (SELECT i AS campaign_id,
+        |  TIMESTAMP '2024-01-01 06:00:00' + to_days(CAST(3 * i AS INTEGER)) AS start_ts,
+        |  TIMESTAMP '2024-01-01 06:00:00' + to_days(CAST(3 * i AS INTEGER))
+        |    + to_hours(108) AS end_ts
+        |  FROM range(10) t(i))
+        |SELECT e.event_id, w.campaign_id, e.ts
+        |FROM events e JOIN w ON e.ts >= w.start_ts AND e.ts < w.end_ts
+        |ORDER BY e.event_id, w.campaign_id""".stripMargin,
     "st6_stream_attribution" ->
       s"""SELECT v.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
          |FROM events v JOIN events p
