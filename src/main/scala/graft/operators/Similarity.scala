@@ -509,9 +509,60 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Engine-portable round-half-away-from-zero: `sign(x)·⌊|x| + 0.5⌋` —
+    * abs and floor are EXACT IEEE ops and the one rounding (+0.5) is
+    * identical everywhere, so the result is bit-identical in Spark and
+    * DuckDB even on knife-edge halves. Spark's own `round()` goes through
+    * BigDecimal's shortest-string representation (the r6 pitfall) and
+    * cannot be trusted at .5 boundaries.
+    */
+  private def qround(x: Column): Column = signum(x) * floor(abs(x) + lit(0.5))
+
+  /** sim6 — INT8 SCALAR QUANTIZATION for similarity search: each vector
+    * stored as 64 small integers (round(127·x/maxabs)) plus one scale —
+    * the 4-8× memory/bandwidth reduction every production embedding store
+    * takes (the SQ stage of FAISS/ScaNN) — and searched by integer dot
+    * products rescaled by the two scales. The scan side at 100 TB reads
+    * a quarter of the bytes and the dot is integer arithmetic.
+    *
+    * Fully oracle-HASHABLE, unlike the hash-based ANN family: the
+    * quantized components are integers (portable via [[qround]]), the
+    * 64-term integer dot is exact in a double at ANY accumulation order
+    * (|q|≤127 ⇒ |dot| ≤ 64·127² ≪ 2^53), and the rescale is two IEEE
+    * multiplications applied in a fixed order. Ranking uses the
+    * UNDIVIDED `dot·m₁·m₂` (division by the constant 127² cannot change
+    * order; it is applied only to the displayed score). Zero vectors are
+    * guarded by `greatest(m, 1e-30)` → quantize to zeros, never NaN.
+    *
+    * Plan shape: sim1's — broadcast query set × corpus stream,
+    * WindowGroupLimit top-k, linear in the corpus.
+    */
+  def quantizedTopk(emb: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    val m = greatest(array_max(transform(e, x => abs(x))), lit(1e-30))
+    val base = emb
+      .withColumn("m", m)
+      .withColumn("qv", transform(e, x => qround(x * lit(127.0) / col("m"))))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"), col("m").as("qm"))
+    val c = base.select(col("vec_id").as("neighbor_id"), col("qv").as("c_qv"), col("m").as("cm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ord").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("ord", dot(col("q_qv"), col("c_qv")) * col("qm") * col("cm"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        r6(col("ord") / lit(16129.0)).as("approx_dot"),
+        col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
+      quantizedTopk(Tables.embeddings(s, d))),
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
     "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(Tables.embeddings(s, d))),
@@ -521,6 +572,31 @@ object Similarity {
     "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // identical quantize-dot-rescale formulation: sign·floor(|x|+0.5)
+    // rounding, integer dots exact in doubles, rank on the undivided
+    // dot·m1·m2 (dividing by the 127² constant cannot reorder)
+    "sim6_quantized_topk" ->
+      """WITH b AS (SELECT vec_id,
+        |  greatest(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                   x -> abs(x))), 1e-30) AS m,
+        |  CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |z AS (SELECT vec_id, m,
+        |  list_transform(e, x -> sign(x * 127.0 / m)
+        |    * floor(abs(x * 127.0 / m) + 0.5)) AS qv
+        |  FROM b),
+        |p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+        |  list_dot_product(q.qv, n.qv) * q.m * n.m AS ord
+        |  FROM z q JOIN z n ON n.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 20),
+        |r AS (SELECT query_id, neighbor_id, ord,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY ord DESC, neighbor_id) AS rank
+        |  FROM p)
+        |SELECT query_id, neighbor_id,
+        |  round(ord / 16129.0 * 1e6) / 1e6 AS approx_dot,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "sim1_topk_exact" ->
       """SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -25,6 +25,41 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim6 int8 quantization: high recall vs exact top-5, scores track raw dots, integral components") {
+    val emb = Tables.embeddings(spark, sf001)
+    // sim1 ranks by cosine, sim6 by (rescaled) raw dot — compare against
+    // an exact top-k on the RAW dot so the baseline measures quantization
+    // error only, not the norm-weighting difference
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d").desc, col("neighbor_id"))
+    val exact = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d", Similarity.dot(
+        col("q_emb").cast("array<double>"), col("c_emb").cast("array<double>")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("d"))
+    val exactSet = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDots = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Similarity.quantizedTopk(emb).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactSet.size === 100)
+    val recall = (exactSet & got).size.toDouble / exactSet.size
+    assert(recall >= 0.9, s"int8 quantization recall $recall")
+    // the rescaled quantized dot approximates the raw dot: relative
+    // error bounded by the per-component rounding (≤ 0.5/127 each side)
+    rows.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exactDots.get(key).foreach { d =>
+        assert(math.abs(r.getDouble(2) - d) <= math.abs(d) * 0.05 + 0.05,
+          s"$key: approx ${r.getDouble(2)} vs exact $d")
+      }
+    }
+  }
+
   test("sim3 IVF multiprobe ANN: recall floor vs sim1, probes beat the single-cell baseline, cosines exact") {
     val emb = Tables.embeddings(spark, sf001)
     val exactRows = Similarity.topkExact(emb).collect()
