@@ -580,6 +580,58 @@ object Dedup {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  // ------------------------------------------------------------- dd13
+
+  /** Bloom geometry for [[bloomDecontaminate]]: m bits, k hash positions
+    * per shingle. At the driver corpus's eval size the filter is ~4%
+    * full ⇒ per-probe false-positive rate ≈ 0.04⁵ — effectively zero;
+    * the spec measures it against the exact overlap.
+    */
+  val BloomBits: Long = 1L << 18
+  val BloomHashes: Int = 5
+
+  /** The k salted-md5 bit positions of one shingle — engine-portable (the
+    * sa3 hex-prefix construction), so the bloom PROBE itself is
+    * oracle-exact, not just its guarantees.
+    */
+  private def bloomPositions(s: Column): Column =
+    array((0 until BloomHashes).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"bloom$i:"), s)), 1, 15), 16, 10)
+        .cast("long"), lit(BloomBits))): _*)
+
+  /** dd13 — BLOOM-membership decontamination: dd10's n-gram screen with
+    * the eval side compressed to BIT POSITIONS instead of shingle
+    * strings — the broadcast shrinks from O(total eval text) to O(m)
+    * regardless of how large the eval suite grows (the scale knob dd10
+    * lacks: its broadcast grows with the eval set). A training shingle is
+    * flagged iff ALL k of its positions appear in the eval position set —
+    * classic bloom semantics expressed as a broadcast position join +
+    * count, no bitset type and no UDF needed. No false negatives by
+    * construction (a genuinely shared shingle's positions are all
+    * present); false positives are the bloom trade, measured in DedupSpec
+    * against the exact overlap. Fully deterministic (portable md5
+    * positions) ⇒ oracle-HASHABLE, unusual for a sketch-family operator.
+    */
+  def bloomDecontaminate(
+      docs: DataFrame, nEval: Long = 20, n: Int = 3): DataFrame = {
+    val ex = explodedShingles(docs, n)
+    val evalPos = ex.filter(col("doc_id") < nEval)
+      .select(explode(bloomPositions(col("s"))).as("p")).distinct()
+    val flagged = ex.filter(col("doc_id") >= nEval)
+      .select(col("doc_id"), col("s"), explode(bloomPositions(col("s"))).as("p"))
+      .join(broadcast(evalPos), Seq("p")) // ≤ m positions ⇒ hint is safe
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === BloomHashes)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+    ex.filter(col("doc_id") >= nEval)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------- dd12
   /** EXACT-SUBSTRING duplication (the suffix-array dedup family from the
     * published training-data dedup literature, approximated by hashing):
@@ -634,6 +686,8 @@ object Dedup {
       dedupCorpus(Tables.documents(s, d), clusterLabels(s, d))),
     "dd10_decontaminate" -> ((s: SparkSession, d: String) =>
       decontaminate(Tables.documentsRebalanced(s, d))),
+    "dd13_bloom_decontaminate" -> ((s: SparkSession, d: String) =>
+      bloomDecontaminate(Tables.documentsRebalanced(s, d))),
     "dd11_incremental_dedup" -> ((s: SparkSession, d: String) => {
       val docs = Tables.documentsRebalanced(s, d)
       // the last 50 ids stand in for "today's batch" at any scale; the
@@ -785,6 +839,31 @@ object Dedup {
          |FROM documents d LEFT JOIN mini_reps m ON d.doc_id = m.id
          |WHERE d.doc_id >= (SELECT v FROM nf)
          |ORDER BY doc_id""".stripMargin,
+    // the identical position arithmetic (k salted-md5 hashes mod m) in
+    // SQL — the bloom probe is deterministic, so even this sketch-family
+    // operator hash-matches
+    "dd13_bloom_decontaminate" -> {
+      val posList = (0 until BloomHashes).map(i =>
+        s"('0x' || substring(md5('bloom$i:' || s), 1, 15))::BIGINT % $BloomBits")
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ep AS (SELECT DISTINCT p FROM
+         |  (SELECT unnest($posList) AS p FROM ex WHERE doc_id < 20)),
+         |tp AS (SELECT doc_id, s, unnest($posList) AS p FROM ex WHERE doc_id >= 20),
+         |hits AS (SELECT doc_id, s, count(*) AS h
+         |  FROM tp JOIN ep USING (p) GROUP BY 1, 2),
+         |fl AS (SELECT doc_id, count(*) AS n_flagged FROM hits
+         |  WHERE h = $BloomHashes GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM ex
+         |  WHERE doc_id >= 20 GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_shingles,
+         |  coalesce(fl.n_flagged, 0) AS n_flagged
+         |FROM tot LEFT JOIN fl ON tot.doc_id = fl.doc_id
+         |ORDER BY tot.doc_id""".stripMargin
+    },
     "dd10_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,

@@ -223,4 +223,28 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairSet(rows) === Set((1L, 2L)))
     assert(rows.head.getDouble(2) === 1.0) // identical after the cap
   }
+
+  test("dd13 bloom screen: no false negatives vs the exact overlap, FP rate bounded") {
+    val docs = Tables.documents(spark, sf001)
+    val got = Dedup.bloomDecontaminate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // exact truth: per training doc, its distinct shingles present in the
+    // eval shingle set
+    val ex = Dedup.explodedShingles(docs, 3)
+    val evalS = ex.filter(col("doc_id") < 20).select("s").distinct()
+    val exact = ex.filter(col("doc_id") >= 20).join(evalS, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bloom guarantee: a genuinely shared shingle is ALWAYS flagged
+    exact.foreach { case (d, n) =>
+      assert(got(d)._2 >= n, s"doc $d: bloom missed true overlaps ($n vs ${got(d)._2})")
+    }
+    // and the false-positive mass is tiny at this fill factor
+    val totalFlagged = got.values.map(_._2).sum
+    val totalExact = exact.values.sum
+    val totalShingles = got.values.map(_._1).sum
+    assert(totalFlagged >= totalExact)
+    val fpRate = (totalFlagged - totalExact).toDouble / totalShingles
+    assert(fpRate <= 0.02, s"bloom FP rate $fpRate")
+  }
 }
