@@ -959,9 +959,38 @@ object Analytics {
     if (ordered) enriched.orderBy(col("event_id")) else enriched
   }
 
+  // ---------------------------------------------------------------- q44
+  /** RANGE-frame window — the one frame kind the window family still
+    * lacked (q07 unbounded, q20 running, q23 sliding ROWS, q31 offset):
+    * each event's trailing-24-hour same-user activity count and value
+    * sum, the rate-limiting / velocity feature every abuse and
+    * engagement model wants. A ROWS frame counts a fixed number of
+    * rows; the RANGE frame is defined by the ORDER-BY VALUE
+    * (`[ts−86400 s, ts]`), so bursts widen the frame and quiet periods
+    * shrink it — and rows tied on the order value all share one frame in
+    * BOTH engines, which makes the result deterministic without a
+    * tie-break column. One user_id shuffle; frame bounds are exact
+    * integer epoch seconds; the value sum crosses engines as an exact
+    * DECIMAL.
+    */
+  def q44TrailingRate(
+      spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"))
+      .rangeBetween(-86400L, 0L)
+    val out = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        epochSeconds(col("ts")).as("es"), col("value"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("sum_raw", sum(col("value").cast("decimal(38,6)")).over(w))
+      .select(col("event_id"), col("user_id"), ntz(col("ts")).as("ts"),
+        col("n_24h"), r6(col("sum_raw").cast("double")).as("sum_24h"))
+    if (ordered) out.orderBy(col("event_id")) else out
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_trailing_rate" -> ((s: SparkSession, d: String) => q44TrailingRate(s, d)),
     "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d)),
     "q42_scd2_history" -> ((s: SparkSession, d: String) => q42Scd2(s, d)),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
@@ -1015,7 +1044,8 @@ object Analytics {
     "q16_projection" -> ((s: SparkSession, d: String) => q16Projection(s, d, ordered = false)),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d, ordered = false)),
     "q42_scd2_history" -> ((s: SparkSession, d: String) => q42Scd2(s, d, ordered = false)),
-    "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d, ordered = false)))
+    "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d, ordered = false)),
+    "q44_trailing_rate" -> ((s: SparkSession, d: String) => q44TrailingRate(s, d, ordered = false)))
 
   private val dsumSql = (c: String) =>
     s"round(CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE), 6)"
@@ -1026,6 +1056,18 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    // value-defined RANGE frame: tied order values share one frame in
+    // both engines, so no tie-break column is needed for determinism
+    "q44_trailing_rate" ->
+      """SELECT event_id, user_id, ts,
+        |  count(*) OVER w AS n_24h,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+        |    * 1e6) / 1e6 AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // the oracle is DuckDB's NATIVE ASOF JOIN — the union-window rewrite
     // is checked against an independent engine implementation of the
     // operator, not a transliteration of itself

@@ -358,6 +358,29 @@ object Params {
   def sa7BottomKSampleQ(spark: SparkSession, sfDir: String): DataFrame =
     sa7BottomKSample(Tables.documents(spark, sfDir))
 
+  /** The dataloader HANDOFF for sa6's packing: the corpus written as ONE
+    * JSON-lines file per token-budget shard (`shard_id=` partition dirs,
+    * docs in packing order inside each file) — the physical contract a
+    * training job consumes: each worker streams its shard files, no
+    * shuffling at read time, sequence packing already decided. Executors
+    * write (`partitionBy` + per-shard repartition ⇒ one file per shard);
+    * nothing data-scaled touches the driver. At 100 TB the shard count
+    * scales with the corpus and this same write fans out across the
+    * cluster.
+    */
+  def exportShards(
+      spark: SparkSession, sfDir: String, outDir: String,
+      budgetTokens: Long = 20000L): Unit = {
+    val docs = Tables.documents(spark, sfDir)
+    sa6TokenShards(docs, budgetTokens)
+      .select(col("doc_id"), col("shard_id"))
+      .join(docs, Seq("doc_id"))
+      .select(col("shard_id"), col("doc_id"), col("text"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard_id").json(outDir)
+  }
+
   // ----------------------------------------------------------- csv dim
 
   /** cs1 — S3: the dimension join with the dim read from CSV (the

@@ -181,6 +181,29 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
       assert(big.contains(id), s"doc $id kept at target 150 but dropped at 300") }
   }
 
+  test("shard export: one JSONL file per shard, every doc exactly once, packing order kept") {
+    val out = new java.io.File(sys.props("java.io.tmpdir"), "graft_shard_export")
+    graft.sources.Staging.deleteRecursively(out)
+    Params.exportShards(spark, sf001, out.getAbsolutePath, budgetTokens = 5000L)
+    val dirs = Option(out.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("shard_id="))
+    assert(dirs.nonEmpty, "no shard partitions written")
+    dirs.foreach { d =>
+      val files = d.listFiles.filter(_.getName.endsWith(".json"))
+      assert(files.length === 1, s"${d.getName}: expected one file, got ${files.length}")
+      // packing order inside the file: doc ids nondecreasing line-to-line
+      val ids = scala.io.Source.fromFile(files.head).getLines()
+        .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+        .toSeq
+      assert(ids === ids.sorted, s"${d.getName}: docs out of packing order")
+    }
+    // completeness: every doc exactly once across all shards
+    val back = spark.read.json(out.getAbsolutePath)
+    val n = graft.sources.Tables.documents(spark, sf001).count()
+    assert(back.count() === n)
+    assert(back.select("doc_id").distinct().count() === n)
+  }
+
   test("sa7: bottom-k sample is exact-n, deterministic, and matches the md5 formula") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val k = 20
