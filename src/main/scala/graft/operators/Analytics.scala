@@ -541,6 +541,23 @@ object Analytics {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- q45
+  /** CUBE — every grouping combination of (event day-of-week, type) in
+    * ONE aggregation pass: (dow, type) / (dow) / (type) / grand total,
+    * completing the grouping-sets family beside q27's hierarchical
+    * ROLLUP (a rollup drops dimensions right-to-left; a cube is the full
+    * power set — the slice-any-way dashboard feed). Same execution shape:
+    * a map-side Expand emits one row per grouping set, one hash
+    * aggregate, one shuffle — never one job per grain. NULLS FIRST
+    * pinned explicitly (Spark and DuckDB ascending defaults disagree).
+    */
+  def q45CubeActivity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(weekdayName(col("ts")).as("dow"), col("event_type"))
+      .cube(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dow").asc_nulls_first, col("event_type").asc_nulls_first)
+
   // ---------------------------------------------------------------- q28
   /** Set operation (EXCEPT): customer keys that placed orders but never
     * produced an event — the §2.10 family the reference lacks entirely.
@@ -991,6 +1008,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_trailing_rate" -> ((s: SparkSession, d: String) => q44TrailingRate(s, d)),
+    "q45_cube_activity" -> (q45CubeActivity _),
     "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d)),
     "q42_scd2_history" -> ((s: SparkSession, d: String) => q42Scd2(s, d)),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
@@ -1056,6 +1074,11 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    "q45_cube_activity" ->
+      """SELECT dayname(ts) AS dow, event_type, count(*) AS n
+        |FROM events
+        |GROUP BY CUBE (dayname(ts), event_type)
+        |ORDER BY dow NULLS FIRST, event_type NULLS FIRST""".stripMargin,
     // value-defined RANGE frame: tied order values share one frame in
     // both engines, so no tie-break column is needed for determinism
     "q44_trailing_rate" ->

@@ -580,6 +580,33 @@ object Dedup {
       .orderBy(col("doc_id"), col("eval_id"))
   }
 
+  // ------------------------------------------------------------- dd14
+
+  /** dd14 — QUALITY-AWARE representative selection: for each duplicate
+    * cluster, keep the LONGEST member (ties to the smallest id) instead
+    * of dd8's arbitrary min-id label — what production dedup actually
+    * does: near-duplicates usually differ by truncation/boilerplate, and
+    * the longest copy is the best training document. Served from the
+    * persisted cluster-label artifact (no re-clustering); the argmax is
+    * `max(struct(n_tokens, -doc_id))` — one mergeable aggregate per
+    * cluster, no window over the membership, so a million-member cluster
+    * costs one partial-agg cell. Reports the choice beside the cluster
+    * size so the swap against dd8's representative is auditable.
+    */
+  def bestRepresentative(spark: SparkSession, sfDir: String): DataFrame = {
+    val labels = clusterLabels(spark, sfDir)
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    labels.join(lens, Seq("doc_id"))
+      .groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("rep_id"), col("n_members"),
+        (-col("m.neg_id")).as("best_doc_id"),
+        col("m.n_tokens").as("best_tokens"))
+      .orderBy(col("rep_id"))
+  }
+
   // ------------------------------------------------------------- dd13
 
   /** Bloom geometry for [[bloomDecontaminate]]: m bits, k hash positions
@@ -688,6 +715,7 @@ object Dedup {
       decontaminate(Tables.documentsRebalanced(s, d))),
     "dd13_bloom_decontaminate" -> ((s: SparkSession, d: String) =>
       bloomDecontaminate(Tables.documentsRebalanced(s, d))),
+    "dd14_best_representative" -> (bestRepresentative _),
     "dd11_incremental_dedup" -> ((s: SparkSession, d: String) => {
       val docs = Tables.documentsRebalanced(s, d)
       // the last 50 ids stand in for "today's batch" at any scale; the
@@ -839,6 +867,40 @@ object Dedup {
          |FROM documents d LEFT JOIN mini_reps m ON d.doc_id = m.id
          |WHERE d.doc_id >= (SELECT v FROM nf)
          |ORDER BY doc_id""".stripMargin,
+    // dd8's transitive closure extended with token lengths; the argmax is
+    // spelled as row_number over (n_tokens DESC, doc_id) — equivalent to
+    // the engine's max(struct(n_tokens, -doc_id)) including ties
+    "dd14_best_representative" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+        |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |reps AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id),
+        |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+        |j AS (SELECT r.rep_id, r.doc_id, l.n_tokens
+        |      FROM reps r JOIN lens l USING (doc_id)),
+        |rk AS (SELECT rep_id, doc_id, n_tokens,
+        |  row_number() OVER (PARTITION BY rep_id
+        |    ORDER BY n_tokens DESC, doc_id) AS rn FROM j),
+        |agg AS (SELECT rep_id, count(*) AS n_members FROM j GROUP BY rep_id)
+        |SELECT agg.rep_id, agg.n_members,
+        |  rk.doc_id AS best_doc_id, rk.n_tokens AS best_tokens
+        |FROM agg JOIN rk ON agg.rep_id = rk.rep_id AND rk.rn = 1
+        |ORDER BY agg.rep_id""".stripMargin,
     // the identical position arithmetic (k salted-md5 hashes mod m) in
     // SQL — the bloom probe is deterministic, so even this sketch-family
     // operator hash-matches
