@@ -644,18 +644,20 @@ object Dedup {
     val ex = explodedShingles(docs, n)
     val evalPos = ex.filter(col("doc_id") < nEval)
       .select(explode(bloomPositions(col("s"))).as("p")).distinct()
-    val flagged = ex.filter(col("doc_id") >= nEval)
-      .select(col("doc_id"), col("s"), explode(bloomPositions(col("s"))).as("p"))
-      .join(broadcast(evalPos), Seq("p")) // ≤ m positions ⇒ hint is safe
-      .groupBy(col("doc_id"), col("s"))
-      .agg(count(lit(1)).as("hits"))
-      .filter(col("hits") === BloomHashes)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_flagged"))
+      .withColumn("present", lit(1))
+    // ONE corpus-scale pass: a left join marks present positions, the
+    // (doc, shingle) rollup counts hits, and the per-doc rollup derives
+    // BOTH the shingle total and the flagged count from the same stream
+    // (a second `ex.filter` branch would tokenize + shingle the training
+    // corpus twice)
     ex.filter(col("doc_id") >= nEval)
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      .join(flagged, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+      .select(col("doc_id"), col("s"), explode(bloomPositions(col("s"))).as("p"))
+      .join(broadcast(evalPos), Seq("p"), "left") // ≤ m positions ⇒ hint is safe
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(col("present")).as("hits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("hits") === BloomHashes, 1)).as("n_flagged"))
       .orderBy(col("doc_id"))
   }
 

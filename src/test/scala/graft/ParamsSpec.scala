@@ -192,9 +192,11 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
       val files = d.listFiles.filter(_.getName.endsWith(".json"))
       assert(files.length === 1, s"${d.getName}: expected one file, got ${files.length}")
       // packing order inside the file: doc ids nondecreasing line-to-line
-      val ids = scala.io.Source.fromFile(files.head).getLines()
-        .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
-        .toSeq
+      val ids = scala.util.Using(scala.io.Source.fromFile(files.head)) { src =>
+        src.getLines()
+          .map(l => "\"doc_id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
+          .toSeq
+      }.get
       assert(ids === ids.sorted, s"${d.getName}: docs out of packing order")
     }
     // completeness: every doc exactly once across all shards

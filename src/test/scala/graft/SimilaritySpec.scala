@@ -41,8 +41,9 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
         col("q_emb").cast("array<double>"), col("c_emb").cast("array<double>")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("d"))
-    val exactSet = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exactDots = exact.collect()
+    val exactRows = exact.collect()
+    val exactSet = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDots = exactRows
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val rows = Similarity.quantizedTopk(emb).collect()
     val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
