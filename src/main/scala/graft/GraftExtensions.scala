@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, ImageHeader, MinHashSig, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash64, StopCounts, WavHeader, WordShingles}
+import graft.functions.{DotProduct, ImageHeader, MinHashSig, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash60, StopCounts, WavHeader, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -24,9 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => SimHash60(args.head)))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

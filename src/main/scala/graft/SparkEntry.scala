@@ -9,10 +9,12 @@ import graft.streaming.{EventStreams, MaterializedView, Sessions}
   * `queries` is the full operator inventory (SURVEY.md §2 re-expressed over
   * the driver corpus, plus the training-data-pipeline extensions);
   * `oracleSql` carries a DuckDB twin for every query whose semantics are
-  * SQL-expressible with engine-identical results. Approximate operators
-  * (MinHash/SimHash/LSH-ANN) are rows-only by design; their recall /
-  * radius-exactness is asserted in src/test/scala/graft (DedupSpec,
-  * SimilaritySpec).
+  * SQL-expressible with engine-identical results — including the
+  * MinHash/SimHash/LSH-ANN family, whose hash constants and hyperplanes
+  * are md5 draws both engines regenerate. The residual rows-only queries
+  * are the genuinely un-twinnable ones (HLL/frequency sketches, engine-RNG
+  * samples, k-means training); their guarantees are asserted in
+  * src/test/scala/graft (DedupSpec, SimilaritySpec, ParamsSpec).
   */
 object SparkEntry {
 

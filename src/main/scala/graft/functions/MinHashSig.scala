@@ -1,34 +1,32 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** k-permutation MinHash signature of a shingle array in ONE pass:
-  * each shingle is hashed once (`xxhash64` seed 42, reduced into the 31-bit
-  * domain mod P = 2^31 − 1) and k running minima of the universal hashes
-  * `(a_i·h + b_i) mod P` are kept.
+  * each shingle is hashed once into the 31-bit domain mod P = 2^31 − 1 and
+  * k running minima of the universal hashes `(a_i·h + b_i) mod P` are kept.
   *
-  * Bit-identical to the previous HOF formulation
-  * (`transform(sequence(0,k-1), i -> array_min(transform(hs, ...)))`):
-  * same (a_i, b_i) drawn from `scala.util.Random(i)`, same accumulation.
-  * That formulation ran k=32 nested INTERPRETED lambdas per row — the
-  * dominant cost of the MinHash/LSH query; this is a tight two-loop static
-  * call inside whole-stage codegen.
+  * ENGINE-PORTABLE by construction: the base hash is the 52-bit md5 prefix
+  * ([[graft.functions.md5Bits]] — `('0x' || substring(md5(s),1,13))::BIGINT`
+  * in DuckDB) mod P, and the (a_i, b_i) coefficients are md5 draws from the
+  * fixed key strings "mh-a:i" / "mh-b:i" — so a SQL oracle regenerates the
+  * identical signatures and the dd4 candidate SET is hash-checked, not just
+  * recall-gated (the previous xxhash64/`Random(i)` derivation was
+  * Spark/JVM-only). One tight two-loop static call inside whole-stage
+  * codegen; md5 over a ~20-byte shingle is a fixed two-block digest.
   *
   * Overflow posture (ANSI-safe): both operands of `a·h + b` are < 2^31, so
   * the product stays < 2^62 — no long overflow, and genuinely the universal
   * hash it claims (no silent wrap mod 2^64 before the mod).
   *
-  * Empty input ⇒ empty array, mirroring the old
-  * `when(size(hs) > 0, sig).otherwise(array())` guard. A NULL element is
-  * hashed exactly as the HOF would: Spark's `xxhash64(NULL)` returns the
-  * seed (42), so the element contributes `(a_i·42 + b_i) mod P` to the
-  * minima — the bit-identical claim holds for null-containing arrays too
-  * (the pipeline's `word_shingles` emits containsNull=false, but the
-  * function is registered for general SQL use).
+  * Empty input ⇒ empty array, mirroring the
+  * `when(size(hs) > 0, sig).otherwise(array())` guard of the HOF
+  * formulation it replaced. A NULL element hashes as the empty string
+  * (deterministic, though `word_shingles` emits containsNull=false).
   */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
@@ -58,16 +56,14 @@ object MinHashSig {
   /** 2^31 − 1 (prime) — the universal-hash modulus. */
   final val P = 2147483647L
 
-  /** Seed matching Spark SQL's single-argument `xxhash64`. */
-  private final val Seed = 42L
-
   private val permCache =
     scala.collection.concurrent.TrieMap.empty[Int, (Array[Long], Array[Long])]
 
-  /** The (a_i, b_i) pairs for permutation i, drawn from Random(i) exactly
-    * as the previous column formulation did — signatures stay bit-stable
-    * across the refactor (and across JVMs: scala.util.Random is a seeded
-    * LCG with fixed semantics).
+  /** The (a_i, b_i) pair for permutation i: md5 draws from the key strings
+    * "mh-a:i" (mod P−1, +1 ⇒ a ∈ [1, P−1]) and "mh-b:i" (mod P ⇒
+    * b ∈ [0, P−1]) — the derivation a DuckDB oracle repeats verbatim over
+    * `range(k)`. Must never drift from [[graft.operators.Dedup]]'s dd4
+    * oracle SQL.
     */
   private[graft] def perms(k: Int): (Array[Long], Array[Long]) =
     permCache.getOrElseUpdate(k, {
@@ -75,13 +71,19 @@ object MinHashSig {
       val bs = new Array[Long](k)
       var i = 0
       while (i < k) {
-        val r = new scala.util.Random(i)
-        as(i) = r.nextInt((P - 1).toInt).toLong + 1L
-        bs(i) = r.nextInt(P.toInt).toLong
+        as(i) = graft.functions.md5Bits(s"mh-a:$i", 13) % (P - 1) + 1L
+        bs(i) = graft.functions.md5Bits(s"mh-b:$i", 13) % P
         i += 1
       }
       (as, bs)
     })
+
+  /** Base shingle hash: 52-bit md5 prefix mod P (md5 of the UTF-8 bytes —
+    * what both engines' `md5()` digests). NULL hashes as "".
+    */
+  private[graft] def baseHash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    graft.functions.md5Bits(
+      if (s == null) Array.empty[Byte] else s.getBytes, 13) % P
 
   private val Empty = new GenericArrayData(Array.empty[Long])
 
@@ -93,16 +95,7 @@ object MinHashSig {
     java.util.Arrays.fill(sig, Long.MaxValue)
     var i = 0
     while (i < m) {
-      // xxhash64(NULL) = seed in Spark SQL — reproduce it, don't skip, so
-      // the signature stays bit-identical to the HOF formulation for
-      // null-containing arrays as well
-      val h =
-        if (shingles.isNullAt(i)) Seed % P
-        else {
-          val raw = XxHash64Function.hash(shingles.getUTF8String(i), StringType, Seed)
-          val mod = raw % P
-          if (mod < 0) mod + P else mod
-        }
+      val h = baseHash(if (shingles.isNullAt(i)) null else shingles.getUTF8String(i))
       var j = 0
       while (j < k) {
         val v = (as(j) * h + bs(j)) % P

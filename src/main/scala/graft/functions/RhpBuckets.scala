@@ -16,10 +16,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * deterministically from (nBands, nPlanes, dim, seed) and CACHED per
   * executor; the plan carries only the four scalars.
   *
-  * Plane generation replicates the previous driver-side
-  * `Random(seed + band)` Gaussian sequence exactly (plane-major, then
-  * dim-major), so bucket ids — and therefore ANN results and measured
-  * recalls — are bit-identical to the literal-based formulation.
+  * Plane components are ENGINE-PORTABLE md5 draws (see
+  * [[graft.functions.md5Unit52]]): component (band, p, d) =
+  * md5Unit52("rhp:seed:band:p:d") − 0.5, a uniform in [−0.5, 0.5) a DuckDB
+  * oracle regenerates exactly (`('0x' || substring(md5(key),1,13))::BIGINT
+  * / 2^52 − 0.5`) — so bucket ids, and therefore the sim2/sim3/sim4 ANN
+  * CANDIDATE SETS, are hash-checkable cross-engine, not just recall-gated.
+  * Uniform-cube directions are not perfectly spherically symmetric the way
+  * the Gaussian draw they replaced was, but sign-hash LSH only needs a
+  * symmetric direction distribution; the measured recall floors in
+  * SimilaritySpec hold unchanged.
   */
 case class RhpBuckets(
     child: Expression, nBands: Int, nPlanes: Int, dim: Int, seed: Long)
@@ -41,24 +47,36 @@ case class RhpBuckets(
 }
 
 object RhpBuckets {
+  /** Stamped into persisted-index `_graft_spec` payloads: the plane
+    * FORMULA is part of an index artifact's identity (the expression tree
+    * `rhp_buckets(v, 1, p, d, s)` prints identically across formula
+    * changes, so the canonicalized plan alone would serve stale cells
+    * hashed under an older derivation).
+    */
+  final val FormulaVersion = "rhp:md5u52-v2"
+
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Array[Array[Double]]]()
 
   /** band-major matrix: planes(band * nPlanes + p)(d). Shared with
     * [[RhpProbes]] so a single-band bucket and the probe sequence are
-    * computed against the IDENTICAL hyperplanes.
+    * computed against the IDENTICAL hyperplanes. Component derivation must
+    * never drift from the oracle SQL twin in
+    * [[graft.operators.Similarity.planesSql]].
     */
   private[functions] def planes(nBands: Int, nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
     planeCache.computeIfAbsent((nBands, nPlanes, dim, seed), _ => {
       val out = Array.ofDim[Array[Double]](nBands * nPlanes)
       var b = 0
       while (b < nBands) {
-        val r = new scala.util.Random(seed + b)
         var p = 0
         while (p < nPlanes) {
           val v = new Array[Double](dim)
           var d = 0
-          while (d < dim) { v(d) = r.nextGaussian(); d += 1 }
+          while (d < dim) {
+            v(d) = graft.functions.md5Unit52(s"rhp:$seed:$b:$p:$d") - 0.5
+            d += 1
+          }
           out(b * nPlanes + p) = v
           p += 1
         }

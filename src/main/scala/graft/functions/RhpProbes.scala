@@ -57,7 +57,10 @@ object RhpProbes {
       if (s >= 0) base |= (1L << p)
       p += 1
     }
-    // flip masks of size <= 2 ranked by summed |margin| (base first, score 0)
+    // flip masks of size <= 2 ranked by summed |margin| (base first, score
+    // 0). Ties break on the MASK, not generation order — (score, mask) is
+    // a total order a SQL oracle can reproduce with ORDER BY score, mask
+    // (a stable sort's generation-order tie-break is invisible to SQL).
     val cand = scala.collection.mutable.ArrayBuffer[(Double, Long)]((0.0, 0L))
     var i = 0
     while (i < nPlanes) {
@@ -69,7 +72,7 @@ object RhpProbes {
       }
       i += 1
     }
-    val probes = cand.sortBy(_._1).take(nProbe).map(c => base ^ c._2).toArray
+    val probes = cand.sortBy(c => (c._1, c._2)).take(nProbe).map(c => base ^ c._2).toArray
     new GenericArrayData(probes)
   }
 }

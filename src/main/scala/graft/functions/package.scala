@@ -111,4 +111,57 @@ package object functions {
   def saltedUniformSql(salt: String, idExpr: String): String =
     s"('0x' || substring(md5('$salt:' || CAST($idExpr AS VARCHAR)), 1, 13))::BIGINT" +
       " / CAST(4503599627370496 AS DOUBLE)"
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM twin of the SQL `('0x' || substring(md5(key), 1, nHex))::BIGINT`
+    * pattern: the numeric value of the first `nHex` (≤ 15) hex chars of
+    * md5(key)'s lowercase hex digest — the engine-portable hash every
+    * DERIVED CONSTANT (LSH hyperplane components, MinHash permutation
+    * coefficients) is drawn from, so a DuckDB oracle can regenerate the
+    * identical constants from the same key strings. md5 hashes the UTF-8
+    * bytes in both engines; ≤ 15 hex chars = ≤ 60 bits keeps the value
+    * positive in a signed 64-bit integer.
+    */
+  def md5Bits(key: String, nHex: Int): Long = {
+    require(nHex >= 1 && nHex <= 15, s"md5Bits: nHex must be in [1,15], got $nHex")
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+
+  /** [[md5Bits]] over raw bytes (the per-ROW variant for native
+    * expressions hashing UTF8String contents — same digest as Spark SQL's
+    * `md5()` / DuckDB's `md5()` on the equivalent string).
+    */
+  def md5Bits(key: Array[Byte], nHex: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(key)
+    var v = 0L
+    var i = 0
+    while (i < nHex) {
+      val b = d(i >> 1) & 0xff
+      v = (v << 4) | (if ((i & 1) == 0) b >>> 4 else b & 0xf)
+      i += 1
+    }
+    v
+  }
+
+  /** Deterministic uniform CONSTANT in [0,1): 52-bit md5 prefix (exact in
+    * a double) / 2^52 — the key-string twin of [[saltedUniform]], shared
+    * by plane/permutation generators and their oracle SQL.
+    */
+  def md5Unit52(key: String): Double = md5Bits(key, 13) / 4503599627370496.0
 }

@@ -26,9 +26,11 @@ import graft.sources.Tables
   * bucket posting lists (a single shuffle on the bucket key) → map-side
   * pair emission via the native [[graft.functions.PairCombs]] expression →
   * verify/aggregate. Signature math is built-in expressions plus the
-  * native [[graft.functions.SimHash64]] — no UDFs, fully codegen'd.
+  * native [[graft.functions.SimHash60]] — no UDFs, fully codegen'd.
   * dd4/dd5 recall/exactness is asserted against dd3/brute force in
-  * `DedupSpec` (ScalaTest).
+  * `DedupSpec` (ScalaTest), and — because every hash constant is an md5
+  * draw both engines can compute — their candidate SETS are additionally
+  * hash-checked against DuckDB oracles.
   */
 object Dedup {
 
@@ -146,11 +148,11 @@ object Dedup {
 
   /** doc_id → array of k MinHash values over n-gram shingles, via the
     * native [[graft.functions.MinHashSig]] expression: each shingle hashed
-    * ONCE into the 31-bit domain, k running minima of (a·h + b) mod P —
-    * one codegen'd pass, no shuffle. Replaces k=32 nested interpreted
-    * `transform`/`array_min` lambdas per row (the query's dominant cost);
-    * signatures are bit-identical (same (a,b) pairs from the same seeds,
-    * same accumulation — asserted in DedupSpec).
+    * ONCE into the 31-bit domain (52-bit md5 prefix mod P — the
+    * engine-portable draw), k running minima of (a·h + b) mod P with
+    * md5-derived (a, b) — one codegen'd pass, no shuffle, and a DuckDB
+    * oracle regenerates the identical signatures (parity with the
+    * column-level md5 formulation asserted in DedupSpec).
     */
   def minhashSignatures(docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame =
     docs.select(
@@ -177,12 +179,16 @@ object Dedup {
     val sigs = minhashSignatures(docs.filter(size(tokens(col("text"))) >= n), k, n)
     // Same linear shape as dd3/dd5: bucket posting lists + map-side pair
     // emission instead of a banded self-join (which would compute the
-    // signature subtree twice and shuffle both sides).
+    // signature subtree twice and shuffle both sides). The bucket key is
+    // the band's CONTENT (the `rows` minima, comma-joined — ~40 bytes),
+    // not a hash of it: two docs share a band iff their minima actually
+    // agree (no collision false-positives), and a SQL oracle reproduces
+    // the key without needing Spark's xxhash64.
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
+        b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val lists = banded.groupBy(col("band"), col("band_hash"))
@@ -197,38 +203,40 @@ object Dedup {
 
   // ------------------------------------------------------------ simhash
 
-  /** Single-pass 64-bit SimHash over whitespace tokens via the native
-    * [[graft.functions.SimHash64]] expression (registered by
-    * [[graft.GraftExtensions]]): each token hashed ONCE, 64 counter votes —
-    * replaces the old nested-aggregate formulation that re-folded (and
-    * re-hashed) the token array 64 times per row. Bit-identical signatures.
+  /** Single-pass 60-bit SimHash over whitespace tokens via the native
+    * [[graft.functions.SimHash60]] expression (registered by
+    * [[graft.GraftExtensions]]): each token hashed ONCE (60-bit md5
+    * prefix — engine-portable, so dd5's pair set is oracle-HASHED), 60
+    * counter votes — replaces the old nested-aggregate formulation that
+    * re-folded (and re-hashed) the token array per bit.
     */
   def simhashExpr(textCol: String): Column =
-    call_function("simhash64", tokens(col(textCol)))
+    call_function("simhash60", tokens(col(textCol)))
 
-  /** Pigeonhole blocks for Hamming radius 3: split the 64-bit signature
-    * into 5 blocks (13/13/13/13/12 bits). With ≤3 bit errors at most 3
-    * blocks are dirty, so ≥2 blocks are clean and at least one of the
-    * C(5,2) = 10 block PAIRS matches — every pair within the radius is
-    * guaranteed to share a band. 10 exploded rows per doc (the minimum the
-    * pigeonhole argument allows for r=3 via pairs) vs the 56 of the earlier
-    * C(8,3) triple-banding — 5.6× less explode volume for the identical
-    * exactness guarantee, with ~26-bit keys giving the same per-bucket
-    * selectivity as the old 24-bit triples.
+  /** Pigeonhole blocks for Hamming radius 3: split the 60-bit signature
+    * into 5 blocks of 12 bits. With ≤3 bit errors at most 3 blocks are
+    * dirty, so ≥2 blocks are clean and at least one of the C(5,2) = 10
+    * block PAIRS matches — every pair within the radius is guaranteed to
+    * share a band. 10 exploded rows per doc (the minimum the pigeonhole
+    * argument allows for r=3 via pairs), with 24-bit keys giving ample
+    * per-bucket selectivity at corpus scale.
     */
-  private val blockOffsets = Array(0, 13, 26, 39, 52)
-  private val blockMasks = Array(8191L, 8191L, 8191L, 8191L, 4095L)
+  private val blockOffsets = Array(0, 12, 24, 36, 48)
+  private val blockMasks = Array(4095L, 4095L, 4095L, 4095L, 4095L)
   private val blockPairs: Seq[(Int, Int)] =
     for { i <- 0 until 5; j <- (i + 1) until 5 } yield (i, j)
 
   /** SimHash near-dup candidates, exact for the default radius: band each
-    * 64-bit signature into the 10 combinatorial (blockPair → ≤26-bit key)
+    * 60-bit signature into the 10 combinatorial (blockPair → 24-bit key)
     * buckets above, bucket-join, verify with `bit_count(a XOR b)`. The
     * pigeonhole guarantee means the post-verify output is EXACTLY the set
     * of pairs with Hamming distance ≤ 3 (asserted against a brute-force
-    * cross join in `DedupSpec`). Band-key domain is 10 × 2^26 ≈ 6.7×10^8
-    * buckets — at billions of docs buckets stay tiny, and the shuffle key
-    * is still the bucket, never docs².
+    * cross join in `DedupSpec`, and hash-checked against a DuckDB oracle
+    * that regenerates the md5-prefix signatures and brute-forces the
+    * radius — banding is a pure execution strategy, invisible in the
+    * output). Band-key domain is 10 × 2^24 ≈ 1.7×10^8 buckets — at
+    * billions of docs buckets stay tiny, and the shuffle key is still the
+    * bucket, never docs².
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // The C(5,2) pair-banding is exhaustive ONLY for radius <= 3 (with 4
@@ -243,11 +251,12 @@ object Dedup {
     // is a single linear lineage: explode keys → bucket posting lists →
     // map-side pair emission (pair_combs carries the signature as the
     // second struct field) → Hamming verify. A banded self-join computed
-    // the scan+signature subtree twice and shuffled both sides. The
-    // arithmetic shift's sign extension on the top block is masked off.
+    // the scan+signature subtree twice and shuffled both sides. (The
+    // 60-bit signature is always positive, so the arithmetic shifts never
+    // sign-extend; the masks alone isolate each block.)
     val bandKeys = blockPairs.zipWithIndex.map { case ((i, j), b) =>
-      lit(b.toLong << 26) +
-        (shiftright(col("sig"), blockOffsets(i)).bitwiseAND(blockMasks(i)) * 8192) +
+      lit(b.toLong << 24) +
+        (shiftright(col("sig"), blockOffsets(i)).bitwiseAND(blockMasks(i)) * 4096) +
         shiftright(col("sig"), blockOffsets(j)).bitwiseAND(blockMasks(j))
     }
     val keyed = sigs.select(col("doc_id"), col("sig"),
@@ -258,7 +267,7 @@ object Dedup {
       .select(col("ds"))
     lists.select(explode(call_function("pair_combs", col("ds"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
-        bit_count(col("p.na").bitwiseXOR(col("p.nb"))).as("hamming"))
+        bit_count(col("p.na").bitwiseXOR(col("p.nb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
@@ -928,6 +937,55 @@ object Dedup {
          |FROM tot LEFT JOIN fl ON tot.doc_id = fl.doc_id
          |ORDER BY tot.doc_id""".stripMargin
     },
+    // the engine's MinHash pipeline re-derived from first principles:
+    // identical base hash (52-bit md5 prefix mod P), identical md5-drawn
+    // (a_i, b_i), the same k=32 minima split into 8 bands of 4 — so the
+    // candidate SET (and shared-band counts) hash-match exactly. Docs with
+    // < 3 tokens have no shingles and are excluded in both engines.
+    "dd4_minhash_candidates" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)])) AS s
+         |  FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substring(md5(s), 1, 13))::BIGINT % 2147483647 AS h FROM sh),
+         |perm AS (SELECT i,
+         |  ('0x' || substring(md5('mh-a:' || i), 1, 13))::BIGINT % 2147483646 + 1 AS a,
+         |  ('0x' || substring(md5('mh-b:' || i), 1, 13))::BIGINT % 2147483647 AS b
+         |  FROM range(32) r(i)),
+         |sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM h CROSS JOIN perm GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, i // 4)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+         |FROM band a JOIN band b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    // the engine's SimHash re-derived: per-token 60-bit md5 prefix,
+    // majority vote per bit, then a BRUTE-FORCE Hamming-radius join — the
+    // engine's pigeonhole banding is a pure execution strategy whose
+    // output is exactly the radius-3 pair set, so the small-scale brute
+    // force is the honest declarative twin. sum() is cast back to BIGINT
+    // (DuckDB widens to HUGEINT); tokenless docs vote nothing ⇒ sig 0,
+    // restored by the LEFT JOIN.
+    "dd5_simhash_candidates" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |hh AS (SELECT doc_id,
+         |  ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hh CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+         |sig0 AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM bits GROUP BY doc_id),
+         |sig AS (SELECT t.doc_id, coalesce(s.sig, 0) AS sig
+         |  FROM t LEFT JOIN sig0 s USING (doc_id))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd10_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
@@ -938,7 +996,8 @@ object Dedup {
         |WHERE a.doc_id >= 20 AND b.doc_id < 20
         |GROUP BY 1, 2 HAVING count(*) >= 3
         |ORDER BY 1, 2""".stripMargin)
-  // dd4/dd5 are approximate (engine-specific hash functions) → rows-only
-  // checks by design; dd4 recall and dd5 radius-exactness are asserted in
+  // dd4/dd5 candidate sets hash-match their oracles above (every hash
+  // constant is an md5 draw both engines compute); dd4 recall vs dd3 and
+  // dd5 radius-exactness are additionally asserted in
   // src/test/scala/graft/DedupSpec.scala.
 }

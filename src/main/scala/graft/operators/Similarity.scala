@@ -69,7 +69,8 @@ object Similarity {
     * [[graft.functions.RhpBuckets]] expression — the plane matrix lives in
     * an executor-side cache instead of ~nBands×nPlanes giant array literals
     * in the plan (which cost seconds of fixed analysis/codegen time per
-    * query). Bucket ids are bit-identical to the literal formulation.
+    * query). Plane components are md5 draws ([[planesSql]] regenerates
+    * them in DuckDB), so bucket ids hash-match cross-engine.
     */
   def lshBuckets(
       vec: Column, nBands: Int, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
@@ -233,8 +234,12 @@ object Similarity {
         new java.io.File(path).getParentFile) {
       val marker = new java.io.File(s"$path/_SUCCESS")
       val specFile = new java.io.File(s"$path/_graft_spec")
+      // the plane FORMULA version rides along: the canonicalized plan
+      // prints rhp_buckets(...) identically across derivation changes, so
+      // without the stamp a formula change would serve stale cells
       val spec = graft.sources.Staging.planSpec(
-        ivfIndexFrame(emb, nPlanes, dim, seed))
+        ivfIndexFrame(emb, nPlanes, dim, seed)) +
+        "|" + graft.functions.RhpBuckets.FormulaVersion
       val fresh = marker.exists() &&
         marker.lastModified() >= source.lastModified() &&
         specFile.exists() &&
@@ -571,7 +576,111 @@ object Similarity {
     "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(Tables.embeddingsRebalanced(s, d))),
     "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))))
 
+  /** The DuckDB twin of [[graft.functions.RhpBuckets.planes]]: a `pl`
+    * CTE body regenerating the identical hyperplane matrix — component
+    * (band, p, d) = md5-52-bit-prefix("rhp:seed:band:p:d") / 2^52 − 0.5,
+    * assembled into a dim-ordered list so `list_dot_product` accumulates
+    * in the same left-to-right order as the engine's dot loop (doubles
+    * bit-identical ⇒ sign bits, buckets, and candidate sets identical).
+    */
+  private def planesSql(nBands: Int, nPlanes: Int, dim: Int, seed: Long): String =
+    s"""SELECT band, p, list(
+       |    ('0x' || substring(md5('rhp:$seed:' || band || ':' || p || ':' || d), 1, 13))::BIGINT
+       |      / CAST(4503599627370496 AS DOUBLE) - 0.5 ORDER BY d) AS w
+       |  FROM range($nBands) bb(band), range($nPlanes) pp(p), range($dim) dd(d)
+       |  GROUP BY band, p""".stripMargin
+
+  /** Shared verify-and-rank tail of every ANN oracle — the SQL twin of
+    * [[verifyAndRank]] (exact cosine, top-k by (cosine DESC, neighbor_id),
+    * r6 rounding), applied to a `cand(query_id, neighbor_id)` CTE over the
+    * `e(vec_id, v)` double-cast embeddings.
+    */
+  private val verifyRankSql: String =
+    """sims AS (SELECT cand.query_id, cand.neighbor_id,
+      |    list_cosine_similarity(ce.v, qe.v) AS s
+      |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+      |            JOIN e ce ON ce.vec_id = cand.neighbor_id),
+      |r AS (SELECT query_id, neighbor_id, s,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank
+      |  FROM sims)
+      |SELECT query_id, neighbor_id, round(s * 1e6) / 1e6 AS cosine,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** sim3's full probe-and-serve pipeline in SQL — also sim4's oracle
+    * verbatim (the persisted index changes WHERE the cells live, not what
+    * they contain; bit-identity is asserted in SimilaritySpec).
+    */
+  private val ivfOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pl AS (${planesSql(1, 4, 64, 42L)}),
+       |dots AS (SELECT e.vec_id, pl.p, list_dot_product(e.v, pl.w) AS s
+       |  FROM e CROSS JOIN pl),
+       |cells AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |qm AS (SELECT vec_id, p, s FROM dots WHERE vec_id < 20),
+       |fl AS (
+       |  SELECT vec_id, 0.0 AS score, CAST(0 AS BIGINT) AS mask
+       |  FROM cells WHERE vec_id < 20
+       |  UNION ALL
+       |  SELECT vec_id, abs(s), CAST(1::BIGINT << p AS BIGINT) FROM qm
+       |  UNION ALL
+       |  SELECT a.vec_id, abs(a.s) + abs(b.s),
+       |    CAST((1::BIGINT << a.p) | (1::BIGINT << b.p) AS BIGINT)
+       |  FROM qm a JOIN qm b ON a.vec_id = b.vec_id AND a.p < b.p),
+       |pr AS (SELECT vec_id, mask,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score, mask) AS rn
+       |  FROM fl),
+       |probes AS (SELECT c.vec_id AS query_id, xor(c.bucket, p.mask) AS bucket
+       |  FROM cells c JOIN pr p ON p.vec_id = c.vec_id AND p.rn <= 8
+       |  WHERE c.vec_id < 20),
+       |cand AS (SELECT pb.query_id, c.vec_id AS neighbor_id
+       |  FROM cells c JOIN probes pb ON c.bucket = pb.bucket
+       |  WHERE c.vec_id <> pb.query_id),
+       |$verifyRankSql""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the OR-amplified multi-band pipeline re-derived: identical md5
+    // hyperplanes, per-band sign-bit buckets, (band, bucket) equi-join,
+    // pair dedup, exact-cosine verify — the candidate SET hash-matches,
+    // not just a recall floor
+    "sim2_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pl AS (${planesSql(24, 4, 64, 42L)}),
+         |bk AS (SELECT e.vec_id, pl.band,
+         |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.w) >= 0
+         |             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.band),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |$verifyRankSql""".stripMargin,
+    "sim3_ann_ivf" -> ivfOracleSql,
+    "sim4_ann_ivf_indexed" -> ivfOracleSql,
+    // dd7's multi-band near-dup pairs: sim2's bucketing at the same
+    // parameters, pair dedup, then dd6's unit-vector dot and threshold
+    "dd7_embed_neardup_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pl AS (${planesSql(24, 4, 64, 42L)}),
+         |bk AS (SELECT e.vec_id, pl.band,
+         |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.w) >= 0
+         |             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.band),
+         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |u AS (SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                   CAST(embedding AS DOUBLE[])))) AS unit
+         |  FROM embeddings)
+         |SELECT p.vec_a, p.vec_b,
+         |  round(list_dot_product(ua.unit, ub.unit) * 1e6) / 1e6 AS cosine
+         |FROM pairs p JOIN u ua ON ua.vec_id = p.vec_a
+         |             JOIN u ub ON ub.vec_id = p.vec_b
+         |WHERE list_dot_product(ua.unit, ub.unit) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
     // identical quantize-dot-rescale formulation: sign·floor(|x|+0.5)
     // rounding, integer dots exact in doubles, rank on the undivided
     // dot·m1·m2 (dividing by the 127² constant cannot reorder)
@@ -624,9 +733,9 @@ object Similarity {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.unit, b.unit) >= 0.4
         |ORDER BY vec_a, vec_b""".stripMargin)
-  // sim2/sim3/sim4/dd7 are approximate (engine-specific plane hashing) →
-  // rows-only checks; recall vs the exact computations is asserted in
-  // src/test/scala/graft/SimilaritySpec.scala (sim4 additionally asserts
-  // bit-identity with sim3 — the persisted index changes WHERE the cells
-  // live, not what they contain).
+  // sim5 stays rows-only: k-means training is not SQL-practical to twin;
+  // determinism, objective descent, and the recall floor are asserted in
+  // src/test/scala/graft/SimilaritySpec.scala. Every other ANN query is
+  // hash-gated above — the md5-derived hyperplanes made the candidate
+  // sets engine-portable.
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Dedup
@@ -82,12 +83,18 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"missed=${(brute -- cand).size} extra=${(cand -- brute).size} of ${brute.size}")
   }
 
-  test("simhash64 native expression is bit-identical to the 64-fold HOF formulation") {
+  test("simhash60 native expression is bit-identical to the column-level md5 formulation") {
+    // the slow twin spells out the ORACLE's arithmetic with Spark
+    // built-ins: 60-bit md5 prefix per token (conv of the first 15 hex
+    // chars — the same value DuckDB's ('0x' || ...)::BIGINT yields),
+    // per-bit majority vote
     val docs = Tables.documents(spark, sf001).limit(100)
     val hof = expr(
-      """aggregate(sequence(0, 63), 0L, (acc, b) -> acc | IF(
+      """aggregate(sequence(0, 59), 0L, (acc, b) -> acc | IF(
         |  aggregate(tk, 0L,
-        |    (a2, t) -> a2 + IF((shiftright(xxhash64(t), b) & 1) = 1, 1L, -1L)) > 0,
+        |    (a2, t) -> a2 + IF((shiftright(
+        |      cast(conv(substring(md5(t), 1, 15), 16, 10) AS LONG), b) & 1) = 1,
+        |      1L, -1L)) > 0,
         |  shiftleft(1L, b), 0L))""".stripMargin)
     val mismatches = docs
       .select(col("text"), graft.functions.tokens(col("text")).as("tk"))
@@ -110,15 +117,20 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(mismatches === 0L)
   }
 
-  test("minhash_sig native expression is bit-identical to the k-lambda HOF formulation") {
+  test("minhash_sig native expression is bit-identical to the column-level md5 formulation") {
     val P = 2147483647L
     val k = 32
-    val perms = (0 until k).map { seed =>
-      val r = new scala.util.Random(seed)
-      (r.nextInt((P - 1).toInt).toLong + 1L, r.nextInt(P.toInt).toLong)
-    }
-    val as = typedlit(perms.map(_._1))
-    val bs = typedlit(perms.map(_._2))
+    // derive (a_i, b_i) through SPARK's md5/conv built-ins (the oracle's
+    // route), not through graft.functions.md5Bits — this cross-checks the
+    // JVM digest-prefix arithmetic against the SQL derivation
+    def draw(salt: String, mod: Long): Column =
+      pmod(conv(substring(md5(concat(lit(salt), col("id").cast("string"))), 1, 13), 16, 10)
+        .cast("long"), lit(mod))
+    val perms = spark.range(k)
+      .select((draw("mh-a:", P - 1) + 1L).as("a"), draw("mh-b:", P).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val as = typedlit(perms.map(_._1).toSeq)
+    val bs = typedlit(perms.map(_._2).toSeq)
     val docs = Tables.documents(spark, sf001).limit(200)
     val hof = {
       val sig = transform(
@@ -129,7 +141,8 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
     val slow = docs
       .select(col("doc_id"),
-        transform(Dedup.shingles(col("text"), 3), s => pmod(xxhash64(s), lit(P))).as("hs"))
+        transform(Dedup.shingles(col("text"), 3), s =>
+          pmod(conv(substring(md5(s), 1, 13), 16, 10).cast("long"), lit(P))).as("hs"))
       .select(col("doc_id"), hof.as("slow"))
     val fast = Dedup.minhashSignatures(docs).withColumnRenamed("sig", "fast")
     val mismatches = fast.join(slow, "doc_id")

@@ -32,10 +32,10 @@ class HarnessSpec extends AnyFunSuite with SparkFixture {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // the approximate/RNG-dependent set — anything new appearing here
     // must add an oracle or justify itself in this list
+    // dd4/dd5/dd7/sim2/sim3/sim4 left this list in round 8: their hash
+    // constants and hyperplanes became md5 draws a DuckDB oracle
+    // regenerates, so the candidate sets are hash-gated now
     assert(rowsOnly === Set(
-      "dd4_minhash_candidates", "dd5_simhash_candidates",
-      "dd7_embed_neardup_lsh", "sim2_ann_lsh", "sim3_ann_ivf",
-      "sim4_ann_ivf_indexed", // bit-identical to sim3 (SimilaritySpec)
       "sim5_ann_ivf_learned", // deterministic but k-means is not SQL-twinnable;
                               // determinism/objective/recall in SimilaritySpec
       "sa1_seeded_sample", "sa2_stratified_sample",
