@@ -878,11 +878,22 @@ object Analytics {
       .select(col("l_extendedprice").as("p"),
         col("l_orderkey").as("k"), col("l_linenumber").as("ln"))
     val bounds = li.agg(min(col("p")).as("pmin"), max(col("p")).as("pmax"),
+      min(col("k")).as("kmin"), max(col("k")).as("kmax"),
       count(lit(1)).as("total"))
+    // Degenerate-input guard: a (near-)constant price column would put
+    // every row in range-bucket 0 and the intra-bucket row_number would
+    // become exactly the unpartitioned global window this two-phase rank
+    // exists to avoid. When pmax == pmin the total order (p, k, ln) is
+    // decided by k alone, so bucketing on the key (any monotone bucketing
+    // preserves the order) keeps the rank distributed. Same output either
+    // way — only the partitioning strategy switches.
+    val priceB = floor((col("p") - col("pmin")) * buckets
+      / (col("pmax") - col("pmin") + 1.0))
+    val keyB = floor((col("k") - col("kmin")) * buckets
+      / (col("kmax") - col("kmin") + 1.0))
     val bucketed = li.crossJoin(broadcast(bounds))
       .withColumn("b", least(lit(buckets - 1),
-        floor((col("p") - col("pmin")) * buckets / (col("pmax") - col("pmin") + 1.0))
-          .cast("int")))
+        when(col("pmax") > col("pmin"), priceB).otherwise(keyB).cast("int")))
     val offsets = bucketed.groupBy(col("b")).agg(count(lit(1)).as("bn"))
       .withColumn("off",
         coalesce(sum(col("bn")).over(

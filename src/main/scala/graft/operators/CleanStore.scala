@@ -126,7 +126,9 @@ object CleanStore {
   /** Serve the staged table, (re)building only what is actually stale:
     *
     *  - build-logic change (spec mismatch) or first build ⇒ FULL rebuild;
-    *  - source newer but spec unchanged ⇒ INCREMENTAL refresh: diff
+    *  - source stamp changed ((mtime, length) tuple — sees a same-second
+    *    rewrite a marker-mtime compare misses) but spec unchanged ⇒
+    *    INCREMENTAL refresh: diff
     *    per-date fingerprints and rewrite ONLY the changed/missing dates
     *    via dynamic partition overwrite, delete dates gone from the
     *    source. An appended day costs one fingerprint scan plus one
@@ -153,6 +155,12 @@ object CleanStore {
       val source = new java.io.File(Tables.path(sfDir, sourceTable))
       val specFile = new java.io.File(s"$dir/_graft_spec")
       val fpFile = new java.io.File(s"$dir/_graft_partitions")
+      // the source's (mtime, length) stamp decides whether the
+      // incremental diff runs at all — recorded in its own file (not the
+      // spec: a source change must take the CHEAP per-date refresh path,
+      // not the full rebuild a spec mismatch forces)
+      val srcStampFile = new java.io.File(s"$dir/_graft_source")
+      val srcStamp = graft.sources.Staging.sourceStamp(Seq(source))
       lazy val built = build
       lazy val spec = graft.sources.Staging.planSpec(built)
       val specFresh = marker.exists() && specFile.exists() && fpFile.exists() &&
@@ -166,7 +174,9 @@ object CleanStore {
         writeFingerprints(fpFile,
           fingerprintAgg(spark.read.parquet(dir), col(partCol), built.columns.toSeq))
         java.nio.file.Files.write(specFile.toPath, spec.getBytes)
-      } else if (marker.lastModified() < source.lastModified()) {
+        java.nio.file.Files.write(srcStampFile.toPath, srcStamp.getBytes)
+      } else if (!srcStampFile.exists() ||
+          new String(java.nio.file.Files.readAllBytes(srcStampFile.toPath)) != srcStamp) {
         val current = sourceFingerprints(built, tsCol, partCol)
         val recorded = readFingerprints(fpFile)
         val changed = current.keySet.filter(d => !recorded.get(d).contains(current(d)))
@@ -189,10 +199,10 @@ object CleanStore {
         removed.foreach(d =>
           graft.sources.Staging.deleteRecursively(new java.io.File(dir, s"$partCol=$d")))
         writeFingerprints(fpFile, current)
-        // the no-op case (mtime touch, content unchanged) refreshes the
-        // marker so the next ensure takes the fast path without a scan
-        if (!marker.exists()) java.nio.file.Files.createFile(marker.toPath)
-        marker.setLastModified(System.currentTimeMillis()); ()
+        // the no-op case (stamp churn, content unchanged) records the new
+        // stamp so the next ensure takes the fast path without a scan
+        java.nio.file.Files.write(srcStampFile.toPath, srcStamp.getBytes)
+        if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
       }
       spark.read.parquet(dir)
     }

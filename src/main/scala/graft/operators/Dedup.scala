@@ -424,7 +424,7 @@ object Dedup {
     * artifact: at 100 TB nobody re-runs shingling + pair generation +
     * label propagation to emit a manifest — the clustering runs once per
     * corpus version and every downstream consumer (dd9's manifest, audit
-    * joins, incremental re-dedup) reads the parquet back. Marker-and-mtime
+    * joins, incremental re-dedup) reads the parquet back. Source-stamp
     * staleness like the other artifacts; the check-and-build is
     * cross-process locked (a bench run next to the test suite must not
     * interleave with a half-written label table).
@@ -449,10 +449,9 @@ object Dedup {
       val pairs = ngramJaccardPairs(
         Tables.documentsRebalanced(spark, sfDir).filter(col("doc_id") < upTo),
         n, threshold, maxDf)
-      val spec = "min-label-cc-v1\n" + graft.sources.Staging.planSpec(pairs)
-      val fresh = marker.exists() &&
-        marker.lastModified() >= source.lastModified() &&
-        specFile.exists() &&
+      val spec = "min-label-cc-v1\n" + graft.sources.Staging.planSpec(pairs) +
+        "\n" + graft.sources.Staging.sourceStamp(Seq(source))
+      val fresh = marker.exists() && specFile.exists() &&
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
       if (!fresh) {
         dupClusters(pairs).write.mode("overwrite").parquet(path)

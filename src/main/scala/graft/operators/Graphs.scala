@@ -53,7 +53,8 @@ object Graphs {
     * re-runs the 5-way fact join once per graph algorithm, the EDGE
     * EXTRACTION is staged once and every analysis (q36 PageRank, q40
     * triangles, the next centrality) reads the aggregated graph.
-    * Staleness is marker-mtime vs the NEWEST source table plus the
+    * Staleness is the source tables' (mtime, length) stamp recorded in
+    * the spec (immune to coarse-mtime same-second rewrites) plus the
     * build-logic plan spec (an edge-formula edit invalidates the
     * artifact even when no source moved); check-and-build runs
     * double-checked under the cross-process staging lock like every
@@ -64,15 +65,14 @@ object Graphs {
   def edgesArtifact(spark: SparkSession, sfDir: String): DataFrame = {
     val path =
       s"${sys.props("user.dir")}/target/graph_edges/${new java.io.File(sfDir).getName}"
-    val newest = Seq("lineitem", "orders", "customer", "supplier", "nation")
-      .map(t => new java.io.File(graft.sources.Tables.path(sfDir, t)).lastModified())
-      .max
+    val sources = Seq("lineitem", "orders", "customer", "supplier", "nation")
+      .map(t => new java.io.File(graft.sources.Tables.path(sfDir, t)))
     graft.sources.Staging.withExclusiveLock(new java.io.File(path).getParentFile) {
       val marker = new java.io.File(s"$path/_SUCCESS")
       val specFile = new java.io.File(s"$path/_graft_spec")
-      val spec = graft.sources.Staging.planSpec(nationEdges(spark, sfDir))
-      val fresh = marker.exists() && marker.lastModified() >= newest &&
-        specFile.exists() &&
+      val spec = graft.sources.Staging.planSpec(nationEdges(spark, sfDir)) +
+        "\n" + graft.sources.Staging.sourceStamp(sources)
+      val fresh = marker.exists() && specFile.exists() &&
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
       if (!fresh) {
         nationEdges(spark, sfDir).coalesce(1)

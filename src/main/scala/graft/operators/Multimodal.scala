@@ -200,12 +200,17 @@ object Multimodal {
     // bytes; the driver corpus is all-ASCII and cannot produce it).
     // PNG/JPEG parsing is spec-verified on real bytes in MultimodalSpec.
     // all-lowercase corpus ⇒ only the unknown branch is reachable; the
-    // LIKE guard makes a future RIFF-prefixed doc a loud mismatch (the
-    // chunk walk is then outside SQL's domain, exercised in the spec)
+    // guard mirrors the engine's FULL 12-byte magic (RIFF....WAVE — a doc
+    // starting 'RIFF' without 'WAVE' at offset 9 is 'unknown' in BOTH
+    // engines), so a future wav-magic doc is a loud mismatch only on the
+    // header FIELDS (the chunk walk is outside SQL's domain, exercised in
+    // the spec) — and on such a mismatch the side to extend is THIS
+    // oracle, not the engine
     "mm6_wav_headers" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  CASE WHEN text LIKE 'RIFF%' THEN 'wav' ELSE 'unknown' END AS format,
+        |  CASE WHEN text LIKE 'RIFF%' AND substring(text, 9, 4) = 'WAVE'
+        |       THEN 'wav' ELSE 'unknown' END AS format,
         |  CAST(NULL AS INTEGER) AS channels,
         |  CAST(NULL AS INTEGER) AS sample_rate,
         |  CAST(NULL AS INTEGER) AS bits_per_sample,

@@ -239,10 +239,9 @@ object Similarity {
       // without the stamp a formula change would serve stale cells
       val spec = graft.sources.Staging.planSpec(
         ivfIndexFrame(emb, nPlanes, dim, seed)) +
-        "|" + graft.functions.RhpBuckets.FormulaVersion
-      val fresh = marker.exists() &&
-        marker.lastModified() >= source.lastModified() &&
-        specFile.exists() &&
+        "|" + graft.functions.RhpBuckets.FormulaVersion +
+        "\n" + graft.sources.Staging.sourceStamp(Seq(source))
+      val fresh = marker.exists() && specFile.exists() &&
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
       if (!fresh) {
         buildIvfIndex(emb, path, nPlanes, dim, seed)
@@ -390,14 +389,13 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
     val path = learnedIvfPath(sfDir, kCells, iters)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-    val spec = "kmeans-lloyd-v1 init=lowest-ids ties=cid sums=decimal38.18"
+    val spec = "kmeans-lloyd-v1 init=lowest-ids ties=cid sums=decimal38.18" +
+      "\n" + graft.sources.Staging.sourceStamp(Seq(source))
     val corpus = graft.sources.Staging.withExclusiveLock(
         new java.io.File(path).getParentFile) {
       val marker = new java.io.File(s"$path/_marker")
       val specFile = new java.io.File(s"$path/_graft_spec")
-      val fresh = marker.exists() &&
-        marker.lastModified() >= source.lastModified() &&
-        specFile.exists() &&
+      val fresh = marker.exists() && specFile.exists() &&
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
       if (!fresh) {
         import spark.implicits._
@@ -412,8 +410,7 @@ object Similarity {
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
         java.nio.file.Files.write(specFile.toPath, spec.getBytes)
-        if (!marker.exists()) java.nio.file.Files.createFile(marker.toPath)
-        marker.setLastModified(System.currentTimeMillis())
+        if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
       }
       spark.read.parquet(s"$path/cells")
     }

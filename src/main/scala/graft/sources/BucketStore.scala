@@ -68,9 +68,9 @@ object BucketStore {
       val source = new File(Tables.path(sfDir, table))
       val specFile = new File(s"$dir/_graft_spec")
       val src = Tables(spark, sfDir, table)
-      val spec = s"buckets=$NumBuckets key=$key\n" + Staging.planSpec(src)
+      val spec = s"buckets=$NumBuckets key=$key\n" + Staging.planSpec(src) +
+        "\n" + Staging.sourceStamp(Seq(source))
       val fresh = marker.exists() && specFile.exists() &&
-        marker.lastModified() >= source.lastModified() &&
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
       if (!fresh) {
         spark.sql(s"DROP TABLE IF EXISTS $name")

@@ -61,6 +61,18 @@ object Staging {
       }.mkString("\n")
   }
 
+  /** Freshness token for an artifact's SOURCE files: (path, mtime,
+    * length) per file. Stored INSIDE the artifact's `_graft_spec` (or a
+    * sibling stamp file) and string-compared on the next serve — unlike
+    * the `marker.lastModified() >= source.lastModified()` scheme it
+    * replaces, a source rewritten in the same filesystem-timestamp second
+    * as the artifact build (coarse 1 s mtime granularity) still changes
+    * the recorded tuple and invalidates the artifact.
+    */
+  def sourceStamp(files: Seq[File]): String =
+    files.map(f => s"${f.getPath}@${f.lastModified()}#${f.length()}")
+      .mkString("src[", ";", "]")
+
   /** Recursive delete, null-race safe (listFiles is null when another
     * process sweeps the same dir concurrently) — the ONE copy every
     * staging caller shares.

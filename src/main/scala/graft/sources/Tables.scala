@@ -148,10 +148,14 @@ object Tables {
     val jsonDir = s"${sys.props("user.dir")}/target/jsondim/$sfName/nation"
     val marker = new java.io.File(s"$jsonDir/_SUCCESS")
     val source = new java.io.File(path(sfDir, "nation"))
-    if (!marker.exists() || marker.lastModified() < source.lastModified()) {
+    val stampFile = new java.io.File(s"$jsonDir/_graft_source")
+    val stamp = Staging.sourceStamp(Seq(source))
+    if (!marker.exists() || !stampFile.exists() ||
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
       nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
         .coalesce(1)
         .write.mode("overwrite").json(jsonDir)
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
     }
     jsonSource(spark, jsonDir, StructType(Seq(
       StructField("n_nationkey", IntegerType),
@@ -165,11 +169,16 @@ object Tables {
     val csvDir = s"${sys.props("user.dir")}/target/csvdim/$sfName/nation"
     val marker = new java.io.File(s"$csvDir/_SUCCESS")
     val source = new java.io.File(path(sfDir, "nation"))
-    // rewrite when absent OR stale (source parquet newer than the export)
-    if (!marker.exists() || marker.lastModified() < source.lastModified()) {
+    // rewrite when absent OR stale (the source's (mtime, length) stamp
+    // changed — sees same-second rewrites a marker-mtime compare misses)
+    val stampFile = new java.io.File(s"$csvDir/_graft_source")
+    val stamp = Staging.sourceStamp(Seq(source))
+    if (!marker.exists() || !stampFile.exists() ||
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
       nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
         .coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(csvDir)
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
     }
     spark.read
       .option("header", "true")

@@ -49,14 +49,18 @@ class BucketStoreSpec extends AnyFunSuite with SparkFixture {
       s"expected exactly ${BucketStore.NumBuckets} bucket files")
   }
 
-  test("a stale marker forces a rebuild") {
+  test("a changed source stamp forces a rebuild") {
     BucketStore.ordersByOrderkey(spark, sf001)
     val dir = new File(BucketStore.dataDir(sf001, "orders"))
     val before = dataFiles(dir)
-    // age the marker behind the (read-only) source to simulate staleness
-    val marker = new File(dir, "_SUCCESS")
-    val source = new File(Tables.path(sf001, "orders"))
-    assert(marker.setLastModified(source.lastModified() - 60000))
+    // the source parquet is read-only here, so simulate its rewrite by
+    // perturbing the (mtime, length) tuple recorded in the spec — the
+    // exact comparison a real source change flips (marker mtimes no
+    // longer participate: a same-second rewrite would not move them)
+    val specFile = new File(dir, "_graft_spec")
+    val spec = new String(java.nio.file.Files.readAllBytes(specFile.toPath))
+    java.nio.file.Files.write(specFile.toPath,
+      spec.replaceFirst("src\\[", "src[stale-").getBytes)
     val again = BucketStore.ordersByOrderkey(spark, sf001)
     assert(again.count() === Tables.orders(spark, sf001).count())
     val after = dataFiles(dir)
