@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, ImageHeader, MinHashSig, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash60, StopCounts, WavHeader, WordShingles}
+import graft.functions.{DotProduct, ImageHeader, MatchCount, MinHashSig, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash60, StopCounts, WavHeader, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -55,6 +55,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
       (args: Seq[Expression]) => ScriptCounts(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("match_count"),
+      new ExpressionInfo(classOf[MatchCount].getName, "match_count"),
+      (args: Seq[Expression]) => {
+        val pattern = args(1) match {
+          case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) => p.toString
+          case other => throw new IllegalArgumentException(
+            s"match_count pattern must be a string literal, got $other")
+        }
+        MatchCount(args.head, pattern)
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),

@@ -217,9 +217,14 @@ object TextAnalysis {
 
   /** td4 — token counting three ways: whitespace tokens, word tokens, and a
     * BPE-ish segmentation (alphanumeric runs + individual punctuation
-    * marks — the shape a byte-pair pre-tokenizer produces). `regexp_count`
-    * is a codegen'd built-in; the pattern is shared verbatim with the
-    * DuckDB oracle (plain ASCII classes, no dialect-sensitive escapes).
+    * marks — the shape a byte-pair pre-tokenizer produces). Counting runs
+    * through the native [[graft.functions.MatchCount]] expression:
+    * Spark's `regexp_count` lowers to `size(regexp_extract_all(...))`,
+    * which materializes one string per token per pattern just to take the
+    * length — match_count keeps only the counter (same java.util.regex
+    * find() loop, count-identical by ExpressionProps). The pattern is
+    * shared verbatim with the DuckDB oracle (plain ASCII classes, no
+    * dialect-sensitive escapes).
     */
   val WordPattern = "[A-Za-z0-9]+"
   val BpeishPattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
@@ -228,8 +233,8 @@ object TextAnalysis {
     docs.select(
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("ws_tokens"),
-        regexp_count(col("text"), lit(WordPattern)).cast("long").as("word_tokens"),
-        regexp_count(col("text"), lit(BpeishPattern)).cast("long").as("bpeish_tokens"))
+        call_function("match_count", col("text"), lit(WordPattern)).as("word_tokens"),
+        call_function("match_count", col("text"), lit(BpeishPattern)).as("bpeish_tokens"))
       .orderBy(col("doc_id"))
 
   /** td5 — winnowing document fingerprints (the MOSS scheme): hash every
@@ -455,9 +460,9 @@ object TextAnalysis {
         PhonePattern, "<PHONE>")
     docs.select(
         col("doc_id"),
-        regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
-        regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
-        regexp_count(col("text"), lit(PhonePattern)).cast("long").as("n_phones"),
+        call_function("match_count", col("text"), lit(EmailPattern)).as("n_emails"),
+        call_function("match_count", col("text"), lit(Ipv4Pattern)).as("n_ipv4"),
+        call_function("match_count", col("text"), lit(PhonePattern)).as("n_phones"),
         md5(redacted).as("redacted_fp"))
       .withColumn("pii_free",
         col("n_emails") === 0 && col("n_ipv4") === 0 && col("n_phones") === 0)
