@@ -185,11 +185,70 @@ object Graphs {
       .select(col("v").as("n_name"), col("degree"), col("triangles"), col("lcc"))
       .orderBy(col("n_name"))
 
+  // ------------------------------------------------------------ q46 (CC)
+
+  /** WEIGHTED cust-nation → supp-nation edges (lineitem count per pair,
+    * self-loops dropped) — the thresholdable version of [[nationEdges]].
+    */
+  def weightedNationEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+  }
+
+  /** q46 — connected components over the STRONG-trade graph ("trade
+    * blocs"): keep the directed pairs whose lineitem volume is strictly
+    * above the mean pair volume (`weight · n_pairs > Σweight` — exact
+    * long arithmetic, no division, so the edge set is engine-identical),
+    * symmetrize, and label every member nation with the minimum nation
+    * key of its component via dd8's min-label propagation
+    * ([[Dedup.dupClusters]] — pointer-doubled, O(log diameter) rounds,
+    * the same machinery that clusters near-dup documents). Output is one
+    * row per nation in ≥ 1 strong pair: (n_name, bloc_rep, bloc_size).
+    *
+    * Scale shape: the 5-way fact join is the one data-scaled pass; the
+    * threshold is a 1-row broadcast bound; propagation runs on the
+    * aggregated graph (≤ 625 edges here, edge-scaled in general). The
+    * oracle replays the threshold and a recursive-CTE transitive closure.
+    * On the uniform TPC-H mix the strong graph is one bloc — the
+    * multi-component behavior (bridges, islands) is pinned in GraphsSpec
+    * on constructed weighted graphs.
+    */
+  def tradeBlocs(weighted: DataFrame, nation: DataFrame): DataFrame = {
+    val tot = weighted.agg(sum(col("weight")).as("t"), count(lit(1)).as("n"))
+    val strong = weighted.crossJoin(broadcast(tot))
+      .filter(col("weight") * col("n") > col("t"))
+    val pairs = strong
+      .select(least(col("src"), col("dst")).cast("long").as("doc_a"),
+        greatest(col("src"), col("dst")).cast("long").as("doc_b"))
+      .distinct()
+    val comp = Dedup.dupClusters(pairs)
+    val sizes = comp.groupBy(col("rep_id")).agg(count(lit(1)).as("bloc_size"))
+    val names = nation.select(col("n_nationkey"), col("n_name"))
+    comp.join(sizes, Seq("rep_id"))
+      .join(broadcast(names), col("doc_id") === col("n_nationkey"))
+      .join(broadcast(names.select(col("n_nationkey").as("rep_key"),
+        col("n_name").as("bloc_rep"))), col("rep_id") === col("rep_key"))
+      .select(col("n_name"), col("bloc_rep"), col("bloc_size"))
+      .orderBy(col("n_name"))
+  }
+
+  def q46TradeBlocs(spark: SparkSession, sfDir: String): DataFrame =
+    tradeBlocs(weightedNationEdges(spark, sfDir), Tables.nation(spark, sfDir))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_pagerank" -> (q36PageRank _),
-    "q40_triangles" -> (q40Triangles _))
+    "q40_triangles" -> (q40Triangles _),
+    "q46_trade_blocs" -> (q46TradeBlocs _))
 
   /** The oracle replays the identical scaled-integer formula, one CTE per
     * iteration (generated, so Spark and SQL can never drift on the
@@ -258,5 +317,34 @@ object Graphs {
         |    THEN 2.0 * coalesce(tc.triangles, 0) / (deg.degree * (deg.degree - 1))
         |    ELSE 0.0 END * 1e6) / 1e6 AS lcc
         |FROM deg LEFT JOIN tc ON deg.v = tc.v
-        |ORDER BY n_name""".stripMargin)
+        |ORDER BY n_name""".stripMargin,
+    // the identical integer threshold (weight·n > Σweight), then dd8's
+    // recursive-CTE transitive closure with min-label reps
+    "q46_trade_blocs" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS weight
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT sum(weight) AS t, count(*) AS n FROM w),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM w, tot WHERE weight * n > t),
+        |edges AS (SELECT a AS src, b AS dst FROM und
+        |  UNION ALL SELECT b, a FROM und),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(lbl) AS rep FROM reach GROUP BY id),
+        |sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS bloc_size
+        |  FROM comp GROUP BY rep)
+        |SELECT nn.n_name, rn.n_name AS bloc_rep, sz.bloc_size
+        |FROM comp
+        |JOIN nation nn ON comp.id = nn.n_nationkey
+        |JOIN nation rn ON comp.rep = rn.n_nationkey
+        |JOIN sz ON comp.rep = sz.rep
+        |ORDER BY nn.n_name""".stripMargin)
 }

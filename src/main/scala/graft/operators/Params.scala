@@ -188,6 +188,32 @@ object Params {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** sa8 — DETERMINISTIC stratified sample: sa2's per-stratum fraction
+    * allowlist served by sa4's salted-md5 uniform draw instead of the
+    * engine RNG, which makes the sampled ROW SET itself oracle-HASHABLE
+    * (sa2's row identity is engine-RNG-bound and can only ever be
+    * rows-only gated; it is retained as the native-API twin). Each doc
+    * draws u = md5-uniform("graft-strat-v1:lang:doc_id") and survives iff
+    * u < fraction(lang); a stratum absent from the map samples at 0 —
+    * sa2's allowlist posture. The draw keys on (lang, doc_id) so
+    * reassigning a doc's stratum redraws it. Map-only, no shuffle;
+    * re-runs, incremental subsets and other engines agree row-for-row.
+    */
+  def sa8StratifiedHashSample(
+      docs: DataFrame, salt: String = "graft-strat-v1"): DataFrame = {
+    val frac = sa2Fractions.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
+      when(col("lang") === l, lit(f)).otherwise(acc)
+    }
+    val u = saltedUniform(salt, concat_ws(":", col("lang"), col("doc_id")))
+    docs
+      .filter(u < frac)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sa8StratifiedHashSampleQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa8StratifiedHashSample(Tables.documents(spark, sfDir))
+
   /** SA3 — deterministic train/val/test split by STABLE hashing: each doc
     * lands in a bucket 0–99 via md5 of a salted key, and the bucket maps
     * to a split by fixed cut points. Unlike the RNG samples (sa1/sa2)
@@ -422,6 +448,7 @@ object Params {
     "sa5_mixture_sample" -> (sa5MixtureSampleQ _),
     "sa6_token_shards" -> (sa6TokenShardsQ _),
     "sa7_bottomk_sample" -> (sa7BottomKSampleQ _),
+    "sa8_stratified_hash_sample" -> (sa8StratifiedHashSampleQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
@@ -488,7 +515,19 @@ object Params {
         |  CASE WHEN bucket < 90 THEN 'train'
         |       WHEN bucket < 95 THEN 'val'
         |       ELSE 'test' END AS split
-        |FROM b ORDER BY doc_id""".stripMargin)
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // sa2's fraction map regenerated as a CASE (single Scala source — the
+    // map — feeds both engines), the draw is sa4's md5 uniform keyed by
+    // (lang, doc_id); the comparison constants are exact doubles
+    "sa8_stratified_hash_sample" -> {
+      val fracSql = "CASE lang " +
+        sa2Fractions.map { case (l, f) => s"WHEN '$l' THEN $f" }.mkString(" ") +
+        " ELSE 0 END"
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${saltedUniformSql("graft-strat-v1", "lang || ':' || CAST(doc_id AS VARCHAR)")} < $fracSql
+         |ORDER BY doc_id""".stripMargin
+    })
   // sa1/sa2 are engine-RNG-specific by design → rows-only checks
-  // (exact-n / seed-determinism + proportions asserted in ParamsSpec).
+  // (exact-n / seed-determinism + proportions asserted in ParamsSpec);
+  // sa8 is sa2's deterministic oracle-hashed twin.
 }

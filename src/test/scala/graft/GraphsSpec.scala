@@ -72,4 +72,35 @@ class GraphsSpec extends AnyFunSuite with SparkFixture {
     val b = Graphs.pageRank(edges).collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
     assert(a === b)
   }
+
+  test("q46 trade blocs: threshold separates components; a strong bridge merges them") {
+    // two heavy-trade chains {1,2,3} and {10,11,12} plus weight-1 cross
+    // padding; mean = (4·90 + 3·1)/7 ≈ 51.9, so the 90s survive the
+    // strictly-above-mean threshold and the padding (including the weak
+    // 1→10 bridge) is cut: two blocs labeled by their minimum key
+    def nations(ids: Seq[Int]) =
+      ids.map(i => (i, s"N$i")).toDF("n_nationkey", "n_name")
+    val ns = nations(Seq(1, 2, 3, 10, 11, 12))
+    val weak = Seq(
+      (1, 2, 90L), (2, 3, 90L), (10, 11, 90L), (11, 12, 90L),
+      (1, 10, 1L), (2, 11, 1L), (3, 12, 1L))
+      .toDF("src", "dst", "weight")
+    val twoBlocs = Graphs.tradeBlocs(weak, ns)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(twoBlocs === Seq(
+      ("N1", "N1", 3L), ("N10", "N10", 3L), ("N11", "N10", 3L),
+      ("N12", "N10", 3L), ("N2", "N1", 3L), ("N3", "N1", 3L)))
+    // strengthen the bridge to cluster weight (mean = (5·90 + 2·1)/7 ≈
+    // 64.6 — still below 90): the chains connect through it and min-label
+    // propagation crosses the bridge into ONE bloc
+    val strong = Seq(
+      (1, 2, 90L), (2, 3, 90L), (10, 11, 90L), (11, 12, 90L),
+      (1, 10, 90L), (2, 11, 1L), (3, 12, 1L))
+      .toDF("src", "dst", "weight")
+    val oneBloc = Graphs.tradeBlocs(strong, ns)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(oneBloc === Seq(
+      ("N1", "N1", 6L), ("N10", "N1", 6L), ("N11", "N1", 6L),
+      ("N12", "N1", 6L), ("N2", "N1", 6L), ("N3", "N1", 6L)))
+  }
 }
