@@ -68,4 +68,28 @@ class BucketStoreSpec extends AnyFunSuite with SparkFixture {
     // a rebuild writes fresh files (new names or newer mtimes)
     assert(after !== before, "stale staging was not rebuilt")
   }
+
+  test("a torn first build (crash before marker/spec) is repaired by the next builder") {
+    BucketStore.ordersByOrderkey(spark, sf001)
+    val dir = new File(BucketStore.dataDir(sf001, "orders"))
+    // simulate a builder killed mid-write: data files partially present
+    // (one real bucket deleted, a torn temp file left behind), and the
+    // completion evidence (_SUCCESS marker, _graft_spec) never written
+    val victim = Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).minBy(_.getName)
+    assert(victim.delete(), "could not remove a bucket file")
+    java.nio.file.Files.write(new File(dir, "part-99999-torn.snappy.parquet.tmp").toPath,
+      Array.fill[Byte](64)(0x42))
+    assert(new File(dir, "_SUCCESS").delete())
+    assert(new File(dir, "_graft_spec").delete())
+    // next serve must detect the torn state (no marker/spec), rebuild from
+    // the source, and serve the full table — never the partial files
+    val served = BucketStore.ordersByOrderkey(spark, sf001)
+    assert(served.count() === Tables.orders(spark, sf001).count())
+    assert(new File(dir, "_SUCCESS").exists() && new File(dir, "_graft_spec").exists())
+    assert(!new File(dir, "part-99999-torn.snappy.parquet.tmp").exists(),
+      "torn temp file survived the repair rebuild")
+    assert(dataFiles(dir).size === BucketStore.NumBuckets,
+      "repair did not restore one file per bucket")
+  }
 }

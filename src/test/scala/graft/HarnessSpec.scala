@@ -52,4 +52,34 @@ class HarnessSpec extends AnyFunSuite with SparkFixture {
     // and no oracle may exist without a query
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
+
+  test("README serving demo: the documented Pipeline --params command runs end-to-end") {
+    // parse the EXACT command out of the README (not a copy of it) so a
+    // doc edit that breaks the demo fails here, not on a user's shell
+    val readme = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("README.md")))
+    val cmd = raw"""runMain graft\.Pipeline (\S+) \S+ \\\s*--params=([^"]+)"""".r
+      .findFirstMatchIn(readme)
+    assert(cmd.isDefined, "README no longer documents the Pipeline --params demo")
+    val (sfDir, paramsFlag) = (cmd.get.group(1), "--params=" + cmd.get.group(2).trim)
+    assert(new java.io.File(sfDir).isDirectory, s"README demo sfDir $sfDir is gone")
+    // the same calls main() makes, on the fixture session (main owns —
+    // and would stop — its own session)
+    val out = java.nio.file.Files.createTempDirectory("graft-readme-demo").toString
+    val res = Pipeline.run(spark, sfDir, out)
+    val p = Pipeline.parseParams(paramsFlag)
+    val refresh = graft.operators.Params.typeSummary(Tables.events(spark, sfDir), p)
+      .collect()
+    assert(refresh.map(_.getString(0)).sorted.toSeq === p.types.sorted,
+      "parameterized refresh did not return one row per selected type")
+    // every documented feed landed, parquet + JSON twin
+    graft.operators.Feeds.feedNames.foreach { name =>
+      assert(new java.io.File(s"${res.feedDir}/$name").isDirectory, s"feed $name missing")
+      val jsonDir = new java.io.File(s"${res.feedDir}/${name}_json")
+      val jsonFiles = Option(jsonDir.listFiles).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".json"))
+      assert(jsonFiles.nonEmpty, s"JSON twin for feed $name missing")
+    }
+    graft.sources.Staging.deleteRecursively(new java.io.File(out))
+  }
 }

@@ -66,6 +66,46 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got(6L) === (("unknown", None, None, None)))
   }
 
+  test("image_header: progressive JPEG (SOF2) and EXIF orientation through APP1") {
+    // APP1/EXIF segment: "Exif\0\0" + big-endian TIFF header + IFD0 with
+    // one entry — orientation (0x0112, SHORT, count 1, value 6 = rotate
+    // 90° CW). Declared length = 2(itself) + 6 + 8 + 2 + 12 + 4(next-IFD)
+    // = 34 = 0x22.
+    val exifApp1 = bytes(0xFF, 0xE1, 0x00, 0x22) ++
+      "Exif".getBytes ++ bytes(0, 0) ++
+      "MM".getBytes ++ bytes(0, 42, 0, 0, 0, 8) ++ // BE, magic 42, IFD0 at +8
+      bytes(0, 1) ++ // one entry
+      bytes(0x01, 0x12, 0, 3, 0, 0, 0, 1, 0, 6, 0, 0) ++ // orientation = 6
+      bytes(0, 0, 0, 0) // no next IFD
+    // progressive frame: SOF2, same layout as SOF0 — height 480, width 640
+    val sof2 = bytes(0xFF, 0xC2, 0x00, 0x11, 8, 0x01, 0xE0, 0x02, 0x80, 3) ++
+      bytes(1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val progressiveExif = bytes(0xFF, 0xD8) ++ exifApp1 ++ sof2
+    val r = graft.functions.ImageHeader.compute(progressiveExif)
+    assert(r.getUTF8String(0).toString === "jpeg")
+    // stored SOF dimensions are reported as-is — the orientation fact
+    // travels beside them; a display pipeline swaps axes for 5..8
+    assert(r.getInt(1) === 640 && r.getInt(2) === 480 && r.getInt(3) === 3)
+    assert(r.getInt(4) === 6, "EXIF orientation not parsed from APP1")
+    // little-endian TIFF variant, orientation 3 (180°)
+    val exifLe = bytes(0xFF, 0xE1, 0x00, 0x22) ++
+      "Exif".getBytes ++ bytes(0, 0) ++
+      "II".getBytes ++ bytes(42, 0, 8, 0, 0, 0) ++
+      bytes(1, 0) ++
+      bytes(0x12, 0x01, 3, 0, 1, 0, 0, 0, 3, 0, 0, 0) ++
+      bytes(0, 0, 0, 0)
+    val rLe = graft.functions.ImageHeader.compute(bytes(0xFF, 0xD8) ++ exifLe ++ sof2)
+    assert(rLe.getInt(4) === 3, "little-endian EXIF orientation not parsed")
+    // EXIF-less baseline JPEG: orientation null, dims unchanged
+    val rPlain = graft.functions.ImageHeader.compute(jpeg)
+    assert(rPlain.getInt(1) === 640 && rPlain.isNullAt(4))
+    // corrupt APP1 (bad TIFF magic) degrades to null orientation, not a throw
+    val badTiff = bytes(0xFF, 0xD8) ++ bytes(0xFF, 0xE1, 0x00, 0x0E) ++
+      "Exif".getBytes ++ bytes(0, 0) ++ "XX".getBytes ++ bytes(0, 0, 0, 0) ++ sof2
+    val rBad = graft.functions.ImageHeader.compute(badTiff)
+    assert(rBad.getUTF8String(0).toString === "jpeg" && rBad.isNullAt(4))
+  }
+
   test("image_header: truncated streams degrade, never read past the buffer") {
     // JPEG ending in a fill-byte run (the marker scan must stop, not index b(n))
     val fillTail = bytes(0xFF, 0xD8, 0xFF, 0xFF, 0xFF, 0xFF)

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Synthesize a k-x scaled copy of a testdata dir for scale rehearsals.
+
+Facts are replicated k times with consistent key offsets (orderkey offsets
+shared by orders/lineitem so joins keep their selectivity); documents get a
+per-replica suffix token (so exact-dedup groups don't explode to k-cliques
+of identical text while near-dup structure survives); embeddings get a
+per-replica nudge on the first component (cosine structure survives, exact
+duplicates don't). Dims (region/nation/customer/supplier/part) are copied
+as-is — each customer simply has k-x the orders, which is how a growing
+business actually scales, and keeps the nation graph at its real 25 nodes.
+
+Usage: scaleup.py <srcDir> <dstDir> [k=10]
+Bench-only data: no oracle runs against it (duckdb rewrites the events
+timestamps at microsecond precision, which the engine's reader normalizes).
+"""
+import sys, os
+import duckdb
+
+src, dst = sys.argv[1], sys.argv[2]
+k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+os.makedirs(dst, exist_ok=True)
+con = duckdb.connect()
+
+def write(table, sql):
+    con.execute(f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}/{table}.parquet')").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+def rep(table, body):
+    parts = [body.format(i=i, src=f"read_parquet('{src}/{table}.parquet')")
+             for i in range(k)]
+    return " UNION ALL ".join(parts)
+
+for t in ["region", "nation", "customer", "supplier", "part"]:
+    write(t, f"SELECT * FROM read_parquet('{src}/{t}.parquet')")
+
+omax = con.execute(
+    f"SELECT max(o_orderkey) + 1 FROM read_parquet('{src}/orders.parquet')").fetchone()[0]
+write("orders", rep("orders",
+    f"SELECT o_orderkey + {{i}} * {omax} AS o_orderkey, "
+    "o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority "
+    "FROM {src}"))
+write("lineitem", rep("lineitem",
+    f"SELECT l_orderkey + {{i}} * {omax} AS l_orderkey, "
+    "l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+    "l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate "
+    "FROM {src}"))
+
+emax = con.execute(
+    f"SELECT max(event_id) + 1 FROM read_parquet('{src}/events.parquet')").fetchone()[0]
+write("events", rep("events",
+    f"SELECT event_id + {{i}} * {emax} AS event_id, ts, user_id, event_type, "
+    "value, props FROM {src}"))
+
+dmax = con.execute(
+    f"SELECT max(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')").fetchone()[0]
+write("documents", rep("documents",
+    f"SELECT doc_id + {{i}} * {dmax} AS doc_id, "
+    "CASE WHEN {i} = 0 THEN text ELSE text || ' r{i}' END AS text, "
+    "lang, source, "
+    "CAST(length(CASE WHEN {i} = 0 THEN text ELSE text || ' r{i}' END) AS BIGINT) AS n_chars "
+    "FROM {src}"))
+
+vmax = con.execute(
+    f"SELECT max(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')").fetchone()[0]
+write("embeddings", rep("embeddings",
+    f"SELECT vec_id + {{i}} * {vmax} AS vec_id, "
+    "CAST(list_concat([embedding[1] + {i} * CAST(0.001 AS FLOAT)], embedding[2:]) AS FLOAT[]) AS embedding, "
+    "label FROM {src}"))
