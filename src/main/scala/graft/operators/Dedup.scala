@@ -94,35 +94,45 @@ object Dedup {
     * for skew-immunity with one recompute of the explode lineage (the df
     * branch), all of it map-side CPU.
     */
-  def ngramJaccardPairs(
-      docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
-      maxDf: Int = 50): DataFrame = {
+  /** (doc_id, s, n_sh) — each doc's DF-capped shingle stream with the
+    * surviving-set size attached: dd3's verification substrate, shared
+    * with dd15's candidates-then-verify pipeline so the cap statistics
+    * can never diverge between the exact and the LSH-screened paths.
+    *
+    * The DF cap must be SKEW-PROOF: an earlier formulation annotated each
+    * exploded row with `count over (partition by s)`, which shuffles every
+    * occurrence of a hot shingle (10M rows of boilerplate at 100 TB) to
+    * ONE reducer before the filter drops it — the filter bounded the
+    * output, not the shuffle. Instead: compute document frequency with a
+    * groupBy count (map-side partial aggregation is skew-immune — each
+    * mapper emits one partial row per distinct shingle), keep only the
+    * HOT list (df > maxDf — tiny by construction: at most |corpus
+    * shingles| / maxDf entries, in practice boilerplate phrases), and
+    * anti-join it against the exploded stream. Same semantics
+    * (`df <= maxDf` survives), same oracle, no skewed shuffle anywhere:
+    * downstream posting lists only ever see lists <= maxDf.
+    *
+    * No broadcast HINT on the hot list, deliberately: in a healthy corpus
+    * it is tiny (boilerplate phrases) and AQE's runtime stats broadcast
+    * the anti-join anyway (asserted on the executed plan in PlanSpec) —
+    * but a pathologically duplicate-heavy corpus (the very input dedup
+    * ingests) can make MOST shingles hot, and a forced broadcast would
+    * die on Spark's broadcast limits where a shuffle anti-join just runs.
+    */
+  private def cappedShingles(docs: DataFrame, n: Int, maxDf: Int): DataFrame = {
     val ex = explodedShingles(docs, n)
-    // The DF cap must be SKEW-PROOF: an earlier formulation annotated each
-    // exploded row with `count over (partition by s)`, which shuffles every
-    // occurrence of a hot shingle (10M rows of boilerplate at 100 TB) to
-    // ONE reducer before the filter drops it — the filter bounded the
-    // output, not the shuffle. Instead: compute document frequency with a
-    // groupBy count (map-side partial aggregation is skew-immune — each
-    // mapper emits one partial row per distinct shingle), keep only the
-    // HOT list (df > maxDf — tiny by construction: at most |corpus
-    // shingles| / maxDf entries, in practice boilerplate phrases), and
-    // broadcast ANTI-join it against the exploded stream. Same semantics
-    // (`df <= maxDf` survives), same oracle, no skewed shuffle anywhere:
-    // the posting-list groupBy below then only ever sees lists <= maxDf.
     val hot = ex.groupBy(col("s"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("s"))
-    // No broadcast HINT on the hot list, deliberately: in a healthy corpus
-    // it is tiny (boilerplate phrases) and AQE's runtime stats broadcast
-    // the anti-join anyway (asserted on the executed plan in PlanSpec) —
-    // but a pathologically duplicate-heavy corpus (the very input dedup
-    // ingests) can make MOST shingles hot, and a forced broadcast would
-    // die on Spark's broadcast limits where a shuffle anti-join just runs.
-    val kept = ex
-      .join(hot, Seq("s"), "left_anti")
+    ex.join(hot, Seq("s"), "left_anti")
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+  }
+
+  def ngramJaccardPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.2,
+      maxDf: Int = 50): DataFrame = {
+    val kept = cappedShingles(docs, n, maxDf)
     // posting list per shingle with sizes inline; sorted so pair emission
     // yields doc_a < doc_b deterministically
     val lists = kept.groupBy(col("s"))
@@ -198,6 +208,44 @@ object Dedup {
     lists.select(explode(call_function("pair_combs", col("ds"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** dd15 — the PRODUCTION dedup pipeline end-to-end: MinHash/LSH
+    * candidate generation (dd4) followed by an EXACT Jaccard verify over
+    * the DF-capped shingle sets (dd3's arithmetic, via the shared
+    * [[cappedShingles]] substrate) — candidates-then-verify, the shape
+    * every at-scale near-dup system runs. Output is exactly dd3's pair
+    * set RESTRICTED to the LSH candidates (asserted in DedupSpec), and
+    * every stage is md5-portable, so the whole pipeline hash-matches its
+    * DuckDB twin.
+    *
+    * Scale: the verify never goes all-pairs — each candidate pair costs
+    * |capped shingles(doc_a)| probe rows into a (doc, shingle) hash join,
+    * so cost is candidates × avg-set-size, with candidates bounded by the
+    * banding (bucket-sized shuffles) and set sizes bounded by the DF cap.
+    * Against dd3: same output up to LSH recall (≥ 0.95 measured), but
+    * pair GENERATION cost is banded-bucket-sized instead of
+    * posting-list-combination-sized — the trade every MinHash deployment
+    * makes.
+    */
+  def minhashVerifiedPairs(
+      docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8,
+      threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    val cands = minhashCandidates(docs, k, n, bands)
+      .select(col("doc_a"), col("doc_b"))
+    val kept = cappedShingles(docs, n, maxDf)
+    val inter = kept
+      .select(col("doc_id").as("doc_a"), col("s"), col("n_sh").as("na"))
+      .join(cands, Seq("doc_a"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("s"), col("n_sh").as("nb")),
+        Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+    val jac = col("c") * lit(1.0) / (col("na") + col("nb") - col("c"))
+    inter
+      .filter(jac >= threshold)
+      .select(col("doc_a"), col("doc_b"), r6(jac).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -716,6 +764,7 @@ object Dedup {
     "dd2_fingerprint_dups" -> ((s: SparkSession, d: String) => fingerprintGroups(Tables.documents(s, d))),
     "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),
     "dd4_minhash_candidates" -> ((s: SparkSession, d: String) => minhashCandidates(Tables.documentsRebalanced(s, d))),
+    "dd15_minhash_verified" -> ((s: SparkSession, d: String) => minhashVerifiedPairs(Tables.documentsRebalanced(s, d))),
     "dd5_simhash_candidates" -> ((s: SparkSession, d: String) => simhashCandidates(Tables.documents(s, d))),
     "dd8_dup_clusters" -> ((s: SparkSession, d: String) =>
       dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d)))),
@@ -960,6 +1009,40 @@ object Dedup {
          |FROM band a JOIN band b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+    // dd4's candidate chain + dd3's capped-Jaccard verify composed in
+    // SQL — the candidates-then-verify pipeline replayed end-to-end
+    "dd15_minhash_verified" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |msh AS (SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)])) AS s
+         |  FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substring(md5(s), 1, 13))::BIGINT % 2147483647 AS h FROM msh),
+         |perm AS (SELECT i,
+         |  ('0x' || substring(md5('mh-a:' || i), 1, 13))::BIGINT % 2147483646 + 1 AS a,
+         |  ('0x' || substring(md5('mh-b:' || i), 1, 13))::BIGINT % 2147483647 AS b
+         |  FROM range(32) r(i)),
+         |sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM h CROSS JOIN perm GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c JOIN kept a ON a.doc_id = c.doc_a
+         |              JOIN kept b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // the engine's SimHash re-derived: per-token 60-bit md5 prefix,
     // majority vote per bit, then a BRUTE-FORCE Hamming-radius join — the
     // engine's pigeonhole banding is a pure execution strategy whose

@@ -69,6 +69,21 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.95, s"minhash recall $recall over ${exact.size} exact pairs")
   }
 
+  test("dd15 verified pairs == dd3's exact pairs restricted to dd4's candidates") {
+    val docs = Tables.documents(spark, sf001)
+    val exact = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cands = pairSet(
+      Dedup.minhashCandidates(docs).select("doc_a", "doc_b").collect())
+    val verified = Dedup.minhashVerifiedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(verified.nonEmpty)
+    val expected = exact.filter { case (p, _) => cands.contains(p) }
+    assert(verified === expected,
+      s"dd15 must equal dd3 ∩ candidates: missing=${(expected.keySet -- verified.keySet).size} " +
+        s"extra=${(verified.keySet -- expected.keySet).size}")
+  }
+
   test("dd5 simhash candidates: EXACTLY the pairs with Hamming distance <= 3 (brute force)") {
     val docs = Tables.documents(spark, sf001)
     val sigs = docs.select(col("doc_id"), Dedup.simhashExpr("text").as("sig"))

@@ -11,8 +11,11 @@ as-is — each customer simply has k-x the orders, which is how a growing
 business actually scales, and keeps the nation graph at its real 25 nodes.
 
 Usage: scaleup.py <srcDir> <dstDir> [k=10]
-Bench-only data: no oracle runs against it (duckdb rewrites the events
-timestamps at microsecond precision, which the engine's reader normalizes).
+Bench-only data: no oracle runs against it. events.ts is written as int64
+NANOS (epoch_ns) to match the real testdata's physical encoding — the
+engine reads it under nanosAsLong and normalizes to TimestampType, which
+the streaming watermarks require (a duckdb-written TIMESTAMP column lands
+as TIMESTAMP_NTZ in Spark and every st* query refuses it).
 """
 import sys, os
 import duckdb
@@ -50,7 +53,8 @@ write("lineitem", rep("lineitem",
 emax = con.execute(
     f"SELECT max(event_id) + 1 FROM read_parquet('{src}/events.parquet')").fetchone()[0]
 write("events", rep("events",
-    f"SELECT event_id + {{i}} * {emax} AS event_id, ts, user_id, event_type, "
+    f"SELECT event_id + {{i}} * {emax} AS event_id, "
+    "CAST(epoch_ns(ts) AS BIGINT) AS ts, user_id, event_type, "
     "value, props FROM {src}"))
 
 dmax = con.execute(
