@@ -588,7 +588,45 @@ object TextAnalysis {
       .orderBy(col("est_count").desc, col("term"))
   }
 
+  /** td16 — sliding-window document CHUNKING: each doc split into
+    * overlapping token windows of `chunkTokens` tokens with `overlap`
+    * tokens shared between consecutive chunks — the preprocessing step
+    * every embedding/RAG/long-context pipeline runs before vectorizing
+    * (a chunk is the retrieval unit; the overlap keeps boundary context
+    * retrievable from both sides). Output one row per chunk:
+    * (doc_id, chunk_id, chunk_tokens, chunk_text).
+    *
+    * Starts advance by `chunkTokens − overlap`; the final window
+    * truncates at the document end (no padding); zero-token docs emit no
+    * chunks. Pure expression work — tokenize once, generate the bounded
+    * start sequence, slice per start — map-only until the explode, no
+    * shuffle but the output sort; at 100 TB this composes with the
+    * quality filter in one stage and the chunk stream feeds the
+    * embedding UDF batch (mm2's seam) directly.
+    */
+  def chunkDocs(
+      docs: DataFrame, chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"chunking needs 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = col("toks")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(toks) > 0)
+      .select(col("doc_id"), toks,
+        posexplode(sequence(lit(0), size(toks) - 1, lit(step)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(toks, col("start") + 1, lit(chunkTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td16_chunking" -> ((s: SparkSession, d: String) =>
+      chunkDocs(Tables.documents(s, d))),
     "td14_heavy_hitters" -> ((s: SparkSession, d: String) =>
       heavyHitters(Tables.documentsRebalanced(s, d))),
     "td1_text_stats" -> ((s: SparkSession, d: String) => textStats(Tables.documents(s, d))),
@@ -608,6 +646,16 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the identical start sequence (0, step, 2·step … < n_tokens), the
+    // identical 1-based inclusive token slice; chunk_id = start / step
+    "td16_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+         |  CAST(len(toks[start+1:start+64]) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(toks[start+1:start+64], ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     // the naive formulation IS the oracle: per-(doc,term) counts, doc
     // frequencies, score = (tf*N)/df — one long product, one IEEE
     // division, both engines identical; ties rank by term ascending

@@ -452,6 +452,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(aggs >= 2, s"set-op dedup is not partial-aggregated:\n$p")
   }
 
+  test("sa8/td16: the map-only samplers/chunkers carry no exchange but the output sort") {
+    // sa8's draw-and-keep and td16's tokenize-slice-explode are both
+    // pure per-row pipelines: any extra Exchange would mean the sampler
+    // started shuffling fact rows to decide a per-row predicate
+    for (df <- Seq(
+        Params.sa8StratifiedHashSample(Tables.documents(spark, sf001)),
+        TextAnalysis.chunkDocs(Tables.documents(spark, sf001)))) {
+      val p = plan(df)
+      // count node headers ("(n) Exchange"), not tree echoes — formatted
+      // mode prints each node twice
+      val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+      val sorts = p.linesIterator.count(_.matches("\\(\\d+\\) Sort.*"))
+      assert(exchanges <= 1, s"map-only plan picked up a data shuffle:\n$p")
+      assert(sorts <= 1, s"unexpected extra sort:\n$p")
+    }
+  }
+
+  test("dd15: the verify never re-derives candidates — one minhash lineage, no cartesian") {
+    val p = plan(Dedup.minhashVerifiedPairs(Tables.documents(spark, sf001)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates-then-verify fell back to an all-pairs join:\n$p")
+    // exactly one minhash_sig computation feeds the banding — the verify
+    // side joins shingle streams, it must not recompute signatures
+    assert(p.linesIterator.count(_.contains("minhash_sig")) <= 2, // project + its reuse line
+      s"signature subtree computed more than once:\n$p")
+  }
+
   test("whole-stage codegen covers the cleaning+derive hot path") {
     val df = Analytics.q03Derived(spark, sf001, ordered = false)
     df.collect() // finalize the AQE plan — codegen spans appear post-execution

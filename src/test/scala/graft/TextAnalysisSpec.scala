@@ -255,4 +255,24 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       .map(r => r.getLong(0) -> r.getString(r.fieldIndex("lang_pred"))).toMap
     assert(lid(2L) === "und")
   }
+
+  test("td16 chunking: overlap shared, final chunk truncates, zero-token docs emit nothing") {
+    // 10 tokens, chunk 4, overlap 2 -> starts 0,2,4,6,8: full windows then
+    // truncating tails; consecutive chunks share `overlap` tokens
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b c"), // shorter than one chunk -> exactly one chunk of 3
+      (3L, "   ")) // zero tokens -> no chunks
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, chunkTokens = 4, overlap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet.map(_._1) === Set(1L, 2L))
+    assert(got((1L, 0L)) === ((4L, "t0 t1 t2 t3")))
+    assert(got((1L, 1L)) === ((4L, "t2 t3 t4 t5")))
+    assert(got((1L, 2L)) === ((4L, "t4 t5 t6 t7")))
+    assert(got((1L, 3L)) === ((4L, "t6 t7 t8 t9")))
+    assert(got((1L, 4L)) === ((2L, "t8 t9")), "final chunk must truncate at doc end")
+    assert(got((2L, 0L)) === ((3L, "a b c")))
+    assert(got.count(_._1._1 == 1L) === 5)
+  }
 }
