@@ -755,11 +755,59 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dd17 — exact-substring SCRUB: dd12 turned into the TRANSFORMATION
+    * the published exact-substring dedup pipeline actually applies
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every token covered by a k-token span that appears in ≥ 2
+    * DISTINCT documents is REMOVED, and the cleaned text emitted beside
+    * before/after token counts. dd12 reports the damage; dd17 repairs it.
+    *
+    * Pipeline: dd12's rolling md5 span hashes WITH their 1-based start
+    * positions → cross-doc duplicate hash set (distinct-doc count ≥ 2) →
+    * per-doc sorted duplicated-start list (bounded by the doc's own span
+    * count) → one HOF pass drops every token position covered by any
+    * duplicated start (`s ≤ p < s+k`). Linear end-to-end: spans explode
+    * once, the dup set is a hash-keyed aggregate, the scrub is map-side
+    * expression work — no pairwise anything. The md5 spans and the
+    * position arithmetic are engine-portable, so the SCRUBBED TEXT
+    * hash-matches the DuckDB twin byte-for-byte.
+    */
+  def scrubDupSpans(docs: DataFrame, k: Int = 16): DataFrame = {
+    val toks = tokens(col("text"))
+    val spans = when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => md5(array_join(slice(toks, i, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val ex = docs.select(col("doc_id"), posexplode(spans).as(Seq("pos", "h")))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("h"))
+    val dup = ex.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val dupStarts = ex.join(dup, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    docs.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        // p is filter's 0-based element index; spans start 1-based
+        filter(col("toks"), (_, p) =>
+          !exists(col("starts"), s => s <= p + 1 && p + 1 < s + k)).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd12_substring_dups" -> ((s: SparkSession, d: String) =>
       substringDups(Tables.documentsRebalanced(s, d))),
+    "dd17_scrub_dup_spans" -> ((s: SparkSession, d: String) =>
+      scrubDupSpans(Tables.documentsRebalanced(s, d))),
     "dd1_exact_dups" -> ((s: SparkSession, d: String) => exactGroups(Tables.documents(s, d))),
     "dd2_fingerprint_dups" -> ((s: SparkSession, d: String) => fingerprintGroups(Tables.documents(s, d))),
     "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),
@@ -808,6 +856,36 @@ object Dedup {
          |  CASE WHEN n_spans > 0
          |       THEN round(CAST(n_dup_spans AS DOUBLE) / n_spans * 1e6) / 1e6 END AS dup_frac
          |FROM p ORDER BY doc_id""".stripMargin,
+    // dd12's span hashes with positions, the cross-doc dup set, then the
+    // identical index-lambda scrub (DuckDB's list_filter index is 1-based
+    // — the span-start base — where Spark's is 0-based, hence p+1 there).
+    // A fully-scrubbed doc's empty kept list stringifies to NULL in
+    // DuckDB (string_agg over zero rows) where Spark's concat_ws gives
+    // '' — coalesced to the engine's contract
+    "dd17_scrub_dup_spans" ->
+      s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |    unnest(CASE WHEN len(toks) >= 16
+         |      THEN generate_series(1, len(toks) - 15)
+         |      ELSE CAST([] AS BIGINT[]) END) AS i
+         |  FROM t),
+         |sp AS (SELECT doc_id, i,
+         |    md5(array_to_string(toks[i:i+15], ' ')) AS h FROM st),
+         |d AS (SELECT h FROM (SELECT DISTINCT h, doc_id FROM sp)
+         |      GROUP BY h HAVING count(*) >= 2),
+         |ds AS (SELECT sp.doc_id, list_sort(list(sp.i)) AS starts
+         |  FROM sp JOIN d USING (h) GROUP BY sp.doc_id),
+         |o AS (SELECT t.doc_id, t.toks,
+         |    coalesce(ds.starts, CAST([] AS BIGINT[])) AS starts
+         |  FROM t LEFT JOIN ds USING (doc_id)),
+         |kp AS (SELECT doc_id, toks,
+         |    list_filter(toks, (tok, p) ->
+         |      len(list_filter(starts, s -> s <= p AND p < s + 16)) = 0) AS kept
+         |  FROM o)
+         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  coalesce(array_to_string(kept, ' '), '') AS clean_text
+         |FROM kp ORDER BY doc_id""".stripMargin,
     "dd1_exact_dups" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -35,6 +35,26 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(rows(2L).getLong(rows(2L).fieldIndex("n_dup_spans")) === 1L)
   }
 
+  test("dd17: the copied span's tokens are scrubbed from BOTH docs; everything else survives") {
+    import spark.implicits._
+    val span = (1 to 16).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, span + " unique tail alpha beta gamma delta"),
+      (2L, "other opening words here then " + span),
+      (3L, (1 to 30).map("solo" + _).mkString(" ")), // unique 30 tokens
+      (4L, "too short for any span")                 // < 16 tokens
+    ).toDF("doc_id", "text")
+    val rows = Dedup.scrubDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: the leading 16-token span is removed, the tail survives
+    assert(rows(1L) === ((22L, 6L, "unique tail alpha beta gamma delta")))
+    // doc 2: the trailing span is removed, the opening survives
+    assert(rows(2L) === ((21L, 5L, "other opening words here then")))
+    // unique and short docs are untouched
+    assert(rows(3L)._1 === 30L && rows(3L)._2 === 30L)
+    assert(rows(4L)._3 === "too short for any span")
+  }
+
   test("shingles: shorter than n tokens -> empty; 4 tokens -> 2 trigrams; de-duped") {
     import spark.implicits._
     val df = Seq((1L, "a b"), (2L, "a b c d"), (3L, "x y x y x y x y")).toDF("doc_id", "text")
