@@ -59,14 +59,23 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       // (seconds, canonicalized-plan fingerprint) — the fingerprint hashes
       // the plan Spark SELECTED, so a silent strategy regression (lost
-      // broadcast, extra exchange) flags even when wall time is noisy
+      // broadcast, extra exchange) flags even when wall time is noisy.
+      // Canonicalization normalizes exprIds but NOT the session-global
+      // [plan_id=N] tags on Exchange nodes (or run-local checkpoint/
+      // stream-output paths) — scrub those so the same plan hashes the
+      // same across runs and JVMs.
       def timed(): Either[String, (Double, String)] = {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
+          val canon = df.queryExecution.executedPlan.canonicalized.toString
+            .replaceAll("\\[plan_id=\\d+\\]", "")
+            .replaceAll("[-0-9a-f]{8,}\\.(parquet|json)", "<file>")
+            .replaceAll("(target/streams|checkpoint)[^\\],\\s]*", "<rundir>")
+            .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda")
+            .replaceAll("graft_stream/p\\d+", "graft_stream/p<pid>")
           val fp = java.security.MessageDigest.getInstance("MD5")
-            .digest(df.queryExecution.executedPlan.canonicalized.toString
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             .map("%02x".format(_)).mkString.take(12)
           df.write.format("noop").mode("overwrite").save()
           Right(((System.nanoTime() - t0) / 1e9, fp))
