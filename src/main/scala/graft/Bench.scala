@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
   * Results are forced through the `noop` sink so the full plan executes
@@ -31,19 +34,117 @@ package graft
   * Besides stdout (which log capturers have truncated in past rounds,
   * losing every per-query number), the full record is WRITTEN to
   * `SPARK_GRAFT_BENCH_OUT` (default `bench/last_run.json`) including a
-  * PLAN FINGERPRINT per query — md5 of the canonicalized physical plan —
-  * so a plan regression (lost broadcast, new exchange) diffs loudly
-  * between rounds even when timings are noisy. `tools/benchdiff.py`
-  * compares two records.
+  * PLAN FINGERPRINT per query, so a plan regression (lost broadcast, new
+  * exchange) diffs loudly between rounds even when timings are noisy.
+  * `tools/benchdiff.py` compares two records.
+  *
+  * FINGERPRINT SCHEME 2 (fp_scheme in the record): the md5 is taken over
+  * the canonicalized FINAL adaptive plan — `AdaptiveSparkPlanExec
+  * .executedPlan` read AFTER the noop save has run the query — not the
+  * pre-execution initial plan. With AQE on (this project relies on it),
+  * runtime strategy changes such as a lost AQE-decided broadcast never
+  * touch the initial plan, so scheme 1 could not see exactly the class of
+  * regression the fingerprint exists to catch. Fingerprinting happens
+  * OUTSIDE the timed region, so canonicalization/digest cost is not
+  * charged to any reported number. Canonicalization normalizes exprIds
+  * but NOT run-local state — [plan_id=N] tags, cached-RDD ids inside
+  * InMemoryRelation, AQE query-stage ids, artifact/checkpoint paths under
+  * the run dir, lambda identities — all of which vary across JVMs while
+  * the plan SHAPE is identical, so those are scrubbed before hashing
+  * (r8's record had 7 artifact-backed queries whose fingerprints churned
+  * on every run, burying real PLAN diffs in noise).
+  *
+  * Environment sentinel: the record carries `env` (system load average
+  * and available processors at start) and per-query `gc_sec` (JVM GC time
+  * observed across that query's runs). r8's driver record looked like a
+  * uniform 1.5× timing regression that cost a judging session to refute;
+  * load + GC in the record let `benchdiff.py` print an "environment
+  * differs" banner instead of letting contention masquerade as
+  * regression.
+  *
+  * Set SPARK_GRAFT_BENCH_PLAN_DIR to also dump each query's scrubbed
+  * canonical plan text to `<dir>/<query>.plan.txt` — the supported way to
+  * inspect what the fingerprint hashes (ad-hoc shell redirects produced
+  * the r8 `null-*.txt` debris).
   *
   * Optional args: query names to restrict the run to (iteration aid);
   * no args = the full registry.
   */
 object Bench {
+
+  /** The plan AQE actually ran: unwrap AdaptiveSparkPlanExec to its final
+    * physical plan (valid only after the query has executed). Non-AQE
+    * plans pass through.
+    */
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other                    => other
+  }
+
+  // FileScan filter lists (PartitionFilters/DataFilters/PushedFilters)
+  // print in a nondeterministic order when DPP rewrites them (r8: sim5's
+  // two partition filters swapped between same-commit runs). Sort the
+  // entries so ordering churn never changes the hash.
+  private val FilterList = "(PartitionFilters|DataFilters|PushedFilters): \\[([^\\]]*)\\]".r
+
+  /** Canonical plan text with run-local noise scrubbed — same plan shape
+    * must hash identically across runs, JVMs, and machines.
+    */
+  def scrubbedPlanText(p: SparkPlan): String = {
+    val raw = finalPlan(p).canonicalized.toString
+      // Canonicalization normalizes exprIds only in the top-level tree;
+      // nested AdaptiveSparkPlanExec and DPP subquery nodes stringify
+      // with their ORIGINAL per-JVM exprIds (q46/sim4 in r8). Plan shape
+      // lives in operator names and structure, not id numbers — flatten
+      // them all.
+      .replaceAll("#\\d+", "#x")
+    FilterList.replaceAllIn(raw, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        m.group(1) + ": [" + m.group(2).split(", ").sorted.mkString(", ") + "]"))
+      .replaceAll("\\[plan_id=\\d+\\]", "")
+      // AQE wrapper ids: "ShuffleQueryStage 3", "BroadcastQueryStage 1",
+      // "TableCacheQueryStage 0" — stage numbering depends on runtime
+      // completion order, not plan shape.
+      .replaceAll("(QueryStage) \\d+", "$1 <n>")
+      // Cached-plan state: InMemoryRelation prints its CachedRDDBuilder
+      // (rddId, per-JVM object hashes) and storage-level object.
+      .replaceAll("CachedRDDBuilder\\([^)]*\\)", "CachedRDDBuilder(<state>)")
+      .replaceAll("rddId=\\d+", "rddId=<n>")
+      // Checkpointed/imported RDD scans carry per-run RDD ids.
+      .replaceAll("(ExistingRDD|LogicalRDD|Scan ExistingRDD)\\[(\\d+)\\]", "$1[<n>]")
+      .replaceAll("MapPartitionsRDD\\[\\d+\\]", "MapPartitionsRDD[<n>]")
+      .replaceAll("ReliableCheckpointRDD\\[\\d+\\]", "ReliableCheckpointRDD[<n>]")
+      // Run-local artifact paths: anything under java.io.tmpdir (locked
+      // artifact stores, checkpoint dirs, stream staging) plus the
+      // historical patterns.
+      .replaceAll("file:/[^\\]\\s,]*/(tmp|T)/[^\\]\\s,]*", "<artifact>")
+      .replaceAll("/tmp/[^\\]\\s,]*", "<artifact>")
+      .replaceAll("[-0-9a-f]{8,}\\.(parquet|json)", "<file>")
+      .replaceAll("(target/streams|checkpoint)[^\\],\\s]*", "<rundir>")
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda")
+      .replaceAll("\\$\\$Lambda@[0-9a-f]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-f]{6,}", "@<id>")
+      .replaceAll("graft_stream/p\\d+", "graft_stream/p<pid>")
+  }
+
+  def fingerprint(p: SparkPlan): String = {
+    val canon = scrubbedPlanText(p)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(2)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_run.json")
+    val planDir = sys.env.get("SPARK_GRAFT_BENCH_PLAN_DIR").filter(_.nonEmpty)
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val registry = SparkEntry.benchQueries
     val unknown = args.filterNot(registry.contains)
@@ -51,55 +152,63 @@ object Bench {
       System.err.println(s"[bench] unknown queries: ${unknown.mkString(", ")}")
       sys.exit(2)
     }
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvgStart = osBean.getSystemLoadAverage // -1.0 if unsupported
+    val nProcs = Runtime.getRuntime.availableProcessors
     // Warm the JVM/codegen paths once so per-query numbers measure the
     // query, not first-call classloading.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     val selected = registry.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     val results = selected.map { case (name, fn) =>
-      // (seconds, canonicalized-plan fingerprint) — the fingerprint hashes
-      // the plan Spark SELECTED, so a silent strategy regression (lost
-      // broadcast, extra exchange) flags even when wall time is noisy.
-      // Canonicalization normalizes exprIds but NOT the session-global
-      // [plan_id=N] tags on Exchange nodes (or run-local checkpoint/
-      // stream-output paths) — scrub those so the same plan hashes the
-      // same across runs and JVMs.
-      def timed(): Either[String, (Double, String)] = {
+      // Timed region = query construction + full execution via noop sink.
+      // The executed plan handle is returned for fingerprinting AFTER the
+      // clock stops (the finalized adaptive plan is only available once
+      // the save has run, and digest cost must not pollute the number).
+      def timed(): Either[String, (Double, SparkPlan)] = {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
-          val canon = df.queryExecution.executedPlan.canonicalized.toString
-            .replaceAll("\\[plan_id=\\d+\\]", "")
-            .replaceAll("[-0-9a-f]{8,}\\.(parquet|json)", "<file>")
-            .replaceAll("(target/streams|checkpoint)[^\\],\\s]*", "<rundir>")
-            .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda")
-            .replaceAll("graft_stream/p\\d+", "graft_stream/p<pid>")
-          val fp = java.security.MessageDigest.getInstance("MD5")
-            .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            .map("%02x".format(_)).mkString.take(12)
           df.write.format("noop").mode("overwrite").save()
-          Right(((System.nanoTime() - t0) / 1e9, fp))
+          val secs = (System.nanoTime() - t0) / 1e9
+          Right((secs, df.queryExecution.executedPlan))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Left(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       }
+      val gc0 = gcMillis()
       val cold = timed()
       val rest = if (cold.isRight) (1 until runs).map(_ => timed()) else Seq(cold)
+      val gcSec = (gcMillis() - gc0) / 1e3
       val warm = rest.collectFirst { case Left(e) => Left(e) }
-        .getOrElse(Right(rest.collect { case Right((s, fp)) => (s, fp) }
-          .minBy(_._1)))
+        .getOrElse {
+          val okRuns = rest.collect { case Right((s, p)) => (s, p) }
+          val best = okRuns.minBy(_._1)
+          val fp = fingerprint(best._2)
+          planDir.foreach { d =>
+            val dir = java.nio.file.Paths.get(d)
+            java.nio.file.Files.createDirectories(dir)
+            java.nio.file.Files.writeString(
+              dir.resolve(s"$name.plan.txt"), scrubbedPlanText(best._2))
+          }
+          Right((best._1, fp))
+        }
       spark.catalog.clearCache() // no cross-query cache donation
-      (name, cold, warm)
+      (name, cold.map(_._1), warm, gcSec)
     }
-    val ok = results.collect { case (k, Right((c, fp)), Right((w, _))) => (k, c, w, fp) }
+    val ok = results.collect { case (k, Right(c), Right((w, fp)), gc) => (k, c, w, fp, gc) }
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Left(e)) =>
+    val errs = results.collect { case (k, _, Left(e), _) =>
       "\"" + k + "\":\"" + GraftSession.jsonEscape(e.take(300)) + "\""
     }.mkString("{", ",", "}")
     val warmTotal = ok.map(_._3).sum
     val coldTotal = ok.map(_._2).sum
+    val loadAvgEnd = osBean.getSystemLoadAverage
+    val envJson =
+      s"""{"load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,""" +
+        s""""available_processors":$nProcs}"""
     println(
       s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
         s""""queries":${obj(ok.map(r => r._1 -> r._3))},""" +
@@ -111,11 +220,12 @@ object Bench {
     // capturer's tail window (round 7's official record lost every
     // per-query number that way); this file is the committable history.
     val recJson =
-      s"""{"sf":"$sfDir","runs":$runs,"n_failed":${results.size - ok.size},""" +
+      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":2,"env":$envJson,""" +
+        s""""n_failed":${results.size - ok.size},""" +
         s""""total_warm":$warmTotal,"total_cold":$coldTotal,""" +
         s""""errors":$errs,"queries":{""" +
-        ok.map { case (k, c, w, fp) =>
-          s""""$k":{"cold":$c,"warm":$w,"plan_fp":"$fp"}"""
+        ok.map { case (k, c, w, fp, gc) =>
+          s""""$k":{"cold":$c,"warm":$w,"plan_fp":"$fp","gc_sec":$gc}"""
         }.mkString(",") + "}}"
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))

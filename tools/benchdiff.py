@@ -7,25 +7,72 @@ Usage: benchdiff.py <old.json> <new.json> [pct_threshold=30]
 Exit 1 if any shared query's plan fingerprint changed (a plan regression
 is a correctness-of-intent signal, not noise); timing deltas are report
 only — wall time in a shared JVM is noisy by nature.
+
+Environment sentinel: records carry `env` (system load average at
+start/end, available processors) and per-query `gc_sec`. When the two
+records ran under visibly different machine load (>2x difference, or
+either end-load far above processor count), a LOUD banner flags that
+timing deltas are environment, not code — r8's driver record looked like
+a uniform 1.5x regression and cost a judging session to refute.
+
+Fingerprint schemes: `fp_scheme` 2 hashes the finalized adaptive plan
+(scheme 1 hashed the pre-execution plan, blind to AQE-level changes).
+Records with different schemes have incomparable fingerprints — plan
+diffs are suppressed with a banner instead of producing 100+ false PLAN
+lines.
 """
 import sys, json
 
-old = json.load(open(sys.argv[1]))["queries"]
-new = json.load(open(sys.argv[2]))["queries"]
+old_rec = json.load(open(sys.argv[1]))
+new_rec = json.load(open(sys.argv[2]))
+old, new = old_rec["queries"], new_rec["queries"]
 thr = float(sys.argv[3]) if len(sys.argv) > 3 else 30.0
+
+os_, ns = old_rec.get("fp_scheme", 1), new_rec.get("fp_scheme", 1)
+fp_comparable = os_ == ns
+if not fp_comparable:
+    print("=" * 66)
+    print(f"!! FINGERPRINT SCHEMES DIFFER (old={os_}, new={ns}) — plan_fp")
+    print("!! values are not comparable across schemes; PLAN diffs suppressed.")
+    print("=" * 66)
+
+
+def env_load(rec):
+    e = rec.get("env") or {}
+    loads = [v for v in (e.get("load_avg_start"), e.get("load_avg_end"))
+             if isinstance(v, (int, float)) and v >= 0]
+    return (max(loads) if loads else None), e.get("available_processors")
+
+
+ol, oprocs = env_load(old_rec)
+nl, nprocs = env_load(new_rec)
+if ol is not None and nl is not None:
+    ratio = max(ol, nl) / max(min(ol, nl), 0.1)
+    overload = any(l > 1.5 * (p or 32)
+                   for l, p in ((ol, oprocs), (nl, nprocs)))
+    if ratio > 2.0 or overload:
+        print("=" * 66)
+        print("!! ENVIRONMENT DIFFERS: system load old=%.1f new=%.1f" % (ol, nl)
+              + (f" (procs {oprocs}/{nprocs})" if oprocs or nprocs else ""))
+        print("!! Timing deltas below are likely machine contention, NOT code.")
+        print("=" * 66)
 
 plan_changed = []
 for name in sorted(set(old) & set(new)):
     o, n = old[name], new[name]
-    if o.get("plan_fp") != n.get("plan_fp"):
+    if fp_comparable and o.get("plan_fp") != n.get("plan_fp"):
         plan_changed.append(name)
         print(f"PLAN  {name}: {o.get('plan_fp')} -> {n.get('plan_fp')}")
     dw = (n["warm"] - o["warm"]) / max(o["warm"], 1e-9) * 100
     if abs(dw) >= thr:
-        print(f"TIME  {name}: warm {o['warm']:.3f}s -> {n['warm']:.3f}s ({dw:+.0f}%)")
+        gc = ""
+        if "gc_sec" in n or "gc_sec" in o:
+            gc = f" [gc {o.get('gc_sec', 0):.2f}s -> {n.get('gc_sec', 0):.2f}s]"
+        print(f"TIME  {name}: warm {o['warm']:.3f}s -> {n['warm']:.3f}s ({dw:+.0f}%){gc}")
 for name in sorted(set(new) - set(old)):
     print(f"NEW   {name}: warm {new[name]['warm']:.3f}s")
 for name in sorted(set(old) - set(new)):
     print(f"GONE  {name}")
-print(f"-- {len(set(old) & set(new))} shared, {len(plan_changed)} plan changes")
+print(f"-- {len(set(old) & set(new))} shared, {len(plan_changed)} plan changes"
+      + ("" if fp_comparable else " (fp schemes differ — plan diff suppressed)"))
 sys.exit(1 if plan_changed else 0)
