@@ -450,17 +450,45 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("v"), x => x / col("nrm")).as("unit"))
 
+  /** The deterministic vector subset dd6's exact baseline runs on: the
+    * `k` vectors with the smallest salted-md5 uniform draw (sa7's
+    * bottom-k sampler shape — `TakeOrderedAndProject`, corpus never
+    * shuffles, same rows from every engine/layout/re-run). The all-pairs
+    * ground truth only has to EXIST on a statistically fair subset to
+    * gate dd7's recall; it must not cost O(corpus²). With the cap, dd6
+    * is O(k²) = constant work regardless of corpus size — at the test
+    * scales (500 vectors) k=1000 covers everything, at sf0.1 (2000) it
+    * already binds, and at 100 TB it is the only honest way to keep an
+    * exact-cosine baseline alive at all.
+    */
+  def sampledVectors(
+      emb: DataFrame, k: Int = 1000,
+      salt: String = "graft-dd6-sample-v1"): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding"),
+        saltedUniform(salt, col("vec_id")).as("u"))
+      .orderBy(col("u"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("embedding"))
+
   /** dd6 — embedding-cosine near-duplicate pairs, EXACT baseline: every
     * pair with cosine ≥ threshold, via an all-pairs broadcast-nested-loop
-    * over unit vectors (one dot per pair). Inherently O(corpus²) — the
-    * honest exact answer, oracle-checked; [[embedNearDupsLsh]] (dd7) is the
-    * sub-quadratic scale path whose recall is measured against THIS.
+    * over unit vectors (one dot per pair) — on the BOUNDED
+    * [[sampledVectors]] subset, never the full corpus (r8's verdict: the
+    * unbounded all-pairs was the repo's one cartesian scale-killer).
+    * The honest exact answer on the sample, oracle-checked;
+    * [[embedNearDupsLsh]] (dd7) is the sub-quadratic scale path whose
+    * recall is measured against THIS, restricted to sampled endpoints.
+    * The bottom-k result is a single partition, so the pair side is
+    * re-spread across the cluster before the O(k²) dot loop.
     */
-  def embedNearDupsExact(emb: DataFrame, minCosine: Double = 0.4): DataFrame = {
-    val u = unitized(emb)
+  def embedNearDupsExact(
+      emb: DataFrame, minCosine: Double = 0.4, sampleK: Int = 1000): DataFrame = {
+    val u = unitized(sampledVectors(emb, sampleK))
     val a = u.select(col("vec_id").as("vec_a"), col("unit").as("ua"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     val b = u.select(col("vec_id").as("vec_b"), col("unit").as("ub"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos_raw", dot(col("ua"), col("ub")))
       // threshold on the UNROUNDED value — the oracle's WHERE does the
       // same; filtering on the rounded column would admit pairs that
@@ -715,21 +743,26 @@ object Similarity {
         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
         |  WHERE q.vec_id < 20) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-    // The oracle mirrors the ENGINE's float path exactly — unit vectors
-    // first (x / sqrt(dot(v,v))), then a sequential dot — so the raw
-    // doubles agree bit-for-bit and the unrounded threshold admits the
-    // same pair set in both engines.
+    // The oracle mirrors the ENGINE's float path exactly — the same
+    // bottom-k salted-md5 sample first (sampledVectors' draw regenerated
+    // from the shared constants), then unit vectors
+    // (x / sqrt(dot(v,v))), then a sequential dot — so the raw doubles
+    // agree bit-for-bit and the unrounded threshold admits the same pair
+    // set in both engines.
     "dd6_embed_neardup" ->
-      """WITH u AS (SELECT vec_id,
-        |  list_transform(CAST(embedding AS DOUBLE[]),
-        |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                                   CAST(embedding AS DOUBLE[])))) AS unit
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(a.unit, b.unit) * 1e6) / 1e6 AS cosine
-        |FROM u a JOIN u b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.unit, b.unit) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin)
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY ${saltedUniformSql("graft-dd6-sample-v1", "vec_id")}, vec_id
+         |  LIMIT 1000),
+         |u AS (SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                   CAST(embedding AS DOUBLE[])))) AS unit
+         |  FROM s)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.unit, b.unit) * 1e6) / 1e6 AS cosine
+         |FROM u a JOIN u b ON a.vec_id < b.vec_id
+         |WHERE list_dot_product(a.unit, b.unit) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin)
   // sim5 stays rows-only: k-means training is not SQL-practical to twin;
   // determinism, objective descent, and the recall floor are asserted in
   // src/test/scala/graft/SimilaritySpec.scala. Every other ANN query is

@@ -123,10 +123,19 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
 
   test("dd7 LSH near-dups: no false positives, recall >= 0.85 vs dd6 exact") {
     val emb = Tables.embeddings(spark, sf001)
+    // dd6's ground truth lives on the bounded deterministic sample (the
+    // unbounded all-pairs was the one cartesian in the repo); the recall
+    // gate therefore compares dd7 RESTRICTED to sampled endpoints against
+    // it. At this corpus size the default k covers every vector, so the
+    // restriction is a no-op today — but the comparison stays honest at
+    // any scale where the cap binds.
+    val sampleIds = Similarity.sampledVectors(emb).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
     val exact = Similarity.embedNearDupsExact(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val lsh = Similarity.embedNearDupsLsh(emb).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .filter { case ((a, b), _) => sampleIds(a) && sampleIds(b) }
     assert(exact.nonEmpty, "corpus must contain near-dup pairs at 0.4")
     // exact per-candidate verify ⇒ zero false positives, identical cosines
     lsh.foreach { case (k, c) =>
