@@ -34,7 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("pair_combs"),
       new ExpressionInfo(classOf[PairCombs].getName, "pair_combs"),
-      (args: Seq[Expression]) => PairCombs(args.head)))
+      (args: Seq[Expression]) =>
+        if (args.length > 1) PairCombs(args.head, litInt(args, 1))
+        else PairCombs(args.head)))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

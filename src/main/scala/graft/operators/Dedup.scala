@@ -177,7 +177,8 @@ object Dedup {
     * exact Jaccard pairs is asserted in `DedupSpec`.
     */
   def minhashCandidates(
-      docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8): DataFrame = {
+      docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8,
+      maxBucket: Int = 1024): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     // Filter BEFORE the signature on the cheap equivalent predicate
@@ -205,7 +206,12 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("doc_id"), lit(0L)))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(col("ds"))
-    lists.select(explode(call_function("pair_combs", col("ds"))).as("p"))
+    // Skew guard: a band bucket larger than maxBucket (a megacluster of
+    // near-identical docs) emits a hub-and-spoke star instead of all
+    // B²/2 combinations — connectivity for the downstream cluster
+    // collapse is preserved, emission stays linear, and below the cap
+    // (every benign corpus at the tested scales) output is identical.
+    lists.select(explode(call_function("pair_combs", col("ds"), lit(maxBucket))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy(col("doc_a"), col("doc_b"))

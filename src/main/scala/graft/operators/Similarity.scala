@@ -512,7 +512,8 @@ object Similarity {
     */
   def embedNearDupsLsh(
       emb: DataFrame, minCosine: Double = 0.4,
-      nBands: Int = 24, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+      nBands: Int = 24, nPlanes: Int = 4, dim: Int = 64,
+      maxBucket: Int = 1024): DataFrame = {
     // Same linear shape as the dd3/dd4/dd5 candidate generators: bucket
     // posting lists (one shuffle) + map-side pair_combs emission — a
     // banded self-join would compute the signature subtree twice and
@@ -525,8 +526,16 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("vec_id"), lit(0L)))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(col("ds"))
+    // Skew guard (dd3's maxDf idea at the bucket level): a bucket larger
+    // than maxBucket — millions of identical vectors all hashing to one
+    // (band, bucket) — emits a hub-and-spoke star over its minimum
+    // vec_id instead of all B²/2 combinations, so one adversarial bucket
+    // can neither OOM an executor nor emit quadratic candidates. Below
+    // the cap (all tested benign scales: max bucket ≈ 200 at sf0.1)
+    // output is identical and the oracle hash is unaffected; the cluster
+    // stays connected through the hub for downstream collapse.
     val pairs = lists
-      .select(explode(call_function("pair_combs", col("ds"))).as("p"))
+      .select(explode(call_function("pair_combs", col("ds"), lit(maxBucket))).as("p"))
       .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b"))
       .distinct()
     val u = unitized(emb)

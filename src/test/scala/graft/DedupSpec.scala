@@ -295,4 +295,25 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     val fpRate = (totalFlagged - totalExact).toDouble / totalShingles
     assert(fpRate <= 0.02, s"bloom FP rate $fpRate")
   }
+
+  test("dd4 skew cap: 10k identical docs emit a linear star, not 50M pairs") {
+    import spark.implicits._
+    // An adversarial megacluster: every doc byte-identical, so every band
+    // maps all of them into ONE bucket. Uncapped combination emission
+    // would build 10^4·(10^4−1)/2 ≈ 5×10^7 pairs per band map-side — the
+    // OOM the cap exists to prevent. With the cap, each hot bucket emits
+    // a hub-and-spoke star over the minimum doc_id: n−1 pairs, every
+    // member still connected to the cluster.
+    val n = 10000
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    val pairs = Dedup.minhashCandidates(docs).collect()
+    assert(pairs.length === n - 1, s"expected star of ${n - 1} pairs, got ${pairs.length}")
+    // hub is the minimum id; all 8 bands agree on the one bucket
+    assert(pairs.forall(r => r.getLong(0) === 0L))
+    assert(pairs.forall(r => r.getLong(2) === 8L))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+      === (1L until n.toLong).map(b => (0L, b)).toSet)
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Similarity
 import graft.sources.Tables
@@ -144,5 +145,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
     val recall = lsh.keySet.count(exact.contains).toDouble / exact.size
     assert(recall >= 0.85, s"dd7 recall $recall over ${exact.size} pairs")
+  }
+
+  test("dd7 skew cap: 10k identical vectors emit a linear star, not B^2/2 pairs") {
+    import spark.implicits._
+    // Adversarial megacluster: identical vectors land in ONE bucket per
+    // band. Uncapped emission would be ~5×10^7 pairs × 24 bands; the cap
+    // turns each hot bucket into an (n−1)-pair star over the minimum
+    // vec_id, keeping the cluster connected and the emission linear.
+    val n = 10000
+    val vec = Array.tabulate(64)(i => 0.1f * (i % 7 + 1))
+    val emb = spark.range(n).select(
+      functions.col("id").as("vec_id"),
+      functions.typedLit(vec).as("embedding"))
+    val rows = Similarity.embedNearDupsLsh(emb).collect()
+    assert(rows.length === n - 1, s"expected star of ${n - 1} pairs, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(0) === 0L))        // hub = min vec_id
+    assert(rows.forall(r => r.getDouble(2) === 1.0))     // identical ⇒ cosine 1
   }
 }
