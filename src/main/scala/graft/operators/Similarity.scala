@@ -279,12 +279,25 @@ object Similarity {
     * data distribution instead of random hyperplanes, so the same probe
     * budget finds more true neighbors).
     *
-    * Determinism contract (this repo's discipline even for rows-only
-    * consumers): init = the k lowest-`vec_id` vectors (a production run
-    * swaps in k-means||, same plan shape); assignment ties break on the
-    * lower cell id via a lexicographic min-struct; centroid updates sum
-    * components as DECIMAL(38,18), so training is independent of
-    * partitioning and repeats bit-for-bit (asserted in SimilaritySpec).
+    * Determinism contract — and since round 9, full ENGINE PORTABILITY
+    * (the q36 scaled-integer discipline applied to Lloyd's, which is what
+    * lets sim5 be hash-gated by a DuckDB oracle): init = the k
+    * lowest-`vec_id` vectors (a production run swaps in k-means||, same
+    * plan shape); assignment ties break on the lower cell id via a
+    * lexicographic min-struct; centroid updates quantize each component
+    * to the 1e-12 grid with the portable [[qround]] (exact IEEE ops, both
+    * engines identical), sum those integers exactly as DECIMAL(38,0), and
+    * take the FLOOR-division mean — every step is integer arithmetic or
+    * a single identically-ordered IEEE op, so the centroids are
+    * bit-identical across partitionings, JVMs, re-runs AND engines. A
+    * decimal-sum/DECIMAL128-divide formulation was deterministic
+    * in-engine but NOT cross-engine: DuckDB promotes decimal division to
+    * DOUBLE, which disagreed with BigDecimal's 34-digit quotient in the
+    * last ulp for ~half of all means (measured) — the quantized
+    * floor-div kills that entire class. The 1e-12 grid perturbs
+    * centroids by ≤ 5e-13 per component, noise relative to k-means'
+    * own approximation; objective descent is still asserted in
+    * SimilaritySpec.
     *
     * Scale per iteration: the corpus cross-joins the BROADCAST k-row
     * centroid table map-side, and the min-struct aggregation's map-side
@@ -303,19 +316,32 @@ object Similarity {
       .map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
     var it = 0
     while (it < iters) {
+      // component sums on the 1e-12 integer grid: qround(comp·1e12) is an
+      // exact integral double (|comp| ≲ 3 ⇒ |scaled| < 2^53), the
+      // DECIMAL(38,0) cast is exact, and the sum is exact integer
+      // arithmetic — order-independent AND engine-portable
       val sums = assignCells(x, centroids)
         .select(col("cell"), posexplode(col("x")).as(Seq("pos", "comp")))
         .groupBy(col("cell"), col("pos"))
         .agg(count(lit(1)).as("n"),
-          sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("s"))
+          sum(qround(col("comp") * lit(1e12))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
         .collect()
         .groupBy(_.getInt(0))
       centroids = centroids.map { case (cid, prev) =>
         sums.get(cid) match {
           case Some(rows) =>
-            val byPos = rows.map(r => r.getInt(1) ->
-              r.getDecimal(3).divide(new java.math.BigDecimal(r.getLong(2)),
-                java.math.MathContext.DECIMAL128).doubleValue()).toMap
+            val byPos = rows.map { r =>
+              // floor-division mean on the grid, then the one double
+              // division by the exact constant 1e12 — the same two steps
+              // the SQL oracle runs ((s − pmod)/n via `//`, CAST AS
+              // DOUBLE, / 1e12), so the doubles agree bit-for-bit
+              val q = r.getDecimal(3)
+                .divide(new java.math.BigDecimal(r.getLong(2)), 0,
+                  java.math.RoundingMode.FLOOR)
+                .doubleValue()
+              r.getInt(1) -> q / 1e12
+            }.toMap
             cid -> prev.indices.map(p => byPos(p))
           case None => cid -> prev // empty cell keeps its centroid
         }
@@ -379,9 +405,14 @@ object Similarity {
     * centroids — a broadcast join of the tiny (query × probe) key set
     * against the partitioned scan, dynamic partition pruning skipping
     * every unprobed cell, exact cosine verify on the candidates. Fully
-    * deterministic end-to-end, but k-means is not SQL-practical to twin,
-    * so the driver check is rows-only; SimilaritySpec holds the
-    * determinism, objective-descent and recall floors.
+    * deterministic AND engine-portable end-to-end (see
+    * [[kmeansCentroids]]), so since round 9 the driver check is a full
+    * hash gate: the DuckDB oracle re-runs Lloyd's with one generated CTE
+    * pair per iteration (the q36 pattern — constants can never drift
+    * because the SQL is generated from the same parameters) and
+    * reproduces the identical cells, probes, candidates and cosines.
+    * SimilaritySpec additionally holds the determinism,
+    * objective-descent and recall floors.
     */
   def ivfAnnLearned(
       spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
@@ -389,7 +420,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, sfDir)
     val path = learnedIvfPath(sfDir, kCells, iters)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-    val spec = "kmeans-lloyd-v1 init=lowest-ids ties=cid sums=decimal38.18" +
+    val spec = "kmeans-lloyd-v2 init=lowest-ids ties=cid means=qfloor-1e12" +
       "\n" + graft.sources.Staging.sourceStamp(Seq(source))
     val corpus = graft.sources.Staging.withExclusiveLock(
         new java.io.File(path).getParentFile) {
@@ -771,10 +802,77 @@ object Similarity {
          |  round(list_dot_product(a.unit, b.unit) * 1e6) / 1e6 AS cosine
          |FROM u a JOIN u b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.unit, b.unit) >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin)
-  // sim5 stays rows-only: k-means training is not SQL-practical to twin;
-  // determinism, objective descent, and the recall floor are asserted in
-  // src/test/scala/graft/SimilaritySpec.scala. Every other ANN query is
-  // hash-gated above — the md5-derived hyperplanes made the candidate
-  // sets engine-portable.
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim5_ann_ivf_learned" -> learnedIvfSql())
+  // With sim5's oracle above, the whole ANN family is hash-gated: the
+  // md5-derived hyperplanes made the hash-based candidate sets
+  // engine-portable, and the quantized floor-div Lloyd's (see
+  // kmeansCentroids) made the LEARNED cells portable too.
+
+  /** sim5's oracle: Lloyd's k-means unrolled one CTE pair per iteration
+    * (assignment under c{i-1}, quantized floor-div means → c{i}) — the
+    * q36 generated-SQL pattern, so the constants (grid, k, iterations,
+    * probe budget) are written from the SAME parameters the engine runs.
+    * Every arithmetic step is either exact integer work (HUGEINT sums of
+    * the 1e-12-grid components, positive-mod floor division) or a single
+    * identically-ordered IEEE op (`list_dot_product` ≡ the engine's
+    * sequential `vec_dot`), so cells, probes and cosines hash-match
+    * bit-for-bit.
+    */
+  private def learnedIvfSql(
+      kCells: Int = 16, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
+      k: Int = 5, nProbe: Int = 4): String = {
+    // qround(y) = sign(y)·⌊|y|+0.5⌋ on the 1e-12-scaled component — the
+    // shared portable rounding (see qround's scaladoc)
+    def qr(e: String) =
+      s"sign($e * 1000000000000.0) * floor(abs($e * 1000000000000.0) + 0.5)"
+    val base =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         |    v AS c
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kCells))""".stripMargin
+    // one assignment + one centroid-update CTE pair per Lloyd iteration;
+    // the (i = iters+1) assignment is the persisted index build under the
+    // FINAL centroids — exactly what the engine's artifact stores
+    val steps = (1 to (iters + 1)).map { i =>
+      val assign =
+        s"""a$i AS (
+           |  SELECT vec_id, v, cid AS cell FROM (
+           |    SELECT e.vec_id, e.v, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c),
+           |        c.cid) AS rn
+           |    FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin
+      if (i > iters) assign
+      else
+        s"""$assign,
+           |m$i AS (
+           |  SELECT cell, p, count(*) AS n,
+           |    sum(CAST(${qr("v[p]")} AS HUGEINT)) AS s
+           |  FROM a$i, range(1, ${dim + 1}) t(p) GROUP BY cell, p),
+           |c$i AS (
+           |  SELECT pc.cid, coalesce(nc.c, pc.c) AS c
+           |  FROM c${i - 1} pc LEFT JOIN (
+           |    SELECT cell, list(comp ORDER BY p) AS c FROM (
+           |      SELECT cell, p,
+           |        CAST((s - ((s % n) + n) % n) // n AS DOUBLE)
+           |          / 1000000000000.0 AS comp
+           |      FROM m$i) GROUP BY cell) nc ON nc.cell = pc.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps,
+       |probes AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(c.c, c.c) - 2 * list_dot_product(q.v, c.c),
+       |        c.cid) AS pr
+       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < $nQueries) q
+       |    CROSS JOIN c$iters c) WHERE pr <= $nProbe),
+       |cand AS (
+       |  SELECT pb.query_id, af.vec_id AS neighbor_id
+       |  FROM a${iters + 1} af JOIN probes pb ON af.cell = pb.cell
+       |  WHERE af.vec_id <> pb.query_id),
+       |$verifyRankSql""".stripMargin
+  }
 }
