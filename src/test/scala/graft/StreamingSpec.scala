@@ -75,6 +75,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("RocksDB state store: stateful queries produce identical results under the disk-backed provider") {
+    // The 100 TB posture for keyed state: the default HDFS-backed store
+    // holds every key on the executor heap; RocksDB spills to local disk
+    // under the same exactly-once checkpoint contract. The provider is a
+    // runtime SQL conf, so semantic parity is provable in-suite: run the
+    // two heaviest state shapes (dropDuplicatesWithinWatermark keyed
+    // dedup, stream-stream interval join) under RocksDB and require
+    // byte-identical results. GraftSession wires the same provider behind
+    // SPARK_GRAFT_ROCKSDB_STATE=1 for the mains.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dedup = EventStreams.st5StreamDedup(spark, sf001).collect().toSeq
+      assert(dedup === EventStreams.dedupBatch(Tables.events(spark, sf001)).collect().toSeq)
+      val attr = EventStreams.st6StreamAttribution(spark, sf001).collect().toSeq
+      assert(attr === EventStreams.attributionBatch(Tables.events(spark, sf001)).collect().toSeq)
+      assert(attr.nonEmpty && dedup.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("st5: streaming dedup (dropDuplicatesWithinWatermark) == batch distinct, and actually drops rows") {
     val batch = EventStreams.dedupBatch(Tables.events(spark, sf001))
     val streamed = EventStreams.st5StreamDedup(spark, sf001)
