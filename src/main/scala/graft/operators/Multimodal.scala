@@ -7,22 +7,31 @@ import graft.sources.Tables
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs.
   *
-  * The decode itself is STUBBED (no codec libraries in this container) with
-  * a deterministic fake derived from the bytes; everything Spark-side —
-  * schema, batch shape, partition sizing, the metadata contract — is real.
-  * In production the stub body is replaced by an actual codec call inside
-  * the same `mapPartitions` (one codec init per partition, not per row).
+  * PNG payloads get a REAL pixel decode (pure-JVM ImageIO — no native
+  * codec needed) inside the `mapPartitions` seam; other formats fall back
+  * to a deterministic stub derived from the bytes (this container carries
+  * no JPEG/video codecs). Everything Spark-side — schema, batch shape,
+  * partition sizing, the metadata contract — is real either way, and the
+  * `decoded` flag says per row which path ran. In production the stub
+  * branch is replaced by the remaining codec calls inside the same
+  * `mapPartitions` (one codec init per partition, not per row).
   */
 object Multimodal {
 
-  /** Typed metadata contract for a decoded asset. */
+  /** Typed metadata contract for a decoded asset. `decoded` marks rows
+    * whose dimensions/channels came from a real pixel decode; for those,
+    * `pixel_md5` digests the row-major big-endian ARGB stream — proof the
+    * actual pixel payload was materialized, not just the header.
+    */
   final case class AssetMeta(
       doc_id: Long,
       byte_len: Long,
       content_md5: String,
       width: Int,
       height: Int,
-      channels: Int)
+      channels: Int,
+      decoded: Boolean,
+      pixel_md5: String)
 
   /** Pure-expression metadata over a binary payload — cheap fields that
     * never need the decoder (length, content hash, stub dimensions).
@@ -39,10 +48,25 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  private val PngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def isPng(bytes: Array[Byte]): Boolean =
+    bytes.length >= PngMagic.length &&
+      java.util.Arrays.equals(bytes, 0, PngMagic.length, PngMagic, 0, PngMagic.length)
+
   /** Decode stage: binary → [[AssetMeta]] via `mapPartitions`, the shape a
     * real codec needs (per-partition init, streaming iterator, no
-    * collect). The decode body below is the STUB — deterministic fake
-    * dimensions from the byte stream.
+    * collect). PNG payloads are HONESTLY decoded with the JDK's pure-Java
+    * ImageIO PNG reader: real width/height/channels plus a digest of the
+    * materialized ARGB pixel stream (`decoded = true`). Everything else —
+    * and any PNG the reader rejects — takes the deterministic stub branch
+    * (`decoded = false`), which is where the remaining production codecs
+    * plug in. The driver's corpus is UTF-8 prose (0x89 cannot start a
+    * UTF-8 string), so its oracle sees only stub rows; the PNG branch is
+    * exercised on real crafted bytes with a golden-pixel digest in
+    * MultimodalSpec — the same split mm5/mm6 use for their header
+    * parsers.
     */
   def decodeAssets(
       docs: DataFrame,
@@ -53,19 +77,50 @@ object Multimodal {
     docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // Real implementation initializes the codec HERE, once per
-        // partition. STUB: deterministic pseudo-decode from the bytes.
+        // Codec init once per partition: no ImageIO disk-cache tmp files
+        // on executors, one digest instance reused across rows.
+        javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
+        def hexOf(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
         it.map { case (id, bytes) =>
-          val hex = md.digest(bytes).map("%02x".format(_)).mkString
-          md.reset()
-          AssetMeta(
-            doc_id = id,
-            byte_len = bytes.length.toLong,
-            content_md5 = hex,
-            width = (bytes.length % 64) + 16,
-            height = (bytes.length / 7 % 64) + 16,
-            channels = 3)
+          val contentMd5 = { md.reset(); hexOf(md.digest(bytes)) }
+          val img =
+            if (isPng(bytes))
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              catch { case _: java.io.IOException => null }
+            else null
+          if (img != null) {
+            // row-major, big-endian ARGB — a deterministic pixel digest
+            // regardless of the PNG's internal color model
+            val w = img.getWidth
+            val h = img.getHeight
+            md.reset()
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val argb = img.getRGB(x, y)
+                md.update((argb >>> 24).toByte)
+                md.update((argb >>> 16).toByte)
+                md.update((argb >>> 8).toByte)
+                md.update(argb.toByte)
+                x += 1
+              }
+              y += 1
+            }
+            AssetMeta(id, bytes.length.toLong, contentMd5,
+              w, h, img.getColorModel.getNumComponents,
+              decoded = true, pixel_md5 = hexOf(md.digest()))
+          } else
+            AssetMeta(
+              doc_id = id,
+              byte_len = bytes.length.toLong,
+              content_md5 = contentMd5,
+              width = (bytes.length % 64) + 16,
+              height = (bytes.length / 7 % 64) + 16,
+              channels = 3,
+              decoded = false,
+              pixel_md5 = null)
         }
       }
   }
@@ -178,8 +233,9 @@ object Multimodal {
     "mm5_image_headers" -> ((s: SparkSession, d: String) =>
       imageHeaders(Tables.documents(s, d))),
     "mm1_binary_meta" -> ((s: SparkSession, d: String) => binaryMeta(Tables.documents(s, d))),
-    // mm2 exercises the mapPartitions decode path end-to-end (the stub
-    // decode is deterministic, so it is fully oracle-checkable).
+    // mm2 exercises the mapPartitions decode path end-to-end (real
+    // ImageIO pixel decode for PNG payloads, deterministic stub for the
+    // rest — both branches deterministic, so fully oracle-checkable).
     "mm2_decode_assets" -> ((s: SparkSession, d: String) =>
       decodeAssets(Tables.documents(s, d)).toDF().orderBy(col("doc_id"))),
     "mm3_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -241,13 +297,19 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS stub_width,
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS BIGINT) AS stub_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the corpus is UTF-8 prose: PNG's 0x89 lead byte cannot occur, so
+    // every row takes the stub branch (decoded = false, NULL pixel
+    // digest); the real ImageIO branch is golden-pixel-tested in
+    // MultimodalSpec
     "mm2_decode_assets" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  md5(text) AS content_md5,
         |  CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS INTEGER) AS height,
-        |  CAST(3 AS INTEGER) AS channels
+        |  CAST(3 AS INTEGER) AS channels,
+        |  false AS decoded,
+        |  CAST(NULL AS VARCHAR) AS pixel_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm4_resize_plan" ->
       """WITH m AS (SELECT doc_id,

@@ -189,4 +189,39 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       assert(r.getInt(3) === want, s"colorType $ct")
     }
   }
+
+  test("mm2 golden pixels: a real PNG decodes to exact dimensions, channels, and pixel digest") {
+    import spark.implicits._
+    // Craft a real 3×2 PNG with known colors through ImageIO itself,
+    // then require decodeAssets to (a) flag it decoded, (b) report the
+    // true geometry, and (c) reproduce the md5 of the known ARGB stream —
+    // proof the pixel payload was materialized, not just the header.
+    val colors = Array(
+      Array(0xFF0000, 0x00FF00, 0x0000FF),
+      Array(0xFFFFFF, 0x000000, 0x123456))
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3) img.setRGB(x, y, colors(y)(x))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (y <- 0 until 2; x <- 0 until 3) {
+      val argb = 0xFF000000 | colors(y)(x) // TYPE_INT_RGB reads back opaque
+      md.update((argb >>> 24).toByte); md.update((argb >>> 16).toByte)
+      md.update((argb >>> 8).toByte); md.update(argb.toByte)
+    }
+    val goldenMd5 = md.digest().map("%02x".format(_)).mkString
+
+    val rows = graft.operators.Multimodal.decodeAssets(
+        Seq((1L, png), (2L, "plain prose payload".getBytes("UTF-8")))
+          .toDF("doc_id", "text"))
+      .collect().map(m => m.doc_id -> m).toMap
+    val p = rows(1L)
+    assert(p.decoded && p.width === 3 && p.height === 2 && p.channels === 3)
+    assert(p.pixel_md5 === goldenMd5)
+    val s = rows(2L)
+    assert(!s.decoded && s.pixel_md5 == null)
+    assert(s.width === (s.byte_len % 64 + 16) && s.channels === 3)
+  }
 }
