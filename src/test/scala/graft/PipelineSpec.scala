@@ -55,4 +55,33 @@ class PipelineSpec extends AnyFunSuite with SparkFixture {
     assert(filtered.count() ===
       clean.filter("to_date(l_shipdate) BETWEEN '1995-03-01' AND '1995-03-31'").count())
   }
+
+  test("feed parity: feeds served from the streaming-ingested clean table equal the batch feeds") {
+    // The last reference behavior unified end-to-end: the notebook writes
+    // the clean table and the app recleans it per chart; here the SAME
+    // Feeds.writeAll serves from either clean layer — the batch CleanStore
+    // staging or st8's continuously-ingested streaming sink — and must
+    // emit identical rows. (st8 is stateless exactly-once append, so its
+    // read-back IS the clean events table, just written by the always-on
+    // path.)
+    import graft.operators.CleanStore
+    import graft.streaming.EventStreams
+    val batchServed = Feeds.Served(
+      CleanStore.lineitem(spark, sf001), CleanStore.events(spark, sf001))
+    val streamServed = batchServed.copy(
+      events = EventStreams.st8StreamIngest(spark, sf001, ordered = false))
+    val outB = Files.createTempDirectory("feeds_batch").toString
+    val outS = Files.createTempDirectory("feeds_stream").toString
+    Feeds.writeAll(spark, sf001, outB, batchServed)
+    Feeds.writeAll(spark, sf001, outS, streamServed)
+    Feeds.feedNames.foreach { name =>
+      def readSorted(dir: String) = {
+        val df = spark.read.parquet(s"$dir/$name")
+        df.orderBy(df.columns.sorted.map(org.apache.spark.sql.functions.col): _*)
+          .collect().toSeq
+      }
+      assert(readSorted(outB) === readSorted(outS), s"feed $name differs between paths")
+      assert(readSorted(outB).nonEmpty, s"feed $name empty")
+    }
+  }
 }
