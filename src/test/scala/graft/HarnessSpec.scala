@@ -34,10 +34,10 @@ class HarnessSpec extends AnyFunSuite with SparkFixture {
     // must add an oracle or justify itself in this list
     // dd4/dd5/dd7/sim2/sim3/sim4 left this list in round 8: their hash
     // constants and hyperplanes became md5 draws a DuckDB oracle
-    // regenerates, so the candidate sets are hash-gated now
+    // regenerates, so the candidate sets are hash-gated now; sim5 left in
+    // round 9 when the quantized floor-div Lloyd's made the learned cells
+    // engine-portable and its iteration-unrolled SQL twin landed
     assert(rowsOnly === Set(
-      "sim5_ann_ivf_learned", // deterministic but k-means is not SQL-twinnable;
-                              // determinism/objective/recall in SimilaritySpec
       "sa1_seeded_sample", "sa2_stratified_sample",
       "q29_approx_sketches", // sketch estimates are engine-specific by
                              // nature; accuracy floors vs the exact
