@@ -89,7 +89,7 @@ object Similarity {
     * (query_id, neighbor_id, c_emb) candidate stream, verify each
     * candidate with one exact dot, keep the per-query top-k.
     */
-  private def verifyAndRank(cands: DataFrame, qEmb: DataFrame, k: Int): DataFrame = {
+  private[graft] def verifyAndRank(cands: DataFrame, qEmb: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_raw").desc, col("neighbor_id"))
     cands
@@ -395,34 +395,31 @@ object Similarity {
     * are part of the path; a `_graft_spec` tag records the algorithm
     * version so a trainer change invalidates the artifact.
     */
-  def learnedIvfPath(sfDir: String, k: Int, iters: Int): String =
+  def learnedIvfPath(
+      sfDir: String, k: Int, iters: Int, baseSplit: Option[Long] = None): String =
     s"${sys.props("user.dir")}/target/ivf/${new java.io.File(sfDir).getName}" +
-      s"/learned_k${k}_i$iters"
+      s"/learned_k${k}_i$iters" + baseSplit.map(s => s"_b$s").getOrElse("")
 
-  /** sim5 — ANN over LEARNED cells: ensure the k-means artifact (train
-    * once under the staging lock, persist centroids + the cell-partitioned
-    * corpus index), then serve queries by probing the `nProbe` nearest
-    * centroids — a broadcast join of the tiny (query × probe) key set
-    * against the partitioned scan, dynamic partition pruning skipping
-    * every unprobed cell, exact cosine verify on the candidates. Fully
-    * deterministic AND engine-portable end-to-end (see
-    * [[kmeansCentroids]]), so since round 9 the driver check is a full
-    * hash gate: the DuckDB oracle re-runs Lloyd's with one generated CTE
-    * pair per iteration (the q36 pattern — constants can never drift
-    * because the SQL is generated from the same parameters) and
-    * reproduces the identical cells, probes, candidates and cosines.
-    * SimilaritySpec additionally holds the determinism,
-    * objective-descent and recall floors.
+  /** Build (or reuse, under the staging lock + source-stamped spec) the
+    * LEARNED IVF artifact and return its path: `centroids/` (the trained
+    * k-row table) and `cells/` (the indexed corpus partitioned by learned
+    * cell). With `baseSplit = Some(s)` only vectors `vec_id < s` are
+    * trained on AND indexed — the BASE SEGMENT of a maintained index,
+    * whose frozen centroids sim7's streaming ingest assigns new arrivals
+    * against (the production coarse-quantizer freeze: training is a batch
+    * job, ingest only evaluates the frozen quantizer map-side).
     */
-  def ivfAnnLearned(
-      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
-      kCells: Int = 16, iters: Int = 5, nProbe: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val path = learnedIvfPath(sfDir, kCells, iters)
+  private[graft] def ensureLearnedIvf(
+      spark: SparkSession, sfDir: String, kCells: Int, iters: Int,
+      baseSplit: Option[Long] = None): String = {
+    val emb0 = Tables.embeddings(spark, sfDir)
+    val emb = baseSplit.map(s => emb0.filter(col("vec_id") < s)).getOrElse(emb0)
+    val path = learnedIvfPath(sfDir, kCells, iters, baseSplit)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
     val spec = "kmeans-lloyd-v2 init=lowest-ids ties=cid means=qfloor-1e12" +
+      baseSplit.map(s => s" base<$s").getOrElse("") +
       "\n" + graft.sources.Staging.sourceStamp(Seq(source))
-    val corpus = graft.sources.Staging.withExclusiveLock(
+    graft.sources.Staging.withExclusiveLock(
         new java.io.File(path).getParentFile) {
       val marker = new java.io.File(s"$path/_marker")
       val specFile = new java.io.File(s"$path/_graft_spec")
@@ -443,17 +440,26 @@ object Similarity {
         java.nio.file.Files.write(specFile.toPath, spec.getBytes)
         if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
       }
-      spark.read.parquet(s"$path/cells")
     }
-    val centroidsDf = broadcast(spark.read.parquet(s"$path/centroids")
-      .select(col("cid"), col("cvec").cast("array<double>").as("cvec")))
-    // nProbe nearest centroids per query — (queries × k) rows, all tiny
+    path
+  }
+
+  /** Shared probe-and-serve tail over a cell-indexed corpus: nProbe
+    * nearest centroids per query (tiny cross join), broadcast the (query
+    * × probe) key set against the indexed corpus — partition pruning
+    * skips unprobed cells on a partitioned scan — exact-cosine verify on
+    * the candidates. The serving half of sim5, reused verbatim by sim7
+    * over its base ∪ delta maintained index.
+    */
+  private[graft] def serveIvf(
+      corpus: DataFrame, centroidsDf: DataFrame, emb: DataFrame,
+      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qx"))
     val score = dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col("qx"), col("cvec"))
     val pw = Window.partitionBy(col("query_id")).orderBy(col("ps"), col("cid"))
-    val probes = q.crossJoin(centroidsDf)
+    val probes = q.crossJoin(broadcast(centroidsDf))
       .select(col("query_id"), col("cid"), score.as("ps"))
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nProbe)
@@ -466,6 +472,87 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("c_emb"))
     verifyAndRank(cands, qEmb, k)
+  }
+
+  /** sim5 — ANN over LEARNED cells: ensure the k-means artifact (train
+    * once under the staging lock, persist centroids + the cell-partitioned
+    * corpus index), then serve queries by probing the `nProbe` nearest
+    * centroids — a broadcast join of the tiny (query × probe) key set
+    * against the partitioned scan, dynamic partition pruning skipping
+    * every unprobed cell, exact cosine verify on the candidates. Fully
+    * deterministic AND engine-portable end-to-end (see
+    * [[kmeansCentroids]]), so since round 9 the driver check is a full
+    * hash gate: the DuckDB oracle re-runs Lloyd's with one generated CTE
+    * pair per iteration (the q36 pattern — constants can never drift
+    * because the SQL is generated from the same parameters) and
+    * reproduces the identical cells, probes, candidates and cosines.
+    * SimilaritySpec additionally holds the determinism,
+    * objective-descent and recall floors.
+    */
+  def ivfAnnLearned(
+      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
+      kCells: Int = 16, iters: Int = 5, nProbe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = ensureLearnedIvf(spark, sfDir, kCells, iters)
+    val corpus = spark.read.parquet(s"$path/cells")
+    val centroidsDf = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
+    serveIvf(corpus, centroidsDf, emb, nQueries, k, nProbe)
+  }
+
+  /** dd16 — SEMANTIC DEDUPLICATION (the SemDeDup shape, Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the embedding corpus with k-means,
+    * then search for near-duplicates ONLY within each cluster — the
+    * clustering turns the O(n²) all-pairs cosine scan into k independent
+    * within-cell scans, which is the entire scaling trick of
+    * embedding-level dedup at LAION/100 TB scale (k grows with the corpus
+    * so cells stay bounded; here k=16 over the test corpus). A vector is
+    * PRUNED when a lower-id member of its own cell sits at cosine ≥ τ;
+    * the emitted row names the closest such keeper (ties to the lower
+    * id), its cell, and the cosine — the drop-list a corpus emit
+    * anti-joins away (dd9's shape).
+    *
+    * Reuses sim5's learned-IVF artifact verbatim (same centroids, same
+    * cell assignment, built once under the staging lock) — dedup and ANN
+    * serving sharing one index is exactly how a production vector store
+    * amortizes the clustering. Fully oracle-HASHED: cells come from the
+    * portable quantized Lloyd's ([[kmeansCentroids]]), the within-cell
+    * join is id-ordered, and the cosine is the same unit-vector dot dd6/
+    * dd7 already hash-gate — the DuckDB twin re-runs the unrolled Lloyd's
+    * and reproduces every pruned row bit-for-bit.
+    *
+    * Plan shape: cells artifact (partitioned scan) → unitize → self-join
+    * on cell (k keys; each side shuffles once on the cell id, cell sizes
+    * ≈ n/k) → per-pair dot → per-pruned-vector argmax — no all-pairs
+    * stage anywhere; the within-cell quadratic is the algorithm's knob
+    * (cell size is capped by growing k with the corpus).
+    */
+  def semanticDedup(
+      spark: SparkSession, sfDir: String, tau: Double = 0.4,
+      kCells: Int = 16, iters: Int = 5): DataFrame = {
+    val path = ensureLearnedIvf(spark, sfDir, kCells, iters)
+    val cells = spark.read.parquet(s"$path/cells")
+    // unitize the indexed vectors (norm materialized once — see unitized)
+    val u = cells
+      .select(col("cell"), col("neighbor_id").as("vec_id"),
+        col("c_emb").as("v"))
+      .select(col("cell"), col("vec_id"), col("v"),
+        sqrt(norm2(col("v"))).as("nrm"))
+      .select(col("cell"), col("vec_id"),
+        transform(col("v"), x => x / col("nrm")).as("unit"))
+    val a = u.select(col("cell"), col("vec_id").as("keep_id"), col("unit").as("ua"))
+    val b = u.select(col("cell"), col("vec_id").as("vec_id"), col("unit").as("ub"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_raw").desc, col("keep_id"))
+    a.join(b, Seq("cell"))
+      .filter(col("keep_id") < col("vec_id"))
+      .withColumn("cos_raw", dot(col("ua"), col("ub")))
+      .filter(col("cos_raw") >= tau) // unrounded threshold, matching dd6/dd7
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("keep_id").as("dup_of"),
+        col("cell").cast("int").as("cell"), r6(col("cos_raw")).as("cosine"))
+      .orderBy(col("vec_id"))
   }
 
   /** (vec_id, unit) — L2-normalized double vectors, norm materialized FIRST
@@ -639,7 +726,8 @@ object Similarity {
     "sim4_ann_ivf_indexed" -> ((s: SparkSession, d: String) => ivfAnnIndexed(s, d)),
     "sim5_ann_ivf_learned" -> ((s: SparkSession, d: String) => ivfAnnLearned(s, d)),
     "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(Tables.embeddingsRebalanced(s, d))),
-    "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))))
+    "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))),
+    "dd16_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)))
 
   /** The DuckDB twin of [[graft.functions.RhpBuckets.planes]]: a `pl`
     * CTE body regenerating the identical hyperplane matrix — component
@@ -803,7 +891,10 @@ object Similarity {
          |FROM u a JOIN u b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.unit, b.unit) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
-    "sim5_ann_ivf_learned" -> learnedIvfSql())
+    "sim5_ann_ivf_learned" -> learnedIvfSql(),
+    // dd16 rides the same unrolled-Lloyd's text (lloydCellsSql), so the
+    // cells the pair scan runs over are the hash-gated sim5 cells
+    "dd16_semantic_dedup" -> semanticDedupSql())
   // With sim5's oracle above, the whole ANN family is hash-gated: the
   // md5-derived hyperplanes made the hash-based candidate sets
   // engine-portable, and the quantized floor-div Lloyd's (see
@@ -819,22 +910,34 @@ object Similarity {
     * sequential `vec_dot`), so cells, probes and cosines hash-match
     * bit-for-bit.
     */
-  private def learnedIvfSql(
-      kCells: Int = 16, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
-      k: Int = 5, nProbe: Int = 4): String = {
+  /** The CTE chain from raw embeddings to the final cell index: `e` (full
+    * corpus as doubles), `et` (the TRAINING subset — `trainWhere` empty ⇒
+    * the whole corpus), `c0..c{iters}` (one assignment + quantized
+    * floor-div centroid-update pair per Lloyd iteration, over `et` only),
+    * and `a{iters+1}` — the FINAL assignment of the FULL corpus under the
+    * trained centroids, which is exactly what the engine's persisted
+    * index holds (sim5: everything trained and indexed; sim7: base half
+    * trained+indexed batch-side, streamed half assigned under the same
+    * frozen centroids — both are "assign all of `e` under `c{iters}`").
+    * Shared by the sim5/sim7/dd16 oracles so the Lloyd's text exists once.
+    */
+  private def lloydCellsSql(
+      kCells: Int, iters: Int, dim: Int, trainWhere: String): String = {
     // qround(y) = sign(y)·⌊|y|+0.5⌋ on the 1e-12-scaled component — the
     // shared portable rounding (see qround's scaladoc)
     def qr(e: String) =
       s"sign($e * 1000000000000.0) * floor(abs($e * 1000000000000.0) + 0.5)"
     val base =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |et AS (SELECT vec_id, v FROM e $trainWhere),
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          |    v AS c
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $kCells))""".stripMargin
-    // one assignment + one centroid-update CTE pair per Lloyd iteration;
-    // the (i = iters+1) assignment is the persisted index build under the
-    // FINAL centroids — exactly what the engine's artifact stores
+         |  FROM (SELECT vec_id, v FROM et ORDER BY vec_id LIMIT $kCells))""".stripMargin
+    // one assignment + one centroid-update CTE pair per Lloyd iteration
+    // (training rows only); the (i = iters+1) assignment is the full
+    // corpus under the FINAL centroids
     val steps = (1 to (iters + 1)).map { i =>
+      val src = if (i > iters) "e" else "et"
       val assign =
         s"""a$i AS (
            |  SELECT vec_id, v, cid AS cell FROM (
@@ -842,7 +945,7 @@ object Similarity {
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
            |        list_dot_product(c.c, c.c) - 2 * list_dot_product(e.v, c.c),
            |        c.cid) AS rn
-           |    FROM e CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin
+           |    FROM $src e CROSS JOIN c${i - 1} c) WHERE rn = 1)""".stripMargin
       if (i > iters) assign
       else
         s"""$assign,
@@ -859,9 +962,15 @@ object Similarity {
            |          / 1000000000000.0 AS comp
            |      FROM m$i) GROUP BY cell) nc ON nc.cell = pc.cid)""".stripMargin
     }.mkString(",\n")
-    s"""$base,
-       |$steps,
-       |probes AS (
+    s"$base,\n$steps"
+  }
+
+  /** The probe-and-serve tail shared by the sim5 and sim7 oracles —
+    * [[serveIvf]]'s SQL twin over the [[lloydCellsSql]] prefix.
+    */
+  private def ivfServeSql(
+      iters: Int, nQueries: Int, nProbe: Int): String =
+    s"""probes AS (
        |  SELECT query_id, cid AS cell FROM (
        |    SELECT q.vec_id AS query_id, c.cid,
        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -874,5 +983,51 @@ object Similarity {
        |  FROM a${iters + 1} af JOIN probes pb ON af.cell = pb.cell
        |  WHERE af.vec_id <> pb.query_id),
        |$verifyRankSql""".stripMargin
-  }
+
+  private def learnedIvfSql(
+      kCells: Int = 16, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
+      k: Int = 5, nProbe: Int = 4, trainWhere: String = ""): String =
+    s"""${lloydCellsSql(kCells, iters, dim, trainWhere)},
+       |${ivfServeSql(iters, nQueries, nProbe)}""".stripMargin
+
+  /** sim7's oracle: identical Lloyd's + serve text, but the training
+    * subset is the BASE HALF of the corpus (`vec_id < n/2`, the split the
+    * engine's streaming maintenance uses) while the final assignment
+    * covers everything — the maintained base ∪ delta index re-derived
+    * declaratively.
+    */
+  private[graft] def streamMaintainedIvfSql(
+      kCells: Int = 16, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
+      k: Int = 5, nProbe: Int = 4): String =
+    learnedIvfSql(kCells, iters, dim, nQueries, k, nProbe,
+      trainWhere = "WHERE vec_id < (SELECT count(*) // 2 FROM embeddings)")
+
+  /** dd16's oracle: the same unrolled Lloyd's reproduces the cells, then
+    * the within-cell id-ordered pair scan with the dd6/dd7 unit-vector
+    * cosine, and one row per pruned vector naming its closest lower-id
+    * keeper (ties to the lower id).
+    */
+  private def semanticDedupSql(
+      tau: Double = 0.4, kCells: Int = 16, iters: Int = 5,
+      dim: Int = 64): String =
+    s"""${lloydCellsSql(kCells, iters, dim, "")},
+       |u AS (SELECT vec_id,
+       |  list_transform(CAST(embedding AS DOUBLE[]),
+       |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                   CAST(embedding AS DOUBLE[])))) AS unit
+       |  FROM embeddings),
+       |p AS (SELECT b.vec_id, a.vec_id AS keep_id, a.cell,
+       |    list_dot_product(ua.unit, ub.unit) AS cos_raw
+       |  FROM a${iters + 1} a JOIN a${iters + 1} b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  JOIN u ua ON ua.vec_id = a.vec_id
+       |  JOIN u ub ON ub.vec_id = b.vec_id
+       |  WHERE list_dot_product(ua.unit, ub.unit) >= $tau),
+       |r AS (SELECT vec_id, keep_id, cell, cos_raw,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_raw DESC, keep_id) AS rn
+       |  FROM p)
+       |SELECT vec_id, keep_id AS dup_of, CAST(cell AS INT) AS cell,
+       |  round(cos_raw * 1e6) / 1e6 AS cosine
+       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 }
