@@ -624,9 +624,94 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** td17 — duplicate n-GRAM coverage (the repeated-PHRASE half of the
+    * Gopher §A1.1 repetition family, Rae et al. 2021; td10 is the
+    * repeated-LINE half): per document, (a) `top2_frac` — the token mass
+    * covered by occurrences of the single most frequent REPEATED 2-gram
+    * (cnt ≥ 2 — a gram seen once is not repetition and would flag every
+    * short doc; ties to the lexicographically smallest gram), and (b)
+    * `dup5_frac` — the
+    * token mass covered by ANY 5-gram occurring at least twice within the
+    * document; overlapping occurrences count each token position ONCE
+    * (the published "fraction of characters in duplicate n-grams"
+    * semantics, on token mass since the tokenizer is the engine-portable
+    * shared spec). `repetitive` applies the published thresholds
+    * (top-2-gram > 0.20, dup-5-gram > 0.15) — the machine-text detector
+    * that catches looping generation and template spam td6's
+    * distinct-token ratio and td10's line hashes both miss.
+    *
+    * Coverage is the dd17 position-arithmetic pattern: per (doc, gram)
+    * the sorted start list, per doc the union mass via the index-lambda
+    * count — exact integers end-to-end, and the two fractions are single
+    * correctly-rounded IEEE divisions (q40's lcc argument), so the whole
+    * row hash-matches across engines. Zero-token docs give nullif-guarded
+    * null fractions (td10's convention).
+    *
+    * Scale: n-grams explode linearly; the (doc, gram) and (doc) hash
+    * aggregates are map-side-partial and skew-immune (a hot gram is still
+    * keyed by doc); no window, no join against anything data-scaled —
+    * two shuffles on doc-sized keys, the output sort aside.
+    */
+  def dupNgrams(
+      docs: DataFrame, topN: Int = 2, dupN: Int = 5,
+      topThresh: Double = 0.20, dupThresh: Double = 0.15): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens"))
+    // (doc_id, start, gram) for every n-gram, 0-based starts; docs
+    // shorter than n emit nothing (a descending `sequence` guard, the
+    // td16/dd17 edge)
+    def gramsWithPos(df: DataFrame, n: Int): DataFrame =
+      df.select(col("doc_id"), col("n_tokens"),
+          explode(when(size(col("toks")) >= n,
+              sequence(lit(0L), size(col("toks")).cast("long") - n))
+            .otherwise(array().cast("array<bigint>"))).as("start"),
+          col("toks"))
+        .select(col("doc_id"), col("start"),
+          concat_ws(" ",
+            slice(col("toks"), (col("start") + 1).cast("int"), lit(n))).as("gram"))
+    // token positions covered by [s, s+n) over the sorted start list —
+    // dd17's index-lambda membership count, exact integer arithmetic
+    def coverage(starts: Column, n: Int, total: Column): Column =
+      size(filter(sequence(lit(0L), total - 1),
+        p => exists(starts, s => s <= p && p < s + n)))
+    val top = gramsWithPos(t, topN)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"),
+        sort_array(collect_list(col("start"))).as("starts"))
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("gram").as("g"),
+        col("starts").as("st"))).as("m"))
+      .select(col("doc_id"), col("m.g").as("top_gram"),
+        col("m.st").as("top_starts"))
+    val dup = gramsWithPos(t, dupN)
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), collect_list(col("start")).as("starts"))
+      .filter(col("cnt") >= 2)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(flatten(collect_list(col("starts")))).as("dup_starts"))
+    val topFrac = when(col("top_starts").isNotNull,
+        coverage(col("top_starts"), topN, col("n_tokens")))
+      .otherwise(lit(0L)) / nullif(col("n_tokens"), lit(0L))
+    val dupFrac = when(col("dup_starts").isNotNull,
+        coverage(col("dup_starts"), dupN, col("n_tokens")))
+      .otherwise(lit(0L)) / nullif(col("n_tokens"), lit(0L))
+    t.join(top, Seq("doc_id"), "left")
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_gram"),
+        topFrac.as("top2_frac"), dupFrac.as("dup5_frac"))
+      .withColumn("repetitive",
+        col("top2_frac") > topThresh || col("dup5_frac") > dupThresh)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "td16_chunking" -> ((s: SparkSession, d: String) =>
       chunkDocs(Tables.documents(s, d))),
+    "td17_dup_ngrams" -> ((s: SparkSession, d: String) =>
+      dupNgrams(Tables.documents(s, d))),
     "td14_heavy_hitters" -> ((s: SparkSession, d: String) =>
       heavyHitters(Tables.documentsRebalanced(s, d))),
     "td1_text_stats" -> ((s: SparkSession, d: String) => textStats(Tables.documents(s, d))),
@@ -646,6 +731,49 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // identical 0-based gram starts, identical (cnt DESC, gram) argmax,
+    // identical index-lambda coverage count, identical nullif-guarded
+    // single-division fractions — the whole row is exact-arithmetic
+    "td17_dup_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |g2 AS (SELECT doc_id, i,
+         |    array_to_string(toks[i+1:i+2], ' ') AS gram
+         |  FROM b, unnest(CASE WHEN n >= 2 THEN generate_series(0, n - 2)
+         |    ELSE CAST([] AS BIGINT[]) END) u(i)),
+         |c2 AS (SELECT doc_id, gram, count(*) AS cnt,
+         |    list_sort(list(i)) AS starts
+         |  FROM g2 GROUP BY doc_id, gram),
+         |top2 AS (SELECT doc_id, gram, starts FROM (
+         |    SELECT doc_id, gram, starts,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY cnt DESC, gram) AS rn
+         |    FROM c2 WHERE cnt >= 2) WHERE rn = 1),
+         |g5 AS (SELECT doc_id, i,
+         |    array_to_string(toks[i+1:i+5], ' ') AS gram
+         |  FROM b, unnest(CASE WHEN n >= 5 THEN generate_series(0, n - 5)
+         |    ELSE CAST([] AS BIGINT[]) END) u(i)),
+         |c5 AS (SELECT doc_id, gram, count(*) AS cnt, list(i) AS starts
+         |  FROM g5 GROUP BY doc_id, gram),
+         |d5 AS (SELECT doc_id, list_sort(flatten(list(starts))) AS dstarts
+         |  FROM c5 WHERE cnt >= 2 GROUP BY doc_id),
+         |j AS (SELECT b.doc_id, b.n, t2.gram AS top_gram,
+         |    CASE WHEN t2.starts IS NOT NULL THEN
+         |      len(list_filter(range(b.n), p ->
+         |        len(list_filter(t2.starts, s -> s <= p AND p < s + 2)) > 0))
+         |    ELSE 0 END AS cov2,
+         |    CASE WHEN d5.dstarts IS NOT NULL THEN
+         |      len(list_filter(range(b.n), p ->
+         |        len(list_filter(d5.dstarts, s -> s <= p AND p < s + 5)) > 0))
+         |    ELSE 0 END AS cov5
+         |  FROM b LEFT JOIN top2 t2 USING (doc_id)
+         |         LEFT JOIN d5 USING (doc_id))
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, top_gram,
+         |  cov2 / nullif(n, 0) AS top2_frac,
+         |  cov5 / nullif(n, 0) AS dup5_frac,
+         |  (cov2 / nullif(n, 0) > 0.2 OR cov5 / nullif(n, 0) > 0.15)
+         |    AS repetitive
+         |FROM j ORDER BY doc_id""".stripMargin,
     // the identical start sequence (0, step, 2·step … < n_tokens), the
     // identical 1-based inclusive token slice; chunk_id = start / step
     "td16_chunking" ->

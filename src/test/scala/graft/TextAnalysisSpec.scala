@@ -144,6 +144,49 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(frac(4L, "dup_line_frac") === Some(0.0))
   }
 
+  test("td17 dup n-grams: top-2-gram and dup-5-gram coverage, overlaps counted once") {
+    val docs = Seq(
+      // "a b" starts {0,2,4} cover positions 0..5 -> top2 = 6/6 = 1.0;
+      // no 5-gram repeats -> dup5 = 0
+      (1L, "a b a b a b"),
+      // "x y z w v" at starts {0,5}: [0,5)+[5,10) cover all 10 -> dup5 1.0;
+      // every 2-gram "x y".."v x" occurs twice; lexicographic tie-break
+      // picks "v x" (starts {4}? no: "v x" at 4 only) — recompute: grams
+      // "x y"{0,5} "y z"{1,6} "z w"{2,7} "w v"{3,8} "v x"{4} — top cnt=2,
+      // smallest gram "w v" -> covers [3,5)+[8,10) = 4/10 = 0.4
+      (2L, "x y z w v x y z w v"),
+      // overlapping occurrences of the top 2-gram count positions once:
+      // "a a" starts {0,1,2} cover [0,4) = 4/4 = 1.0
+      (3L, "a a a a"),
+      (4L, "only one token repeated never mind"), // all grams unique
+      (5L, "")                                    // zero tokens -> nulls
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.dupNgrams(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, f: String): Option[Double] = {
+      val r = rows(id); val i = r.fieldIndex(f)
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    assert(rows(1L).getString(2) === "a b")
+    assert(d(1L, "top2_frac") === Some(1.0))
+    assert(d(1L, "dup5_frac") === Some(0.0))
+    assert(rows(1L).getBoolean(5) === true)
+    assert(rows(2L).getString(2) === "w v")
+    assert(d(2L, "top2_frac") === Some(0.4))
+    assert(d(2L, "dup5_frac") === Some(1.0))
+    assert(rows(2L).getBoolean(5) === true)
+    assert(rows(3L).getString(2) === "a a")
+    assert(d(3L, "top2_frac") === Some(1.0))
+    // no 2-gram repeats: a single occurrence is not repetition
+    assert(rows(4L).isNullAt(2))
+    assert(d(4L, "top2_frac") === Some(0.0))
+    assert(d(4L, "dup5_frac") === Some(0.0))
+    assert(rows(4L).getBoolean(5) === false)
+    assert(rows(5L).getLong(1) === 0L)
+    assert(d(5L, "top2_frac") === None, "zero tokens must yield null, not NaN")
+    assert(rows(5L).isNullAt(5))
+  }
+
   test("td12 PII scan: crafted emails/IPs/phones are counted and redacted (corpus is PII-free)") {
     import org.apache.spark.sql.functions.{col, md5, lit}
     val docs = Seq(
