@@ -72,9 +72,13 @@ object VectorIndexStream {
     * semantics match sim5 exactly; only WHERE the index came from
     * differs — half of it was built by a streaming query.
     */
-  def sim7StreamIndexMaintain(
-      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
-      kCells: Int = 16, iters: Int = 5, nProbe: Int = 4): DataFrame = {
+  /** Run the maintenance (base segment ensure + streaming delta ingest)
+    * and return the pieces sim7/sim8 serve from: the maintained corpus
+    * (base ∪ delta), the frozen centroid table, and the embeddings.
+    */
+  private def maintainedIndex(
+      spark: SparkSession, sfDir: String, kCells: Int, iters: Int):
+      (DataFrame, DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, sfDir)
     // one scalar count to site the base/stream split — metadata-scale
     val splitAt = emb.count() / 2
@@ -96,17 +100,59 @@ object VectorIndexStream {
     val corpus = base.select(col("neighbor_id"), col("c_emb"), col("cell"))
       .unionByName(delta.select(col("neighbor_id"), col("c_emb"),
         col("cell").cast(base.schema("cell").dataType).as("cell")))
+    (corpus, centroidRows, emb)
+  }
+
+  def sim7StreamIndexMaintain(
+      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
+      kCells: Int = 16, iters: Int = 5, nProbe: Int = 4): DataFrame = {
+    val (corpus, centroidRows, emb) =
+      maintainedIndex(spark, sfDir, kCells, iters)
     Similarity.serveIvf(corpus, centroidRows, emb, nQueries, k, nProbe)
+  }
+
+  /** sim8 — COMPACTION of the maintained index: fold the streaming delta
+    * back into a single cell-partitioned segment and serve from it. The
+    * periodic batch job the segment architecture requires — an unmerged
+    * delta grows one file per micro-batch per cell, and at 100 TB scan
+    * cost scales with FILE count (the sources/Compaction argument; the
+    * delta is a `_spark_metadata` sink dir, which file-level compaction
+    * correctly refuses — index compaction is a REWRITE under the index's
+    * own layout contract, not a file shuffle). One shuffle on the cell
+    * id aligns each cell with one task ⇒ exactly ONE file per cell
+    * (asserted in spec), restoring the base segment's read shape; the
+    * serve tail and therefore the answer are bit-identical to sim7's
+    * (same oracle text — the sim3≡sim4 pattern: compaction changes WHERE
+    * the cells live, never what they contain).
+    */
+  def sim8ServeCompacted(
+      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
+      kCells: Int = 16, iters: Int = 5, nProbe: Int = 4): DataFrame = {
+    val (corpus, centroidRows, emb) =
+      maintainedIndex(spark, sfDir, kCells, iters)
+    val out = new java.io.File(
+      EventStreams.stagingDir("sim8_compacted"), "cells").getAbsolutePath
+    corpus.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    val compacted = spark.read.parquet(out)
+      .select(col("neighbor_id"), col("c_emb"),
+        col("cell").cast(corpus.schema("cell").dataType).as("cell"))
+    Similarity.serveIvf(compacted, centroidRows, emb, nQueries, k, nProbe)
   }
 
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim7_stream_index_maintain" ->
-      ((s: SparkSession, d: String) => sim7StreamIndexMaintain(s, d)))
+      ((s: SparkSession, d: String) => sim7StreamIndexMaintain(s, d)),
+    "sim8_ann_compacted_index" ->
+      ((s: SparkSession, d: String) => sim8ServeCompacted(s, d)))
 
   val oracles: Map[String, String] = Map(
     // the maintained base ∪ delta index re-derived declaratively: Lloyd's
-    // unrolled over the base half, final assignment over everything
-    "sim7_stream_index_maintain" -> Similarity.streamMaintainedIvfSql())
+    // unrolled over the base half, final assignment over everything;
+    // sim8 shares the text verbatim — compaction changes the physical
+    // layout, never the cells (the sim3≡sim4 oracle-sharing pattern)
+    "sim7_stream_index_maintain" -> Similarity.streamMaintainedIvfSql(),
+    "sim8_ann_compacted_index" -> Similarity.streamMaintainedIvfSql())
 }
