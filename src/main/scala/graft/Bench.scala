@@ -5,8 +5,12 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query seconds.
-  * Results are forced through the `noop` sink so the full plan executes
-  * (a bare `count()` lets Catalyst skip projections and UDF-free scans).
+  * Each query is fully executed via `queryExecution.toRdd.count()` — an
+  * RDD-level count over the df's own physical plan, which (unlike a
+  * Dataset `count()`, which Catalyst rewrites to an aggregate that can
+  * skip projections and UDF-free scans) evaluates every operator and
+  * every row, while keeping the adaptive plan handle that gets
+  * fingerprinted identical to the one that ran.
   *
   * Methodology: each query runs once COLD, then `SPARK_GRAFT_BENCH_RUNS−1`
   * more times (default 2 more), and `queries`/`value` report the BEST
@@ -38,15 +42,27 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * exchange) diffs loudly between rounds even when timings are noisy.
   * `tools/benchdiff.py` compares two records.
   *
-  * FINGERPRINT SCHEME 2 (fp_scheme in the record): the md5 is taken over
-  * the canonicalized FINAL adaptive plan — `AdaptiveSparkPlanExec
-  * .executedPlan` read AFTER the noop save has run the query — not the
-  * pre-execution initial plan. With AQE on (this project relies on it),
-  * runtime strategy changes such as a lost AQE-decided broadcast never
-  * touch the initial plan, so scheme 1 could not see exactly the class of
-  * regression the fingerprint exists to catch. Fingerprinting happens
-  * OUTSIDE the timed region, so canonicalization/digest cost is not
-  * charged to any reported number. Canonicalization normalizes exprIds
+  * FINGERPRINT SCHEME 3 (fp_scheme in the record): the md5 is taken over
+  * the canonicalized FINAL adaptive plan of the DataFrame's OWN
+  * QueryExecution, which is also the execution the clock times — the run
+  * drives `df.queryExecution.toRdd.count()` (full evaluation of every
+  * partition through the df's own `AdaptiveSparkPlanExec`, so the
+  * adaptive loop finalizes THAT handle) instead of a `noop` sink save.
+  * Scheme 2 claimed finality but never had it: `df.write.format("noop")
+  * .save()` builds a SEPARATE QueryExecution over the write command, so
+  * `df.queryExecution`'s adaptive plan was never executed and unwrapped
+  * to the still-initial plan — the exact regression class the scheme
+  * existed to catch (an AQE-decided broadcast lost at runtime) stayed
+  * invisible (the r9 plan dumps showed raw Exchange nodes and no
+  * finalized query stages for multi-shuffle queries). With AQE on (this
+  * project relies on it), runtime strategy changes never touch the
+  * initial plan, so only a truly-executed handle can see them.
+  * `toRdd.count()` evaluates rows per-partition and returns only
+  * per-partition counts — no driver-side materialization — and is the
+  * same "execute the whole plan, discard the rows" contract the noop
+  * sink had. Fingerprinting happens OUTSIDE the timed region, so
+  * canonicalization/digest cost is not charged to any reported number.
+  * Canonicalization normalizes exprIds
   * but NOT run-local state — [plan_id=N] tags, cached-RDD ids inside
   * InMemoryRelation, AQE query-stage ids, artifact/checkpoint paths under
   * the run dir, lambda identities — all of which vary across JVMs while
@@ -161,17 +177,21 @@ object Bench {
     val selected = registry.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     val results = selected.map { case (name, fn) =>
-      // Timed region = query construction + full execution via noop sink.
-      // The executed plan handle is returned for fingerprinting AFTER the
-      // clock stops (the finalized adaptive plan is only available once
-      // the save has run, and digest cost must not pollute the number).
+      // Timed region = query construction + full execution driven through
+      // the df's OWN QueryExecution (toRdd.count() — every partition fully
+      // evaluated, nothing shipped to the driver but counts), so the
+      // adaptive plan that gets fingerprinted is the one that actually
+      // ran (see FINGERPRINT SCHEME 3 above). The handle is returned for
+      // fingerprinting AFTER the clock stops — digest cost must not
+      // pollute the number.
       def timed(): Either[String, (Double, SparkPlan)] = {
         val t0 = System.nanoTime()
         try {
           val df = fn(spark, sfDir)
-          df.write.format("noop").mode("overwrite").save()
+          val qe = df.queryExecution
+          qe.toRdd.count()
           val secs = (System.nanoTime() - t0) / 1e9
-          Right((secs, df.queryExecution.executedPlan))
+          Right((secs, qe.executedPlan))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           Left(Option(e.getMessage).getOrElse(e.getClass.getName))
@@ -220,7 +240,7 @@ object Bench {
     // capturer's tail window (round 7's official record lost every
     // per-query number that way); this file is the committable history.
     val recJson =
-      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":2,"env":$envJson,""" +
+      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":3,"env":$envJson,""" +
         s""""n_failed":${results.size - ok.size},""" +
         s""""total_warm":$warmTotal,"total_cold":$coldTotal,""" +
         s""""errors":$errs,"queries":{""" +

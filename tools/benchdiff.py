@@ -3,10 +3,19 @@
 plan-fingerprint changes.
 
 Usage: benchdiff.py <old.json> <new.json> [pct_threshold=30]
+       benchdiff.py --allow-scheme-change <old.json> <new.json> [pct]
 
 Exit 1 if any shared query's plan fingerprint changed (a plan regression
 is a correctness-of-intent signal, not noise); timing deltas are report
 only — wall time in a shared JVM is noisy by nature.
+
+Exit 2 if the two records use different fingerprint schemes and
+--allow-scheme-change was not passed: a scheme transition makes every
+plan_fp incomparable, so a real plan regression landing in the same
+round as a scheme bump would otherwise pass the gate silently behind a
+banner. The flag is the explicit acknowledgement that THIS diff is the
+one scheme-transition round and plan continuity is re-established by
+the new record itself.
 
 Environment sentinel: records carry `env` (system load average at
 start/end, available processors) and per-query `gc_sec`. When the two
@@ -15,18 +24,22 @@ either end-load far above processor count), a LOUD banner flags that
 timing deltas are environment, not code — r8's driver record looked like
 a uniform 1.5x regression and cost a judging session to refute.
 
-Fingerprint schemes: `fp_scheme` 2 hashes the finalized adaptive plan
-(scheme 1 hashed the pre-execution plan, blind to AQE-level changes).
+Fingerprint schemes: `fp_scheme` 3 hashes the truly-finalized adaptive
+plan of the execution that was timed (scheme 2 claimed finality but read
+an adaptive handle a separate noop-write QueryExecution never executed;
+scheme 1 hashed the pre-execution plan, blind to AQE-level changes).
 Records with different schemes have incomparable fingerprints — plan
-diffs are suppressed with a banner instead of producing 100+ false PLAN
-lines.
+diffs are suppressed with a banner, and the run exits 2 unless
+--allow-scheme-change acknowledges the transition.
 """
 import sys, json
 
-old_rec = json.load(open(sys.argv[1]))
-new_rec = json.load(open(sys.argv[2]))
+argv = [a for a in sys.argv[1:] if a != "--allow-scheme-change"]
+allow_scheme_change = "--allow-scheme-change" in sys.argv[1:]
+old_rec = json.load(open(argv[0]))
+new_rec = json.load(open(argv[1]))
 old, new = old_rec["queries"], new_rec["queries"]
-thr = float(sys.argv[3]) if len(sys.argv) > 3 else 30.0
+thr = float(argv[2]) if len(argv) > 2 else 30.0
 
 os_, ns = old_rec.get("fp_scheme", 1), new_rec.get("fp_scheme", 1)
 fp_comparable = os_ == ns
@@ -75,4 +88,8 @@ for name in sorted(set(old) - set(new)):
     print(f"GONE  {name}")
 print(f"-- {len(set(old) & set(new))} shared, {len(plan_changed)} plan changes"
       + ("" if fp_comparable else " (fp schemes differ — plan diff suppressed)"))
+if not fp_comparable and not allow_scheme_change:
+    print("!! exiting 2: pass --allow-scheme-change to acknowledge the "
+          "scheme transition")
+    sys.exit(2)
 sys.exit(1 if plan_changed else 0)
