@@ -640,9 +640,11 @@ object TextAnalysis {
     * that catches looping generation and template spam td6's
     * distinct-token ratio and td10's line hashes both miss.
     *
-    * Coverage is the dd17 position-arithmetic pattern: per (doc, gram)
-    * the sorted start list, per doc the union mass via the index-lambda
-    * count — exact integers end-to-end, and the two fractions are single
+    * Coverage is a linear interval-merge fold over the sorted start
+    * list: equal-length spans mean span i adds least(n, sᵢ − sᵢ₋₁) new
+    * token positions, so union mass is one aggregate() pass per doc
+    * (O(|starts|), never quadratic on repetitive docs) — exact integers
+    * end-to-end, and the two fractions are single
     * correctly-rounded IEEE divisions (q40's lcc argument), so the whole
     * row hash-matches across engines. Zero-token docs give nullif-guarded
     * null fractions (td10's convention).
@@ -672,10 +674,24 @@ object TextAnalysis {
           concat_ws(" ",
             slice(col("toks"), (col("start") + 1).cast("int"), lit(n))).as("gram"))
     // token positions covered by [s, s+n) over the sorted start list —
-    // dd17's index-lambda membership count, exact integer arithmetic
-    def coverage(starts: Column, n: Int, total: Column): Column =
-      size(filter(sequence(lit(0L), total - 1),
-        p => exists(starts, s => s <= p && p < s + n)))
+    // ONE linear interval-merge fold: with starts ascending and all
+    // spans the same length n, the covered prefix after element i−1
+    // ends exactly at starts[i−1] + n, so span i's NEW mass is
+    // least(n, s_i − s_{i−1}) (first span contributes n via the −n
+    // seed). O(|starts|) per doc — the old per-position membership
+    // scan (size(filter(sequence(0..n−1), exists(starts, …)))) was
+    // O(n_tokens × |starts|), which goes quadratic exactly on the
+    // highly repetitive spam docs td17 exists to flag (dup starts →
+    // n_tokens ⇒ one multi-megatoken doc could stall its executor).
+    // Still exact integer arithmetic: gram starts satisfy
+    // s + n ≤ n_tokens, so no end-truncation term exists.
+    def coverage(starts: Column, n: Int): Column =
+      aggregate(starts,
+        struct(lit(-n.toLong).as("p"), lit(0L).as("m")),
+        (acc, s) => struct(s.as("p"),
+          (acc.getField("m") +
+            least(lit(n.toLong), s - acc.getField("p"))).as("m")),
+        acc => acc.getField("m"))
     val top = gramsWithPos(t, topN)
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("cnt"),
@@ -693,10 +709,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(sort_array(flatten(collect_list(col("starts")))).as("dup_starts"))
     val topFrac = when(col("top_starts").isNotNull,
-        coverage(col("top_starts"), topN, col("n_tokens")))
+        coverage(col("top_starts"), topN))
       .otherwise(lit(0L)) / nullif(col("n_tokens"), lit(0L))
     val dupFrac = when(col("dup_starts").isNotNull,
-        coverage(col("dup_starts"), dupN, col("n_tokens")))
+        coverage(col("dup_starts"), dupN))
       .otherwise(lit(0L)) / nullif(col("n_tokens"), lit(0L))
     t.join(top, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"), "left")
@@ -732,8 +748,9 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     // identical 0-based gram starts, identical (cnt DESC, gram) argmax,
-    // identical index-lambda coverage count, identical nullif-guarded
-    // single-division fractions — the whole row is exact-arithmetic
+    // identical linear interval-merge coverage fold (span i adds
+    // least(n, s_i - s_{i-1}); first span adds n), identical
+    // nullif-guarded single-division fractions — exact-arithmetic
     "td17_dup_ngrams" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |b AS (SELECT doc_id, toks, len(toks) AS n FROM t),
@@ -759,12 +776,14 @@ object TextAnalysis {
          |  FROM c5 WHERE cnt >= 2 GROUP BY doc_id),
          |j AS (SELECT b.doc_id, b.n, t2.gram AS top_gram,
          |    CASE WHEN t2.starts IS NOT NULL THEN
-         |      len(list_filter(range(b.n), p ->
-         |        len(list_filter(t2.starts, s -> s <= p AND p < s + 2)) > 0))
+         |      CAST(list_sum(list_transform(t2.starts, (s, i) ->
+         |        CASE WHEN i = 1 THEN 2
+         |             ELSE least(2, s - t2.starts[i-1]) END)) AS BIGINT)
          |    ELSE 0 END AS cov2,
          |    CASE WHEN d5.dstarts IS NOT NULL THEN
-         |      len(list_filter(range(b.n), p ->
-         |        len(list_filter(d5.dstarts, s -> s <= p AND p < s + 5)) > 0))
+         |      CAST(list_sum(list_transform(d5.dstarts, (s, i) ->
+         |        CASE WHEN i = 1 THEN 5
+         |             ELSE least(5, s - d5.dstarts[i-1]) END)) AS BIGINT)
          |    ELSE 0 END AS cov5
          |  FROM b LEFT JOIN top2 t2 USING (doc_id)
          |         LEFT JOIN d5 USING (doc_id))
