@@ -306,6 +306,26 @@ object Similarity {
     * and collects k × dim values to the driver — centroid-scale, never
     * data-scale. Iterations are driver-looped like dd8's rounds.
     */
+  /** SemDeDup/IVF's scaling contract is k ∝ n — cells stay ~bounded at
+    * `targetCellSize` vectors however big the corpus grows, so the
+    * within-cell quadratic (dd16) and the per-probe scan (sim5/sim7)
+    * stay constant-cost. A FIXED k breaks that silently: at 100× the
+    * corpus every cell is 100× bigger and the "bounded" scans aren't.
+    * These two defaults are part of every derived-k oracle text
+    * ([[lloydCellsSql]] re-derives k with the same integer ceil-div in
+    * SQL), so they cannot drift between engines.
+    */
+  val DefaultTargetCellSize = 1024L
+  val DefaultMinKCells = 16
+
+  /** k = max(minK, ⌈n / targetCellSize⌉) — exact integer ceil-division,
+    * identical in both engines (`greatest(minK, (count(*)+t-1) // t)`).
+    */
+  def deriveKCells(
+      n: Long, targetCellSize: Long = DefaultTargetCellSize,
+      minK: Int = DefaultMinKCells): Int =
+    math.max(minK.toLong, (n + targetCellSize - 1) / targetCellSize).toInt
+
   def kmeansCentroids(
       emb: DataFrame, k: Int = 16, iters: Int = 5): Seq[(Int, Seq[Double])] = {
     val spark = emb.sparkSession
@@ -411,10 +431,17 @@ object Similarity {
     */
   private[graft] def ensureLearnedIvf(
       spark: SparkSession, sfDir: String, kCells: Int, iters: Int,
-      baseSplit: Option[Long] = None): String = {
+      baseSplit: Option[Long] = None,
+      targetCellSize: Long = DefaultTargetCellSize): String = {
     val emb0 = Tables.embeddings(spark, sfDir)
     val emb = baseSplit.map(s => emb0.filter(col("vec_id") < s)).getOrElse(emb0)
-    val path = learnedIvfPath(sfDir, kCells, iters, baseSplit)
+    // kCells <= 0 ⇒ derive k from the TRAINING subset's cardinality so
+    // cell sizes stay ~targetCellSize at any corpus scale (one
+    // metadata-scale count; the oracle derives the identical k in SQL)
+    val k =
+      if (kCells > 0) kCells
+      else deriveKCells(emb.count(), targetCellSize)
+    val path = learnedIvfPath(sfDir, k, iters, baseSplit)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
     val spec = "kmeans-lloyd-v2 init=lowest-ids ties=cid means=qfloor-1e12" +
       baseSplit.map(s => s" base<$s").getOrElse("") +
@@ -427,7 +454,7 @@ object Similarity {
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
       if (!fresh) {
         import spark.implicits._
-        val centroids = kmeansCentroids(emb, kCells, iters)
+        val centroids = kmeansCentroids(emb, k, iters)
         centroids.toDF("cid", "cvec")
           .write.mode("overwrite").parquet(s"$path/centroids")
         assignCells(
@@ -437,6 +464,20 @@ object Similarity {
             col("cell"))
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+        // oversized-cell guard: derived k bounds the MEAN cell at
+        // targetCellSize, but a degenerate corpus (all vectors alike) can
+        // still concentrate mass in one cell. Surface it loudly — the
+        // remedy at scale is retraining with a larger k or splitting the
+        // hot cell, both batch jobs over this same entry point. One
+        // centroid-scale aggregate over the just-written index.
+        val maxCell = spark.read.parquet(s"$path/cells")
+          .groupBy(col("cell")).count()
+          .agg(max(col("count"))).head.getLong(0)
+        if (kCells <= 0 && maxCell > 4 * targetCellSize)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"[graft] learned IVF $path: largest cell $maxCell > " +
+              s"4x targetCellSize $targetCellSize — corpus is skewed; " +
+              "retrain with larger k or split the hot cell")
         java.nio.file.Files.write(specFile.toPath, spec.getBytes)
         if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
       }
@@ -491,9 +532,11 @@ object Similarity {
     */
   def ivfAnnLearned(
       spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
-      kCells: Int = 16, iters: Int = 5, nProbe: Int = 4): DataFrame = {
+      kCells: Int = 0, iters: Int = 5, nProbe: Int = 4,
+      targetCellSize: Long = DefaultTargetCellSize): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val path = ensureLearnedIvf(spark, sfDir, kCells, iters)
+    val path = ensureLearnedIvf(spark, sfDir, kCells, iters,
+      targetCellSize = targetCellSize)
     val corpus = spark.read.parquet(s"$path/cells")
     val centroidsDf = spark.read.parquet(s"$path/centroids")
       .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
@@ -505,8 +548,12 @@ object Similarity {
     * then search for near-duplicates ONLY within each cluster — the
     * clustering turns the O(n²) all-pairs cosine scan into k independent
     * within-cell scans, which is the entire scaling trick of
-    * embedding-level dedup at LAION/100 TB scale (k grows with the corpus
-    * so cells stay bounded; here k=16 over the test corpus). A vector is
+    * embedding-level dedup at LAION/100 TB scale — and since round 10 k
+    * actually GROWS with the corpus: k = max(16, ⌈n/1024⌉) derived from
+    * one metadata-scale count ([[deriveKCells]]; 16 at the staged test
+    * scales, ~98 at the 50× rehearsal), so cells stay ~1024 vectors and
+    * the within-cell quadratic stays constant-cost at any scale. A
+    * vector is
     * PRUNED when a lower-id member of its own cell sits at cosine ≥ τ;
     * the emitted row names the closest such keeper (ties to the lower
     * id), its cell, and the cosine — the drop-list a corpus emit
@@ -519,18 +566,22 @@ object Similarity {
     * portable quantized Lloyd's ([[kmeansCentroids]]), the within-cell
     * join is id-ordered, and the cosine is the same unit-vector dot dd6/
     * dd7 already hash-gate — the DuckDB twin re-runs the unrolled Lloyd's
-    * and reproduces every pruned row bit-for-bit.
+    * (deriving the identical k from the identical count) and reproduces
+    * every pruned row bit-for-bit.
     *
     * Plan shape: cells artifact (partitioned scan) → unitize → self-join
     * on cell (k keys; each side shuffles once on the cell id, cell sizes
-    * ≈ n/k) → per-pair dot → per-pruned-vector argmax — no all-pairs
-    * stage anywhere; the within-cell quadratic is the algorithm's knob
-    * (cell size is capped by growing k with the corpus).
+    * ≈ targetCellSize by construction) → per-pair dot → per-pruned-vector
+    * argmax — no all-pairs stage anywhere; the within-cell quadratic is
+    * bounded because k scales with the corpus, with the oversized-cell
+    * guard in [[ensureLearnedIvf]] flagging degenerate skew.
     */
   def semanticDedup(
       spark: SparkSession, sfDir: String, tau: Double = 0.4,
-      kCells: Int = 16, iters: Int = 5): DataFrame = {
-    val path = ensureLearnedIvf(spark, sfDir, kCells, iters)
+      kCells: Int = 0, iters: Int = 5,
+      targetCellSize: Long = DefaultTargetCellSize): DataFrame = {
+    val path = ensureLearnedIvf(spark, sfDir, kCells, iters,
+      targetCellSize = targetCellSize)
     val cells = spark.read.parquet(s"$path/cells")
     // unitize the indexed vectors (norm materialized once — see unitized)
     val u = cells
@@ -922,17 +973,29 @@ object Similarity {
     * Shared by the sim5/sim7/dd16 oracles so the Lloyd's text exists once.
     */
   private def lloydCellsSql(
-      kCells: Int, iters: Int, dim: Int, trainWhere: String): String = {
+      kCells: Int, iters: Int, dim: Int, trainWhere: String,
+      targetCellSize: Long = DefaultTargetCellSize,
+      minK: Int = DefaultMinKCells): String = {
     // qround(y) = sign(y)·⌊|y|+0.5⌋ on the 1e-12-scaled component — the
     // shared portable rounding (see qround's scaladoc)
     def qr(e: String) =
       s"sign($e * 1000000000000.0) * floor(abs($e * 1000000000000.0) + 0.5)"
+    // kCells <= 0 ⇒ the oracle derives k from the SAME training-subset
+    // count with the SAME integer ceil-division as deriveKCells — the
+    // parameters stay locked because this text is generated from them
+    val kExpr =
+      if (kCells > 0) kCells.toString
+      else
+        s"(SELECT greatest($minK, (count(*) + ${targetCellSize - 1}) // " +
+          s"$targetCellSize) FROM et)"
     val base =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |et AS (SELECT vec_id, v FROM e $trainWhere),
          |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          |    v AS c
-         |  FROM (SELECT vec_id, v FROM et ORDER BY vec_id LIMIT $kCells))""".stripMargin
+         |  FROM (SELECT vec_id, v,
+         |      row_number() OVER (ORDER BY vec_id) AS krn FROM et)
+         |  WHERE krn <= $kExpr)""".stripMargin
     // one assignment + one centroid-update CTE pair per Lloyd iteration
     // (training rows only); the (i = iters+1) assignment is the full
     // corpus under the FINAL centroids
@@ -985,7 +1048,7 @@ object Similarity {
        |$verifyRankSql""".stripMargin
 
   private def learnedIvfSql(
-      kCells: Int = 16, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
+      kCells: Int = 0, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
       k: Int = 5, nProbe: Int = 4, trainWhere: String = ""): String =
     s"""${lloydCellsSql(kCells, iters, dim, trainWhere)},
        |${ivfServeSql(iters, nQueries, nProbe)}""".stripMargin
@@ -997,7 +1060,7 @@ object Similarity {
     * declaratively.
     */
   private[graft] def streamMaintainedIvfSql(
-      kCells: Int = 16, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
+      kCells: Int = 0, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
       k: Int = 5, nProbe: Int = 4): String =
     learnedIvfSql(kCells, iters, dim, nQueries, k, nProbe,
       trainWhere = "WHERE vec_id < (SELECT count(*) // 2 FROM embeddings)")
@@ -1008,7 +1071,7 @@ object Similarity {
     * keeper (ties to the lower id).
     */
   private def semanticDedupSql(
-      tau: Double = 0.4, kCells: Int = 16, iters: Int = 5,
+      tau: Double = 0.4, kCells: Int = 0, iters: Int = 5,
       dim: Int = 64): String =
     s"""${lloydCellsSql(kCells, iters, dim, "")},
        |u AS (SELECT vec_id,

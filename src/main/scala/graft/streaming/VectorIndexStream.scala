@@ -76,7 +76,7 @@ object VectorIndexStream {
     * and return the pieces sim7/sim8 serve from: the maintained corpus
     * (base ∪ delta), the frozen centroid table, and the embeddings.
     */
-  private def maintainedIndex(
+  private[streaming] def maintainedIndex(
       spark: SparkSession, sfDir: String, kCells: Int, iters: Int):
       (DataFrame, DataFrame, DataFrame) = {
     val emb = Tables.embeddings(spark, sfDir)
@@ -105,7 +105,7 @@ object VectorIndexStream {
 
   def sim7StreamIndexMaintain(
       spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
-      kCells: Int = 16, iters: Int = 5, nProbe: Int = 4): DataFrame = {
+      kCells: Int = 0, iters: Int = 5, nProbe: Int = 4): DataFrame = {
     val (corpus, centroidRows, emb) =
       maintainedIndex(spark, sfDir, kCells, iters)
     Similarity.serveIvf(corpus, centroidRows, emb, nQueries, k, nProbe)
@@ -127,7 +127,7 @@ object VectorIndexStream {
     */
   def sim8ServeCompacted(
       spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
-      kCells: Int = 16, iters: Int = 5, nProbe: Int = 4): DataFrame = {
+      kCells: Int = 0, iters: Int = 5, nProbe: Int = 4): DataFrame = {
     val (corpus, centroidRows, emb) =
       maintainedIndex(spark, sfDir, kCells, iters)
     val out = new java.io.File(

@@ -122,6 +122,39 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("derived k: k = max(16, ceil(n/target)) scales with the corpus, end-to-end at k > 16") {
+    // the formula — exact integer ceil-division, the oracle's twin
+    assert(Similarity.deriveKCells(1) === 16)
+    assert(Similarity.deriveKCells(16 * 1024) === 16)
+    assert(Similarity.deriveKCells(16 * 1024 + 1) === 17)
+    assert(Similarity.deriveKCells(1024L * 1000) === 1000)
+    assert(Similarity.deriveKCells(500, targetCellSize = 20) === 25)
+    // end-to-end with the derivation FORCED past the minimum: 500
+    // vectors at targetCellSize=20 ⇒ k=25 — the trained artifact must
+    // carry 25 centroids and the serve must stay correct + deterministic
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count()
+    val k = Similarity.deriveKCells(n, targetCellSize = 20)
+    assert(k > 16, s"test corpus too small to force a derived k: n=$n")
+    val rows = Similarity.ivfAnnLearned(spark, sf001, targetCellSize = 20)
+      .collect()
+    val centroids = spark.read.parquet(
+      s"${Similarity.learnedIvfPath(sf001, k, 5)}/centroids")
+    assert(centroids.count() === k.toLong,
+      s"artifact must hold the derived $k centroids")
+    val again = Similarity.ivfAnnLearned(spark, sf001, targetCellSize = 20)
+      .collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // recall floor vs exact: more, smaller cells with the same probe
+    // budget — the floor holds (same gate as the default-k test)
+    val exact = Similarity.topkExact(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"derived-k recall $recall at 4/$k cells probed")
+    info(f"derived-k (k=$k) recall at 4/$k cells: $recall%.2f")
+  }
+
   test("dd7 LSH near-dups: no false positives, recall >= 0.85 vs dd6 exact") {
     val emb = Tables.embeddings(spark, sf001)
     // dd6's ground truth lives on the bounded deterministic sample (the
