@@ -111,6 +111,56 @@ object VectorIndexStream {
     Similarity.serveIvf(corpus, centroidRows, emb, nQueries, k, nProbe)
   }
 
+  /** Canonical location of the COMPACTED segment artifact (`kd` = the
+    * cell count is derived from the corpus, [[Similarity.deriveKCells]]).
+    * Durable under target/ like [[Similarity.learnedIvfPath]] — a serve
+    * path must outlive the process-scoped stream staging dirs.
+    */
+  private[graft] def compactedIndexPath(
+      sfDir: String, kCells: Int, iters: Int): String = {
+    val kTag = if (kCells > 0) kCells.toString else "d"
+    s"${sys.props("user.dir")}/target/ivf/${new java.io.File(sfDir).getName}" +
+      s"/compacted_k${kTag}_i$iters"
+  }
+
+  /** Build (or reuse) the compacted segment under the staging lock,
+    * keyed on (params, embeddings source stamp) — the same staleness
+    * contract as the base artifact, so a serve against an unchanged
+    * corpus is READ-ONLY: no stream drain, no rewrite (round 9 rewrote
+    * the segment on every call, which is not a serve path's 100×
+    * shape). Only when the stamp is stale does it run the maintenance
+    * pipeline (base ensure + streaming delta ingest) and fold base ∪
+    * delta into one cell-partitioned segment: one shuffle on the cell
+    * id aligns each cell with one task ⇒ exactly ONE file per cell
+    * (asserted in spec), restoring the base segment's read shape.
+    */
+  private def ensureCompactedIndex(
+      spark: SparkSession, sfDir: String, kCells: Int, iters: Int): String = {
+    val path = compactedIndexPath(sfDir, kCells, iters)
+    val source = new java.io.File(Tables.path(sfDir, "embeddings"))
+    val spec = s"sim8-compacted-v1 k=$kCells iters=$iters half-split\n" +
+      graft.sources.Staging.sourceStamp(Seq(source))
+    // lock the artifact's OWN dir, not the shared target/ivf/<sf> root:
+    // a stale build nests ensureLearnedIvf (via maintainedIndex), which
+    // locks that root — two lock() calls on one file in one JVM throw
+    // OverlappingFileLockException. Lock order is strictly compacted →
+    // base (the base path never locks the compacted one), so no cycle.
+    graft.sources.Staging.withExclusiveLock(new java.io.File(path)) {
+      val marker = new java.io.File(s"$path/_marker")
+      val specFile = new java.io.File(s"$path/_graft_spec")
+      val fresh = marker.exists() && specFile.exists() &&
+        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
+      if (!fresh) {
+        val (corpus, _, _) = maintainedIndex(spark, sfDir, kCells, iters)
+        corpus.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
+        if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
+      }
+    }
+    path
+  }
+
   /** sim8 — COMPACTION of the maintained index: fold the streaming delta
     * back into a single cell-partitioned segment and serve from it. The
     * periodic batch job the segment architecture requires — an unmerged
@@ -118,25 +168,26 @@ object VectorIndexStream {
     * cost scales with FILE count (the sources/Compaction argument; the
     * delta is a `_spark_metadata` sink dir, which file-level compaction
     * correctly refuses — index compaction is a REWRITE under the index's
-    * own layout contract, not a file shuffle). One shuffle on the cell
-    * id aligns each cell with one task ⇒ exactly ONE file per cell
-    * (asserted in spec), restoring the base segment's read shape; the
-    * serve tail and therefore the answer are bit-identical to sim7's
-    * (same oracle text — the sim3≡sim4 pattern: compaction changes WHERE
-    * the cells live, never what they contain).
+    * own layout contract, not a file shuffle). The segment is a
+    * build-once LOCKED ARTIFACT ([[ensureCompactedIndex]]): a repeat
+    * serve touches nothing but parquet reads — centroids from the base
+    * artifact, cells from the compacted one. The serve tail and
+    * therefore the answer are bit-identical to sim7's (same oracle
+    * text — the sim3≡sim4 pattern: compaction changes WHERE the cells
+    * live, never what they contain).
     */
   def sim8ServeCompacted(
       spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
       kCells: Int = 0, iters: Int = 5, nProbe: Int = 4): DataFrame = {
-    val (corpus, centroidRows, emb) =
-      maintainedIndex(spark, sfDir, kCells, iters)
-    val out = new java.io.File(
-      EventStreams.stagingDir("sim8_compacted"), "cells").getAbsolutePath
-    corpus.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(out)
-    val compacted = spark.read.parquet(out)
-      .select(col("neighbor_id"), col("c_emb"),
-        col("cell").cast(corpus.schema("cell").dataType).as("cell"))
+    val emb = Tables.embeddings(spark, sfDir)
+    val splitAt = emb.count() / 2 // metadata-scale, same split as sim7
+    val basePath =
+      Similarity.ensureLearnedIvf(spark, sfDir, kCells, iters, Some(splitAt))
+    val compactedPath = ensureCompactedIndex(spark, sfDir, kCells, iters)
+    val centroidRows = spark.read.parquet(s"$basePath/centroids")
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
+    val compacted = spark.read.parquet(s"$compactedPath/cells")
+      .select(col("neighbor_id"), col("c_emb"), col("cell").cast("int").as("cell"))
     Similarity.serveIvf(compacted, centroidRows, emb, nQueries, k, nProbe)
   }
 

@@ -72,6 +72,41 @@ class VectorIndexStreamSpec extends AnyFunSuite with SparkFixture {
     assert(path !== Similarity.learnedIvfPath(sf001, 16, 5))
   }
 
+  test("sim8: compacted segment is a build-once locked artifact — repeat serve is read-only, one file per cell, bit-identical to sim7") {
+    val got = VectorIndexStream.sim8ServeCompacted(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val viaSim7 = VectorIndexStream.sim7StreamIndexMaintain(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(got === viaSim7) // compaction changes layout, never the answer
+    // artifact layout contract: exactly ONE data file per cell dir
+    val cellsDir = new java.io.File(
+      VectorIndexStream.compactedIndexPath(sf001, 0, 5), "cells")
+    val cellDirs = cellsDir.listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName}: ${files.length} files — compaction must restore one-file-per-cell")
+    }
+    // READ-ONLY repeat serve: nothing under the artifact is rewritten
+    // (round 9 rewrote the whole segment per call)
+    def stamps(f: java.io.File): Map[String, Long] = {
+      def walk(x: java.io.File): Seq[java.io.File] =
+        if (x.isDirectory)
+          Option(x.listFiles).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(x)
+      walk(f).map(x => x.getPath -> x.lastModified()).toMap
+    }
+    val artifactRoot = new java.io.File(
+      VectorIndexStream.compactedIndexPath(sf001, 0, 5))
+    val before = stamps(artifactRoot)
+    val again = VectorIndexStream.sim8ServeCompacted(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(again === got)
+    assert(stamps(artifactRoot) === before,
+      "repeat serve must not rewrite the compacted artifact")
+  }
+
   test("dd16 semantic dedup: prune list re-derived from first principles, deterministic") {
     val tau = 0.4
     val got = Similarity.semanticDedup(spark, sf001).collect()
