@@ -176,25 +176,21 @@ object Dedup {
     * scales with bucket sizes, not docs². Candidate recall against dd3's
     * exact Jaccard pairs is asserted in `DedupSpec`.
     */
-  def minhashCandidates(
-      docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8,
-      maxBucket: Int = 1024): DataFrame = {
+  /** The banded posting lists dd4 emits pairs from — shared with the
+    * cap-headroom probe [[maxBandBucket]] so the guard audits the exact
+    * pipeline that runs. Same linear shape as dd3/dd5: bucket posting
+    * lists + map-side pair emission instead of a banded self-join (which
+    * would compute the signature subtree twice and shuffle both sides).
+    * The bucket key is the band's CONTENT (the `rows` minima,
+    * comma-joined — ~40 bytes), not a hash of it: two docs share a band
+    * iff their minima actually agree (no collision false-positives), and
+    * a SQL oracle reproduces the key without needing Spark's xxhash64.
+    */
+  private def bandBucketLists(
+      docs: DataFrame, k: Int, n: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    // Filter BEFORE the signature on the cheap equivalent predicate
-    // (≥ n tokens ⟺ non-empty shingle set). Filtering on size(sig) after
-    // the fact looks identical but is a trap: predicate pushdown moves it
-    // below the projections and re-inlines the whole k-permutation
-    // signature expression into the Filter condition — doubling the
-    // dominant per-row cost.
     val sigs = minhashSignatures(docs.filter(size(tokens(col("text"))) >= n), k, n)
-    // Same linear shape as dd3/dd5: bucket posting lists + map-side pair
-    // emission instead of a banded self-join (which would compute the
-    // signature subtree twice and shuffle both sides). The bucket key is
-    // the band's CONTENT (the `rows` minima, comma-joined — ~40 bytes),
-    // not a hash of it: two docs share a band iff their minima actually
-    // agree (no collision false-positives), and a SQL oracle reproduces
-    // the key without needing Spark's xxhash64.
     val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(
@@ -202,15 +198,43 @@ object Dedup {
         b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val lists = banded.groupBy(col("band"), col("band_hash"))
+    banded.groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_list(struct(col("doc_id"), lit(0L)))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(col("ds"))
+  }
+
+  /** Largest band bucket over `docs` — the dd4 cap-divergence probe.
+    * Above `maxBucket` the hub-and-spoke cap intentionally changes
+    * output semantics (non-hub pairs dropped) while the DuckDB oracle
+    * still computes the full combination set, so every ORACLE-GATED
+    * scale must sit below the cap with headroom; DedupSpec asserts it
+    * per gated sf, making a corpus that outgrows the cap a loud spec
+    * failure instead of a mysterious hash mismatch.
+    */
+  private[graft] def maxBandBucket(
+      docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8): Long =
+    bandBucketLists(docs, k, n, bands)
+      .agg(coalesce(max(size(col("ds"))), lit(0))).head.getInt(0).toLong
+
+  def minhashCandidates(
+      docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8,
+      maxBucket: Int = 1024): DataFrame = {
+    // Filter BEFORE the signature on the cheap equivalent predicate
+    // (≥ n tokens ⟺ non-empty shingle set). Filtering on size(sig) after
+    // the fact looks identical but is a trap: predicate pushdown moves it
+    // below the projections and re-inlines the whole k-permutation
+    // signature expression into the Filter condition — doubling the
+    // dominant per-row cost.
+    val lists = bandBucketLists(docs, k, n, bands)
     // Skew guard: a band bucket larger than maxBucket (a megacluster of
     // near-identical docs) emits a hub-and-spoke star instead of all
     // B²/2 combinations — connectivity for the downstream cluster
     // collapse is preserved, emission stays linear, and below the cap
-    // (every benign corpus at the tested scales) output is identical.
+    // (every benign corpus at the tested scales — PROVED per gated
+    // scale by DedupSpec's cap-headroom gate, since above it the
+    // DuckDB oracle's full combination set would diverge) output is
+    // identical.
     lists.select(explode(call_function("pair_combs", col("ds"), lit(maxBucket))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))

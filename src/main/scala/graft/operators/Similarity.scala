@@ -679,6 +679,33 @@ object Similarity {
     * (cos ≥ 0.8, p ≥ 0.8) the same bands give recall > 0.9999 with
     * sharply bounded candidate volume — the regime this operator targets.
     */
+  /** The (band, bucket) posting lists dd7 emits pairs from — shared with
+    * the cap-headroom probe [[maxLshBucket]] so the guard audits the
+    * exact pipeline that runs.
+    */
+  private def lshBucketLists(
+      emb: DataFrame, nBands: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val banded = emb.select(
+      col("vec_id"),
+      posexplode(lshBuckets(col("embedding"), nBands, nPlanes, dim))
+        .as(Seq("band", "bucket")))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), lit(0L)))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"))
+  }
+
+  /** Largest LSH bucket over `emb` — the dd7 cap-divergence probe (see
+    * [[graft.operators.Dedup.maxBandBucket]]'s rationale): oracle-gated
+    * scales must sit below the hub-and-spoke cap with headroom, asserted
+    * per gated sf in SimilaritySpec.
+    */
+  private[graft] def maxLshBucket(
+      emb: DataFrame, nBands: Int = 24, nPlanes: Int = 4,
+      dim: Int = 64): Long =
+    lshBucketLists(emb, nBands, nPlanes, dim)
+      .agg(coalesce(max(size(col("ds"))), lit(0))).head.getInt(0).toLong
+
   def embedNearDupsLsh(
       emb: DataFrame, minCosine: Double = 0.4,
       nBands: Int = 24, nPlanes: Int = 4, dim: Int = 64,
@@ -687,22 +714,18 @@ object Similarity {
     // posting lists (one shuffle) + map-side pair_combs emission — a
     // banded self-join would compute the signature subtree twice and
     // shuffle both sides.
-    val banded = emb.select(
-      col("vec_id"),
-      posexplode(lshBuckets(col("embedding"), nBands, nPlanes, dim))
-        .as(Seq("band", "bucket")))
-    val lists = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), lit(0L)))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(col("ds"))
+    val lists = lshBucketLists(emb, nBands, nPlanes, dim)
     // Skew guard (dd3's maxDf idea at the bucket level): a bucket larger
     // than maxBucket — millions of identical vectors all hashing to one
     // (band, bucket) — emits a hub-and-spoke star over its minimum
     // vec_id instead of all B²/2 combinations, so one adversarial bucket
     // can neither OOM an executor nor emit quadratic candidates. Below
-    // the cap (all tested benign scales: max bucket ≈ 200 at sf0.1)
-    // output is identical and the oracle hash is unaffected; the cluster
-    // stays connected through the hub for downstream collapse.
+    // the cap output is identical and the oracle hash is unaffected —
+    // which holds ONLY below the cap (the oracle computes the full
+    // combination set), so SimilaritySpec's cap-headroom gate PROVES
+    // every oracle-gated scale sits under it (max bucket ≈ 200 at
+    // sf0.1); the cluster stays connected through the hub for
+    // downstream collapse.
     val pairs = lists
       .select(explode(call_function("pair_combs", col("ds"), lit(maxBucket))).as("p"))
       .select(col("p.doc_a").as("vec_a"), col("p.doc_b").as("vec_b"))

@@ -89,6 +89,22 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.95, s"minhash recall $recall over ${exact.size} exact pairs")
   }
 
+  test("dd4 cap headroom: max band bucket sits below maxBucket=1024 at every oracle-gated scale") {
+    // Above the cap the hub-and-spoke emission intentionally drops
+    // non-hub pairs while the DuckDB oracle computes the FULL
+    // combination set — the hash gate would fail loudly. This gate
+    // proves each oracle-gated corpus sits under the cap with 2x
+    // headroom, so a corpus drifting toward divergence trips a
+    // readable spec failure first.
+    for (dir <- Seq(sf001, "/root/testdata/sf0.01")) {
+      val m = Dedup.maxBandBucket(Tables.documentsRebalanced(spark, dir))
+      assert(m <= 1024 / 2,
+        s"$dir: max band bucket $m is within 2x of the 1024 cap — " +
+          "dd4/dd15's oracles (full combinations) diverge above it")
+      info(s"$dir: max dd4 band bucket = $m (cap 1024)")
+    }
+  }
+
   test("dd15 verified pairs == dd3's exact pairs restricted to dd4's candidates") {
     val docs = Tables.documents(spark, sf001)
     val exact = Dedup.ngramJaccardPairs(docs).collect()

@@ -180,6 +180,18 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.85, s"dd7 recall $recall over ${exact.size} pairs")
   }
 
+  test("dd7 cap headroom: max LSH bucket sits below maxBucket=1024 at every oracle-gated scale") {
+    // the dd4 gate's twin (see DedupSpec): above the cap dd7's
+    // hub-and-spoke output diverges from the oracle's full combinations
+    for (dir <- Seq(sf001, "/root/testdata/sf0.01")) {
+      val m = Similarity.maxLshBucket(Tables.embeddings(spark, dir))
+      assert(m <= 1024 / 2,
+        s"$dir: max LSH bucket $m is within 2x of the 1024 cap — " +
+          "dd7's oracle (full combinations) diverges above it")
+      info(s"$dir: max dd7 LSH bucket = $m (cap 1024)")
+    }
+  }
+
   test("dd7 skew cap: 10k identical vectors emit a linear star, not B^2/2 pairs") {
     import spark.implicits._
     // Adversarial megacluster: identical vectors land in ONE bucket per
