@@ -7,10 +7,12 @@ import graft.sources.Tables
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs.
   *
-  * PNG payloads get a REAL pixel decode (pure-JVM ImageIO — no native
-  * codec needed) inside the `mapPartitions` seam; other formats fall back
-  * to a deterministic stub derived from the bytes (this container carries
-  * no JPEG/video codecs). Everything Spark-side — schema, batch shape,
+  * PNG and JPEG payloads get a REAL pixel decode (pure-JVM ImageIO — no
+  * native codec needed) inside the `mapPartitions` seam; other formats
+  * fall back to a deterministic stub derived from the bytes (this
+  * container carries no video/audio codecs, and GIF deliberately stays
+  * header-only in mm2 — its printable-ASCII magic could occur in prose,
+  * see `isJpeg`). Everything Spark-side — schema, batch shape,
   * partition sizing, the metadata contract — is real either way, and the
   * `decoded` flag says per row which path ran. In production the stub
   * branch is replaced by the remaining codec calls inside the same
@@ -55,18 +57,30 @@ object Multimodal {
     bytes.length >= PngMagic.length &&
       java.util.Arrays.equals(bytes, 0, PngMagic.length, PngMagic, 0, PngMagic.length)
 
+  /** JFIF/EXIF JPEG: FF D8 FF — like PNG's 0x89, 0xFF is an invalid
+    * UTF-8 lead byte, so this branch is PROVABLY dead on a prose corpus
+    * (the mm2 oracle's all-stub assumption stays a proof, not a
+    * probability — which is why GIF, whose magic is printable ASCII,
+    * deliberately stays header-only in mm2).
+    */
+  private def isJpeg(bytes: Array[Byte]): Boolean =
+    bytes.length >= 3 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte &&
+      bytes(2) == 0xFF.toByte
+
   /** Decode stage: binary → [[AssetMeta]] via `mapPartitions`, the shape a
     * real codec needs (per-partition init, streaming iterator, no
-    * collect). PNG payloads are HONESTLY decoded with the JDK's pure-Java
-    * ImageIO PNG reader: real width/height/channels plus a digest of the
-    * materialized ARGB pixel stream (`decoded = true`). Everything else —
-    * and any PNG the reader rejects — takes the deterministic stub branch
+    * collect). PNG and JPEG payloads are HONESTLY decoded with the JDK's
+    * pure-Java ImageIO readers (JPEG: baseline and progressive via the
+    * JDK reader; CMYK/exotic streams it rejects fall back to the stub):
+    * real width/height/channels plus a digest of the materialized ARGB
+    * pixel stream (`decoded = true`). Everything else — GIF included,
+    * see [[isJpeg]] for why — takes the deterministic stub branch
     * (`decoded = false`), which is where the remaining production codecs
-    * plug in. The driver's corpus is UTF-8 prose (0x89 cannot start a
-    * UTF-8 string), so its oracle sees only stub rows; the PNG branch is
-    * exercised on real crafted bytes with a golden-pixel digest in
-    * MultimodalSpec — the same split mm5/mm6 use for their header
-    * parsers.
+    * plug in. The driver's corpus is UTF-8 prose (neither 0x89 nor 0xFF
+    * can start a UTF-8 string), so its oracle sees only stub rows; the
+    * PNG and JPEG branches are exercised on real crafted bytes with
+    * golden-pixel digests in MultimodalSpec — the same split mm5/mm6 use
+    * for their header parsers.
     */
   def decodeAssets(
       docs: DataFrame,
@@ -85,9 +99,14 @@ object Multimodal {
         it.map { case (id, bytes) =>
           val contentMd5 = { md.reset(); hexOf(md.digest(bytes)) }
           val img =
-            if (isPng(bytes))
+            if (isPng(bytes) || isJpeg(bytes))
+              // NonFatal, not just IOException: ImageIO's JPEG reader
+              // throws unchecked errors on exotic/corrupt streams (CMYK
+              // without an embedded profile, truncated scans) — any
+              // undecodable payload must land in the stub branch, never
+              // kill the task
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             else null
           if (img != null) {
             // row-major, big-endian ARGB — a deterministic pixel digest
@@ -297,10 +316,10 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS stub_width,
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS BIGINT) AS stub_height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // the corpus is UTF-8 prose: PNG's 0x89 lead byte cannot occur, so
-    // every row takes the stub branch (decoded = false, NULL pixel
-    // digest); the real ImageIO branch is golden-pixel-tested in
-    // MultimodalSpec
+    // the corpus is UTF-8 prose: neither PNG's 0x89 nor JPEG's 0xFF
+    // lead byte can occur, so every row PROVABLY takes the stub branch
+    // (decoded = false, NULL pixel digest); the real ImageIO PNG/JPEG
+    // branches are golden-pixel-tested in MultimodalSpec
     "mm2_decode_assets" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

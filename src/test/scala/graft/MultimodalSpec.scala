@@ -224,4 +224,49 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(!s.decoded && s.pixel_md5 == null)
     assert(s.width === (s.byte_len % 64 + 16) && s.channels === 3)
   }
+
+  test("mm2 golden pixels: a real baseline JPEG decodes through the same seam; GIF stays stub by design") {
+    import spark.implicits._
+    // Craft a real 5×3 JPEG through ImageIO. JPEG is lossy and its
+    // decode is NOT bit-exact across decoder implementations, so the
+    // golden digest is derived by round-tripping the SAME bytes through
+    // this JVM's reader with the SAME ARGB walk decodeAssets uses — the
+    // assertion is that the seam materialized the true pixel stream
+    // (not the stub), with exact geometry and channel count.
+    val img = new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5)
+      img.setRGB(x, y, (x * 40 + y) << 16 | (y * 60) << 8 | (x * 30 + 128))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    assert(jpeg(0) == 0xFF.toByte && jpeg(1) == 0xD8.toByte,
+      "crafted payload must be a real JPEG")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpeg))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (y <- 0 until back.getHeight; x <- 0 until back.getWidth) {
+      val argb = back.getRGB(x, y)
+      md.update((argb >>> 24).toByte); md.update((argb >>> 16).toByte)
+      md.update((argb >>> 8).toByte); md.update(argb.toByte)
+    }
+    val goldenMd5 = md.digest().map("%02x".format(_)).mkString
+
+    // a tiny real GIF87a (1×1): mm2 must STUB it — its ASCII magic
+    // could occur in prose, so the provably-dead-branch argument that
+    // keeps the oracle exact only covers PNG/JPEG
+    val gif = Array[Byte](
+      'G', 'I', 'F', '8', '7', 'a', 1, 0, 1, 0, 0x00.toByte, 0, 0)
+
+    val rows = graft.operators.Multimodal.decodeAssets(
+        Seq((1L, jpeg), (2L, gif)).toDF("doc_id", "text"))
+      .collect().map(m => m.doc_id -> m).toMap
+    val j = rows(1L)
+    assert(j.decoded, "baseline JPEG must take the real-decode branch")
+    assert(j.width === 5 && j.height === 3 && j.channels === 3)
+    assert(j.pixel_md5 === goldenMd5)
+    val g = rows(2L)
+    assert(!g.decoded && g.pixel_md5 == null,
+      "GIF must stay on the stub branch in mm2")
+  }
 }
