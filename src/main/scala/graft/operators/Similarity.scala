@@ -789,9 +789,152 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------- sim9
+
+  /** Canonical location of the PQ codebook artifact (tiny: m × ks
+    * centroid rows). Durable under target/ like [[learnedIvfPath]].
+    */
+  def pqCodebookPath(sfDir: String, m: Int, ks: Int, iters: Int): String =
+    s"${sys.props("user.dir")}/target/pq/${new java.io.File(sfDir).getName}" +
+      s"/cb_m${m}_ks${ks}_i$iters"
+
+  /** Build (or reuse, under the staging lock + source-stamped spec) the
+    * per-subspace PQ codebooks and return them collected: `m` independent
+    * runs of the engine-portable quantized Lloyd's ([[kmeansCentroids]]),
+    * each over the corpus's `j`-th `dim/m`-component slice. Codebook
+    * training is the INDEX-BUILD batch job of a PQ store (the FAISS
+    * `train()` step) — a serve must never retrain, so the artifact
+    * carries the same freshness contract as the IVF index. The collect is
+    * m × ks × (dim/m) = dim × ks doubles — centroid-scale, never
+    * corpus-scale.
+    */
+  private[graft] def ensurePqCodebooks(
+      spark: SparkSession, sfDir: String, m: Int, ks: Int, iters: Int,
+      dim: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val sub = dim / m
+    val path = pqCodebookPath(sfDir, m, ks, iters)
+    val source = new java.io.File(Tables.path(sfDir, "embeddings"))
+    val spec = s"pq-codebooks-v1 m=$m ks=$ks sub=$sub " +
+      "init=lowest-ids ties=cid means=qfloor-1e12\n" +
+      graft.sources.Staging.sourceStamp(Seq(source))
+    graft.sources.Staging.withExclusiveLock(new java.io.File(path)) {
+      val marker = new java.io.File(s"$path/_marker")
+      val specFile = new java.io.File(s"$path/_graft_spec")
+      val fresh = marker.exists() && specFile.exists() &&
+        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
+      if (!fresh) {
+        import spark.implicits._
+        val x = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+        val rows = (0 until m).flatMap { j =>
+          val subDf = x.select(col("vec_id"),
+            slice(col("x"), j * sub + 1, sub).as("embedding"))
+          kmeansCentroids(subDf, ks, iters).map { case (cid, c) => (j, cid, c) }
+        }
+        rows.toDF("j", "code", "cvec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
+        if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
+      }
+    }
+    val loaded = spark.read.parquet(s"$path/codebooks")
+      .collect() // m × ks rows — codebook-scale by construction
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1)
+    (0 until m).map(j =>
+      loaded(j).map(t => t._2 -> t._3).sortBy(_._1).toSeq)
+  }
+
+  /** sim9 — PRODUCT QUANTIZATION top-k (Jégou et al. 2011, the PQ stage
+    * of FAISS/ScaNN — THE 100 TB ANN representation): split each vector
+    * into `m` subspaces, learn a `ks`-entry codebook per subspace
+    * ([[ensurePqCodebooks]], a build-once locked artifact), store each
+    * corpus vector as `m` small codes (dim doubles → m bytes: a 64× cut
+    * in scan bandwidth beyond even sim6's int8), and score
+    * query–candidate pairs ASYMMETRICALLY — the query stays exact; each
+    * candidate's approximate dot is Σⱼ LUTⱼ[codeⱼ], a table lookup per
+    * subspace instead of a `dim`-term dot product. Top-`nCand` by
+    * approximate score are re-ranked with exact cosines, so the output
+    * contract (and schema) is sim1's.
+    *
+    * Fully oracle-HASHED despite being an approximation — the same
+    * discipline that graduated sim5: codebooks come from the portable
+    * quantized Lloyd's run per subspace (the oracle unrolls m × iters
+    * Lloyd steps keyed by the subspace id in ONE CTE chain), encoding is
+    * the deterministic argmin (ties to the lower code), and each LUT
+    * entry is quantized to the 1e-6 integer grid ([[qround]]) so the
+    * per-candidate score is a SUM OF INTEGERS — exact at any
+    * accumulation order in both engines, which is what makes the
+    * candidate ranking (iscore DESC, neighbor_id) bit-reproducible.
+    * Without that quantization a 4-double sum would be
+    * association-order-dependent and the rank-`nCand` boundary could
+    * flip between engines.
+    *
+    * Plan shape, scan side: encode is a stateless map over the corpus
+    * (codebook literals, the sim7 frozen-quantizer discipline — no join,
+    * no shuffle); scoring joins the m-exploded codes against a BROADCAST
+    * (query × m × ks) LUT and partial-aggregates map-side, so the
+    * shuffle carries one row per (query, vector); the `nCand` cut is a
+    * rank filter Spark rewrites to WindowGroupLimit (per-partition
+    * top-nCand before the exchange); verify touches only nQueries ×
+    * nCand rows. Linear in the corpus, candidate-bounded verify — the
+    * PQ scan contract.
+    */
+  def pqTopk(
+      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
+      m: Int = 4, ks: Int = 16, pqIters: Int = 3, nCand: Int = 40,
+      dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val cbs = ensurePqCodebooks(spark, sfDir, m, ks, pqIters, dim)
+    val emb = Tables.embeddings(spark, sfDir)
+    val x = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    // encode: per-subspace argmin over ks codebook literals — pure
+    // per-row expressions, the frozen quantizer rides into the plan
+    def codeExpr(j: Int): Column = {
+      val xj = slice(col("x"), j * sub + 1, sub)
+      val scored = cbs(j).map { case (cid, c) =>
+        val cv = typedLit(c)
+        struct((dot(cv, cv) - lit(2.0) * dot(xj, cv)).as("s"), lit(cid).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
+    }
+    val codes = x.select(col("vec_id").as("neighbor_id"),
+      posexplode(array((0 until m).map(codeExpr): _*)).as(Seq("j", "code")))
+    // LUT: one integer-quantized partial dot per (query, subspace, code)
+    val spark2 = spark; import spark2.implicits._
+    val cbDf = broadcast(
+      cbs.zipWithIndex.flatMap { case (cs, j) =>
+        cs.map { case (cid, c) => (j, cid, c) }
+      }.toDF("j", "code", "cvec"))
+    val q = x.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("x").as("qx"))
+    val lut = q.crossJoin(cbDf)
+      .select(col("query_id"), col("j"), col("code"),
+        qround(dot(slice(col("qx"), col("j") * lit(sub) + lit(1), lit(sub)),
+          col("cvec")) * lit(1e6)).cast("long").as("ipdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("iscore").desc, col("neighbor_id"))
+    val cand = codes.join(broadcast(lut), Seq("j", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("ipdot")).as("iscore"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val cEmb = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    verifyAndRank(
+      cEmb.join(broadcast(cand), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("c_emb")),
+      qEmb, k)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim9_pq_topk" -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
       quantizedTopk(Tables.embeddings(s, d))),
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
@@ -908,6 +1051,9 @@ object Similarity {
          |             JOIN u ub ON ub.vec_id = p.vec_b
          |WHERE list_dot_product(ua.unit, ub.unit) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // the m-subspace Lloyd chain, deterministic encode, integer LUT sums,
+    // top-nCand cut and exact verify — see pqTopkSql
+    "sim9_pq_topk" -> pqTopkSql(),
     // identical quantize-dot-rescale formulation: sign·floor(|x|+0.5)
     // rounding, integer dots exact in doubles, rank on the undivided
     // dot·m1·m2 (dividing by the 127² constant cannot reorder)
@@ -1093,6 +1239,73 @@ object Similarity {
     * cosine, and one row per pruned vector naming its closest lower-id
     * keeper (ties to the lower id).
     */
+  /** sim9's oracle: the m per-subspace Lloyd runs unrolled in ONE CTE
+    * chain keyed by the subspace id `j` (assignment partitions by
+    * (vec_id, j), the centroid update groups by (j, cell, p) — the same
+    * math per subspace as m independent [[kmeansCentroids]] runs), then
+    * deterministic encoding, the 1e-6-integer LUT, the integer-summed
+    * approximate scores, the (iscore DESC, neighbor_id) top-nCand cut,
+    * and the shared exact-cosine verify tail.
+    */
+  private def pqTopkSql(
+      m: Int = 4, ks: Int = 16, iters: Int = 3, dim: Int = 64,
+      nQueries: Int = 20, nCand: Int = 40): String = {
+    val sub = dim / m
+    def qr(e: String, scale: String) =
+      s"sign($e * $scale) * floor(abs($e * $scale) + 0.5)"
+    val base =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sv AS (SELECT e.vec_id, CAST(t.j AS INT) AS j,
+         |    list_slice(e.v, t.j * $sub + 1, t.j * $sub + $sub) AS v
+         |  FROM e CROSS JOIN range(0, $m) t(j)),
+         |c0 AS (SELECT j, CAST(krn - 1 AS INT) AS cid, v AS c FROM (
+         |    SELECT j, v, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS krn
+         |    FROM sv) WHERE krn <= $ks)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""a$i AS (SELECT vec_id, j, v, cid AS cell FROM (
+         |    SELECT sv.vec_id, sv.j, sv.v, c.cid,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY
+         |        list_dot_product(c.c, c.c) - 2 * list_dot_product(sv.v, c.c),
+         |        c.cid) AS rn
+         |    FROM sv JOIN c${i - 1} c ON c.j = sv.j) WHERE rn = 1),
+         |m$i AS (SELECT j, cell, p, count(*) AS n,
+         |    sum(CAST(${qr("v[p]", "1000000000000.0")} AS HUGEINT)) AS s
+         |  FROM a$i, range(1, ${sub + 1}) t(p) GROUP BY j, cell, p),
+         |c$i AS (SELECT pc.j, pc.cid, coalesce(nc.c, pc.c) AS c
+         |  FROM c${i - 1} pc LEFT JOIN (
+         |    SELECT j, cell, list(comp ORDER BY p) AS c FROM (
+         |      SELECT j, cell, p,
+         |        CAST((s - ((s % n) + n) % n) // n AS DOUBLE)
+         |          / 1000000000000.0 AS comp
+         |      FROM m$i) GROUP BY j, cell) nc
+         |    ON nc.j = pc.j AND nc.cell = pc.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps,
+       |codes AS (SELECT vec_id, j, cid AS code FROM (
+       |    SELECT sv.vec_id, sv.j, c.cid,
+       |      row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY
+       |        list_dot_product(c.c, c.c) - 2 * list_dot_product(sv.v, c.c),
+       |        c.cid) AS rn
+       |    FROM sv JOIN c$iters c ON c.j = sv.j) WHERE rn = 1),
+       |lut AS (SELECT query_id, j, code,
+       |    CAST(${qr("d", "1000000.0")} AS BIGINT) AS ipdot
+       |  FROM (SELECT q.vec_id AS query_id, cb.j, cb.cid AS code,
+       |      list_dot_product(q.v, cb.c) AS d
+       |    FROM sv q JOIN c$iters cb ON cb.j = q.j
+       |    WHERE q.vec_id < $nQueries)),
+       |sc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, sum(l.ipdot) AS iscore
+       |  FROM codes cd JOIN lut l ON l.j = cd.j AND l.code = cd.code
+       |  WHERE cd.vec_id <> l.query_id
+       |  GROUP BY l.query_id, cd.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY iscore DESC, neighbor_id) AS rn
+       |    FROM sc) WHERE rn <= $nCand),
+       |$verifyRankSql""".stripMargin
+  }
+
   private def semanticDedupSql(
       tau: Double = 0.4, kCells: Int = 0, iters: Int = 5,
       dim: Int = 64): String =

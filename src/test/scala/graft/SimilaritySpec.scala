@@ -155,6 +155,38 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     info(f"derived-k (k=$k) recall at 4/$k cells: $recall%.2f")
   }
 
+  test("sim9 PQ top-k: recall floor vs sim1, deterministic, exact cosines, codebook artifact reused") {
+    val emb = Tables.embeddings(spark, sf001)
+    val rows = Similarity.pqTopk(spark, sf001).collect()
+    // determinism: a second serve (artifact now warm) is bit-identical —
+    // codebooks, codes, integer LUT sums and the rank cut all replay
+    val again = Similarity.pqTopk(spark, sf001).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // the artifact holds m × ks codebook rows with codes in [0, ks)
+    val cb = spark.read.parquet(
+      s"${Similarity.pqCodebookPath(sf001, 4, 16, 3)}/codebooks")
+    assert(cb.count() === 4L * 16)
+    import org.apache.spark.sql.functions.{col, max, min}
+    val codeRange = cb.agg(min(col("code")), max(col("code"))).head
+    assert(codeRange.getInt(0) === 0 && codeRange.getInt(1) === 15)
+    // recall vs the exact top-5: 4×16 codebooks quantize hard, but the
+    // nCand=40 exact re-rank recovers most of the true neighbors
+    val exactRows = Similarity.topkExact(emb).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size === 100)
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall")
+    info(f"sim9 PQ recall at m=4 ks=16 nCand=40: $recall%.2f")
+    // a PQ hit reports the EXACT cosine (asymmetric re-rank contract)
+    val exactCos = exactRows
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach(c =>
+        assert(r.getDouble(2) === c))
+    }
+  }
+
   test("dd7 LSH near-dups: no false positives, recall >= 0.85 vs dd6 exact") {
     val emb = Tables.embeddings(spark, sf001)
     // dd6's ground truth lives on the bounded deterministic sample (the
