@@ -826,23 +826,52 @@ object Similarity {
         import spark.implicits._
         val x = Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-        val rows = (0 until m).flatMap { j =>
-          val subDf = x.select(col("vec_id"),
-            slice(col("x"), j * sub + 1, sub).as("embedding"))
-          kmeansCentroids(subDf, ks, iters).map { case (cid, c) => (j, cid, c) }
-        }
-        rows.toDF("j", "code", "cvec")
+        trainPqCodebooks(x, m, ks, iters, sub)
+          .toDF("j", "code", "cvec")
           .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
         java.nio.file.Files.write(specFile.toPath, spec.getBytes)
         if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
       }
     }
-    val loaded = spark.read.parquet(s"$path/codebooks")
+    loadPqCodebooks(spark, s"$path/codebooks", m)
+  }
+
+  /** m independent runs of the portable Lloyd's, one per `sub`-component
+    * slice of the input vectors — the shared training step of sim9 (raw
+    * vectors) and sim10 (coarse-cell residuals).
+    */
+  private def trainPqCodebooks(
+      x: DataFrame, m: Int, ks: Int, iters: Int,
+      sub: Int): Seq[(Int, Int, Seq[Double])] =
+    (0 until m).flatMap { j =>
+      val subDf = x.select(col("vec_id"),
+        slice(col("x"), j * sub + 1, sub).as("embedding"))
+      kmeansCentroids(subDf, ks, iters).map { case (cid, c) => (j, cid, c) }
+    }
+
+  private def loadPqCodebooks(
+      spark: SparkSession, path: String, m: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    val loaded = spark.read.parquet(path)
       .collect() // m × ks rows — codebook-scale by construction
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
       .groupBy(_._1)
     (0 until m).map(j =>
       loaded(j).map(t => t._2 -> t._3).sortBy(_._1).toSeq)
+  }
+
+  /** Nearest codebook entry for the `j`-th `sub`-component slice of
+    * `xCol` — the deterministic PQ encode (ties to the lower code), a
+    * pure per-row expression over codebook literals.
+    */
+  private def pqCodeExpr(
+      xCol: Column, cbs: Seq[Seq[(Int, Seq[Double])]], j: Int,
+      sub: Int): Column = {
+    val xj = slice(xCol, j * sub + 1, sub)
+    val scored = cbs(j).map { case (cid, c) =>
+      val cv = typedLit(c)
+      struct((dot(cv, cv) - lit(2.0) * dot(xj, cv)).as("s"), lit(cid).as("c"))
+    }
+    array_min(array(scored: _*)).getField("c")
   }
 
   /** sim9 — PRODUCT QUANTIZATION top-k (Jégou et al. 2011, the PQ stage
@@ -890,16 +919,9 @@ object Similarity {
     val x = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
     // encode: per-subspace argmin over ks codebook literals — pure
     // per-row expressions, the frozen quantizer rides into the plan
-    def codeExpr(j: Int): Column = {
-      val xj = slice(col("x"), j * sub + 1, sub)
-      val scored = cbs(j).map { case (cid, c) =>
-        val cv = typedLit(c)
-        struct((dot(cv, cv) - lit(2.0) * dot(xj, cv)).as("s"), lit(cid).as("c"))
-      }
-      array_min(array(scored: _*)).getField("c")
-    }
     val codes = x.select(col("vec_id").as("neighbor_id"),
-      posexplode(array((0 until m).map(codeExpr): _*)).as(Seq("j", "code")))
+      posexplode(array((0 until m).map(j =>
+        pqCodeExpr(col("x"), cbs, j, sub)): _*)).as(Seq("j", "code")))
     // LUT: one integer-quantized partial dot per (query, subspace, code)
     val spark2 = spark; import spark2.implicits._
     val cbDf = broadcast(
@@ -931,10 +953,175 @@ object Similarity {
       qEmb, k)
   }
 
+  // --------------------------------------------------------------- sim10
+
+  /** Canonical location of the IVFPQ index artifact: residual codebooks
+    * (`codebooks/`) + the PQ-encoded cell-partitioned corpus (`enc/`).
+    * Keyed on the coarse params it was built over (`kd` = derived k).
+    */
+  def ivfPqIndexPath(
+      sfDir: String, iters: Int, m: Int, ks: Int, pqIters: Int): String =
+    s"${sys.props("user.dir")}/target/ivfpq/${new java.io.File(sfDir).getName}" +
+      s"/enc_kd_i${iters}_m${m}_ks${ks}_p$pqIters"
+
+  /** Build (or reuse) the IVFPQ index over the coarse learned-IVF
+    * artifact: compute each indexed vector's RESIDUAL against its coarse
+    * centroid, train per-subspace codebooks ON THE RESIDUALS (the
+    * Jégou et al. refinement that makes IVFPQ beat flat PQ — residuals
+    * concentrate near 0, so the same ks entries quantize far finer), and
+    * store the corpus as (cell, m codes): the full-precision vectors
+    * leave the index entirely — at 100 TB this is what turns a
+    * petabyte-scale scan into cell-local table lookups over a few bytes
+    * per vector. Returns (codebooks, encPath). Lock order is strictly
+    * ivfpq → base (never the reverse), the sim8 discipline.
+    */
+  private[graft] def ensureIvfPqIndex(
+      spark: SparkSession, sfDir: String, kCells: Int, iters: Int,
+      m: Int, ks: Int, pqIters: Int, dim: Int,
+      targetCellSize: Long = DefaultTargetCellSize):
+      (Seq[Seq[(Int, Seq[Double])]], String) = {
+    val sub = dim / m
+    val coarsePath = ensureLearnedIvf(spark, sfDir, kCells, iters,
+      targetCellSize = targetCellSize)
+    val path = ivfPqIndexPath(sfDir, iters, m, ks, pqIters)
+    val source = new java.io.File(Tables.path(sfDir, "embeddings"))
+    val spec = s"ivfpq-v1 m=$m ks=$ks sub=$sub pqIters=$pqIters " +
+      s"coarse=$coarsePath init=lowest-ids ties=cid means=qfloor-1e12\n" +
+      graft.sources.Staging.sourceStamp(Seq(source))
+    graft.sources.Staging.withExclusiveLock(new java.io.File(path)) {
+      val marker = new java.io.File(s"$path/_marker")
+      val specFile = new java.io.File(s"$path/_graft_spec")
+      val fresh = marker.exists() && specFile.exists() &&
+        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
+      if (!fresh) {
+        import spark.implicits._
+        val centroids = broadcast(spark.read.parquet(s"$coarsePath/centroids")
+          .select(col("cid").as("cell"),
+            col("cvec").cast("array<double>").as("cvec")))
+        // residual = vector − its coarse centroid (element-wise exact)
+        // persisted for the build only: the m × pqIters Lloyd jobs and
+        // the encode pass all re-read the residuals
+        val resid = spark.read.parquet(s"$coarsePath/cells")
+          .join(centroids, Seq("cell"))
+          .select(col("neighbor_id").as("vec_id"), col("cell"),
+            zip_with(col("c_emb").cast("array<double>"), col("cvec"),
+              (a, b) => a - b).as("x"))
+          .persist()
+        trainPqCodebooks(resid.select(col("vec_id"), col("x")),
+            m, ks, pqIters, sub)
+          .toDF("j", "code", "cvec")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+        val cbs = loadPqCodebooks(spark, s"$path/codebooks", m)
+        resid.select(col("vec_id").as("neighbor_id"), col("cell"),
+            array((0 until m).map(j =>
+              pqCodeExpr(col("x"), cbs, j, sub)): _*).as("codes"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/enc")
+        resid.unpersist()
+        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
+        if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
+      }
+    }
+    (loadPqCodebooks(spark, s"$path/codebooks", m), path)
+  }
+
+  /** sim10 — IVF + PQ (the FAISS `IVFPQ` index, the configuration that
+    * actually serves billion-vector corpora): sim5's learned coarse
+    * quantizer routes each query to its `nProbe` nearest cells, and
+    * WITHIN those cells candidates are scored from sim9's product codes
+    * — computed on COARSE RESIDUALS — via per-(query, cell) lookup
+    * tables: ‖q − (c + ê)‖² decomposes exactly per subspace, so each
+    * candidate costs m integer adds, over only the probed slice of the
+    * corpus. Top-`nCand` by quantized distance re-rank with exact
+    * cosines (sim1's output contract; the full-precision vectors live
+    * outside the index, fetched only for the nQueries × nCand finalists
+    * — at 100 TB that is the difference between scanning petabytes and
+    * scanning megabytes).
+    *
+    * Hash-gated by composition of the two disciplines that gated its
+    * parents: every quantizer is the portable Lloyd's (coarse: sim5's
+    * chain; residual: sim9's per-subspace chain seeded and updated the
+    * same way), the LUT entries are 1e-6-grid integers (order-free
+    * sums), and every tie breaks on ids. The oracle replays coarse
+    * train → residuals → residual-PQ train → encode → probe → LUT →
+    * integer-distance cut → exact verify, entirely from the query's own
+    * parameters.
+    *
+    * Plan shape: probes and LUT are broadcast-scale (nQueries × nProbe ×
+    * m × ks rows); the enc scan joins them on (cell, j, code) so DPP
+    * prunes unprobed cell partitions; partial aggregation ships one row
+    * per (query, candidate); WindowGroupLimit cuts to nCand before the
+    * final exchange; verify is candidate-bounded.
+    */
+  def ivfpqTopk(
+      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
+      kCells: Int = 0, iters: Int = 5, nProbe: Int = 4, m: Int = 4,
+      ks: Int = 16, pqIters: Int = 3, nCand: Int = 40,
+      dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val (cbs, encPath) = ensureIvfPqIndex(spark, sfDir, kCells, iters,
+      m, ks, pqIters, dim)
+    val coarsePath = ensureLearnedIvf(spark, sfDir, kCells, iters)
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qx"))
+    val centroidsDf = broadcast(spark.read.parquet(s"$coarsePath/centroids")
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec")))
+    // nProbe nearest coarse cells per query, centroid vector kept — the
+    // LUT is built on the residual target q − c of each probed cell
+    val pscore = dot(col("cvec"), col("cvec")) -
+      lit(2.0) * dot(col("qx"), col("cvec"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("ps"), col("cid"))
+    val probes = q.crossJoin(centroidsDf)
+      .select(col("query_id"), col("qx"), col("cid"), col("cvec"), pscore.as("ps"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"), col("qx"), col("cvec"))
+    // LUT: ‖(q_j − c_j) − e_{j,code}‖² on the 1e-6 integer grid, one row
+    // per (query, probed cell, subspace, code) — broadcast-scale
+    val spark2 = spark; import spark2.implicits._
+    val cbDf = broadcast(
+      cbs.zipWithIndex.flatMap { case (cs, j) =>
+        cs.map { case (cid, c) => (j, cid, c) }
+      }.toDF("j", "code", "ecvec"))
+    val target = zip_with(
+      slice(col("qx"), col("j") * lit(sub) + lit(1), lit(sub)),
+      slice(col("cvec"), col("j") * lit(sub) + lit(1), lit(sub)),
+      (a, b) => a - b)
+    val lut = probes.crossJoin(cbDf)
+      .withColumn("dv", zip_with(target, col("ecvec"), (a, b) => a - b))
+      .select(col("query_id"), col("cell"), col("j"), col("code"),
+        qround(dot(col("dv"), col("dv")) * lit(1e6)).cast("long").as("ipd"))
+    // ADC scan: probed cells only (DPP via the broadcast join on cell),
+    // m integer adds per candidate, partial agg before the one shuffle
+    val enc = spark.read.parquet(s"$encPath/enc")
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"),
+        posexplode(col("codes")).as(Seq("j", "code")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("idist"), col("neighbor_id"))
+    val cand = enc.join(broadcast(lut), Seq("cell", "j", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("ipd")).as("idist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCand)
+      .select(col("query_id"), col("neighbor_id"))
+    val cEmb = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    verifyAndRank(
+      cEmb.join(broadcast(cand), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("c_emb")),
+      qEmb, k)
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim9_pq_topk" -> ((s: SparkSession, d: String) => pqTopk(s, d)),
+    "sim10_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfpqTopk(s, d)),
     "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
       quantizedTopk(Tables.embeddings(s, d))),
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
@@ -1054,6 +1241,9 @@ object Similarity {
     // the m-subspace Lloyd chain, deterministic encode, integer LUT sums,
     // top-nCand cut and exact verify — see pqTopkSql
     "sim9_pq_topk" -> pqTopkSql(),
+    // coarse chain + residual-PQ chain + probed-cell integer ADC — see
+    // ivfPqTopkSql
+    "sim10_ivfpq_topk" -> ivfPqTopkSql(),
     // identical quantize-dot-rescale formulation: sign·floor(|x|+0.5)
     // rounding, integer dots exact in doubles, rank on the undivided
     // dot·m1·m2 (dividing by the 127² constant cannot reorder)
@@ -1304,6 +1494,117 @@ object Similarity {
        |        ORDER BY iscore DESC, neighbor_id) AS rn
        |    FROM sc) WHERE rn <= $nCand),
        |$verifyRankSql""".stripMargin
+  }
+
+  /** Rewrites every CTE head in an oracle text to `AS MATERIALIZED (`.
+    *
+    * DuckDB inlines a CTE at each reference site; in a chain where CTE
+    * `c_i` is read by both `a_{i+1}` and `c_{i+1}` the inlined copies
+    * multiply per iteration, so a two-quantizer chain like sim10's
+    * (coarse Lloyd's feeding a residual-PQ Lloyd's feeding ADC scoring)
+    * re-evaluates its prefix combinatorially — measured 452 s / OOM at
+    * sf0.01's 500 vectors, vs 1.6 s for the single-quantizer sim7 text.
+    * Forcing materialization evaluates each CTE once, restoring the
+    * linear cost the chain was written for. Safe as a text rewrite
+    * because the generated oracles use ` AS (` ONLY at CTE heads
+    * (subqueries appear as `FROM (`, aliases as `AS name` with no
+    * paren); semantics are unchanged, only evaluation strategy.
+    */
+  private def materializeCtes(sql: String): String =
+    sql.replace(" AS (", " AS MATERIALIZED (")
+
+  /** sim10's oracle: the coarse derived-k Lloyd chain ([[lloydCellsSql]],
+    * shared verbatim with sim5/dd16), residuals re-derived per position
+    * (ORDER BY p list assembly — the house pattern for element-wise
+    * math that must accumulate left-to-right), the residual-PQ chain
+    * (sim9's joint-subspace unroll under `p`-prefixed CTE names),
+    * deterministic encode, per-(query, probed-cell) integer LUTs, the
+    * ascending integer-distance cut, and the shared exact verify tail.
+    * The emitted text is [[materializeCtes]]-rewritten — the two-layer
+    * quantizer chain is exactly the shape DuckDB's CTE inlining blows
+    * up on.
+    */
+  private def ivfPqTopkSql(
+      iters: Int = 5, m: Int = 4, ks: Int = 16, pqIters: Int = 3,
+      dim: Int = 64, nQueries: Int = 20, nProbe: Int = 4,
+      nCand: Int = 40): String = {
+    val sub = dim / m
+    def qr(e: String, scale: String) =
+      s"sign($e * $scale) * floor(abs($e * $scale) + 0.5)"
+    val af = s"a${iters + 1}"
+    val cf = s"c$iters"
+    val resid =
+      s"""rv AS (SELECT a.vec_id, a.cell,
+         |    list(a.v[p] - cc.c[p] ORDER BY p) AS r
+         |  FROM $af a JOIN $cf cc ON cc.cid = a.cell
+         |  CROSS JOIN range(1, ${dim + 1}) t(p)
+         |  GROUP BY a.vec_id, a.cell),
+         |prsv AS (SELECT rv.vec_id, rv.cell, CAST(t.j AS INT) AS j,
+         |    list_slice(rv.r, t.j * $sub + 1, t.j * $sub + $sub) AS v
+         |  FROM rv CROSS JOIN range(0, $m) t(j)),
+         |pc0 AS (SELECT j, CAST(krn - 1 AS INT) AS cid, v AS c FROM (
+         |    SELECT j, v, row_number() OVER (PARTITION BY j ORDER BY vec_id) AS krn
+         |    FROM prsv) WHERE krn <= $ks)""".stripMargin
+    val steps = (1 to pqIters).map { i =>
+      s"""pa$i AS (SELECT vec_id, j, v, cid AS cell FROM (
+         |    SELECT s.vec_id, s.j, s.v, c.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+         |        list_dot_product(c.c, c.c) - 2 * list_dot_product(s.v, c.c),
+         |        c.cid) AS rn
+         |    FROM prsv s JOIN pc${i - 1} c ON c.j = s.j) WHERE rn = 1),
+         |pm$i AS (SELECT j, cell, p, count(*) AS n,
+         |    sum(CAST(${qr("v[p]", "1000000000000.0")} AS HUGEINT)) AS s
+         |  FROM pa$i, range(1, ${sub + 1}) t(p) GROUP BY j, cell, p),
+         |pc$i AS (SELECT pc.j, pc.cid, coalesce(nc.c, pc.c) AS c
+         |  FROM pc${i - 1} pc LEFT JOIN (
+         |    SELECT j, cell, list(comp ORDER BY p) AS c FROM (
+         |      SELECT j, cell, p,
+         |        CAST((s - ((s % n) + n) % n) // n AS DOUBLE)
+         |          / 1000000000000.0 AS comp
+         |      FROM pm$i) GROUP BY j, cell) nc
+         |    ON nc.j = pc.j AND nc.cell = pc.cid)""".stripMargin
+    }.mkString(",\n")
+    val tail =
+      s"""pcodes AS (SELECT vec_id, cell, j, code FROM (
+         |    SELECT s.vec_id, s.cell, s.j, c.cid AS code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+         |        list_dot_product(c.c, c.c) - 2 * list_dot_product(s.v, c.c),
+         |        c.cid) AS rn
+         |    FROM prsv s JOIN pc$pqIters c ON c.j = s.j) WHERE rn = 1),
+         |probes AS (SELECT query_id, cid AS cell, c FROM (
+         |    SELECT q.vec_id AS query_id, c.cid, c.c,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(c.c, c.c) - 2 * list_dot_product(q.v, c.c),
+         |        c.cid) AS pr
+         |    FROM (SELECT vec_id, v FROM e WHERE vec_id < $nQueries) q
+         |    CROSS JOIN $cf c) WHERE pr <= $nProbe),
+         |qt AS (SELECT pb.query_id, pb.cell, CAST(t.j AS INT) AS j,
+         |    list(q.v[t.j * $sub + p] - pb.c[t.j * $sub + p] ORDER BY p) AS tv
+         |  FROM probes pb JOIN e q ON q.vec_id = pb.query_id
+         |  CROSS JOIN range(0, $m) t(j) CROSS JOIN range(1, ${sub + 1}) r(p)
+         |  GROUP BY pb.query_id, pb.cell, t.j),
+         |ld AS (SELECT qt.query_id, qt.cell, qt.j, cb.cid AS code,
+         |    list(qt.tv[p] - cb.c[p] ORDER BY p) AS dv
+         |  FROM qt JOIN pc$pqIters cb ON cb.j = qt.j
+         |  CROSS JOIN range(1, ${sub + 1}) r(p)
+         |  GROUP BY qt.query_id, qt.cell, qt.j, cb.cid),
+         |lut AS (SELECT query_id, cell, j, code,
+         |    CAST(${qr("d", "1000000.0")} AS BIGINT) AS ipd
+         |  FROM (SELECT query_id, cell, j, code,
+         |      list_dot_product(dv, dv) AS d FROM ld)),
+         |sc AS (SELECT l.query_id, pc.vec_id AS neighbor_id, sum(l.ipd) AS idist
+         |  FROM pcodes pc JOIN lut l
+         |    ON l.cell = pc.cell AND l.j = pc.j AND l.code = pc.code
+         |  WHERE pc.vec_id <> l.query_id
+         |  GROUP BY l.query_id, pc.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY idist, neighbor_id) AS rn
+         |    FROM sc) WHERE rn <= $nCand),
+         |$verifyRankSql""".stripMargin
+    materializeCtes(
+      s"${lloydCellsSql(0, iters, dim, "")},\n$resid,\n$steps,\n$tail")
   }
 
   private def semanticDedupSql(

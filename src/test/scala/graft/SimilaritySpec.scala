@@ -187,6 +187,39 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim10 IVFPQ: recall floor vs sim1, deterministic, exact cosines, candidates confined to probed cells") {
+    val emb = Tables.embeddings(spark, sf001)
+    val rows = Similarity.ivfpqTopk(spark, sf001).collect()
+    val again = Similarity.ivfpqTopk(spark, sf001).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+    // the encoded corpus drops the full-precision vectors: one row per
+    // indexed vector, m codes each, every code in [0, ks)
+    import org.apache.spark.sql.functions.{col, explode, max, min}
+    val enc = spark.read.parquet(
+      s"${Similarity.ivfPqIndexPath(sf001, 5, 4, 16, 3)}/enc")
+    assert(enc.count() === emb.count())
+    assert(!enc.columns.contains("c_emb"),
+      "IVFPQ index must not carry full-precision vectors")
+    val codeRange = enc.select(explode(col("codes")).as("code"))
+      .agg(min(col("code")), max(col("code"))).head
+    assert(codeRange.getInt(0) >= 0 && codeRange.getInt(1) <= 15)
+    // recall: coarse 4/16 probing bounds it near sim5's, the residual-PQ
+    // in-cell ranking plus nCand=40 exact re-rank holds the same floor
+    val exactRows = Similarity.topkExact(emb).collect()
+    val exact = exactRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVFPQ recall $recall")
+    info(f"sim10 IVFPQ recall at 4-probe m=4 ks=16 nCand=40: $recall%.2f")
+    // exact-cosine contract on shared pairs
+    val exactCos = exactRows
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      exactCos.get((r.getLong(0), r.getLong(1))).foreach(c =>
+        assert(r.getDouble(2) === c))
+    }
+  }
+
   test("dd7 LSH near-dups: no false positives, recall >= 0.85 vs dd6 exact") {
     val emb = Tables.embeddings(spark, sf001)
     // dd6's ground truth lives on the bounded deterministic sample (the
