@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{Analytics, Dedup, Graphs, Multimodal, Params, Similarity, Sql, TextAnalysis}
-import graft.streaming.{EventStreams, MaterializedView, Sessions, VectorIndexStream}
+import graft.streaming.{EventStreams, MaterializedView, Sessions, StreamDedup, VectorIndexStream}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
     Analytics.queries ++ TextAnalysis.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ EventStreams.queries ++
       Sessions.queries ++ Sql.queries ++ Params.queries ++
-      MaterializedView.queries ++ Graphs.queries ++ VectorIndexStream.queries
+      MaterializedView.queries ++ Graphs.queries ++
+      VectorIndexStream.queries ++ StreamDedup.queries
 
   /** The bench variant: identical except that row-level outputs drop the
     * verify-only canonical `orderBy`, so the bench measures the operator,
@@ -47,5 +48,6 @@ object SparkEntry {
     Analytics.oracles ++ TextAnalysis.oracles ++ Dedup.oracles ++
       Similarity.oracles ++ Multimodal.oracles ++ EventStreams.oracles ++
       Sessions.oracles ++ Sql.oracles ++ Params.oracles ++
-      MaterializedView.oracles ++ Graphs.oracles ++ VectorIndexStream.oracles
+      MaterializedView.oracles ++ Graphs.oracles ++
+      VectorIndexStream.oracles ++ StreamDedup.oracles
 }

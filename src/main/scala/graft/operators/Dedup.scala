@@ -154,6 +154,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** dd19 — one-sided CONTAINMENT near-dup pairs (Broder's containment
+    * coefficient): C(A→B) = |S_A ∩ S_B| / |S_A| over the same DF-capped
+    * shingle sets as dd3. Symmetric Jaccard misses the asymmetric case a
+    * training corpus cares about most — a short document wholly embedded
+    * in a longer one (quote farms, mirrored excerpts, boilerplate-wrapped
+    * copies) scores low Jaccard (the union is big) but containment ≈ 1
+    * from the short side. One row per DIRECTED pair at `threshold`:
+    * `doc_id`'s capped shingle set is ≥ threshold contained in
+    * `container_id`'s.
+    *
+    * Plan: identical substrate to dd3 (capped posting lists, map-side
+    * `pair_combs` emission, one pair-count shuffle) — the intersection
+    * count is computed ONCE per unordered pair and both directions are
+    * derived from it arithmetically (c/na, c/nb), so the asymmetric
+    * measure costs nothing beyond dd3's plan. Same 100 TB posture: the
+    * DF cap bounds posting lists, nothing goes quadratic in the corpus.
+    */
+  def containmentPairs(
+      docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = 50): DataFrame = {
+    val kept = cappedShingles(docs, n, maxDf)
+    val lists = kept.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .select(col("ds"))
+    val inter = lists
+      .select(explode(call_function("pair_combs", col("ds"))).as("p"))
+      .select(col("p.*"))
+      .groupBy(col("doc_a"), col("na"), col("doc_b"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+    val dirs = inter.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("container_id"),
+        (col("c") * lit(1.0) / col("na")).as("containment"))
+      .unionAll(inter.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("container_id"),
+        (col("c") * lit(1.0) / col("nb")).as("containment")))
+    dirs.filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("container_id"), r6(col("containment")).as("containment"))
+      .orderBy(col("doc_id"), col("container_id"))
+  }
+
   // ------------------------------------------------------------ minhash
 
   /** doc_id → array of k MinHash values over n-gram shingles, via the
@@ -186,19 +226,30 @@ object Dedup {
     * iff their minima actually agree (no collision false-positives), and
     * a SQL oracle reproduces the key without needing Spark's xxhash64.
     */
-  private def bandBucketLists(
+  /** (doc_id, band, band_hash) — each doc's `bands` LSH band keys, the
+    * map-side front of every banded-MinHash consumer: [[bandBucketLists]]
+    * groups it into posting lists for dd4's pair emission, and the
+    * streaming gate (`StreamDedup.st16`) joins an arrival's keys against
+    * a historical key table. Pure per-row expressions over the native
+    * signature — no shuffle, usable verbatim on a streaming frame.
+    */
+  private[graft] def bandedKeys(
       docs: DataFrame, k: Int, n: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
     val sigs = minhashSignatures(docs.filter(size(tokens(col("text"))) >= n), k, n)
-    val banded = sigs.select(
+    sigs.select(
       col("doc_id"),
       posexplode(transform(
         sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    banded.groupBy(col("band"), col("band_hash"))
+  }
+
+  private def bandBucketLists(
+      docs: DataFrame, k: Int, n: Int, bands: Int): DataFrame = {
+    bandedKeys(docs, k, n, bands).groupBy(col("band"), col("band_hash"))
       .agg(sort_array(collect_list(struct(col("doc_id"), lit(0L)))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(col("ds"))
@@ -635,6 +686,56 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------- dd18
+
+  /** dd18 — corpus SNAPSHOT DIFF (dataset versioning): given two corpus
+    * snapshots, classify every document whose membership or content
+    * changed — `added` (new snapshot only), `removed` (old only),
+    * `changed` (both, text differs by content hash) — and emit ONLY the
+    * delta. This is the audit step between two training-corpus releases:
+    * at 100 TB you cannot eyeball what a refresh did; the diff manifest
+    * (tiny — proportional to churn, not corpus size) is what reviewers
+    * and reproducibility records consume.
+    *
+    * Plan: one full-outer join on the document key over two
+    * hash-projected scans — each side reduces to (doc_id, md5(text))
+    * before the shuffle, so the join ships 16-byte digests, never text.
+    * Unchanged docs (the overwhelming mass) are filtered right after the
+    * join; output scales with churn.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), md5(col("text")).as("old_hash"))
+    val n = newDocs.select(col("doc_id"), md5(col("text")).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The dd18 registry instantiation: the driver stages ONE corpus, so
+    * the two snapshots are derived from it deterministically — the old
+    * release is the corpus minus every `doc_id % 10 == 7` (those are the
+    * refresh's additions) with every `doc_id % 10 == 3` at a prior
+    * revision (`text || ' rev0'`), and the new release is the corpus
+    * minus every `doc_id % 10 == 4` (those were retired). The DuckDB
+    * oracle applies the identical derivation, so the classification is
+    * hash-gated end-to-end; a real deployment passes two actual snapshot
+    * reads to [[snapshotDiff]].
+    */
+  def snapshotDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val old = docs.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 3, concat(col("text"), lit(" rev0")))
+          .otherwise(col("text")))
+    val neu = docs.filter(col("doc_id") % 10 =!= 4)
+    snapshotDiff(old, neu)
+  }
+
   /** dd10 — benchmark DECONTAMINATION: flag training documents sharing at
     * least `minShared` n-gram shingles with any held-out evaluation
     * document (the GPT-3 §C / PaLM-style n-gram overlap screen — published
@@ -841,6 +942,8 @@ object Dedup {
     "dd1_exact_dups" -> ((s: SparkSession, d: String) => exactGroups(Tables.documents(s, d))),
     "dd2_fingerprint_dups" -> ((s: SparkSession, d: String) => fingerprintGroups(Tables.documents(s, d))),
     "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),
+    "dd19_containment" -> ((s: SparkSession, d: String) => containmentPairs(Tables.documentsRebalanced(s, d))),
+    "dd18_snapshot_diff" -> (snapshotDiffQ _),
     "dd4_minhash_candidates" -> ((s: SparkSession, d: String) => minhashCandidates(Tables.documentsRebalanced(s, d))),
     "dd15_minhash_verified" -> ((s: SparkSession, d: String) => minhashVerifiedPairs(Tables.documentsRebalanced(s, d))),
     "dd5_simhash_candidates" -> ((s: SparkSession, d: String) => simhashCandidates(Tables.documents(s, d))),
@@ -937,6 +1040,44 @@ object Dedup {
         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // dd3's capped substrate verbatim, both directed divisions from the
+    // single symmetric intersection count
+    "dd19_containment" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+        |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+        |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ann AS (SELECT doc_a, doc_b, c, sa.n_sh AS na, sb.n_sh AS nb
+        |        FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id),
+        |dirs AS (SELECT doc_a AS doc_id, doc_b AS container_id, c * 1.0 / na AS containment FROM ann
+        |         UNION ALL
+        |         SELECT doc_b, doc_a, c * 1.0 / nb FROM ann)
+        |SELECT doc_id, container_id, round(containment * 1e6) / 1e6 AS containment
+        |FROM dirs WHERE containment >= 0.8
+        |ORDER BY doc_id, container_id""".stripMargin,
+    // the same %10 membership/revision derivation as snapshotDiffQ, then
+    // the hash-compare full-outer classification
+    "dd18_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 10 = 3 THEN text || ' rev0' ELSE text END) AS old_hash
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |neu AS (SELECT doc_id, md5(text) AS new_hash
+        |  FROM documents WHERE doc_id % 10 <> 4),
+        |j AS (SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id, old_hash, new_hash
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash <> new_hash THEN 'changed' END AS status,
+        |  old_hash, new_hash
+        |FROM j
+        |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
+        |ORDER BY doc_id""".stripMargin,
     // dd3's pair pipeline verbatim as CTEs, then transitive closure by
     // recursive min-label reachability — the declarative twin of the
     // iterative propagation

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Streaming NEAR-DUP GATE — continuous-ingestion dedup, the streaming
+  * face of the dd4/dd11 MinHash family: documents arriving on a stream
+  * are checked against the banded MinHash keys of the already-ingested
+  * history, and every (arrival, historical doc) band collision is
+  * emitted as it happens. This is the admission control a continuously
+  * fed training corpus runs at the door: flag an arrival that
+  * near-duplicates history BEFORE it lands in the corpus, instead of
+  * re-clustering the world nightly (dd11's batch catch-up remains the
+  * reconciliation path; the gate is the low-latency screen in front of
+  * it).
+  *
+  * Shape: the history side is a STATIC band-key table (built once per
+  * gate start from the frozen history, the dd11 split); each arrival's
+  * band keys are pure per-row expressions over the native MinHash
+  * signature ([[Dedup.bandedKeys]] — no state, no watermark), and the
+  * stream-static EQUI-join on (band, band_hash) is stateless: every
+  * matched pair is emitted exactly once as its micro-batch processes,
+  * the st15 discipline. At 100 TB the history keys live as a bucketed
+  * table on (band, band_hash) so each micro-batch joins
+  * arrival-batch-sized probes against co-located buckets; nothing in
+  * the plan accumulates state or scales with history except that
+  * pre-built table.
+  *
+  * Hash-gated: the signatures are the engine-portable md5-derived
+  * draws, so the DuckDB oracle re-derives both sides' band keys and
+  * replays the same equi-join declaratively.
+  */
+object StreamDedup {
+
+  /** Streaming source over the documents table only — the
+    * [[EventStreams.eventStream]] single-file glob trick, schema pinned
+    * from the static read so batch and stream see identical rows.
+    */
+  private def documentStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.path(sfDir, "documents")
+    val streamPath =
+      if (new java.io.File(p).isFile) s"${p.dropRight(1)}[${p.last}]" else p
+    spark.readStream
+      .schema(Tables.documents(spark, sfDir).schema)
+      .parquet(streamPath)
+  }
+
+  /** st16 — the gate itself: history = docs below the dd11 batch split
+    * (`max(doc_id) − 49`), arrivals = the stream filtered to the batch
+    * (the filter pushes into the streaming scan). One output row per
+    * (arrival, historical doc, band) collision; per-pair multiplicity =
+    * number of shared bands, the dd4 `n_shared_bands` signal without a
+    * stateful aggregation (counting would need state — the consumer
+    * aggregates downstream if it wants counts, exactly how dd4 reads
+    * this stream's batch twin).
+    */
+  def st16StreamDedupGate(
+      spark: SparkSession, sfDir: String, k: Int = 32, n: Int = 3,
+      bands: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    // the dd11 convention: the last 50 ids are "today's batch" at any
+    // scale; the max-id probe is a metadata-scale scalar
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val histKeys = Dedup.bandedKeys(docs.filter(col("doc_id") < newFrom), k, n, bands)
+      .select(col("band"), col("band_hash"), col("doc_id").as("hist_id"))
+    val arrivals = documentStream(spark, sfDir)
+      .filter(col("doc_id") >= newFrom)
+    val hits = Dedup.bandedKeys(arrivals, k, n, bands)
+      .join(histKeys, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("hist_id"), col("band"))
+    EventStreams.runToParquet(hits, "st16_sink")
+      .orderBy(col("doc_id"), col("hist_id"), col("band"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_dedup_gate" ->
+      ((s: SparkSession, d: String) => st16StreamDedupGate(s, d)))
+
+  val oracles: Map[String, String] = Map(
+    // dd4's signature chain on the full corpus, band keys split at the
+    // dd11 batch boundary, the same equi-join — one row per collision.
+    // The band index is i // rows (= Spark's posexplode pos); the key is
+    // the band's minima list (content equality, same as the engine's
+    // comma-joined string)
+    "st16_stream_dedup_gate" ->
+      s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)])) AS s
+         |  FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substring(md5(s), 1, 13))::BIGINT % 2147483647 AS h FROM sh),
+         |perm AS (SELECT i,
+         |  ('0x' || substring(md5('mh-a:' || i), 1, 13))::BIGINT % 2147483646 + 1 AS a,
+         |  ('0x' || substring(md5('mh-b:' || i), 1, 13))::BIGINT % 2147483647 AS b
+         |  FROM range(32) r(i)),
+         |sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM h CROSS JOIN perm GROUP BY doc_id, i),
+         |band AS (SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, i // 4)
+         |SELECT a.doc_id, hi.doc_id AS hist_id, a.band
+         |FROM band a JOIN band hi ON a.band = hi.band AND a.key = hi.key
+         |WHERE a.doc_id >= (SELECT v FROM nf) AND hi.doc_id < (SELECT v FROM nf)
+         |ORDER BY a.doc_id, hist_id, a.band""".stripMargin)
+}

@@ -332,4 +332,43 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
       === (1L until n.toLong).map(b => (0L, b)).toSet)
   }
+
+  test("dd19 containment: a short doc embedded in a long one flags from the short side only") {
+    import spark.implicits._
+    // doc 1 = 12 unique tokens; doc 2 = those 12 plus 28 more. Every
+    // trigram of doc 1 appears in doc 2 ⇒ C(1→2) = 1.0, while C(2→1)
+    // (10 of 38 trigrams) and Jaccard (10/38) both sit far below the
+    // 0.8 gate — the asymmetric case dd3 structurally cannot flag.
+    val core = (1 to 12).map("c" + _).mkString(" ")
+    val tail = (1 to 28).map("t" + _).mkString(" ")
+    val docs = Seq(
+      (1L, core),
+      (2L, core + " " + tail),
+      (3L, (1 to 20).map("solo" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+    assert(rows.head.getDouble(2) === 1.0)
+    val jac = Dedup.ngramJaccardPairs(docs, threshold = 0.0).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(jac((1L, 2L)) < 0.8, "the embedded pair must be invisible to a 0.8 Jaccard gate")
+  }
+
+  test("dd18 snapshot diff: added/removed/changed classified, unchanged excluded") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, "same text"), (2L, "old revision"), (3L, "to be retired")
+    ).toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "same text"), (2L, "new revision"), (4L, "fresh arrival")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.snapshotDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // the delta ships digests, not text: both hash columns are md5-shaped
+    val r2 = Dedup.snapshotDiff(old, neu).filter(col("doc_id") === 2L).head
+    assert(r2.getString(2).matches("[0-9a-f]{32}"))
+    assert(r2.getString(3).matches("[0-9a-f]{32}"))
+    assert(r2.getString(2) !== r2.getString(3))
+  }
 }
