@@ -723,7 +723,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** td18 — DATA SELECTION via hashed-n-gram importance (the DSIR shape,
+    * Xie et al. 2023 "Data Selection for Language Models via Importance
+    * Resampling"): score every raw document by how much its hashed
+    * unigram profile looks like a TARGET domain (here `lang = targetLang`
+    * — in production, a curated high-quality reference corpus) relative
+    * to the raw corpus. Per bucket b of `nBuckets` hashed token buckets,
+    * the target and raw bag-of-tokens models give add-one-smoothed
+    * probabilities p_b = (tc_b+1)/(Nt+D) and q_b = (qc_b+1)/(Nq+D); a
+    * doc's importance is Σ_b c_b · w_b over its own bucket counts, where
+    * w_b is the p_b/q_b ratio. DSIR's published estimator sums LOG ratios
+    * — a log is libm territory and never oracle-hashable (the td11/td13
+    * rational-idf rule), so w_b here is the RATIO ITSELF on the 1e-6
+    * integer grid, computed by ONE exact integer floor-division
+    * (`(10⁶·(tc_b+1)·(Nq+D)) div ((qc_b+1)·(Nt+D))`, DECIMAL(38,0)
+    * operands so nothing overflows at any corpus size): per-doc scores
+    * are order-independent INTEGER sums, bit-identical across engines —
+    * the q36/sim9 scaled-integer discipline. Emitted per doc: raw
+    * `importance`, and the length-debiased `imp_per_token`
+    * (floor-div by the doc's token count — selection without it favors
+    * long docs). The selection step composes downstream: top-k by
+    * (imp_per_token, doc_id) is a TakeOrderedAndProject, or a threshold
+    * filter; both stay hash-gated over this table.
+    *
+    * Scale: tokenize + bucket-hash once, (doc, bucket) partial agg —
+    * skew-immune (a hot bucket is still keyed by doc); both corpus
+    * models REDUCE from that substrate (≤ D rows out), the D-row ratio
+    * table broadcasts back, and the per-doc sum is one doc-keyed
+    * aggregation. Two data-scaled shuffles, no window, no join against
+    * anything data-scaled. Zero-token docs emit nothing (the td10/td17
+    * convention).
+    */
+  def dsirImportance(
+      docs: DataFrame, targetLang: String = "en", nBuckets: Int = 1024,
+      salt: String = "dsir-v1"): DataFrame = {
+    // (doc_id, lang, b, c): each doc's hashed-unigram bucket counts —
+    // the one data-scaled explode, shared by both models and the scorer
+    val tb = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .withColumn("b",
+        conv(substring(md5(concat(lit(s"$salt:"), col("tok"))), 1, 13), 16, 10)
+          .cast("long") % nBuckets)
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val rawStats = tb.groupBy(col("b")).agg(sum(col("c")).as("qc"))
+    val tgtStats = tb.filter(col("lang") === targetLang)
+      .groupBy(col("b")).agg(sum(col("c")).as("tc"))
+    val totals = tb.agg(
+      sum(col("c")).as("nq"),
+      sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L))).as("nt"))
+    // w_b on the 1e-6 grid: exact integer floor-division over
+    // DECIMAL(38,0) operands (longs would overflow the 10⁶·tc·Nq
+    // product at large corpus sizes); quotient ≤ 10⁶·max-ratio fits a
+    // long, which is what IntegralDivide returns
+    val ratios = rawStats
+      .join(tgtStats, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        expr(s"""CAST(1000000 * (coalesce(tc, 0L) + 1) * (nq + $nBuckets)
+                 |  AS DECIMAL(38,0))
+                 |div CAST((qc + 1) * (nt + $nBuckets) AS DECIMAL(38,0))
+                 |""".stripMargin.replace('\n', ' ')).as("w"))
+    tb.join(broadcast(ratios), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("w")).as("importance"))
+      .select(col("doc_id"), col("n_tokens"), col("importance"),
+        expr("importance div n_tokens").as("imp_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td18_dsir_importance" -> ((s: SparkSession, d: String) =>
+      dsirImportance(Tables.documents(s, d))),
     "td16_chunking" -> ((s: SparkSession, d: String) =>
       chunkDocs(Tables.documents(s, d))),
     "td17_dup_ngrams" -> ((s: SparkSession, d: String) =>
@@ -747,6 +819,31 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the same hashed-bucket substrate, the same add-one-smoothed
+    // integer floor-div ratio on the 1e-6 grid (HUGEINT = the
+    // DECIMAL(38,0) twin), the same order-free integer sums; BIGINT
+    // casts keep pandas from widening HUGEINT to float on fetch
+    "td18_dsir_importance" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |tb AS (SELECT doc_id, lang,
+         |    ('0x' || substring(md5('dsir-v1:' || tok), 1, 13))::BIGINT % 1024 AS b,
+         |    count(*) AS c
+         |  FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)
+         |  GROUP BY 1, 2, 3),
+         |qs AS (SELECT b, sum(c) AS qc FROM tb GROUP BY b),
+         |ts AS (SELECT b, sum(c) AS tc FROM tb WHERE lang = 'en' GROUP BY b),
+         |tot AS (SELECT sum(c) AS nq,
+         |    sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS nt FROM tb),
+         |r AS (SELECT qs.b,
+         |    (1000000::HUGEINT * (coalesce(tc, 0) + 1) * (nq + 1024))
+         |      // ((qc + 1)::HUGEINT * (nt + 1024)) AS w
+         |  FROM qs LEFT JOIN ts ON qs.b = ts.b CROSS JOIN tot)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c * w) AS BIGINT) AS importance,
+         |  CAST(sum(c * w) // sum(c) AS BIGINT) AS imp_per_token
+         |FROM tb JOIN r USING (b)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     // identical 0-based gram starts, identical (cnt DESC, gram) argmax,
     // identical linear interval-merge coverage fold (span i adds
     // least(n, s_i - s_{i-1}); first span adds n), identical

@@ -318,4 +318,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     assert(got((2L, 0L)) === ((3L, "a b c")))
     assert(got.count(_._1._1 == 1L) === 5)
   }
+
+  test("td18 DSIR: target-looking docs outscore off-domain docs per token") {
+    // target domain = lang 'en', vocabulary {alpha..}; off-domain 'de'
+    // docs use a disjoint vocabulary; doc 4 is TAGGED 'de' but written
+    // with the target vocabulary — DSIR's whole point is that it scores
+    // by CONTENT profile, not by the label, so it must land near the
+    // 'en' docs and far above the true off-domain ones.
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta alpha beta"),
+      (2L, "en", "beta gamma delta epsilon alpha gamma"),
+      (3L, "de", "zug bahn hof zug strasse platz"),
+      (4L, "de", "alpha beta gamma alpha delta beta"),
+      (5L, "de", "   ")) // zero tokens -> no row
+      .toDF("doc_id", "lang", "text")
+    val rows = TextAnalysis.dsirImportance(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet === Set(1L, 2L, 3L, 4L))
+    val perTok = rows.map { case (id, (_, _, ipt)) => id -> ipt }
+    assert(perTok(4L) > perTok(3L),
+      "a de-tagged doc written in target vocabulary must outscore true off-domain text")
+    assert(perTok(1L) > perTok(3L) && perTok(2L) > perTok(3L))
+    // importance is the exact integer sum of per-bucket c*w — per-token
+    // score is its floor division by the token count
+    rows.foreach { case (_, (n, imp, ipt)) => assert(ipt === imp / n) }
+    assert(rows(1L)._1 === 6L)
+  }
 }
