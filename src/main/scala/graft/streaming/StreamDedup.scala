@@ -75,9 +75,50 @@ object StreamDedup {
       .orderBy(col("doc_id"), col("hist_id"), col("band"))
   }
 
+  /** st17 — streaming QUALITY-ADMISSION gate: the streaming face of the
+    * td6 Gopher/C4 document filter, the second admission screen a
+    * continuously fed corpus runs at the door (st16 rejects near-dups of
+    * history; this rejects low-quality arrivals outright). Every arrival
+    * gets the td6 rule flags evaluated MAP-SIDE on its micro-batch —
+    * [[graft.operators.TextAnalysis.qualityRules]] is pure expression
+    * work, so the gate is completely STATELESS: no watermark, no state
+    * store, no shuffle before the sink. Emitted per doc: the keep
+    * decision plus `reject_rule`, the FIRST failed rule in declaration
+    * order — the V9-style accounting a pipeline reports rejection rates
+    * from (sequential attribution, exactly the cleaning-accounting
+    * convention).
+    *
+    * At 100 TB this runs at source throughput: the plan is scan →
+    * project → sink, parallel in the number of input files, and the
+    * rules are defined ONCE (shared with batch td6) so batch backfill
+    * and streaming admission can never disagree on what "quality" means.
+    * Hash-gated: flags and the attribution are deterministic text
+    * functions, so the DuckDB oracle replays them declaratively.
+    */
+  def st17StreamQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val rules = TextAnalysis.qualityRules(col("toks"), col("text"))
+    val flagged = documentStream(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("n_tokens") +:
+        rules.map { case (n, c) => c.as(n) }: _*)
+    // first-failed-rule attribution: CASE chain in declaration order
+    val reject = rules.foldRight(lit(null).cast("string")) {
+      case ((n, _), tail) => when(!col(n), lit(n)).otherwise(tail)
+    }
+    val gated = flagged
+      .withColumn("keep", rules.map(r => col(r._1)).reduce(_ && _))
+      .withColumn("reject_rule", reject)
+      .select(col("doc_id"), col("n_tokens"), col("keep"), col("reject_rule"))
+    EventStreams.runToParquet(gated, "st17_sink")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st16_stream_dedup_gate" ->
-      ((s: SparkSession, d: String) => st16StreamDedupGate(s, d)))
+      ((s: SparkSession, d: String) => st16StreamDedupGate(s, d)),
+    "st17_stream_quality_gate" ->
+      ((s: SparkSession, d: String) => st17StreamQualityGate(s, d)))
 
   val oracles: Map[String, String] = Map(
     // dd4's signature chain on the full corpus, band keys split at the
@@ -104,5 +145,30 @@ object StreamDedup {
          |SELECT a.doc_id, hi.doc_id AS hist_id, a.band
          |FROM band a JOIN band hi ON a.band = hi.band AND a.key = hi.key
          |WHERE a.doc_id >= (SELECT v FROM nf) AND hi.doc_id < (SELECT v FROM nf)
-         |ORDER BY a.doc_id, hist_id, a.band""".stripMargin)
+         |ORDER BY a.doc_id, hist_id, a.band""".stripMargin,
+    // the td6 rule set verbatim (same thresholds, same token spec), plus
+    // the first-failed CASE chain — NULL flags (zero-token docs) skip
+    // their WHEN in both engines' CASE semantics
+    "st17_stream_quality_gate" -> {
+      val stopSql = graft.operators.TextAnalysis.EnglishStop
+        .map(s => s"'$s'").mkString("(", ", ", ")")
+      val sym = graft.operators.TextAnalysis.SymClass
+      s"""WITH t AS (SELECT doc_id, text, ${tokensSql("text")} AS toks FROM documents),
+         |r AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  len(toks) BETWEEN 20 AND 1000 AS r_n_tokens,
+         |  (length(regexp_replace(text, '$WsClass', '', 'g')) * 1.0 / nullif(len(toks), 0)) BETWEEN 3.0 AND 10.0 AS r_token_len,
+         |  len(list_filter(toks, x -> x IN $stopSql)) >= 2 AS r_stopwords,
+         |  (length(regexp_replace(text, '$sym', '', 'g')) * 1.0 / greatest(length(text), 1)) <= 0.1 AS r_symbols,
+         |  (len(list_distinct(toks)) * 1.0 / nullif(len(toks), 0)) >= 0.3 AS r_distinct
+         |FROM t)
+         |SELECT doc_id, n_tokens,
+         |  r_n_tokens AND r_token_len AND r_stopwords AND r_symbols AND r_distinct AS keep,
+         |  CASE WHEN NOT r_n_tokens THEN 'r_n_tokens'
+         |       WHEN NOT r_token_len THEN 'r_token_len'
+         |       WHEN NOT r_stopwords THEN 'r_stopwords'
+         |       WHEN NOT r_symbols THEN 'r_symbols'
+         |       WHEN NOT r_distinct THEN 'r_distinct' END AS reject_rule
+         |FROM r ORDER BY doc_id""".stripMargin
+    })
 }

@@ -38,4 +38,31 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq).toSeq
     assert(again === got)
   }
+
+  test("st17: streaming quality gate == batch td6 decisions, with attribution") {
+    import graft.operators.TextAnalysis
+    val got = StreamDedup.st17StreamQualityGate(spark, sf001)
+    // batch twin: td6's flags projected to the gate's columns
+    val batch = TextAnalysis.qualityFilter(Tables.documents(spark, sf001))
+    val expect = batch.select(col("doc_id"), col("n_tokens"), col("keep"))
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val gotRows = got.collect()
+    assert(gotRows.map(r => Seq(r.get(0), r.get(1), r.get(2))).toSeq === expect)
+    // attribution: rejected rows name a rule, kept rows name none, and the
+    // named rule's flag is genuinely false in the batch twin
+    val flags = batch.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getValuesMap[Any](
+        Seq("r_n_tokens", "r_token_len", "r_stopwords", "r_symbols", "r_distinct"))).toMap
+    gotRows.foreach { r =>
+      val reason = Option(r.getAs[String]("reject_rule"))
+      if (r.getAs[Boolean]("keep")) assert(reason.isEmpty)
+      else {
+        assert(reason.nonEmpty)
+        assert(flags(r.getAs[Long]("doc_id"))(reason.get) === false)
+      }
+    }
+    // the corpus exercises both branches
+    assert(gotRows.exists(_.getAs[Boolean]("keep")))
+    assert(gotRows.exists(!_.getAs[Boolean]("keep")))
+  }
 }
