@@ -384,6 +384,96 @@ object Params {
   def sa7BottomKSampleQ(spark: SparkSession, sfDir: String): DataFrame =
     sa7BottomKSample(Tables.documents(spark, sfDir))
 
+  /** sa9 — WHOLE-document greedy sequence packing (first-fit-sequential
+    * bin packing): walk docs in doc_id order, keep a running token fill,
+    * and start a new bin whenever the next doc would push the fill past
+    * `ctxTokens`. This is the packing a dataloader needs when documents
+    * must NOT be split across training sequences — the op sa6 cannot
+    * express (sa6's floor-div sharding splits a straddling doc's budget
+    * across two shards). A doc longer than the context gets a bin of its
+    * own (fill > ctx, flagged by the caller via `n_tokens > ctx`); the
+    * greedy rule never reorders and never revisits a closed bin, so the
+    * result is a pure function of (doc_id order, token counts).
+    *
+    * The sequential dependence (each bin boundary depends on every fill
+    * before it) has no window-function closed form, so a naive
+    * implementation is a single-threaded driver loop — the canonical
+    * scale-killer. Instead the corpus is cut into fixed-SPAN doc_id
+    * buckets (`bucketSpan` docs each) and packing runs independently
+    * inside each bucket: bins never cross a bucket boundary, so buckets
+    * are embarrassingly parallel and the only cost is at most one
+    * partially-filled final bin per `bucketSpan` docs (<0.1% fill loss at
+    * span 1024). The per-bucket scan is a `flatMapGroups` over the
+    * bucket's rows (bounded at `bucketSpan` rows of (id, count) pairs —
+    * never data-scaled memory), and the one shuffle is the hash
+    * partition by bucket. At 100 TB the bucket count scales with the
+    * corpus and every executor packs its buckets in one linear pass.
+    *
+    * The oracle is the SAME greedy recurrence as a DuckDB recursive CTE
+    * (one row per (bucket, rank) step), so every bin id, position and
+    * running fill — all exact BIGINT arithmetic — is hash-compared.
+    */
+  def sa9PackGreedy(
+      docs: DataFrame, ctxTokens: Long = 512L,
+      bucketSpan: Long = 1024L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        expr(s"doc_id div $bucketSpan").as("bucket"))
+      .as[(Long, Long, Long)]
+    val packed = w.groupByKey(_._3).flatMapGroups { (bucket, rows) =>
+      // bounded buffer: a bucket holds at most bucketSpan (id, count)
+      // pairs by construction — sort restores doc_id order after the
+      // shuffle, then one linear greedy pass
+      val ds = rows.toArray.sortBy(_._1)
+      var bin = 0L; var fill = 0L; var pos = 0L
+      ds.iterator.map { case (docId, n, _) =>
+        if (pos > 0L && fill + n > ctxTokens) { bin += 1L; fill = 0L; pos = 0L }
+        fill += n; pos += 1L
+        (docId, n, bucket, bucket * 100000L + bin, pos, fill)
+      }
+    }
+    packed
+      .toDF("doc_id", "n_tokens", "bucket", "bin_id", "pos", "bin_fill")
+      .orderBy(col("doc_id"))
+  }
+
+  def sa9PackGreedyQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa9PackGreedy(Tables.documents(spark, sfDir))
+
+  /** sa9's oracle: the identical greedy recurrence as a recursive CTE —
+    * the working table advances one per-bucket rank per iteration, so
+    * the recursion depth is the largest bucket's row count and every
+    * step is exact BIGINT arithmetic. Generated from the same
+    * (ctxTokens, bucketSpan) the engine runs.
+    */
+  private[graft] def sa9OracleSql(
+      ctxTokens: Long = 512L, bucketSpan: Long = 1024L): String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, CAST(len(${tokensSql("text")}) AS BIGINT) AS n_tokens,
+       |    doc_id // $bucketSpan AS bucket,
+       |    row_number() OVER (PARTITION BY doc_id // $bucketSpan
+       |                       ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |rec AS (
+       |  SELECT bucket, rn, doc_id, n_tokens,
+       |    CAST(0 AS BIGINT) AS bin, n_tokens AS fill, CAST(1 AS BIGINT) AS pos
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.bucket, t.rn, t.doc_id, t.n_tokens,
+       |    CASE WHEN rec.fill + t.n_tokens > $ctxTokens
+       |         THEN rec.bin + 1 ELSE rec.bin END,
+       |    CASE WHEN rec.fill + t.n_tokens > $ctxTokens
+       |         THEN t.n_tokens ELSE rec.fill + t.n_tokens END,
+       |    CASE WHEN rec.fill + t.n_tokens > $ctxTokens
+       |         THEN CAST(1 AS BIGINT) ELSE rec.pos + 1 END
+       |  FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1)
+       |SELECT doc_id, n_tokens, bucket, bucket * 100000 + bin AS bin_id,
+       |  pos, fill AS bin_fill
+       |FROM rec ORDER BY doc_id""".stripMargin
+
   /** The dataloader HANDOFF for sa6's packing: the corpus written as ONE
     * JSON-lines file per token-budget shard (`shard_id=` partition dirs,
     * docs in packing order inside each file) — the physical contract a
@@ -449,6 +539,7 @@ object Params {
     "sa6_token_shards" -> (sa6TokenShardsQ _),
     "sa7_bottomk_sample" -> (sa7BottomKSampleQ _),
     "sa8_stratified_hash_sample" -> (sa8StratifiedHashSampleQ _),
+    "sa9_pack_greedy" -> (sa9PackGreedyQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
@@ -526,7 +617,11 @@ object Params {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${saltedUniformSql("graft-strat-v1", "lang || ':' || CAST(doc_id AS VARCHAR)")} < $fracSql
          |ORDER BY doc_id""".stripMargin
-    })
+    },
+    // the oracle is the same greedy recurrence, driven per-bucket by a
+    // recursive CTE — all-BIGINT arithmetic, so the hash compare covers
+    // bin boundaries, positions and running fills exactly
+    "sa9_pack_greedy" -> sa9OracleSql())
   // sa1/sa2 are engine-RNG-specific by design → rows-only checks
   // (exact-n / seed-determinism + proportions asserted in ParamsSpec);
   // sa8 is sa2's deterministic oracle-hashed twin.

@@ -105,15 +105,28 @@ object Tables {
     spark.read.parquet(path(sfDir, "events"))
   }
 
-  /** Normalize a nanos-long `ts` to a microsecond timestamp with integer
-    * division (`div`, not `/` — a double division would lose precision
-    * above 2^53 ns). Truncation toward zero matches DuckDB's ns→µs read
-    * behaviour, so oracle timestamps agree.
+  /** Normalize `ts` to a session-zone microsecond TIMESTAMP, whatever
+    * vintage the staged file is:
+    *
+    *  - parquet TIMESTAMP(NANOS) arrives as a nanos LONG (under the nanos
+    *    conf) → integer division to µs (`div`, not `/` — a double division
+    *    would lose precision above 2^53 ns; truncation toward zero matches
+    *    DuckDB's ns→µs read), then `timestamp_micros`.
+    *  - parquet timestamp[us] with isAdjustedToUTC=false arrives as
+    *    TIMESTAMP_NTZ → cast to TIMESTAMP. The session zone is pinned to
+    *    UTC (GraftSession), so the cast reinterprets the wall-clock
+    *    reading as the same instant DuckDB's naive read shows — values
+    *    and oracle hashes are unchanged across vintages.
+    *
+    * Downstream always sees TimestampType: streaming watermarks reject
+    * NTZ event-time columns, and several batch ops cast ts through
+    * DOUBLE/epoch, which NTZ forbids.
     */
   private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => df
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
 
   def events(spark: SparkSession, sfDir: String): DataFrame =

@@ -152,6 +152,40 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_._3).sliding(2).forall(s => s.length < 2 || s(0) <= s(1)))
   }
 
+  test("sa9: greedy packing never overfills a bin, never splits or reorders, and respects bucket isolation") {
+    val ctx = 300L
+    val rows = Params.sa9PackGreedy(
+      graft.sources.Tables.documents(spark, sf001), ctxTokens = ctx,
+      bucketSpan = 64L)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")), r.getLong(r.fieldIndex("n_tokens")),
+        r.getLong(r.fieldIndex("bucket")), r.getLong(r.fieldIndex("bin_id")),
+        r.getLong(r.fieldIndex("pos")), r.getLong(r.fieldIndex("bin_fill"))))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // every doc appears exactly once (no split, no drop)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    // replay the greedy recurrence driver-side and demand identity
+    rows.groupBy(_._3).foreach { case (bucket, ds) =>
+      var bin = 0L; var fill = 0L; var pos = 0L
+      ds.sortBy(_._1).foreach { case (id, n, b, binId, p, f) =>
+        if (pos > 0L && fill + n > ctx) { bin += 1L; fill = 0L; pos = 0L }
+        fill += n; pos += 1L
+        assert(binId === bucket * 100000L + bin, s"doc $id bin")
+        assert(p === pos && f === fill, s"doc $id pos/fill")
+      }
+    }
+    // a multi-doc bin never exceeds ctx; only a singleton oversized doc may
+    val byBin = rows.groupBy(_._4)
+    byBin.foreach { case (binId, ds) =>
+      val total = ds.map(_._2).sum
+      assert(total <= ctx || ds.length == 1,
+        s"bin $binId overfilled with ${ds.length} docs: $total > $ctx")
+    }
+    // bins never cross buckets
+    assert(rows.forall { case (_, _, b, binId, _, _) => binId / 100000L == b })
+  }
+
   test("sa4: weighted sample is deterministic, near-target-sized, and weight-monotone") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val a = Params.sa4WeightedSample(docs).collect()
