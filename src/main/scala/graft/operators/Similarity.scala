@@ -1117,9 +1117,166 @@ object Similarity {
       qEmb, k)
   }
 
+  // ----------------------------------------------------------------- sim11
+
+  /** λ and 1−λ are both spelled as LITERALS (the BM25 discipline — a
+    * derived `1.0 - 0.7` lands on a different double than the parsed
+    * `0.3`), so Scala and the generated SQL multiply by the exact same
+    * constants.
+    */
+  val MmrLambda = 0.7
+  val MmrOneMinusLambda = 0.3
+
+  /** sim11 — MMR (Maximal Marginal Relevance) diversity re-rank: the
+    * serving-stack step AFTER retrieval. From each query's top-`m` exact
+    * candidates, greedily select `k` results maximizing
+    *
+    *   λ·sim(q,c) − (1−λ)·max_{s ∈ selected} sim(c,s)
+    *
+    * — relevance minus redundancy, so near-duplicate neighbors (which the
+    * corpus is full of — see dd6/dd16) stop crowding out distinct results.
+    * Step 1 is the plain-relevance argmax (empty selected set ⇒ no
+    * penalty term); ties break on neighbor_id at every step.
+    *
+    * The greedy recurrence is sequential PER QUERY but queries are
+    * independent, so the scale shape mirrors sa9's packing: every float
+    * the decision depends on (query-candidate and candidate-candidate
+    * cosines) is computed DISTRIBUTED by the same codegen'd
+    * [[cosine]]/vec_dot path the sim1/dd6 oracles hash-match, and only
+    * the k-scale greedy walk — comparisons, max(), two multiplies by
+    * literal constants per score — runs inside a `cogroup` over the
+    * per-query candidate set (m rows) and pair matrix (m·(m−1)/2 rows,
+    * one orientation: cosine is bit-commutative — per-index products and
+    * the norm product each commute exactly). No corpus shuffle: candidate
+    * generation is sim1's broadcast top-m; the cogroup moves m+m²/2 rows
+    * per query. A 10⁶-query batch fans the groups across the cluster
+    * unchanged.
+    *
+    * Oracle: the identical greedy unrolled one CTE pair per step
+    * (penalty-join + argmax pick), generated from the same
+    * (nQueries, m, k, λ) — the q36/sim5 generated-SQL pattern.
+    */
+  def mmrRerank(
+      emb: DataFrame, nQueries: Int = 10, m: Int = 12, k: Int = 5): DataFrame = {
+    require(m >= k, "mmrRerank: candidate pool smaller than selection")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("simq").desc, col("neighbor_id"))
+    val cand = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("simq", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= m)
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"),
+        col("simq"), col("rn"))
+    val pair = cand.select(col("query_id"), col("neighbor_id").as("na"),
+        col("c_emb").as("ea"))
+      .join(cand.select(col("query_id").as("qb"), col("neighbor_id").as("nb"),
+        col("c_emb").as("eb")),
+        col("query_id") === col("qb") && col("na") < col("nb"))
+      .withColumn("simc", cosine(col("ea"), col("eb")))
+      .select(col("query_id"), col("na"), col("nb"), col("simc"))
+    val candK = cand.select(col("query_id"), col("neighbor_id"), col("simq"),
+        col("rn"))
+      .as[(Long, Long, Double, Int)].groupByKey(_._1)
+    val pairK = pair.as[(Long, Long, Long, Double)].groupByKey(_._1)
+    val picked = candK.cogroup(pairK) { (qid, cit, pit) =>
+      // k-scale state: m candidates + the symmetric pair map
+      val cs = cit.toArray.sortBy(_._4)
+      val sims = new scala.collection.mutable.HashMap[(Long, Long), Double]
+      pit.foreach { case (_, na, nb, s) =>
+        sims((na, nb)) = s; sims((nb, na)) = s
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val remaining = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      cs.foreach { case (_, nid, simq, rn) =>
+        if (rn == 1) { selected += nid; out += ((qid, nid, 1L, MmrLambda * simq)) }
+        else remaining += ((nid, simq))
+      }
+      var step = 2L
+      while (step <= k && remaining.nonEmpty) {
+        var bestId = -1L; var bestScore = 0.0; var first = true
+        remaining.foreach { case (nid, simq) =>
+          var pen = Double.NegativeInfinity
+          selected.foreach { s =>
+            val v = sims((nid, s)); if (v > pen) pen = v
+          }
+          val score = MmrLambda * simq - MmrOneMinusLambda * pen
+          if (first || score > bestScore ||
+              (score == bestScore && nid < bestId)) {
+            bestId = nid; bestScore = score; first = false
+          }
+        }
+        selected += bestId
+        out += ((qid, bestId, step, bestScore))
+        remaining --= remaining.filter(_._1 == bestId)
+        step += 1L
+      }
+      out.iterator
+    }
+    picked.toDF("query_id", "neighbor_id", "step", "mmr_score")
+      .withColumn("mmr_score", r6(col("mmr_score")))
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  /** sim11's oracle: candidate pool + pair matrix via
+    * `list_cosine_similarity` (the sim1-established bit-match for the
+    * engine's vec_dot cosine), then the greedy selection unrolled one
+    * (penalty, pick, selected-set) CTE triple per step.
+    */
+  private[graft] def mmrOracleSql(
+      nQueries: Int = 10, m: Int = 12, k: Int = 5): String = {
+    val steps = (2 to k).map { i =>
+      s"""p$i AS (SELECT c.query_id, c.neighbor_id, c.simq, max(pp.simc) AS pen
+         |  FROM cand c
+         |  JOIN sel${i - 1} s ON s.query_id = c.query_id
+         |  JOIN pr pp ON pp.query_id = c.query_id
+         |    AND ((pp.na = c.neighbor_id AND pp.nb = s.neighbor_id)
+         |      OR (pp.na = s.neighbor_id AND pp.nb = c.neighbor_id))
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+         |    WHERE x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY c.query_id, c.neighbor_id, c.simq),
+         |s$i AS (SELECT query_id, neighbor_id, CAST($i AS BIGINT) AS step, score
+         |  FROM (SELECT query_id, neighbor_id,
+         |      $MmrLambda * simq - $MmrOneMinusLambda * pen AS score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY $MmrLambda * simq - $MmrOneMinusLambda * pen DESC,
+         |          neighbor_id) AS pk
+         |    FROM p$i) WHERE pk = 1),
+         |sel$i AS (SELECT query_id, neighbor_id FROM sel${i - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |cs AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv,
+       |    list_cosine_similarity(c.v, q.qv) AS simq,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rn
+       |  FROM e c JOIN q ON c.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, neighbor_id, cv, simq FROM cs WHERE rn <= $m),
+       |pr AS (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+       |    list_cosine_similarity(a.cv, b.cv) AS simc
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id),
+       |s1 AS (SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS step,
+       |    $MmrLambda * simq AS score
+       |  FROM cs WHERE rn = 1),
+       |sel1 AS (SELECT query_id, neighbor_id FROM s1),
+       |$steps
+       |SELECT query_id, neighbor_id, step,
+       |  round(score * 1e6) / 1e6 AS mmr_score
+       |FROM ($unionAll) ORDER BY query_id, step""".stripMargin
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim11_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(Tables.embeddings(s, d))),
     "sim9_pq_topk" -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "sim10_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfpqTopk(s, d)),
     "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
@@ -1198,6 +1355,9 @@ object Similarity {
        |$verifyRankSql""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the greedy MMR recurrence unrolled per step — candidate/pair
+    // cosines via the sim1-established list_cosine_similarity bit-match
+    "sim11_mmr_rerank" -> mmrOracleSql(),
     // the OR-amplified multi-band pipeline re-derived: identical md5
     // hyperplanes, per-band sign-bit buckets, (band, bucket) equi-join,
     // pair dedup, exact-cosine verify — the candidate SET hash-matches,

@@ -220,6 +220,42 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim11 MMR: k unique picks per query, step-1 = relevance top-1, near-dup demoted in favor of a diverse pick") {
+    import spark.implicits._
+    // corpus data: structural invariants over the real embeddings
+    val emb = Tables.embeddings(spark, sf001)
+    val rows = Similarity.mmrRerank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size === 10)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._2).distinct.length === 5, s"query $q picks not unique")
+      assert(rs.map(_._3).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    }
+    val top1 = Similarity.topkExact(emb, nQueries = 10, k = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.filter(_._3 == 1L).foreach { case (q, n, _) =>
+      assert(top1(q) === n, s"query $q step-1 must be the relevance top-1")
+    }
+    // crafted corpus: candidates 1 and 2 are near-identical and both
+    // closest to the query; 3 is distinct. Plain top-2 keeps the dup;
+    // MMR's redundancy penalty must pick 3 at step 2.
+    // two-facet query: 1 and 2 are near-identical on facet x (1 slightly
+    // more relevant), 3 covers facet y — orthogonal to 1, almost as
+    // relevant. Scores at step 2: dup ≈ .7·.713 − .3·1.0 ≈ .20 vs
+    // diverse ≈ .7·.707 − .3·.01 ≈ .49.
+    val crafted = Seq(
+      (0L, Array(1.0f, 1.0f, 0.0f)),          // query spans both facets
+      (1L, Array(1.0f, 0.01f, 0.0f)),         // facet-x candidate
+      (2L, Array(1.0f, 0.009f, 0.0f)),        // its near-duplicate
+      (3L, Array(0.0f, 1.0f, 0.0f))           // facet-y alternative
+    ).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrRerank(crafted, nQueries = 1, m = 3, k = 2)
+      .collect().map(r => (r.getLong(2), r.getLong(1))).toMap
+    assert(mmr(1L) === 1L, "step 1 = most relevant")
+    assert(mmr(2L) === 3L, "step 2 must skip the near-dup and diversify")
+  }
+
   test("dd7 LSH near-dups: no false positives, recall >= 0.85 vs dd6 exact") {
     val emb = Tables.embeddings(spark, sf001)
     // dd6's ground truth lives on the bounded deterministic sample (the
