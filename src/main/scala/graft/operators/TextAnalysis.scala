@@ -793,7 +793,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** td19 — out-of-vocabulary rate against a corpus-derived top-V
+    * vocabulary: the classic cheap quality/fluency signal (a doc whose
+    * tokens mostly fall outside the corpus head vocabulary is noise,
+    * boilerplate, or the wrong language). Vocabulary = the `vocabSize`
+    * most frequent tokens, totally ordered by (count DESC, token ASC) so
+    * the boundary cut is deterministic in both engines; per doc, the
+    * token count, OOV count, and the exact-rational rate (r6-rounded for
+    * the gate).
+    *
+    * Scale: the vocab aggregate is map-side-combined token counts (the
+    * td8 shape) topped by TakeOrderedAndProject; the scoring pass joins
+    * the exploded corpus against the BROADCAST vocab (V rows) and
+    * re-aggregates per doc — partial aggregation collapses each doc's
+    * tokens within its partition, so the shuffle carries one row per
+    * (partition, doc). No corpus-sized sort, no skew sensitivity (the
+    * vocab side is uniform-broadcast).
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int = 200): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        r6(col("n_oov").cast("double") / col("n_tokens").cast("double")))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td19_oov_rate" -> ((s: SparkSession, d: String) =>
+      oovRate(Tables.documents(s, d))),
     "td18_dsir_importance" -> ((s: SparkSession, d: String) =>
       dsirImportance(Tables.documents(s, d))),
     "td16_chunking" -> ((s: SparkSession, d: String) =>
@@ -819,6 +852,19 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // vocabulary cut via the same total order (count DESC, token ASC);
+    // the rate division mirrors r6 exactly
+    "td19_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |v AS (SELECT tok FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+         |    FROM t GROUP BY tok) WHERE rn <= 200)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  round((CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) * 1e6) / 1e6 AS oov_rate
+         |FROM t LEFT JOIN v ON t.tok = v.tok
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // the same hashed-bucket substrate, the same add-one-smoothed
     // integer floor-div ratio on the 1e-6 grid (HUGEINT = the
     // DECIMAL(38,0) twin), the same order-free integer sums; BIGINT

@@ -345,4 +345,30 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     rows.foreach { case (_, (n, imp, ipt)) => assert(ipt === imp / n) }
     assert(rows(1L)._1 === 6L)
   }
+
+  test("td19 OOV rate: bounded, exact counts, head-vocab doc scores 0 and junk scores 1") {
+    // vocabSize=2 cuts the vocabulary to the two most frequent tokens
+    // (the / den); doc 3 is all junk, doc 1 all head — the rate must
+    // separate them deterministically
+    val docs = Seq(
+      (1L, "the den the den the"),
+      (2L, "the den qzx wvu"),
+      (3L, "qzx wvu jkl")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.oovRate(docs, vocabSize = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(1L) === ((5L, 0L, 0.0)))
+    assert(rows(2L) === ((4L, 2L, 0.5)))
+    assert(rows(3L) === ((3L, 3L, 1.0)))
+    // corpus invariants at sf0.001
+    val corpus = TextAnalysis.oovRate(
+      graft.sources.Tables.documents(spark, sf001)).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (n, oov, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(oov >= 0L && oov <= n)
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
 }
