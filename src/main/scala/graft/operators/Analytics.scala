@@ -558,6 +558,28 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("dow").asc_nulls_first, col("event_type").asc_nulls_first)
 
+  // ---------------------------------------------------------------- q47
+  /** GROUPING SETS with NON-hierarchical sets — ((flag), (status), ()) —
+    * the grouping-set family member neither q27's ROLLUP (a
+    * right-to-left prefix chain) nor q45's CUBE (the full power set) can
+    * express: two independent single-dimension marginals plus the grand
+    * total, WITHOUT the (flag, status) cross grain. The dashboard shape
+    * this serves is a pair of summary bars sharing one scan. Execution
+    * is the same single-pass Expand as rollup/cube: 3 grouping sets ⇒
+    * each input row fans to 3 expanded rows, one hash aggregate, one
+    * shuffle — vs the naive 3 jobs + union. NULL is the set marker
+    * (both dims are non-null in lineitem, so marginals are unambiguous);
+    * NULLS FIRST pinned as in q27/q45.
+    */
+  def q47GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"), dsumr(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   // ---------------------------------------------------------------- q28
   /** Set operation (EXCEPT): customer keys that placed orders but never
     * produced an event — the §2.10 family the reference lacks entirely.
@@ -1020,6 +1042,7 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_trailing_rate" -> ((s: SparkSession, d: String) => q44TrailingRate(s, d)),
     "q45_cube_activity" -> (q45CubeActivity _),
+    "q47_grouping_sets" -> (q47GroupingSets _),
     "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d)),
     "q42_scd2_history" -> ((s: SparkSession, d: String) => q42Scd2(s, d)),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
@@ -1295,6 +1318,12 @@ object Analytics {
       s"""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
          |${EventTypes.map(t => s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""").mkString(",\n")}
          |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q47_grouping_sets" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+         |${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q27_rollup_totals" ->
       s"""SELECT r_name, n_name, count(*) AS n_customers,
          |${dsumSql("c_acctbal")} AS sum_acctbal

@@ -445,6 +445,15 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"rollup re-shuffles per grain:\n$p")
   }
 
+  test("q47: non-hierarchical grouping sets expand map-side — one aggregation pass, no per-grain jobs") {
+    val p = plan(Analytics.q47GroupingSets(spark, sf001))
+    assert(p.contains("Expand"), s"grouping sets did not plan Expand:\n$p")
+    val scans = p.linesIterator.count(_.contains(") Scan parquet"))
+    assert(scans === 1, s"grouping sets re-scanned per grain:\n$p")
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"grouping sets re-shuffle per grain:\n$p")
+  }
+
   test("q28: EXCEPT plans as distinct + anti join, both sides partial-aggregated") {
     val p = plan(Analytics.q28ExceptKeys(spark, sf001))
     assert(p.contains("LeftAnti"), s"except is not an anti join:\n$p")
