@@ -558,6 +558,39 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("dow").asc_nulls_first, col("event_type").asc_nulls_first)
 
+  // ---------------------------------------------------------------- q48
+  /** The distribution-rank window family — `ntile` / `percent_rank` /
+    * `cume_dist` — the one window shape (W1–W7 cover aggregates, LOCF,
+    * lag, ROWS/RANGE frames, group-limits) still missing: where does
+    * each row SIT within its group's distribution. Deciles feed
+    * histogram-equalized dashboards; percent_rank/cume_dist are the
+    * plotting positions for Q-Q/CDF panels.
+    *
+    * Determinism: ntile splits ties by ROW POSITION, so the window
+    * ORDER BY carries the key tie-break (price, orderkey) — a total
+    * order makes ntile, percent_rank ((rank−1)/(N−1)) and cume_dist
+    * (rank/N) all engine-exact; the two double divisions are single
+    * IEEE ops, r6-rounded at the edge.
+    *
+    * Scale: one window pass partitioned by priority class. Ranking
+    * against a whole-partition distribution REQUIRES that partition's
+    * total order — this plan sorts within the 5 bounded classes (each
+    * class spreads over the cluster's range-partitioned sort, not one
+    * task). When the grain must be finer at 100 TB, q41's two-phase
+    * distributed rank is the approximation escape hatch; this operator
+    * is the exact-semantics member of that family.
+    */
+  def q48WindowRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(10).over(w).cast("long").as("decile"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cum_dist"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------- q47
   /** GROUPING SETS with NON-hierarchical sets — ((flag), (status), ()) —
     * the grouping-set family member neither q27's ROLLUP (a
@@ -1043,6 +1076,7 @@ object Analytics {
     "q44_trailing_rate" -> ((s: SparkSession, d: String) => q44TrailingRate(s, d)),
     "q45_cube_activity" -> (q45CubeActivity _),
     "q47_grouping_sets" -> (q47GroupingSets _),
+    "q48_window_ranks" -> (q48WindowRanks _),
     "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d)),
     "q42_scd2_history" -> ((s: SparkSession, d: String) => q42Scd2(s, d)),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
@@ -1318,6 +1352,15 @@ object Analytics {
       s"""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
          |${EventTypes.map(t => s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""").mkString(",\n")}
          |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q48_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |  round(percent_rank() OVER w * 1e6) / 1e6 AS pct_rank,
+        |  round(cume_dist() OVER w * 1e6) / 1e6 AS cum_dist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q47_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
          |${dsumSql("l_quantity")} AS sum_qty

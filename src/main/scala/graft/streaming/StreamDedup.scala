@@ -114,11 +114,65 @@ object StreamDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** st18 — streaming OOV gate against a BATCH-BUILT vocabulary
+    * artifact: the third admission screen (st16 rejects near-dups of
+    * history, st17 rejects rule-measured junk; this rejects arrivals
+    * whose vocabulary doesn't match the corpus the model is being
+    * trained on — wrong language, encoding garbage, machine noise). The
+    * td19 head-vocabulary cut runs ONCE over the frozen history (the
+    * dd11 split st16 uses), and the V-row artifact is inlined into the
+    * streaming plan as a literal array — the batch→stream artifact
+    * handoff pattern (sim7 does it with centroids): the gate itself
+    * stays STATELESS, scan → project → sink, no watermark, no state
+    * store, no shuffle.
+    *
+    * The per-token membership probe is an `aggregate` HOF over the
+    * token array against the V-element literal — O(V) per token,
+    * interpreted. That is the right trade at gate scale (V=200); the
+    * 100 TB upgrade path when V grows to millions is the dd13 shape: a
+    * bloom_filter_agg artifact probed with might_contain, with the
+    * exact re-check running in the batch reconciliation pass.
+    *
+    * Empty docs (zero tokens) are REJECTED with a NULL rate — a gate
+    * must fail closed; both engines' CASE/coalesce agree.
+    */
+  def st18StreamOovGate(
+      spark: SparkSession, sfDir: String, vocabSize: Int = 200,
+      maxOovRate: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    // V-row artifact collect (aggregate-scale, the sim7 centroid pattern)
+    val vocab = docs.filter(col("doc_id") < newFrom)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok")).collect().map(_.getString(0))
+    val vlit = array(vocab.map(lit(_)): _*)
+    val arrivals = documentStream(spark, sfDir)
+      .filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + when(array_contains(vlit, t), 0L).otherwise(1L))
+          .as("n_oov"))
+    val rate = col("n_oov").cast("double") /
+      nullif(col("n_tokens").cast("double"), lit(0.0))
+    val gated = arrivals
+      .withColumn("keep", coalesce(rate <= lit(maxOovRate), lit(false)))
+      .withColumn("oov_rate", r6(rate))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("keep"),
+        col("oov_rate"))
+    EventStreams.runToParquet(gated, "st18_sink")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st16_stream_dedup_gate" ->
       ((s: SparkSession, d: String) => st16StreamDedupGate(s, d)),
     "st17_stream_quality_gate" ->
-      ((s: SparkSession, d: String) => st17StreamQualityGate(s, d)))
+      ((s: SparkSession, d: String) => st17StreamQualityGate(s, d)),
+    "st18_stream_oov_gate" ->
+      ((s: SparkSession, d: String) => st18StreamOovGate(s, d)))
 
   val oracles: Map[String, String] = Map(
     // dd4's signature chain on the full corpus, band keys split at the
@@ -170,5 +224,28 @@ object StreamDedup {
          |       WHEN NOT r_symbols THEN 'r_symbols'
          |       WHEN NOT r_distinct THEN 'r_distinct' END AS reject_rule
          |FROM r ORDER BY doc_id""".stripMargin
-    })
+    },
+    // the td19 vocabulary cut over the history split, replayed against
+    // the arrivals; rate division and the <= 0.5 admission compare are
+    // the same IEEE ops, NULL-rate arrivals fail closed in both engines
+    "st18_stream_oov_gate" ->
+      s"""WITH nf AS (SELECT max(doc_id) - 49 AS vmax FROM documents),
+         |ht AS (SELECT unnest(${tokensSql("text")}) AS tok FROM documents
+         |  WHERE doc_id < (SELECT vmax FROM nf)),
+         |v AS (SELECT tok FROM (
+         |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+         |    FROM ht GROUP BY tok) WHERE rn <= 200),
+         |a AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+         |  WHERE doc_id >= (SELECT vmax FROM nf)),
+         |x AS (SELECT doc_id, unnest(toks) AS tok FROM a),
+         |o AS (SELECT x.doc_id, count(*) AS n,
+         |    CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov
+         |  FROM x LEFT JOIN v ON x.tok = v.tok GROUP BY x.doc_id)
+         |SELECT a.doc_id, CAST(coalesce(o.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(o.oov, 0) AS BIGINT) AS n_oov,
+         |  CASE WHEN o.n IS NULL THEN false
+         |       ELSE (CAST(o.oov AS DOUBLE) / o.n) <= 0.5 END AS keep,
+         |  round((CAST(o.oov AS DOUBLE) / o.n) * 1e6) / 1e6 AS oov_rate
+         |FROM a LEFT JOIN o ON a.doc_id = o.doc_id
+         |ORDER BY a.doc_id""".stripMargin)
 }

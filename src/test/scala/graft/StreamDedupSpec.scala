@@ -65,4 +65,34 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     assert(gotRows.exists(_.getAs[Boolean]("keep")))
     assert(gotRows.exists(!_.getAs[Boolean]("keep")))
   }
+
+  test("st18: streaming OOV gate == batch vocabulary replay; empty docs fail closed") {
+    val docs = Tables.documents(spark, sf001)
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val rows = StreamDedup.st18StreamOovGate(spark, sf001).collect()
+    assert(rows.length === 50, "one decision per arrival")
+    assert(rows.forall(_.getAs[Long]("doc_id") >= newFrom))
+    // batch twin: history vocabulary, arrival token stream, left-join count
+    import graft.functions.tokens
+    val vocab = docs.filter(col("doc_id") < newFrom)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(200)
+      .collect().map(_.getString(0)).toSet
+    val arr = docs.filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      val toks = arr(r.getAs[Long]("doc_id"))
+      val oov = toks.count(t => !vocab.contains(t)).toLong
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("n_oov") === oov)
+      if (toks.nonEmpty)
+        assert(r.getAs[Boolean]("keep") ===
+          (oov.toDouble / toks.length.toDouble <= 0.5))
+      else assert(r.getAs[Boolean]("keep") === false, "empty doc must fail closed")
+    }
+    // both decisions occur on the staged corpus (planted junk arrivals)
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+  }
 }
