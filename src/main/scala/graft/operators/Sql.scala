@@ -111,7 +111,12 @@ object Sql {
         |FROM customer
         |WHERE c_custkey IN
         |  (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    // sql8 — the named-WINDOW clause surface (one definition, three
+    // ranking functions over it): q48's oracle text IS dialect-neutral,
+    // so the same string runs verbatim in both engines and is its own
+    // oracle — the sql6/sql7 discipline extended to window syntax.
+    "sql8_window_ranks" -> Analytics.oracles("q48_window_ranks"))
 
   /** sql7's DataFrame twin: the explicit `left_semi` join the IN-subquery
     * text must plan to.
@@ -151,7 +156,8 @@ object Sql {
     "sql4_cond_avg_weekday" -> (Analytics.q08CondAvgByWeekday _),
     "sql5_top_routes" -> (Analytics.q09TopRoutes _),
     "sql6_correlated_whale_orders" -> (sql6Twin _),
-    "sql7_in_subquery_semi" -> (sql7Twin _))
+    "sql7_in_subquery_semi" -> (sql7Twin _),
+    "sql8_window_ranks" -> (Analytics.q48WindowRanks _))
 
   // ------------------------------------------------------------ registry
 
@@ -171,5 +177,6 @@ object Sql {
     "sql5_top_routes" -> Analytics.oracles("q09_top_routes"),
     // one dialect-neutral string, two engines — its own oracle
     "sql6_correlated_whale_orders" -> sparkSql("sql6_correlated_whale_orders"),
-    "sql7_in_subquery_semi" -> sparkSql("sql7_in_subquery_semi"))
+    "sql7_in_subquery_semi" -> sparkSql("sql7_in_subquery_semi"),
+    "sql8_window_ranks" -> sparkSql("sql8_window_ranks"))
 }
