@@ -736,6 +736,81 @@ object Dedup {
     snapshotDiff(old, neu)
   }
 
+  /** Canonicalize a URL column — the normalization every web-corpus
+    * pipeline runs BEFORE its first dedup stage (RefinedWeb/CCNet-style
+    * URL-level dedup): strip the fragment, strip the query string
+    * (tracking params make one page infinitely many URLs), force the
+    * scheme to https, drop a leading `www.`, lowercase the HOST ONLY
+    * (paths are case-significant per RFC 3986), and trim trailing
+    * slashes. Every step is an anchored single-match regex or plain
+    * string op, spelled identically in the DuckDB twin (anchored
+    * patterns make Spark's replace-all vs DuckDB's replace-first
+    * equivalent; the character classes are RE2∩Java-portable).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val noQuery = regexp_replace(noFrag, "\\?.*$", "")
+    val https = regexp_replace(noQuery, "^http://", "https://")
+    val noWww = regexp_replace(https, "^https://www\\.", "https://")
+    val host = lower(regexp_extract(noWww, "^https://([^/]*)", 1))
+    val path = regexp_extract(noWww, "^https://[^/]*(.*)$", 1)
+    rtrim(concat(lit("https://"), host, path), "/")
+  }
+
+  /** The [[canonicalizeUrl]] steps as DuckDB SQL over a url expression —
+    * generated beside the Column form so the two can't drift (DuckDB
+    * standard strings pass backslashes through to RE2 unprocessed, so
+    * the pattern text is byte-identical to the Java regex source).
+    */
+  private[graft] def canonicalizeUrlSql(expr: String): String = {
+    val stripped = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"$expr, '#.*$$', ''), '\\?.*$$', ''), '^http://', 'https://'), " +
+      "'^https://www\\.', 'https://')"
+    s"rtrim('https://' || lower(regexp_extract($stripped, '^https://([^/]*)', 1))" +
+      s" || regexp_extract($stripped, '^https://[^/]*(.*)$$', 1), '/')"
+  }
+
+  /** dd20 — URL-level dedup: group by canonical URL, keep the smallest
+    * doc_id, report group sizes — the CHEAPEST dedup stage (no content
+    * reads at all) that removes the bulk of crawl duplication before
+    * the content stages (dd1 exact, dd4 MinHash, dd6 embedding) run.
+    * Plan: map-only canonicalization, one count-min aggregate
+    * (map-side combined), output scales with distinct pages.
+    *
+    * Registry instantiation: the driver corpus has no URL column, so a
+    * crawl frontier is DERIVED deterministically (the dd18 pattern —
+    * production passes a real url column): 7 consecutive doc_ids share
+    * a page (`doc_id div 7`), and `doc_id % 7` picks the duplication
+    * mode crawlers actually produce — plain, http://, www., uppercased
+    * host, trailing slash, ?utm tracking params, #fragment. The
+    * canonicalizer must collapse each 7-doc run to ONE page.
+    */
+  def urlDedup(docs: DataFrame): DataFrame = {
+    // host keyed by the PAGE (div 7), not by `source` — source rotates
+    // per doc, so a source-derived host would make every URL unique and
+    // the canonicalizer would have nothing to collapse
+    val host = concat(lit("site-"),
+      expr("CAST((doc_id div 7) % 20 AS STRING)"), lit(".example.com"))
+    val path = concat(lit("/doc/"), expr("CAST(doc_id div 7 AS STRING)"))
+    val base = concat(host, path)
+    val url = when(col("doc_id") % 7 === 0, concat(lit("https://"), base))
+      .when(col("doc_id") % 7 === 1, concat(lit("http://"), base))
+      .when(col("doc_id") % 7 === 2, concat(lit("https://www."), base))
+      // host case-folds, the PATH must stay case-significant — only the
+      // host is uppercased in this duplication mode
+      .when(col("doc_id") % 7 === 3, concat(lit("https://"), upper(host), path))
+      .when(col("doc_id") % 7 === 4, concat(lit("https://"), base, lit("/")))
+      .when(col("doc_id") % 7 === 5,
+        concat(lit("https://"), base, lit("?utm_source=feed&ref=rss")))
+      .otherwise(concat(lit("https://"), base, lit("#section-2")))
+    docs.select(col("doc_id"), url.as("url"))
+      .withColumn("canonical_url", canonicalizeUrl(col("url")))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keep_doc"),
+        count(lit(1)).as("n_variants"))
+      .orderBy(col("canonical_url"))
+  }
+
   /** dd10 — benchmark DECONTAMINATION: flag training documents sharing at
     * least `minShared` n-gram shingles with any held-out evaluation
     * document (the GPT-3 §C / PaLM-style n-gram overlap screen — published
@@ -943,6 +1018,7 @@ object Dedup {
     "dd2_fingerprint_dups" -> ((s: SparkSession, d: String) => fingerprintGroups(Tables.documents(s, d))),
     "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),
     "dd19_containment" -> ((s: SparkSession, d: String) => containmentPairs(Tables.documentsRebalanced(s, d))),
+    "dd20_url_dedup" -> ((s: SparkSession, d: String) => urlDedup(Tables.documents(s, d))),
     "dd18_snapshot_diff" -> (snapshotDiffQ _),
     "dd4_minhash_candidates" -> ((s: SparkSession, d: String) => minhashCandidates(Tables.documentsRebalanced(s, d))),
     "dd15_minhash_verified" -> ((s: SparkSession, d: String) => minhashVerifiedPairs(Tables.documentsRebalanced(s, d))),
@@ -971,6 +1047,26 @@ object Dedup {
   private val toksSql = tokensSql("text")
 
   val oracles: Map[String, String] = Map(
+    // the same frontier derivation (doc_id div/% 7 modes), the same
+    // canonicalization chain (canonicalizeUrlSql), the same keep rule
+    "dd20_url_dedup" -> {
+      val host = "'site-' || CAST((doc_id // 7) % 20 AS VARCHAR) || '.example.com'"
+      val base = s"$host || '/doc/' || CAST(doc_id // 7 AS VARCHAR)"
+      val hostUp = s"upper($host) || '/doc/' || CAST(doc_id // 7 AS VARCHAR)"
+      s"""WITH u AS (SELECT doc_id,
+         |  CASE doc_id % 7
+         |    WHEN 0 THEN 'https://' || $base
+         |    WHEN 1 THEN 'http://' || $base
+         |    WHEN 2 THEN 'https://www.' || $base
+         |    WHEN 3 THEN 'https://' || $hostUp
+         |    WHEN 4 THEN 'https://' || $base || '/'
+         |    WHEN 5 THEN 'https://' || $base || '?utm_source=feed&ref=rss'
+         |    ELSE 'https://' || $base || '#section-2' END AS url
+         |  FROM documents)
+         |SELECT ${canonicalizeUrlSql("url")} AS canonical_url,
+         |  min(doc_id) AS keep_doc, count(*) AS n_variants
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "dd12_substring_dups" ->
       s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
          |sp AS (

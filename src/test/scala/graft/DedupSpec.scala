@@ -371,4 +371,36 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(r2.getString(3).matches("[0-9a-f]{32}"))
     assert(r2.getString(2) !== r2.getString(3))
   }
+
+  test("dd20: canonicalizer folds every crawl-duplication mode; path case survives; 7-runs collapse to one page") {
+    import spark.implicits._
+    val cases = Seq(
+      "https://a.example.com/doc/3" -> "https://a.example.com/doc/3",
+      "http://a.example.com/doc/3" -> "https://a.example.com/doc/3",
+      "https://www.a.example.com/doc/3" -> "https://a.example.com/doc/3",
+      "https://A.EXAMPLE.COM/doc/3" -> "https://a.example.com/doc/3",
+      "https://a.example.com/doc/3/" -> "https://a.example.com/doc/3",
+      "https://a.example.com/doc/3?utm_source=feed&ref=rss" -> "https://a.example.com/doc/3",
+      "https://a.example.com/doc/3#section-2" -> "https://a.example.com/doc/3",
+      // path case is SIGNIFICANT (RFC 3986) — must NOT fold
+      "https://a.example.com/DOC/3" -> "https://a.example.com/DOC/3",
+      // query + fragment together; www + scheme together
+      "http://www.B.com/x?q=1#f" -> "https://b.com/x")
+    val got = cases.map(_._1).toDF("url")
+      .select(Dedup.canonicalizeUrl(col("url"))).as[String].collect()
+    assert(got.toSeq === cases.map(_._2))
+    // corpus run: the frontier MUST genuinely collapse — one canonical
+    // per 7-consecutive-id page, full-size groups for every complete run
+    val docCount = Tables.documents(spark, sf001).count()
+    val rows = Dedup.urlDedup(Tables.documents(spark, sf001)).collect()
+    assert(rows.length.toLong === (docCount + 6) / 7,
+      s"expected one canonical per page, got ${rows.length} of $docCount docs")
+    rows.foreach { r =>
+      val (keep, n) = (r.getLong(1), r.getLong(2))
+      assert(keep % 7 === 0L, s"keep_doc $keep must be the run head")
+      assert(n === 7L || keep / 7L === (docCount - 1) / 7L,
+        s"interior page under-collapsed: keep=$keep n=$n")
+    }
+    assert(rows.map(_.getLong(2)).sum === docCount)
+  }
 }
