@@ -558,6 +558,41 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("dow").asc_nulls_first, col("event_type").asc_nulls_first)
 
+  // ---------------------------------------------------------------- q49
+  /** Robust outlier profile per group: MEDIAN + MAD (median absolute
+    * deviation) + the |x − med| > 3·MAD outlier count — the
+    * heavy-tail-safe twin of F4's stddev z-score window (one whale
+    * order moves a mean/stddev fence; the median/MAD fence doesn't
+    * move). MAD is inherently two-phase (the deviation needs the median
+    * first), so the plan is three aggregate passes, each collapsing
+    * map-side to the ~|event_type| grain with the tiny result broadcast
+    * back — at 100 TB that is three scans whose shuffles carry a few
+    * rows each, never a sort and never a data-scaled join side.
+    * Exactness: Spark's `percentile` ≡ DuckDB's `quantile_cont` (the
+    * q19-established interpolation match), deviations are single IEEE
+    * subtract/abs ops on identical doubles, and the 3·MAD fence compare
+    * is one multiply — the outlier SET is engine-identical, not just
+    * the rounded summary.
+    */
+  def q49RobustOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("medv"), max(col("mad")).as("madv"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("event_type"), col("n"), r6(col("medv")).as("med_value"),
+        r6(col("madv")).as("mad_value"), col("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** The distribution-rank window family — `ntile` / `percent_rank` /
     * `cume_dist` — the one window shape (W1–W7 cover aggregates, LOCF,
@@ -1077,6 +1112,7 @@ object Analytics {
     "q45_cube_activity" -> (q45CubeActivity _),
     "q47_grouping_sets" -> (q47GroupingSets _),
     "q48_window_ranks" -> (q48WindowRanks _),
+    "q49_robust_outliers" -> (q49RobustOutliers _),
     "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d)),
     "q42_scd2_history" -> ((s: SparkSession, d: String) => q42Scd2(s, d)),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
@@ -1352,6 +1388,22 @@ object Analytics {
       s"""SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
          |${EventTypes.map(t => s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS "$t"""").mkString(",\n")}
          |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    // med/mad are group constants — max() fetches them identically in
+    // both engines; the fence compare runs on unrounded doubles
+    "q49_robust_outliers" ->
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+        |  FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(max(d.med) * 1e6) / 1e6 AS med_value,
+        |  round(max(md.mad) * 1e6) / 1e6 AS mad_value,
+        |  CAST(sum(CASE WHEN d.dev > 3.0 * md.mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "q48_window_ranks" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
