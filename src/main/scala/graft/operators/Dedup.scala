@@ -811,6 +811,66 @@ object Dedup {
       .orderBy(col("canonical_url"))
   }
 
+  /** dd21 — FUZZY RECORD LINKAGE: match dirty entity names against a
+    * clean reference dimension under an edit-distance budget — the
+    * data-cleaning counterpart of the content-dedup family (dd1–dd5
+    * dedup documents; this reconciles KEYS — vendor names, geo labels,
+    * user-typed fields — against the dimension they should have been).
+    * Candidate generation is BLOCKED exactly like dd4's banding, but
+    * for strings: (first char, length within ±1) — a pair is compared
+    * only inside its block, so the 100 TB dirty side streams against
+    * the BROADCAST clean dimension and never self-joins; `levenshtein`
+    * (identical integer DP in Spark and DuckDB) then scores the block's
+    * survivors and a (distance, name) argmin picks each dirty row's
+    * best match. Unmatched rows (nothing within the budget) surface
+    * with a NULL match — fail loud, the V9 accounting posture.
+    *
+    * Registry instantiation derives the dirty feed deterministically
+    * from the nation dim (key % 3 picks the corruption: verbatim, one
+    * char dropped, one char doubled — the classic typo classes);
+    * production passes any (id, dirty_name) frame.
+    */
+  def fuzzyLinkage(dirty: DataFrame, clean: DataFrame,
+      maxDist: Int = 2): DataFrame = {
+    val d = dirty.select(col("dirty_id"), col("dirty_name"),
+      substring(col("dirty_name"), 1, 1).as("blk"),
+      length(col("dirty_name")).as("dlen"))
+    val c = clean.select(col("clean_name"),
+      substring(col("clean_name"), 1, 1).as("blk"),
+      length(col("clean_name")).as("clen"))
+    val w = Window.partitionBy(col("dirty_id"))
+      .orderBy(col("dist"), col("clean_name"))
+    val matched = d.join(broadcast(c), Seq("blk"))
+      .filter(abs(col("dlen") - col("clen")) <= 1)
+      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
+      .filter(col("dist") <= maxDist)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("dirty_id"), col("dirty_name"), col("clean_name"),
+        col("dist").cast("long").as("dist"))
+    dirty.select(col("dirty_id"), col("dirty_name"))
+      .join(matched.select(col("dirty_id"), col("clean_name"), col("dist")),
+        Seq("dirty_id"), "left")
+      .select(col("dirty_id"), col("dirty_name"), col("clean_name"),
+        col("dist"))
+      .orderBy(col("dirty_id"))
+  }
+
+  /** The dd21 registry instantiation: the dirty feed derived from the
+    * nation dim by key-mod typo classes.
+    */
+  def fuzzyLinkageQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tables.nation(spark, sfDir)
+    val dirty = n.select(col("n_nationkey").as("dirty_id"),
+      when(col("n_nationkey") % 3 === 0, col("n_name"))
+        .when(col("n_nationkey") % 3 === 1,
+          concat(substring(col("n_name"), 1, 1), expr("substring(n_name, 3)")))
+        .otherwise(concat(substring(col("n_name"), 1, 3),
+          expr("substring(n_name, 3)")))
+        .as("dirty_name"))
+    fuzzyLinkage(dirty, n.select(col("n_name").as("clean_name")))
+  }
+
   /** dd10 — benchmark DECONTAMINATION: flag training documents sharing at
     * least `minShared` n-gram shingles with any held-out evaluation
     * document (the GPT-3 §C / PaLM-style n-gram overlap screen — published
@@ -1019,6 +1079,7 @@ object Dedup {
     "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),
     "dd19_containment" -> ((s: SparkSession, d: String) => containmentPairs(Tables.documentsRebalanced(s, d))),
     "dd20_url_dedup" -> ((s: SparkSession, d: String) => urlDedup(Tables.documents(s, d))),
+    "dd21_fuzzy_linkage" -> (fuzzyLinkageQ _),
     "dd18_snapshot_diff" -> (snapshotDiffQ _),
     "dd4_minhash_candidates" -> ((s: SparkSession, d: String) => minhashCandidates(Tables.documentsRebalanced(s, d))),
     "dd15_minhash_verified" -> ((s: SparkSession, d: String) => minhashVerifiedPairs(Tables.documentsRebalanced(s, d))),
@@ -1067,6 +1128,30 @@ object Dedup {
          |  min(doc_id) AS keep_doc, count(*) AS n_variants
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // same key-mod typo derivation, same (first-char, length±1) blocks,
+    // same integer-DP levenshtein, same (dist, name) argmin
+    "dd21_fuzzy_linkage" ->
+      """WITH dirty AS (SELECT n_nationkey AS dirty_id,
+        |  CASE CAST(n_nationkey % 3 AS INTEGER)
+        |    WHEN 0 THEN n_name
+        |    WHEN 1 THEN substring(n_name, 1, 1) || substring(n_name, 3)
+        |    ELSE substring(n_name, 1, 3) || substring(n_name, 3) END AS dirty_name
+        |  FROM nation),
+        |c AS (SELECT n_name AS clean_name FROM nation),
+        |m AS (SELECT dirty_id, dirty_name, clean_name, dist,
+        |    row_number() OVER (PARTITION BY dirty_id
+        |      ORDER BY dist, clean_name) AS rk
+        |  FROM (SELECT d.dirty_id, d.dirty_name, c.clean_name,
+        |      levenshtein(d.dirty_name, c.clean_name) AS dist
+        |    FROM dirty d JOIN c
+        |      ON substring(d.dirty_name, 1, 1) = substring(c.clean_name, 1, 1)
+        |      AND abs(length(d.dirty_name) - length(c.clean_name)) <= 1)
+        |  WHERE dist <= 2)
+        |SELECT d.dirty_id, d.dirty_name, m.clean_name,
+        |  CAST(m.dist AS BIGINT) AS dist
+        |FROM dirty d LEFT JOIN (SELECT dirty_id, clean_name, dist FROM m
+        |  WHERE rk = 1) m USING (dirty_id)
+        |ORDER BY d.dirty_id""".stripMargin,
     "dd12_substring_dups" ->
       s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
          |sp AS (

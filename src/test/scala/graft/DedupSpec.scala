@@ -403,4 +403,37 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     }
     assert(rows.map(_.getLong(2)).sum === docCount)
   }
+
+  test("dd21: fuzzy linkage recovers the source entity for every typo class; out-of-budget rows fail loud with NULL") {
+    import spark.implicits._
+    val clean = Seq("ALGERIA", "ARGENTINA", "BRAZIL", "CANADA")
+      .toDF("clean_name")
+    val dirty = Seq(
+      (1L, "BRAZIL"),      // verbatim -> dist 0
+      (2L, "BAZIL"),       // dropped char -> dist 1
+      (3L, "CANNADA"),     // doubled char -> dist 1
+      (4L, "AGENTINA"),    // dropped char, blocks with both A-names
+      (5L, "XYLOPHONE")    // no block survivor -> NULL match
+    ).toDF("dirty_id", "dirty_name")
+    val got = Dedup.fuzzyLinkage(dirty, clean).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(2)),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) === ((Some("BRAZIL"), 0L)))
+    assert(got(2L) === ((Some("BRAZIL"), 1L)))
+    assert(got(3L) === ((Some("CANADA"), 1L)))
+    assert(got(4L) === ((Some("ARGENTINA"), 1L)))
+    assert(got(5L) === ((None, -1L)), "out-of-budget must surface as NULL")
+    // registry instantiation: every derived typo re-links to its source
+    val n = Tables.nation(spark, sf001)
+    val linked = Dedup.fuzzyLinkageQ(spark, sf001).collect()
+    val names = n.collect().map(r =>
+      r.getAs[Number]("n_nationkey").longValue -> r.getAs[String]("n_name")).toMap
+    assert(linked.length === names.size)
+    linked.foreach { r =>
+      val (id, matched) =
+        (r.get(0).asInstanceOf[Number].longValue, Option(r.getString(2)))
+      assert(matched.contains(names(id)),
+        s"nation $id (${names(id)}) mis-linked to $matched")
+    }
+  }
 }
