@@ -824,7 +824,49 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** td20 — cross-source vocabulary overlap matrix: pairwise Jaccard of
+    * the DISTINCT token sets of every source pair — the corpus
+    * diagnostic that flags near-identical ingest feeds (two mirrors of
+    * the same crawl, a vendor re-selling another's dump) before any
+    * document-level dedup runs. Exact rational Jaccard from three
+    * BIGINT counts: |A∩B| via the self-join of the distinct
+    * (source, token) postings on token, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Scale: the postings table is one map-side-combined distinct; the
+    * intersection join fans each token to S² pair rows ONLY across the
+    * sources that share it — bounded by the SOURCE count, not the
+    * corpus (S sources ⇒ ≤ S(S−1)/2 output rows). When S grows to the
+    * thousands (per-domain web feeds), the same matrix runs over dd4's
+    * MinHash signatures instead of exact postings — this operator is
+    * the exact-semantics member, the sketch is the documented escape
+    * hatch.
+    */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val posts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = posts.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+    val inter = posts.select(col("source").as("source_a"), col("tok"))
+      .join(posts.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("source", "source_a")
+        .withColumnRenamed("n_vocab", "va")), Seq("source_a"))
+      .join(broadcast(sizes.withColumnRenamed("source", "source_b")
+        .withColumnRenamed("n_vocab", "vb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        (col("va") + col("vb") - col("n_common")).as("n_union"),
+        r6(col("n_common").cast("double") /
+          (col("va") + col("vb") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td20_source_overlap" -> ((s: SparkSession, d: String) =>
+      sourceOverlap(Tables.documents(s, d))),
     "td19_oov_rate" -> ((s: SparkSession, d: String) =>
       oovRate(Tables.documents(s, d))),
     "td18_dsir_importance" -> ((s: SparkSession, d: String) =>
@@ -852,6 +894,23 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the same distinct postings, the same token-keyed pair join, the
+    // same three-BIGINT Jaccard with the r6 division
+    "td20_source_overlap" ->
+      s"""WITH p AS (SELECT DISTINCT source, tok FROM
+         |  (SELECT source, unnest($toksSql) AS tok FROM documents)),
+         |s AS (SELECT source, count(*) AS n_vocab FROM p GROUP BY source),
+         |i AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS n_common
+         |  FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.source_a, i.source_b, i.n_common,
+         |  sa.n_vocab + sb.n_vocab - i.n_common AS n_union,
+         |  round((CAST(i.n_common AS DOUBLE)
+         |    / (sa.n_vocab + sb.n_vocab - i.n_common)) * 1e6) / 1e6 AS jaccard
+         |FROM i JOIN s sa ON sa.source = i.source_a
+         |       JOIN s sb ON sb.source = i.source_b
+         |ORDER BY i.source_a, i.source_b""".stripMargin,
     // vocabulary cut via the same total order (count DESC, token ASC);
     // the rate division mirrors r6 exactly
     "td19_oov_rate" ->

@@ -371,4 +371,31 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       assert(rate >= 0.0 && rate <= 1.0)
     }
   }
+
+  test("td20 source overlap: exact Jaccard, duplicate feeds flagged at 1.0, disjoint at 0, repeats don't inflate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", "mirror_a"),
+      (2L, "alpha beta gamma", "mirror_b"),    // identical vocab -> 1.0
+      (3L, "alpha alpha beta", "subset_src"),  // repeats must not inflate
+      (4L, "zeta eta theta", "disjoint_src")
+    ).toDF("doc_id", "text", "source")
+    val rows = TextAnalysis.sourceOverlap(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows(("mirror_a", "mirror_b")) === ((3L, 3L, 1.0)))
+    // subset vocab {alpha,beta} vs {alpha,beta,gamma}: 2/3
+    assert(rows(("mirror_a", "subset_src")) === ((2L, 3L, 0.666667)))
+    // disjoint pairs emit NO row (inner join on shared tokens)
+    assert(!rows.contains(("disjoint_src", "mirror_a")) &&
+      !rows.contains(("mirror_a", "disjoint_src")))
+    // corpus run: every pair bounded and symmetric-free (a < b)
+    val c = TextAnalysis.sourceOverlap(
+      graft.sources.Tables.documents(spark, sf001)).collect()
+    assert(c.nonEmpty)
+    c.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+  }
 }
