@@ -166,13 +166,62 @@ object StreamDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** st19 — streaming ANOMALY gate from batch-built robust fences: the
+    * q49 median/MAD profile is computed ONCE over the frozen history
+    * (events strictly before the last staged day) and broadcast into a
+    * stateless stream plan that flags every arriving event outside its
+    * type's |value − med| > 3·MAD fence — the drift/fraud screen a
+    * pipeline runs at the door with fences that one arriving whale
+    * CANNOT move (the robust-statistics point; a mean/stddev fence
+    * updates itself toward the attack). Completes the
+    * batch-artifact-into-stream set: st16 ships history's MinHash keys,
+    * st18 ships the history vocabulary, this ships history's robust
+    * fences. Gate plan: scan → broadcast-join (|event_type| rows) →
+    * project → sink; no watermark, no state, source throughput at any
+    * scale. Refreshing the fences is a periodic batch job over the same
+    * [[graft.operators.Analytics.q49RobustOutliers]] machinery.
+    *
+    * The fence compare runs on UNROUNDED doubles (med/mad are
+    * engine-identical per the q19 percentile≡quantile_cont match), so
+    * the flagged SET is hash-gated, not just the rounded columns.
+    */
+  def st19StreamAnomalyGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = Tables.events(spark, sfDir)
+    // metadata-scale probe: the gate covers the last staged day; fences
+    // come from strictly-earlier history
+    val cutoff = events.agg(date_trunc("DAY", max(col("ts"))).as("c"))
+      .head.getTimestamp(0)
+    val hist = events.filter(col("ts") < lit(cutoff))
+      .select(col("event_type"), col("value"))
+    val med = hist.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val fences = hist.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), expr("percentile(dev, 0.5D)").as("mad"))
+    val arrivals = EventStreams.eventStream(spark, sfDir)
+      .filter(col("ts") >= lit(cutoff))
+      .select(col("event_id"), col("event_type"), col("value"))
+    val gated = arrivals
+      .join(broadcast(fences), Seq("event_type"))
+      .withColumn("is_outlier",
+        abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        r6(col("med")).as("med_value"), r6(col("mad")).as("mad_value"),
+        col("is_outlier"))
+    EventStreams.runToParquet(gated, "st19_sink")
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st16_stream_dedup_gate" ->
       ((s: SparkSession, d: String) => st16StreamDedupGate(s, d)),
     "st17_stream_quality_gate" ->
       ((s: SparkSession, d: String) => st17StreamQualityGate(s, d)),
     "st18_stream_oov_gate" ->
-      ((s: SparkSession, d: String) => st18StreamOovGate(s, d)))
+      ((s: SparkSession, d: String) => st18StreamOovGate(s, d)),
+    "st19_stream_anomaly_gate" ->
+      ((s: SparkSession, d: String) => st19StreamAnomalyGate(s, d)))
 
   val oracles: Map[String, String] = Map(
     // dd4's signature chain on the full corpus, band keys split at the
@@ -247,5 +296,23 @@ object StreamDedup {
          |       ELSE (CAST(o.oov AS DOUBLE) / o.n) <= 0.5 END AS keep,
          |  round((CAST(o.oov AS DOUBLE) / o.n) * 1e6) / 1e6 AS oov_rate
          |FROM a LEFT JOIN o ON a.doc_id = o.doc_id
-         |ORDER BY a.doc_id""".stripMargin)
+         |ORDER BY a.doc_id""".stripMargin,
+    // q49's fence derivation over the strict history, replayed against
+    // the last-day arrivals; the 3-MAD compare runs on unrounded doubles
+    "st19_stream_anomaly_gate" ->
+      """WITH c AS (SELECT date_trunc('day', max(ts)) AS cutoff FROM events),
+        |h AS (SELECT event_type, value FROM events, c WHERE ts < cutoff),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM h GROUP BY 1),
+        |f AS (SELECT h.event_type, max(m.med) AS med,
+        |    quantile_cont(abs(h.value - m.med), 0.5) AS mad
+        |  FROM h JOIN m USING (event_type) GROUP BY 1),
+        |a AS (SELECT event_id, event_type, value FROM events, c
+        |  WHERE ts >= cutoff)
+        |SELECT a.event_id, a.event_type, a.value,
+        |  round(f.med * 1e6) / 1e6 AS med_value,
+        |  round(f.mad * 1e6) / 1e6 AS mad_value,
+        |  abs(a.value - f.med) > 3.0 * f.mad AS is_outlier
+        |FROM a JOIN f USING (event_type)
+        |ORDER BY a.event_id""".stripMargin)
 }
