@@ -454,6 +454,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"grouping sets re-shuffle per grain:\n$p")
   }
 
+  test("sa9: packing is one grouping exchange + MapGroups — no unpartitioned window, no extra shuffle") {
+    val p = plan(Params.sa9PackGreedy(Tables.documents(spark, sf001)))
+    assert(p.contains("MapGroups"), s"packing lost its per-bucket pass:\n$p")
+    // exchange 1 = hash partition by bucket; exchange 2 = the verify-only
+    // output sort. Anything more means the recurrence started shuffling.
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 2, s"greedy packing grew extra shuffles:\n$p")
+    assert(!p.contains("Window"), s"no window may exist in the packing plan:\n$p")
+  }
+
+  test("td20: overlap matrix partial-aggregates the postings before every exchange") {
+    val p = plan(TextAnalysis.sourceOverlap(Tables.documents(spark, sf001)))
+    // distinct postings + per-source sizes + per-pair counts — each is a
+    // partial+final HashAggregate pair; the token stream itself must
+    // never reach an exchange un-combined
+    val aggs = "HashAggregate".r.findAllIn(p).size
+    assert(aggs >= 6, s"postings/sizes/pairs lost partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair join degraded to a cartesian:\n$p")
+  }
+
   test("q28: EXCEPT plans as distinct + anti join, both sides partial-aggregated") {
     val p = plan(Analytics.q28ExceptKeys(spark, sf001))
     assert(p.contains("LeftAnti"), s"except is not an anti join:\n$p")
