@@ -384,6 +384,36 @@ object Params {
   def sa7BottomKSampleQ(spark: SparkSession, sfDir: String): DataFrame =
     sa7BottomKSample(Tables.documents(spark, sfDir))
 
+  /** sa10 — deterministic EXACT-N-PER-STRATUM sample: the k smallest
+    * salted-md5 draws WITHIN each language — the eval-set builder the
+    * rest of the family can't produce (sa2/sa8 keep a RATE per stratum,
+    * so group sizes float; sa7 is exact-n but global; this pins exactly
+    * min(k, |stratum|) rows per stratum, deterministically). Same
+    * hashability argument as sa7: the k-set is a property of the
+    * (salt, lang, doc_id) keys.
+    *
+    * Scale: `row_number` over a (lang)-partitioned (u, doc_id) order +
+    * `<= k` filter — Spark 4 plans the rank filter as WindowGroupLimit,
+    * per-partition k-row heaps PER GROUP before the shuffle, so the
+    * full stratum never sorts; strata are bounded (languages), the
+    * window partitioning is never single-partition global.
+    */
+  def sa10StratumBottomK(
+      docs: DataFrame, k: Int = 40,
+      salt: String = "graft-stratk-v1"): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("lang"),
+        saltedUniform(salt, col("doc_id")).as("u"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("rk").cast("long").as("rk"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sa10StratumBottomKQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa10StratumBottomK(Tables.documents(spark, sfDir))
+
   /** sa9 — WHOLE-document greedy sequence packing (first-fit-sequential
     * bin packing): walk docs in doc_id order, keep a running token fill,
     * and start a new bin whenever the next doc would push the fill past
@@ -540,6 +570,7 @@ object Params {
     "sa7_bottomk_sample" -> (sa7BottomKSampleQ _),
     "sa8_stratified_hash_sample" -> (sa8StratifiedHashSampleQ _),
     "sa9_pack_greedy" -> (sa9PackGreedyQ _),
+    "sa10_stratum_bottomk" -> (sa10StratumBottomKQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
@@ -621,7 +652,14 @@ object Params {
     // the oracle is the same greedy recurrence, driven per-bucket by a
     // recursive CTE — all-BIGINT arithmetic, so the hash compare covers
     // bin boundaries, positions and running fills exactly
-    "sa9_pack_greedy" -> sa9OracleSql())
+    "sa9_pack_greedy" -> sa9OracleSql(),
+    // the same per-stratum bottom-k on the shared salted draw
+    "sa10_stratum_bottomk" ->
+      s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${saltedUniformSql("graft-stratk-v1", "doc_id")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 40 ORDER BY doc_id""".stripMargin)
   // sa1/sa2 are engine-RNG-specific by design → rows-only checks
   // (exact-n / seed-determinism + proportions asserted in ParamsSpec);
   // sa8 is sa2's deterministic oracle-hashed twin.

@@ -186,6 +186,25 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall { case (_, _, b, binId, _, _) => binId / 100000L == b })
   }
 
+  test("sa10: exact min(k, stratum) rows per language, deterministic, contained in the stratum's draw order") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val k = 15
+    val a = Params.sa10StratumBottomK(docs, k = k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val b = Params.sa10StratumBottomK(docs, k = k).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq, "per-stratum bottom-k must be run-to-run identical")
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byLang = a.groupBy(_._2)
+    assert(byLang.keySet === strata.keySet.filter(strata(_) > 0))
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length.toLong === math.min(k.toLong, strata(lang)),
+        s"stratum $lang: ${rs.length} rows, expected min($k, ${strata(lang)})")
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length.toLong))
+    }
+  }
+
   test("sa4: weighted sample is deterministic, near-target-sized, and weight-monotone") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val a = Params.sa4WeightedSample(docs).collect()
