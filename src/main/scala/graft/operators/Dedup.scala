@@ -745,16 +745,29 @@ object Dedup {
     * slashes. Every step is an anchored single-match regex or plain
     * string op, spelled identically in the DuckDB twin (anchored
     * patterns make Spark's replace-all vs DuckDB's replace-first
-    * equivalent; the character classes are RE2∩Java-portable).
+    * equivalent; the character classes and `(?i)` inline flag are
+    * RE2∩Java-portable).
+    *
+    * URLs that are not http(s) at all — ftp:, mailto:, data:,
+    * protocol-relative `//host` — PASS THROUGH VERBATIM: they are not
+    * web pages, so "canonicalizing" them could only merge unrelated
+    * resources into one dedup group (the failure mode the guard
+    * prevents: without it every non-http URL normalized to the single
+    * string `https:` and all such docs silently collapsed). The scheme
+    * test and the scheme/www strips are case-insensitive, because
+    * crawlers emit `HTTP://HOST/...` and RFC 3986 §3.1 makes the scheme
+    * case-insensitive.
     */
   def canonicalizeUrl(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val noQuery = regexp_replace(noFrag, "\\?.*$", "")
-    val https = regexp_replace(noQuery, "^http://", "https://")
-    val noWww = regexp_replace(https, "^https://www\\.", "https://")
+    val https = regexp_replace(noQuery, "(?i)^https?://", "https://")
+    val noWww = regexp_replace(https, "(?i)^https://www\\.", "https://")
     val host = lower(regexp_extract(noWww, "^https://([^/]*)", 1))
     val path = regexp_extract(noWww, "^https://[^/]*(.*)$", 1)
-    rtrim(concat(lit("https://"), host, path), "/")
+    when(u.rlike("(?i)^https?://"),
+      rtrim(concat(lit("https://"), host, path), "/"))
+      .otherwise(u)
   }
 
   /** The [[canonicalizeUrl]] steps as DuckDB SQL over a url expression —
@@ -764,10 +777,13 @@ object Dedup {
     */
   private[graft] def canonicalizeUrlSql(expr: String): String = {
     val stripped = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      s"$expr, '#.*$$', ''), '\\?.*$$', ''), '^http://', 'https://'), " +
-      "'^https://www\\.', 'https://')"
-    s"rtrim('https://' || lower(regexp_extract($stripped, '^https://([^/]*)', 1))" +
-      s" || regexp_extract($stripped, '^https://[^/]*(.*)$$', 1), '/')"
+      s"$expr, '#.*$$', ''), '\\?.*$$', ''), '(?i)^https?://', 'https://'), " +
+      "'(?i)^https://www\\.', 'https://')"
+    val canon =
+      s"rtrim('https://' || lower(regexp_extract($stripped, '^https://([^/]*)', 1))" +
+        s" || regexp_extract($stripped, '^https://[^/]*(.*)$$', 1), '/')"
+    // non-http(s) URLs pass through verbatim — mirror of the Column form
+    s"(CASE WHEN regexp_matches($expr, '(?i)^https?://') THEN $canon ELSE $expr END)"
   }
 
   /** dd20 — URL-level dedup: group by canonical URL, keep the smallest
@@ -779,30 +795,36 @@ object Dedup {
     *
     * Registry instantiation: the driver corpus has no URL column, so a
     * crawl frontier is DERIVED deterministically (the dd18 pattern —
-    * production passes a real url column): 7 consecutive doc_ids share
-    * a page (`doc_id div 7`), and `doc_id % 7` picks the duplication
+    * production passes a real url column): 9 consecutive doc_ids share
+    * a page (`doc_id div 9`), and `doc_id % 9` picks the duplication
     * mode crawlers actually produce — plain, http://, www., uppercased
-    * host, trailing slash, ?utm tracking params, #fragment. The
-    * canonicalizer must collapse each 7-doc run to ONE page.
+    * host, trailing slash, ?utm tracking params, #fragment, UPPERCASE
+    * scheme (`HTTP://`). The canonicalizer must collapse the first 8
+    * variants of each 9-doc run to ONE page; mode 8 is an `ftp://` link
+    * to the same page, which must PASS THROUGH untouched and form its
+    * own group (the non-http guard: merging it — or worse, merging ALL
+    * ftp URLs corpus-wide into one — is the bug this mode pins down).
     */
   def urlDedup(docs: DataFrame): DataFrame = {
-    // host keyed by the PAGE (div 7), not by `source` — source rotates
+    // host keyed by the PAGE (div 9), not by `source` — source rotates
     // per doc, so a source-derived host would make every URL unique and
     // the canonicalizer would have nothing to collapse
     val host = concat(lit("site-"),
-      expr("CAST((doc_id div 7) % 20 AS STRING)"), lit(".example.com"))
-    val path = concat(lit("/doc/"), expr("CAST(doc_id div 7 AS STRING)"))
+      expr("CAST((doc_id div 9) % 20 AS STRING)"), lit(".example.com"))
+    val path = concat(lit("/doc/"), expr("CAST(doc_id div 9 AS STRING)"))
     val base = concat(host, path)
-    val url = when(col("doc_id") % 7 === 0, concat(lit("https://"), base))
-      .when(col("doc_id") % 7 === 1, concat(lit("http://"), base))
-      .when(col("doc_id") % 7 === 2, concat(lit("https://www."), base))
+    val url = when(col("doc_id") % 9 === 0, concat(lit("https://"), base))
+      .when(col("doc_id") % 9 === 1, concat(lit("http://"), base))
+      .when(col("doc_id") % 9 === 2, concat(lit("https://www."), base))
       // host case-folds, the PATH must stay case-significant — only the
       // host is uppercased in this duplication mode
-      .when(col("doc_id") % 7 === 3, concat(lit("https://"), upper(host), path))
-      .when(col("doc_id") % 7 === 4, concat(lit("https://"), base, lit("/")))
-      .when(col("doc_id") % 7 === 5,
+      .when(col("doc_id") % 9 === 3, concat(lit("https://"), upper(host), path))
+      .when(col("doc_id") % 9 === 4, concat(lit("https://"), base, lit("/")))
+      .when(col("doc_id") % 9 === 5,
         concat(lit("https://"), base, lit("?utm_source=feed&ref=rss")))
-      .otherwise(concat(lit("https://"), base, lit("#section-2")))
+      .when(col("doc_id") % 9 === 6, concat(lit("https://"), base, lit("#section-2")))
+      .when(col("doc_id") % 9 === 7, concat(lit("HTTP://"), base))
+      .otherwise(concat(lit("ftp://"), base))
     docs.select(col("doc_id"), url.as("url"))
       .withColumn("canonical_url", canonicalizeUrl(col("url")))
       .groupBy(col("canonical_url"))
@@ -817,13 +839,19 @@ object Dedup {
     * dedup documents; this reconciles KEYS — vendor names, geo labels,
     * user-typed fields — against the dimension they should have been).
     * Candidate generation is BLOCKED exactly like dd4's banding, but
-    * for strings: (first char, length within ±1) — a pair is compared
-    * only inside its block, so the 100 TB dirty side streams against
+    * for strings, with TWO blocking passes (standard record-linkage
+    * practice — one block key misses exactly the typos that corrupt
+    * that key): (first char, length ±1) and (last char, length ±1).
+    * A single first-char block can never recover "Xrance" → "FRANCE";
+    * the last-char rescue block can. Candidates from the two passes are
+    * unioned and deduped on the (dirty, clean) pair, each pass a hash
+    * join on its block key, so the 100 TB dirty side streams against
     * the BROADCAST clean dimension and never self-joins; `levenshtein`
-    * (identical integer DP in Spark and DuckDB) then scores the block's
+    * (identical integer DP in Spark and DuckDB) then scores the block
     * survivors and a (distance, name) argmin picks each dirty row's
-    * best match. Unmatched rows (nothing within the budget) surface
-    * with a NULL match — fail loud, the V9 accounting posture.
+    * best match. Unmatched rows (nothing within the budget in EITHER
+    * block — e.g. a typo corrupting both end chars) surface with a
+    * NULL match — fail loud, the V9 accounting posture.
     *
     * Registry instantiation derives the dirty feed deterministically
     * from the nation dim (key % 3 picks the corruption: verbatim, one
@@ -832,16 +860,25 @@ object Dedup {
     */
   def fuzzyLinkage(dirty: DataFrame, clean: DataFrame,
       maxDist: Int = 2): DataFrame = {
-    val d = dirty.select(col("dirty_id"), col("dirty_name"),
-      substring(col("dirty_name"), 1, 1).as("blk"),
-      length(col("dirty_name")).as("dlen"))
-    val c = clean.select(col("clean_name"),
-      substring(col("clean_name"), 1, 1).as("blk"),
-      length(col("clean_name")).as("clen"))
+    // one blocked candidate pass: hash-join dirty→broadcast(clean) on a
+    // single block key (a char extracted by `key`), length-gated
+    def pass(key: Column => Column): DataFrame = {
+      val d = dirty.select(col("dirty_id"), col("dirty_name"),
+        key(col("dirty_name")).as("blk"),
+        length(col("dirty_name")).as("dlen"))
+      val c = clean.select(col("clean_name"),
+        key(col("clean_name")).as("blk"),
+        length(col("clean_name")).as("clen"))
+      d.join(broadcast(c), Seq("blk"))
+        .filter(abs(col("dlen") - col("clen")) <= 1)
+        .select(col("dirty_id"), col("dirty_name"), col("clean_name"))
+    }
+    val first = pass(s => substring(s, 1, 1))
+    val last = pass(s => s.substr(length(s), lit(1)))
     val w = Window.partitionBy(col("dirty_id"))
       .orderBy(col("dist"), col("clean_name"))
-    val matched = d.join(broadcast(c), Seq("blk"))
-      .filter(abs(col("dlen") - col("clen")) <= 1)
+    val matched = first.unionByName(last)
+      .distinct() // a pair can surface from both blocks — score it once
       .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
       .filter(col("dist") <= maxDist)
       .withColumn("rk", row_number().over(w))
@@ -1111,25 +1148,28 @@ object Dedup {
     // the same frontier derivation (doc_id div/% 7 modes), the same
     // canonicalization chain (canonicalizeUrlSql), the same keep rule
     "dd20_url_dedup" -> {
-      val host = "'site-' || CAST((doc_id // 7) % 20 AS VARCHAR) || '.example.com'"
-      val base = s"$host || '/doc/' || CAST(doc_id // 7 AS VARCHAR)"
-      val hostUp = s"upper($host) || '/doc/' || CAST(doc_id // 7 AS VARCHAR)"
+      val host = "'site-' || CAST((doc_id // 9) % 20 AS VARCHAR) || '.example.com'"
+      val base = s"$host || '/doc/' || CAST(doc_id // 9 AS VARCHAR)"
+      val hostUp = s"upper($host) || '/doc/' || CAST(doc_id // 9 AS VARCHAR)"
       s"""WITH u AS (SELECT doc_id,
-         |  CASE doc_id % 7
+         |  CASE doc_id % 9
          |    WHEN 0 THEN 'https://' || $base
          |    WHEN 1 THEN 'http://' || $base
          |    WHEN 2 THEN 'https://www.' || $base
          |    WHEN 3 THEN 'https://' || $hostUp
          |    WHEN 4 THEN 'https://' || $base || '/'
          |    WHEN 5 THEN 'https://' || $base || '?utm_source=feed&ref=rss'
-         |    ELSE 'https://' || $base || '#section-2' END AS url
+         |    WHEN 6 THEN 'https://' || $base || '#section-2'
+         |    WHEN 7 THEN 'HTTP://' || $base
+         |    ELSE 'ftp://' || $base END AS url
          |  FROM documents)
          |SELECT ${canonicalizeUrlSql("url")} AS canonical_url,
          |  min(doc_id) AS keep_doc, count(*) AS n_variants
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
     },
-    // same key-mod typo derivation, same (first-char, length±1) blocks,
-    // same integer-DP levenshtein, same (dist, name) argmin
+    // same key-mod typo derivation, same two blocking passes
+    // (first-char and last-char, length±1) unioned + deduped, same
+    // integer-DP levenshtein, same (dist, name) argmin
     "dd21_fuzzy_linkage" ->
       """WITH dirty AS (SELECT n_nationkey AS dirty_id,
         |  CASE CAST(n_nationkey % 3 AS INTEGER)
@@ -1138,14 +1178,23 @@ object Dedup {
         |    ELSE substring(n_name, 1, 3) || substring(n_name, 3) END AS dirty_name
         |  FROM nation),
         |c AS (SELECT n_name AS clean_name FROM nation),
+        |cand AS (
+        |  SELECT d.dirty_id, d.dirty_name, c.clean_name
+        |    FROM dirty d JOIN c
+        |    ON substring(d.dirty_name, 1, 1) = substring(c.clean_name, 1, 1)
+        |    AND abs(length(d.dirty_name) - length(c.clean_name)) <= 1
+        |  UNION
+        |  SELECT d.dirty_id, d.dirty_name, c.clean_name
+        |    FROM dirty d JOIN c
+        |    ON substring(d.dirty_name, length(d.dirty_name), 1)
+        |         = substring(c.clean_name, length(c.clean_name), 1)
+        |    AND abs(length(d.dirty_name) - length(c.clean_name)) <= 1),
         |m AS (SELECT dirty_id, dirty_name, clean_name, dist,
         |    row_number() OVER (PARTITION BY dirty_id
         |      ORDER BY dist, clean_name) AS rk
-        |  FROM (SELECT d.dirty_id, d.dirty_name, c.clean_name,
-        |      levenshtein(d.dirty_name, c.clean_name) AS dist
-        |    FROM dirty d JOIN c
-        |      ON substring(d.dirty_name, 1, 1) = substring(c.clean_name, 1, 1)
-        |      AND abs(length(d.dirty_name) - length(c.clean_name)) <= 1)
+        |  FROM (SELECT dirty_id, dirty_name, clean_name,
+        |      levenshtein(dirty_name, clean_name) AS dist
+        |    FROM cand)
         |  WHERE dist <= 2)
         |SELECT d.dirty_id, d.dirty_name, m.clean_name,
         |  CAST(m.dist AS BIGINT) AS dist

@@ -372,7 +372,7 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(r2.getString(2) !== r2.getString(3))
   }
 
-  test("dd20: canonicalizer folds every crawl-duplication mode; path case survives; 7-runs collapse to one page") {
+  test("dd20: canonicalizer folds every crawl-duplication mode; path case survives; non-http passes through; 9-runs collapse") {
     import spark.implicits._
     val cases = Seq(
       "https://a.example.com/doc/3" -> "https://a.example.com/doc/3",
@@ -385,21 +385,40 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       // path case is SIGNIFICANT (RFC 3986) — must NOT fold
       "https://a.example.com/DOC/3" -> "https://a.example.com/DOC/3",
       // query + fragment together; www + scheme together
-      "http://www.B.com/x?q=1#f" -> "https://b.com/x")
+      "http://www.B.com/x?q=1#f" -> "https://b.com/x",
+      // scheme is case-insensitive (RFC 3986 §3.1) — folds like lowercase
+      "HTTP://a.example.com/doc/3" -> "https://a.example.com/doc/3",
+      "HTTPS://WWW.a.example.com/doc/3" -> "https://a.example.com/doc/3",
+      // NON-http(s) URLs pass through VERBATIM — each stays itself,
+      // never the shared 'https:' blob the pre-guard code produced
+      "ftp://a.example.com/doc/3" -> "ftp://a.example.com/doc/3",
+      "mailto:ops@a.example.com" -> "mailto:ops@a.example.com",
+      "//a.example.com/doc/3" -> "//a.example.com/doc/3")
     val got = cases.map(_._1).toDF("url")
       .select(Dedup.canonicalizeUrl(col("url"))).as[String].collect()
     assert(got.toSeq === cases.map(_._2))
-    // corpus run: the frontier MUST genuinely collapse — one canonical
-    // per 7-consecutive-id page, full-size groups for every complete run
+    // distinct non-http URLs must stay distinct (the silent-merge bug)
+    assert((got(11) !== got(12)) && (got(12) !== got(13)))
+    // corpus run: the frontier MUST genuinely collapse — each
+    // 9-consecutive-id page folds to one canonical page (8 http(s)
+    // variants) plus its lone ftp:// link as its own group
     val docCount = Tables.documents(spark, sf001).count()
     val rows = Dedup.urlDedup(Tables.documents(spark, sf001)).collect()
-    assert(rows.length.toLong === (docCount + 6) / 7,
-      s"expected one canonical per page, got ${rows.length} of $docCount docs")
-    rows.foreach { r =>
+    val nPages = (docCount + 8) / 9
+    val (ftp, web) = rows.partition(_.getString(0).startsWith("ftp://"))
+    assert(web.length.toLong === nPages,
+      s"expected one canonical per page, got ${web.length} of $docCount docs")
+    web.foreach { r =>
       val (keep, n) = (r.getLong(1), r.getLong(2))
-      assert(keep % 7 === 0L, s"keep_doc $keep must be the run head")
-      assert(n === 7L || keep / 7L === (docCount - 1) / 7L,
+      assert(keep % 9 === 0L, s"keep_doc $keep must be the run head")
+      assert(n === 8L || keep / 9L === (docCount - 1) / 9L,
         s"interior page under-collapsed: keep=$keep n=$n")
+    }
+    // every run's lone ftp link is its own singleton group
+    assert(ftp.length.toLong === docCount / 9)
+    ftp.foreach { r =>
+      assert(r.getLong(2) === 1L, s"ftp URL merged: ${r.getString(0)}")
+      assert(r.getLong(1) % 9 === 8L)
     }
     assert(rows.map(_.getLong(2)).sum === docCount)
   }
@@ -413,7 +432,11 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       (2L, "BAZIL"),       // dropped char -> dist 1
       (3L, "CANNADA"),     // doubled char -> dist 1
       (4L, "AGENTINA"),    // dropped char, blocks with both A-names
-      (5L, "XYLOPHONE")    // no block survivor -> NULL match
+      (5L, "XYLOPHONE"),   // no block survivor -> NULL match
+      (6L, "XRAZIL"),      // FIRST-char typo: only the last-char
+                           // rescue block can recover it
+      (7L, "XRAZIX")       // both end chars corrupted -> neither
+                           // block fires -> NULL (fail loud)
     ).toDF("dirty_id", "dirty_name")
     val got = Dedup.fuzzyLinkage(dirty, clean).collect()
       .map(r => r.getLong(0) -> ((Option(r.getString(2)),
@@ -423,6 +446,10 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(3L) === ((Some("CANADA"), 1L)))
     assert(got(4L) === ((Some("ARGENTINA"), 1L)))
     assert(got(5L) === ((None, -1L)), "out-of-budget must surface as NULL")
+    assert(got(6L) === ((Some("BRAZIL"), 1L)),
+      "first-char typo must be recovered via the last-char block")
+    assert(got(7L) === ((None, -1L)),
+      "typos corrupting BOTH block keys still fail loud with NULL")
     // registry instantiation: every derived typo re-links to its source
     val n = Tables.nation(spark, sf001)
     val linked = Dedup.fuzzyLinkageQ(spark, sf001).collect()
