@@ -166,6 +166,21 @@ object StreamDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The stateless fence-compare plan shared by [[st19StreamAnomalyGate]]
+    * and its spec: left-join arrivals to the broadcast fences, flag
+    * outside-fence values, and fail closed (outlier) when the type has
+    * no fence at all.
+    */
+  def anomalyGate(arrivals: DataFrame, fences: DataFrame): DataFrame =
+    arrivals
+      .join(broadcast(fences), Seq("event_type"), "left")
+      .withColumn("is_outlier",
+        coalesce(abs(col("value") - col("med")) > lit(3.0) * col("mad"),
+          lit(true)))
+      .select(col("event_id"), col("event_type"), col("value"),
+        r6(col("med")).as("med_value"), r6(col("mad")).as("mad_value"),
+        col("is_outlier"))
+
   /** st19 — streaming ANOMALY gate from batch-built robust fences: the
     * q49 median/MAD profile is computed ONCE over the frozen history
     * (events strictly before the last staged day) and broadcast into a
@@ -184,6 +199,13 @@ object StreamDedup {
     * The fence compare runs on UNROUNDED doubles (med/mad are
     * engine-identical per the q19 percentile≡quantile_cont match), so
     * the flagged SET is hash-gated, not just the rounded columns.
+    *
+    * FAIL CLOSED on unseen types: arrivals join the fences LEFT, and an
+    * event_type with no history fence (schema drift, or an attacker
+    * minting a fresh type to slip past the screen) is flagged
+    * `is_outlier = true` with NULL med/mad — the st18 posture (empty
+    * docs rejected), never silently dropped from the gate output as an
+    * inner join would do.
     */
   def st19StreamAnomalyGate(spark: SparkSession, sfDir: String): DataFrame = {
     val events = Tables.events(spark, sfDir)
@@ -202,14 +224,7 @@ object StreamDedup {
     val arrivals = EventStreams.eventStream(spark, sfDir)
       .filter(col("ts") >= lit(cutoff))
       .select(col("event_id"), col("event_type"), col("value"))
-    val gated = arrivals
-      .join(broadcast(fences), Seq("event_type"))
-      .withColumn("is_outlier",
-        abs(col("value") - col("med")) > lit(3.0) * col("mad"))
-      .select(col("event_id"), col("event_type"), col("value"),
-        r6(col("med")).as("med_value"), r6(col("mad")).as("mad_value"),
-        col("is_outlier"))
-    EventStreams.runToParquet(gated, "st19_sink")
+    EventStreams.runToParquet(anomalyGate(arrivals, fences), "st19_sink")
       .orderBy(col("event_id"))
   }
 
@@ -298,7 +313,9 @@ object StreamDedup {
          |FROM a LEFT JOIN o ON a.doc_id = o.doc_id
          |ORDER BY a.doc_id""".stripMargin,
     // q49's fence derivation over the strict history, replayed against
-    // the last-day arrivals; the 3-MAD compare runs on unrounded doubles
+    // the last-day arrivals; the 3-MAD compare runs on unrounded
+    // doubles; LEFT join + coalesce(..., true) mirrors the engine's
+    // fail-closed rule for types with no history fence
     "st19_stream_anomaly_gate" ->
       """WITH c AS (SELECT date_trunc('day', max(ts)) AS cutoff FROM events),
         |h AS (SELECT event_type, value FROM events, c WHERE ts < cutoff),
@@ -312,7 +329,7 @@ object StreamDedup {
         |SELECT a.event_id, a.event_type, a.value,
         |  round(f.med * 1e6) / 1e6 AS med_value,
         |  round(f.mad * 1e6) / 1e6 AS mad_value,
-        |  abs(a.value - f.med) > 3.0 * f.mad AS is_outlier
-        |FROM a JOIN f USING (event_type)
+        |  coalesce(abs(a.value - f.med) > 3.0 * f.mad, true) AS is_outlier
+        |FROM a LEFT JOIN f USING (event_type)
         |ORDER BY a.event_id""".stripMargin)
 }

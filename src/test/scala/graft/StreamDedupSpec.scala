@@ -118,6 +118,23 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
       val v = r.getAs[Double]("value")
       assert(r.getAs[Boolean]("is_outlier") === (math.abs(v - m) > 3.0 * d))
     }
+    // FAIL CLOSED: an arriving event_type with NO history fence must be
+    // flagged (is_outlier = true, NULL fence columns), never dropped —
+    // an inner join would silently pass schema drift / minted types
+    locally {
+      import spark.implicits._
+      val arr = Seq((900001L, "zz_never_seen", 1.0), (900002L, "click", 1.0))
+        .toDF("event_id", "event_type", "value")
+      val fen = Seq(("click", 1.0, 2.0)).toDF("event_type", "med", "mad")
+      val gated = StreamDedup.anomalyGate(arr, fen).collect()
+        .map(r => r.getAs[Long]("event_id") -> r).toMap
+      assert(gated.size === 2, "unfenced arrivals must stay in the output")
+      val unseen = gated(900001L)
+      assert(unseen.getAs[Boolean]("is_outlier"), "no fence must fail closed")
+      assert(unseen.isNullAt(unseen.fieldIndex("med_value")))
+      assert(unseen.isNullAt(unseen.fieldIndex("mad_value")))
+      assert(!gated(900002L).getAs[Boolean]("is_outlier"))
+    }
     // the fence must NOT see the arrivals: recompute including the last
     // day and demand at least one type's fence differs (the gated day
     // shifts the median/MAD unless the corpus is pathological)
