@@ -398,9 +398,16 @@ object Params {
     * full stratum never sorts; strata are bounded (languages), the
     * window partitioning is never single-partition global.
     */
+  /** sa10 parameters — single source for the engine defaults AND the
+    * generated oracle SQL (the sa9OracleSql pattern), so neither the k
+    * cut nor the salt can drift between the two.
+    */
+  val Sa10K: Int = 40
+  val Sa10Salt: String = "graft-stratk-v1"
+
   def sa10StratumBottomK(
-      docs: DataFrame, k: Int = 40,
-      salt: String = "graft-stratk-v1"): DataFrame = {
+      docs: DataFrame, k: Int = Sa10K,
+      salt: String = Sa10Salt): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))
     docs
       .select(col("doc_id"), col("lang"),
@@ -446,6 +453,12 @@ object Params {
   def sa9PackGreedy(
       docs: DataFrame, ctxTokens: Long = 512L,
       bucketSpan: Long = 1024L): DataFrame = {
+    // bin_id = bucket * 100000 + bin: a bucket opens at most one bin per
+    // doc, so bin < bucketSpan — the encoding is collision-free only
+    // while bucketSpan stays within the multiplier
+    require(bucketSpan > 0L && bucketSpan <= 100000L,
+      s"bucketSpan must be in (0, 100000] (bin_id packs bins under a " +
+        s"100000 multiplier; got $bucketSpan)")
     val spark = docs.sparkSession
     import spark.implicits._
     val w = docs
@@ -653,13 +666,14 @@ object Params {
     // recursive CTE — all-BIGINT arithmetic, so the hash compare covers
     // bin boundaries, positions and running fills exactly
     "sa9_pack_greedy" -> sa9OracleSql(),
-    // the same per-stratum bottom-k on the shared salted draw
+    // the same per-stratum bottom-k on the shared salted draw; k and
+    // the salt are generated from the shared Sa10K/Sa10Salt defaults
     "sa10_stratum_bottomk" ->
       s"""SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk FROM (
          |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-         |    ORDER BY ${saltedUniformSql("graft-stratk-v1", "doc_id")}, doc_id) AS rk
+         |    ORDER BY ${saltedUniformSql(Sa10Salt, "doc_id")}, doc_id) AS rk
          |  FROM documents)
-         |WHERE rk <= 40 ORDER BY doc_id""".stripMargin)
+         |WHERE rk <= $Sa10K ORDER BY doc_id""".stripMargin)
   // sa1/sa2 are engine-RNG-specific by design → rows-only checks
   // (exact-n / seed-determinism + proportions asserted in ParamsSpec);
   // sa8 is sa2's deterministic oracle-hashed twin.

@@ -40,6 +40,12 @@ object TextAnalysis {
   val ScriptMin = 0.5
   val KanaMin = 0.05
 
+  /** Head-vocabulary size shared by td19 and st18 — the SINGLE source
+    * for the engine defaults AND the generated oracle SQL, so changing
+    * it cannot desynchronize the two (the sa9OracleSql pattern).
+    */
+  val HeadVocabSize: Int = 200
+
   /** DuckDB twins of [[wordRatios]]/[[wordArgmax]] over a `toks` column —
     * the td2 scoring pieces, shared with td9's Latin fallback.
     */
@@ -810,7 +816,7 @@ object TextAnalysis {
     * (partition, doc). No corpus-sized sort, no skew sensitivity (the
     * vocab side is uniform-broadcast).
     */
-  def oovRate(docs: DataFrame, vocabSize: Int = 200): DataFrame = {
+  def oovRate(docs: DataFrame, vocabSize: Int = HeadVocabSize): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(vocabSize)
@@ -912,12 +918,13 @@ object TextAnalysis {
          |       JOIN s sb ON sb.source = i.source_b
          |ORDER BY i.source_a, i.source_b""".stripMargin,
     // vocabulary cut via the same total order (count DESC, token ASC);
-    // the rate division mirrors r6 exactly
+    // the rate division mirrors r6 exactly; the vocab-size literal is
+    // generated from the shared HeadVocabSize default
     "td19_oov_rate" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
          |v AS (SELECT tok FROM (
          |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
-         |    FROM t GROUP BY tok) WHERE rn <= 200)
+         |    FROM t GROUP BY tok) WHERE rn <= $HeadVocabSize)
          |SELECT t.doc_id, count(*) AS n_tokens,
          |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          |  round((CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)

@@ -137,7 +137,8 @@ object StreamDedup {
     * must fail closed; both engines' CASE/coalesce agree.
     */
   def st18StreamOovGate(
-      spark: SparkSession, sfDir: String, vocabSize: Int = 200,
+      spark: SparkSession, sfDir: String,
+      vocabSize: Int = graft.operators.TextAnalysis.HeadVocabSize,
       maxOovRate: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
@@ -298,7 +299,8 @@ object StreamDedup {
          |  WHERE doc_id < (SELECT vmax FROM nf)),
          |v AS (SELECT tok FROM (
          |    SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
-         |    FROM ht GROUP BY tok) WHERE rn <= 200),
+         |    FROM ht GROUP BY tok)
+         |  WHERE rn <= ${graft.operators.TextAnalysis.HeadVocabSize}),
          |a AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
          |  WHERE doc_id >= (SELECT vmax FROM nf)),
          |x AS (SELECT doc_id, unnest(toks) AS tok FROM a),

@@ -184,6 +184,18 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     }
     // bins never cross buckets
     assert(rows.forall { case (_, _, b, binId, _, _) => binId / 100000L == b })
+    // bin_id packs bins under a 100000 multiplier — a span beyond it
+    // would silently collide bin ids across buckets, so the boundary is
+    // accepted and anything past it refused loudly
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    assert(Params.sa9PackGreedy(docs, bucketSpan = 100000L).columns
+      .contains("bin_id"))
+    intercept[IllegalArgumentException] {
+      Params.sa9PackGreedy(docs, bucketSpan = 100001L)
+    }
+    intercept[IllegalArgumentException] {
+      Params.sa9PackGreedy(docs, bucketSpan = 0L)
+    }
   }
 
   test("sa10: exact min(k, stratum) rows per language, deterministic, contained in the stratum's draw order") {
