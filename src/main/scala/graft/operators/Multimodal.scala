@@ -7,16 +7,15 @@ import graft.sources.Tables
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata structs.
   *
-  * PNG and JPEG payloads get a REAL pixel decode (pure-JVM ImageIO — no
-  * native codec needed) inside the `mapPartitions` seam; other formats
-  * fall back to a deterministic stub derived from the bytes (this
-  * container carries no video/audio codecs, and GIF deliberately stays
-  * header-only in mm2 — its printable-ASCII magic could occur in prose,
-  * see `isJpeg`). Everything Spark-side — schema, batch shape,
-  * partition sizing, the metadata contract — is real either way, and the
-  * `decoded` flag says per row which path ran. In production the stub
-  * branch is replaced by the remaining codec calls inside the same
-  * `mapPartitions` (one codec init per partition, not per row).
+  * PNG, JPEG and GIF payloads get a REAL pixel decode (pure-JVM
+  * ImageIO — no native codec needed) inside the `mapPartitions` seam;
+  * other formats fall back to a deterministic stub derived from the
+  * bytes (this container carries no video/audio codecs). Everything
+  * Spark-side — schema, batch shape, partition sizing, the metadata
+  * contract — is real either way, and the `decoded` flag says per row
+  * which path ran. In production the stub branch is replaced by the
+  * remaining codec calls inside the same `mapPartitions` (one codec
+  * init per partition, not per row).
   */
 object Multimodal {
 
@@ -60,27 +59,41 @@ object Multimodal {
   /** JFIF/EXIF JPEG: FF D8 FF — like PNG's 0x89, 0xFF is an invalid
     * UTF-8 lead byte, so this branch is PROVABLY dead on a prose corpus
     * (the mm2 oracle's all-stub assumption stays a proof, not a
-    * probability — which is why GIF, whose magic is printable ASCII,
-    * deliberately stays header-only in mm2).
+    * probability).
     */
   private def isJpeg(bytes: Array[Byte]): Boolean =
     bytes.length >= 3 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte &&
       bytes(2) == 0xFF.toByte
 
+  /** GIF87a/GIF89a. Unlike the PNG/JPEG magics this is printable ASCII
+    * and COULD open a prose document, so the mm2 oracle can't treat the
+    * branch as dead by UTF-8 argument alone — it leans on the driver
+    * corpus being all-lowercase (the mm6 proof) and guards the `decoded`
+    * flag with the same LIKE, so a corpus change surfaces as a loud
+    * mismatch, never a silent pass. A prose doc that merely starts with
+    * the magic fails ImageIO and lands in the stub branch regardless.
+    */
+  private def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8' &&
+      (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
   /** Decode stage: binary → [[AssetMeta]] via `mapPartitions`, the shape a
     * real codec needs (per-partition init, streaming iterator, no
-    * collect). PNG and JPEG payloads are HONESTLY decoded with the JDK's
-    * pure-Java ImageIO readers (JPEG: baseline and progressive via the
-    * JDK reader; CMYK/exotic streams it rejects fall back to the stub):
-    * real width/height/channels plus a digest of the materialized ARGB
-    * pixel stream (`decoded = true`). Everything else — GIF included,
-    * see [[isJpeg]] for why — takes the deterministic stub branch
-    * (`decoded = false`), which is where the remaining production codecs
-    * plug in. The driver's corpus is UTF-8 prose (neither 0x89 nor 0xFF
-    * can start a UTF-8 string), so its oracle sees only stub rows; the
-    * PNG and JPEG branches are exercised on real crafted bytes with
-    * golden-pixel digests in MultimodalSpec — the same split mm5/mm6 use
-    * for their header parsers.
+    * collect). PNG, JPEG and GIF payloads are HONESTLY decoded with the
+    * JDK's pure-Java ImageIO readers (JPEG: baseline and progressive;
+    * GIF: palette and transparency, first frame of an animation;
+    * CMYK/exotic streams a reader rejects fall back to the stub): real
+    * width/height/channels plus a digest of the materialized ARGB pixel
+    * stream (`decoded = true`). Everything else takes the deterministic
+    * stub branch (`decoded = false`), which is where the remaining
+    * production codecs plug in. The driver's corpus is UTF-8 prose
+    * (neither 0x89 nor 0xFF can start a UTF-8 string) and all-lowercase
+    * (so the ASCII GIF magic never occurs — see [[isGif]]), so its
+    * oracle sees only stub rows; the PNG/JPEG/GIF branches are
+    * exercised on real crafted bytes with golden-pixel digests in
+    * MultimodalSpec — the same split mm5/mm6 use for their header
+    * parsers.
     */
   def decodeAssets(
       docs: DataFrame,
@@ -99,7 +112,7 @@ object Multimodal {
         it.map { case (id, bytes) =>
           val contentMd5 = { md.reset(); hexOf(md.digest(bytes)) }
           val img =
-            if (isPng(bytes) || isJpeg(bytes))
+            if (isPng(bytes) || isJpeg(bytes) || isGif(bytes))
               // NonFatal, not just IOException: ImageIO's JPEG reader
               // throws unchecked errors on exotic/corrupt streams (CMYK
               // without an embedded profile, truncated scans) — any
@@ -317,9 +330,13 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS BIGINT) AS stub_height
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the corpus is UTF-8 prose: neither PNG's 0x89 nor JPEG's 0xFF
-    // lead byte can occur, so every row PROVABLY takes the stub branch
-    // (decoded = false, NULL pixel digest); the real ImageIO PNG/JPEG
-    // branches are golden-pixel-tested in MultimodalSpec
+    // lead byte can occur, and the printable GIF magic needs uppercase
+    // (the corpus is all-lowercase, the mm6 proof), so every row takes
+    // the stub branch. The `decoded` flag mirrors the engine's GIF-magic
+    // test (the mm6 LIKE-guard convention): constant false today, and a
+    // corpus that ever grows a GIF-magic doc mismatches LOUDLY instead
+    // of silently passing. The real ImageIO PNG/JPEG/GIF branches are
+    // golden-pixel-tested in MultimodalSpec.
     "mm2_decode_assets" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -327,7 +344,7 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS channels,
-        |  false AS decoded,
+        |  (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%') AS decoded,
         |  CAST(NULL AS VARCHAR) AS pixel_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm4_resize_plan" ->

@@ -225,7 +225,7 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(s.width === (s.byte_len % 64 + 16) && s.channels === 3)
   }
 
-  test("mm2 golden pixels: a real baseline JPEG decodes through the same seam; GIF stays stub by design") {
+  test("mm2 golden pixels: a real baseline JPEG decodes through the same seam; a truncated GIF degrades to the stub") {
     import spark.implicits._
     // Craft a real 5×3 JPEG through ImageIO. JPEG is lossy and its
     // decode is NOT bit-exact across decoder implementations, so the
@@ -252,9 +252,9 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     }
     val goldenMd5 = md.digest().map("%02x".format(_)).mkString
 
-    // a tiny real GIF87a (1×1): mm2 must STUB it — its ASCII magic
-    // could occur in prose, so the provably-dead-branch argument that
-    // keeps the oracle exact only covers PNG/JPEG
+    // a GIF header with no image data: the magic routes it into the
+    // decode attempt, ImageIO rejects it, and it must land in the stub
+    // branch — degrade honestly, never kill the task
     val gif = Array[Byte](
       'G', 'I', 'F', '8', '7', 'a', 1, 0, 1, 0, 0x00.toByte, 0, 0)
 
@@ -267,6 +267,83 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(j.pixel_md5 === goldenMd5)
     val g = rows(2L)
     assert(!g.decoded && g.pixel_md5 == null,
-      "GIF must stay on the stub branch in mm2")
+      "a truncated GIF must degrade to the stub branch")
+  }
+
+  test("mm2 golden pixels: real GIFs decode — exact palette colors, and transparency survives the seam") {
+    import spark.implicits._
+    // Opaque palette GIF: 8×8 on a 3-color palette written through
+    // ImageIO itself (8×8, not smaller: the JDK GIF writer corrupts
+    // rows of very small images — a 4×2 loses its second row on
+    // round-trip, probed on JDK 17). GIF is lossless, so the golden
+    // digest is computed from the EXPECTED colors (the PNG-style strong
+    // assertion), not a round-trip.
+    val pal = Array(0xFF0000, 0x00CC33, 0x0000FF)
+    val icm = new java.awt.image.IndexColorModel(8, 3,
+      pal.map(c => ((c >> 16) & 0xFF).toByte),
+      pal.map(c => ((c >> 8) & 0xFF).toByte),
+      pal.map(c => (c & 0xFF).toByte))
+    def palIdx(x: Int, y: Int): Int = (x + 2 * y) % 3
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, palIdx(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val gif = bos.toByteArray
+    assert(gif.take(4).map(_.toChar).mkString === "GIF8",
+      "crafted payload must be a real GIF")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val argb = 0xFF000000 | pal(palIdx(x, y))
+      md.update((argb >>> 24).toByte); md.update((argb >>> 16).toByte)
+      md.update((argb >>> 8).toByte); md.update(argb.toByte)
+    }
+    val goldenMd5 = md.digest().map("%02x".format(_)).mkString
+
+    // Transparency GIF: 8×4 with palette index 0 transparent. The
+    // golden digest round-trips the same bytes through this JVM's
+    // reader (palette order inside the file is writer-defined), and a
+    // known transparent pixel is asserted alpha = 0 directly — proof
+    // the transparency channel was materialized, not flattened.
+    val ticm = new java.awt.image.IndexColorModel(8, 3,
+      pal.map(c => ((c >> 16) & 0xFF).toByte),
+      pal.map(c => ((c >> 8) & 0xFF).toByte),
+      pal.map(c => (c & 0xFF).toByte), 0)
+    val timg = new java.awt.image.BufferedImage(8, 4,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, ticm)
+    for (y <- 0 until 4; x <- 0 until 8)
+      timg.getRaster.setSample(x, y, 0, if (x == 0 && y == 0) 0 else 1 + (x + y) % 2)
+    val tbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(timg, "gif", tbos)
+    val tgif = tbos.toByteArray
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(tgif))
+    assert((back.getRGB(0, 0) >>> 24) === 0,
+      "the crafted GIF's transparent pixel must read back alpha 0")
+    md.reset()
+    for (y <- 0 until back.getHeight; x <- 0 until back.getWidth) {
+      val argb = back.getRGB(x, y)
+      md.update((argb >>> 24).toByte); md.update((argb >>> 16).toByte)
+      md.update((argb >>> 8).toByte); md.update(argb.toByte)
+    }
+    val tGoldenMd5 = md.digest().map("%02x".format(_)).mkString
+
+    val rows = graft.operators.Multimodal.decodeAssets(
+        Seq((1L, gif), (2L, tgif),
+          (3L, "plain prose payload".getBytes("UTF-8")))
+          .toDF("doc_id", "text"))
+      .collect().map(m => m.doc_id -> m).toMap
+    val p = rows(1L)
+    assert(p.decoded, "a real palette GIF must take the decode branch")
+    assert(p.width === 8 && p.height === 8 && p.channels === 3)
+    assert(p.pixel_md5 === goldenMd5)
+    val t = rows(2L)
+    assert(t.decoded, "a transparency GIF must take the decode branch")
+    assert(t.width === 8 && t.height === 4 && t.channels === 4,
+      "the transparent palette must surface as 4 components")
+    assert(t.pixel_md5 === tGoldenMd5)
+    val s = rows(3L)
+    assert(!s.decoded && s.pixel_md5 == null)
   }
 }
