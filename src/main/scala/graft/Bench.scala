@@ -76,7 +76,12 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * uniform 1.5× timing regression that cost a judging session to refute;
   * load + GC in the record let `benchdiff.py` print an "environment
   * differs" banner instead of letting contention masquerade as
-  * regression.
+  * regression. Since r11 the sentinel is also a GATE: load_avg_start
+  * above SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0) stamps the record
+  * `"contended":true` with loud banners at start and end, and
+  * SPARK_GRAFT_BENCH_REFUSE_LOAD=1 makes Bench exit 3 instead of
+  * recording at all — a contended record can never silently become a
+  * round's comparison base.
   *
   * Set SPARK_GRAFT_BENCH_PLAN_DIR to also dump each query's scrubbed
   * canonical plan text to `<dir>/<query>.plan.txt` — the supported way to
@@ -171,6 +176,25 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadAvgStart = osBean.getSystemLoadAverage // -1.0 if unsupported
     val nProcs = Runtime.getRuntime.availableProcessors
+    // Environment GATE (not just a sentinel): a record taken on a
+    // contended machine must never silently become a round's comparison
+    // base (the r10 driver record ran at load 6.43/32 and read as a
+    // uniform 1.2x regression). Above the threshold the record is
+    // stamped contended + a loud banner; SPARK_GRAFT_BENCH_REFUSE_LOAD=1
+    // upgrades that to a refusal for official re-records.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+    val contended = loadAvgStart > maxLoad
+    if (contended) {
+      System.err.println(
+        s"[bench] ENVIRONMENT CONTENDED: load_avg_start $loadAvgStart > " +
+          s"$maxLoad on $nProcs cpus — timings will NOT be comparable " +
+          "across records; the record is stamped \"contended\":true")
+      if (sys.env.get("SPARK_GRAFT_BENCH_REFUSE_LOAD").contains("1")) {
+        System.err.println("[bench] SPARK_GRAFT_BENCH_REFUSE_LOAD=1 — refusing to record on a contended machine")
+        spark.stop()
+        sys.exit(3)
+      }
+    }
     // Warm the JVM/codegen paths once so per-query numbers measure the
     // query, not first-call classloading.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -228,7 +252,12 @@ object Bench {
     val loadAvgEnd = osBean.getSystemLoadAverage
     val envJson =
       s"""{"load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,""" +
-        s""""available_processors":$nProcs}"""
+        s""""available_processors":$nProcs,""" +
+        s""""max_load":$maxLoad,"contended":$contended}"""
+    if (contended)
+      System.err.println(
+        s"[bench] ENVIRONMENT CONTENDED (load_avg_start $loadAvgStart > " +
+          s"$maxLoad): this record's timings are environment, not code")
     println(
       s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
         s""""queries":${obj(ok.map(r => r._1 -> r._3))},""" +
