@@ -65,4 +65,18 @@ object Feeds {
   def writeAll(spark: SparkSession, sfDir: String, outDir: String): Unit =
     writeAll(spark, sfDir, outDir,
       Served(CleanStore.lineitem(spark, sfDir), CleanStore.events(spark, sfDir)))
+
+  /** `runMain graft.operators.Feeds <sfDir> <outDir>` — the standalone
+    * serve path as a CLI, used by the scale rehearsals to cross-check
+    * Pipeline-staged feeds against feeds served from the independently
+    * staged canonical CleanStore layer.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_feeds"
+    val spark = graft.GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    writeAll(spark, sfDir, outDir)
+    println(s"feeds: $outDir")
+    spark.stop()
+  }
 }

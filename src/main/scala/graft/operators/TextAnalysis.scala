@@ -779,16 +779,22 @@ object TextAnalysis {
       sum(col("c")).as("nq"),
       sum(when(col("lang") === targetLang, col("c")).otherwise(lit(0L))).as("nt"))
     // w_b on the 1e-6 grid: exact integer floor-division over
-    // DECIMAL(38,0) operands (longs would overflow the 10⁶·tc·Nq
-    // product at large corpus sizes); quotient ≤ 10⁶·max-ratio fits a
-    // long, which is what IntegralDivide returns
+    // DECIMAL(38,0) operands. Each FACTOR is cast to DECIMAL before the
+    // multiply — wrapping the whole product in one CAST still evaluates
+    // the product in Long and overflows once 10⁶·(tc+1)·(Nq+D) passes
+    // 2⁶³ (hit at the 100× rehearsal: Nq ≈ 5·10⁷ tokens, tc ≈ 2·10⁴
+    // per hot bucket ⇒ ~10¹⁸·k). The decimal product peaks ~10²⁸,
+    // inside DECIMAL(38,0); the quotient ≤ 10⁶·max-ratio fits the long
+    // IntegralDivide returns
     val ratios = rawStats
       .join(tgtStats, Seq("b"), "left")
       .crossJoin(broadcast(totals))
       .select(col("b"),
-        expr(s"""CAST(1000000 * (coalesce(tc, 0L) + 1) * (nq + $nBuckets)
-                 |  AS DECIMAL(38,0))
-                 |div CAST((qc + 1) * (nt + $nBuckets) AS DECIMAL(38,0))
+        expr(s"""CAST(1000000 AS DECIMAL(38,0))
+                 |* CAST(coalesce(tc, 0L) + 1 AS DECIMAL(38,0))
+                 |* CAST(nq + $nBuckets AS DECIMAL(38,0))
+                 |div (CAST(qc + 1 AS DECIMAL(38,0))
+                 |  * CAST(nt + $nBuckets AS DECIMAL(38,0)))
                  |""".stripMargin.replace('\n', ' ')).as("w"))
     tb.join(broadcast(ratios), Seq("b"))
       .groupBy(col("doc_id"))
