@@ -593,6 +593,50 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------------------------------- q50
+  /** Cohort retention grid — the growth-analytics shape the registry
+    * still lacked (q22 is the ordered funnel; this is the "weekly
+    * cohorts × week-offset retention" matrix every activation dashboard
+    * plots). Cohort = ISO week (Monday-start `date_trunc`, identical in
+    * both engines under the UTC session) of a user's FIRST event;
+    * each (cohort, offset) cell counts the cohort's users active in
+    * that calendar week, plus the retention percentage against the
+    * cohort's own size (its offset-0 cell — every user is by
+    * construction active in their first week).
+    *
+    * Scale: ONE user_id shuffle builds the per-user week set as a
+    * `collect_set` whose bound is the CALENDAR (weeks the corpus spans),
+    * not the data — 10 years is 522 entries — so per-group state stays
+    * constant at 100 TB while map-side partial aggregation collapses
+    * the per-user duplicate (user, week) pairs before they travel. The
+    * first array element IS the cohort (sorted set), so first-touch
+    * attribution costs no second aggregate; the grid then re-aggregates
+    * at (cohort, offset) grain — calendar² rows — and the cohort size is
+    * a `first` window over that POST-AGGREGATE frame (offset 0 leads
+    * every cohort's ordered cells by construction), so the event stream
+    * is scanned exactly once — a join back to an offset-0 base would
+    * recompute the whole lineage for the build side.
+    */
+  def q50RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val wk = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val perUser = wk.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("week"))).as("weeks"))
+      .select(col("weeks").getItem(0).as("cohort"),
+        explode(col("weeks")).as("week"))
+    // (user, week) pairs are unique post-collect_set, so count(1) IS the
+    // distinct-user count — no countDistinct shuffle needed
+    val grid = perUser.groupBy(col("cohort"),
+        (datediff(col("week"), col("cohort")) / 7).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("week_offset"))
+    grid.withColumn("cohort_size", first(col("n_active")).over(w))
+      .select(ntz(col("cohort")).as("cohort_week"), col("week_offset"),
+        col("n_active"), col("cohort_size"),
+        r6(col("n_active") * lit(100.0) / col("cohort_size")).as("retention_pct"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   // ---------------------------------------------------------------- q48
   /** The distribution-rank window family — `ntile` / `percent_rank` /
     * `cume_dist` — the one window shape (W1–W7 cover aggregates, LOCF,
@@ -1113,6 +1157,7 @@ object Analytics {
     "q47_grouping_sets" -> (q47GroupingSets _),
     "q48_window_ranks" -> (q48WindowRanks _),
     "q49_robust_outliers" -> (q49RobustOutliers _),
+    "q50_retention_cohorts" -> (q50RetentionCohorts _),
     "q43_asof_enrich" -> ((s: SparkSession, d: String) => q43AsofEnrich(s, d)),
     "q42_scd2_history" -> ((s: SparkSession, d: String) => q42Scd2(s, d)),
     "q39_union_evolve" -> ((s: SparkSession, d: String) => q39UnionEvolve(s, d)),
@@ -1404,6 +1449,26 @@ object Analytics {
         |    AS BIGINT) AS n_outliers
         |FROM d JOIN md USING (event_type)
         |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    // date_trunc('week', ts) is Monday-start in both engines; (user, week)
+    // rows are unique after the DISTINCT so count(*) is the distinct-user
+    // count, and the offset-0 cell is each cohort's size by construction
+    "q50_retention_cohorts" ->
+      """WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id),
+        |g AS (SELECT c.cohort,
+        |    CAST(date_diff('day', c.cohort, wk.week) / 7 AS BIGINT) AS week_offset,
+        |    count(*) AS n_active
+        |  FROM wk JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort, week_offset, n_active,
+        |    first_value(n_active) OVER (PARTITION BY cohort ORDER BY week_offset)
+        |      AS cohort_size
+        |  FROM g)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort_week, week_offset,
+        |  n_active, cohort_size,
+        |  round(n_active * 100.0 / cohort_size * 1e6) / 1e6 AS retention_pct
+        |FROM s
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q48_window_ranks" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  CAST(ntile(10) OVER w AS BIGINT) AS decile,

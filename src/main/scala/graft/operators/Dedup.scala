@@ -610,6 +610,37 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("text_hash"))
       .orderBy(col("doc_id"))
 
+  /** dd22 — SOFT dedup: instead of dropping non-representative cluster
+    * members (dd9's hard drop), keep every document and DOWNWEIGHT it by
+    * its duplicate-cluster size — `weight = 1 / cluster_size` — so a
+    * training run over the weighted corpus sees each near-duplicate
+    * GROUP contribute one document's worth of gradient regardless of how
+    * many copies crawled in. This is the standard softer alternative to
+    * hard dedup when duplicates carry signal (popular pages ARE worth
+    * slightly more, capped at cluster mass 1): the sampler (sa4's
+    * weighted draw, td18's DSIR scores) consumes these weights directly.
+    *
+    * Scale: reuses the build-once [[clusterLabels]] artifact (no
+    * re-shingling); cluster sizes aggregate the label table at rep_id
+    * grain (bounded by the duplicate subset); the corpus then LEFT-joins
+    * the labels on doc_id — the labeled side is exactly the duplicate
+    * subset, a small fraction by construction, so AQE broadcasts it and
+    * the corpus never shuffles. Singletons coalesce to their own id at
+    * weight 1. The division is one IEEE op on exact longs, r6-rounded
+    * at the edge like every ratio output.
+    */
+  def softDedupWeights(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy(col("rep_id")).agg(count(lit(1)).as("cluster_size"))
+    val weighted = clusters.join(sizes, Seq("rep_id"))
+    docs.select(col("doc_id"))
+      .join(weighted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"),
+        coalesce(col("cluster_size"), lit(1L)).as("cluster_size"),
+        r6(lit(1.0) / coalesce(col("cluster_size"), lit(1L))).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dd11 — INCREMENTAL dedup: label a NEW batch of documents against the
     * existing corpus WITHOUT re-clustering it — the daily-ingest step the
     * persisted cluster artifact exists for. At 100 TB the corpus's own
@@ -1125,6 +1156,8 @@ object Dedup {
       dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d)))),
     "dd9_dedup_corpus" -> ((s: SparkSession, d: String) =>
       dedupCorpus(Tables.documents(s, d), clusterLabels(s, d))),
+    "dd22_soft_dedup_weights" -> ((s: SparkSession, d: String) =>
+      softDedupWeights(Tables.documents(s, d), clusterLabels(s, d))),
     "dd10_decontaminate" -> ((s: SparkSession, d: String) =>
       decontaminate(Tables.documentsRebalanced(s, d))),
     "dd13_bloom_decontaminate" -> ((s: SparkSession, d: String) =>
@@ -1332,6 +1365,36 @@ object Dedup {
         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id
         |ORDER BY doc_id""".stripMargin,
+    // dd8's transitive closure + cluster sizes + a LEFT join back onto
+    // the full corpus — singletons coalesce to themselves at weight 1
+    "dd22_soft_dedup_weights" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+        |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+        |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+        |sz0 AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |          FROM inter JOIN sz0 sa ON doc_a = sa.doc_id JOIN sz0 sb ON doc_b = sb.doc_id
+        |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |lab AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id),
+        |csz AS (SELECT rep_id, count(*) AS cluster_size FROM lab GROUP BY rep_id)
+        |SELECT d.doc_id, coalesce(lab.rep_id, d.doc_id) AS rep_id,
+        |  coalesce(csz.cluster_size, 1) AS cluster_size,
+        |  round(1.0 / coalesce(csz.cluster_size, 1) * 1e6) / 1e6 AS weight
+        |FROM documents d
+        |LEFT JOIN lab USING (doc_id)
+        |LEFT JOIN csz ON lab.rep_id = csz.rep_id
+        |ORDER BY d.doc_id""".stripMargin,
     // dd8's transitive closure + the NOT IN drop of non-representative
     // cluster members — the declarative twin of dedupCorpus
     "dd9_dedup_corpus" ->

@@ -64,6 +64,41 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** sim12 — hard-negative mining for contrastive embedding training:
+    * for each query vector, the k most-similar corpus vectors whose
+    * LABEL differs from the query's — the "hard negatives" a
+    * contrastive/triplet objective needs (the easy negatives are
+    * random; the informative ones are the near-misses that sit close
+    * in embedding space but belong to another class). Self-pairs are
+    * excluded for free: a vector shares its own label.
+    *
+    * Plan shape is sim1's exact-scan baseline with the label predicate
+    * fused into the broadcast join condition — the corpus side streams
+    * once, never shuffles, and the per-query top-k is the same
+    * window-over-candidates cut. At billion-vector scale the same
+    * label-mismatch filter drops into sim2's LSH candidate stream or
+    * sim10's probed-cell ADC verify (the predicate composes with any
+    * candidate generator); this operator is the exact-semantics member
+    * the approximate variants are graded against.
+    */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+      col("label").as("n_label"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("n_label") =!= col("q_label"))
+      .withColumn("sim_raw", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label").cast("long").as("q_label"),
+        col("neighbor_id"), col("n_label").cast("long").as("n_label"),
+        r6(col("sim_raw")).as("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Array of `nBands` bucket ids (one per independent band of `nPlanes`
     * sign bits); position in the array is the band id. Native
     * [[graft.functions.RhpBuckets]] expression — the plane matrix lives in
@@ -1282,6 +1317,7 @@ object Similarity {
     "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
       quantizedTopk(Tables.embeddings(s, d))),
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
+    "sim12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(Tables.embeddings(s, d))),
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
     "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(Tables.embeddings(s, d))),
     "sim4_ann_ivf_indexed" -> ((s: SparkSession, d: String) => ivfAnnIndexed(s, d)),
@@ -1429,6 +1465,21 @@ object Similarity {
         |  round(ord / 16129.0 * 1e6) / 1e6 AS approx_dot,
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // sim1's exact scan with the label-mismatch predicate in the join —
+    // self-pairs drop for free (a vector shares its own label)
+    "sim12_hard_negatives" ->
+      """SELECT query_id, q_label, neighbor_id, n_label, cosine, rank FROM (
+        |  SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS q_label,
+        |    c.vec_id AS neighbor_id, CAST(c.label AS BIGINT) AS n_label,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 CAST(q.embedding AS DOUBLE[])) * 1e6) / 1e6 AS cosine,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                      CAST(q.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings q JOIN embeddings c ON c.label != q.label
+        |  WHERE q.vec_id < 20) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "sim1_topk_exact" ->
       """SELECT query_id, neighbor_id, cosine, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

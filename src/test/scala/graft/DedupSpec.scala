@@ -78,6 +78,32 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(dropped.select("doc_id").collect().map(_.getLong(0)).forall(!survivors.contains(_)))
   }
 
+  test("dd22: weights partition cluster mass — each cluster sums to ~1, singletons to exactly 1, and dd9's drop set = the downweighted non-reps") {
+    val docs = Tables.documents(spark, sf001)
+    val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(docs))
+    val out = Dedup.softDedupWeights(docs, clusters).collect()
+    // soft dedup keeps EVERY document
+    assert(out.length === docs.count())
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (rep, members) =>
+      val size = members.head.getLong(2)
+      assert(members.length === size, s"cluster $rep size column disagrees with membership")
+      members.foreach(m => assert(m.getLong(2) === size))
+      // each member carries r6(1/size); the cluster's mass re-sums to 1
+      // within the per-member rounding grain
+      val mass = members.map(_.getDouble(3)).sum
+      assert(math.abs(mass - 1.0) <= 1e-6 * size, s"cluster $rep mass $mass")
+    }
+    out.filter(_.getLong(2) == 1L).foreach(r => assert(r.getDouble(3) === 1.0))
+    // consistency with the hard path: dd9 drops exactly the docs dd22
+    // downweights as non-representatives
+    val dd9Survivors = Dedup.dedupCorpus(docs, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nonReps = out.filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    assert(nonReps.nonEmpty, "test corpus must contain dup clusters")
+    assert(nonReps === out.map(_.getLong(0)).toSet -- dd9Survivors)
+  }
+
   test("dd4 minhash candidates: recall >= 0.95 against dd3's exact Jaccard pairs") {
     val docs = Tables.documents(spark, sf001)
     val exact = pairSet(

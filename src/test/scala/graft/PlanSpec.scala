@@ -454,6 +454,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges <= 2, s"grouping sets re-shuffle per grain:\n$p")
   }
 
+  test("q50: cohort grid scans events ONCE — user shuffle + calendar-grain shuffle, size via post-aggregate window, no join") {
+    val p = plan(Analytics.q50RetentionCohorts(spark, sf001))
+    // the cohort size must come from a window over the aggregated grid —
+    // a join back to an offset-0 base would re-run the whole lineage
+    // (second event scan) for the build side
+    assert(p.contains("Window"), s"cohort size lost its post-aggregate window:\n$p")
+    assert(!p.contains("Join"), s"size joined instead of windowed (double scan):\n$p")
+    val scans = p.linesIterator.count(_.contains(") Scan parquet"))
+    assert(scans === 1, s"event stream scanned more than once:\n$p")
+    // exchange 1 = user_id grouping; exchange 2 = (cohort, offset) grid;
+    // exchange 3 = the verify-only output sort. The window rides the
+    // grid exchange's partitioning or adds one calendar-grain exchange.
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 4, s"cohort grid grew event-scale shuffles:\n$p")
+  }
+
   test("sa9: packing is one grouping exchange + MapGroups — no unpartitioned window, no extra shuffle") {
     val p = plan(Params.sa9PackGreedy(Tables.documents(spark, sf001)))
     assert(p.contains("MapGroups"), s"packing lost its per-bucket pass:\n$p")

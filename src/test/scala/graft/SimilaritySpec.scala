@@ -26,6 +26,31 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim12 hard negatives: labels always differ, k per query, dominated by the unrestricted top-1") {
+    val emb = Tables.embeddings(spark, sf001)
+    val labels = emb.collect().map(r => r.getLong(0) -> r.getInt(2).toLong).toMap
+    val rows = Similarity.hardNegatives(emb).collect()
+    // 20 queries x k=5, ranks 1..5, cosine non-increasing within a query
+    assert(rows.length === 100)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(5)).sorted.toSeq === (1L to 5L), s"ranks for query $q")
+      val cos = rs.sortBy(_.getLong(5)).map(_.getDouble(4))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, s"cosines not ranked for $q")
+    }
+    rows.foreach { r =>
+      // the mined negative NEVER shares the query's label (so never self)
+      assert(r.getLong(1) !== r.getLong(3), s"same-label pair ${r.getLong(0)}->${r.getLong(2)}")
+      assert(r.getLong(1) === labels(r.getLong(0)) && r.getLong(3) === labels(r.getLong(2)))
+    }
+    // restriction to a label-mismatch subset can't beat the unrestricted
+    // exact top-1 (r6 is monotone, so the rounded compare is safe)
+    val top1 = Similarity.topkExact(emb).filter("rank = 1").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.filter(_.getLong(5) == 1L).foreach { r =>
+      assert(r.getDouble(4) <= top1(r.getLong(0)) + 1e-12)
+    }
+  }
+
   test("sim6 int8 quantization: high recall vs exact top-5, scores track raw dots, integral components") {
     val emb = Tables.embeddings(spark, sf001)
     // sim1 ranks by cosine, sim6 by (rescaled) raw dot — compare against
