@@ -10,7 +10,16 @@ duplicates don't). Dims (region/nation/customer/supplier/part) are copied
 as-is — each customer simply has k-x the orders, which is how a growing
 business actually scales, and keeps the nation graph at its real 25 nodes.
 
-Usage: scaleup.py <srcDir> <dstDir> [k=10]
+Usage: scaleup.py <srcDir> <dstDir> [k=10] [--events-user-offset]
+
+--events-user-offset: give each events replica its own user_id space
+(user_id + i*umax). Default replication keeps user_id/ts identical
+across replicas, which multiplies per-(user, time-window) density by k
+— the WORST case for stream-stream interval joins, whose matched-pair
+output then grows k^2 (measured: 172 -> 1.72M pairs at k=100). Real
+100x growth adds users and time at roughly constant per-user density;
+this flag models that axis so join-output-bounded operators can be
+rehearsed under both regimes.
 Bench-only data: no oracle runs against it. events.ts is written as int64
 NANOS (epoch_ns) to match the real testdata's physical encoding — the
 engine reads it under nanosAsLong and normalizes to TimestampType, which
@@ -22,6 +31,7 @@ import duckdb
 
 src, dst = sys.argv[1], sys.argv[2]
 k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+user_offset = "--events-user-offset" in sys.argv
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 
@@ -52,9 +62,12 @@ write("lineitem", rep("lineitem",
 
 emax = con.execute(
     f"SELECT max(event_id) + 1 FROM read_parquet('{src}/events.parquet')").fetchone()[0]
+umax = con.execute(
+    f"SELECT max(user_id) + 1 FROM read_parquet('{src}/events.parquet')").fetchone()[0]
+user_expr = f"user_id + {{i}} * {umax} AS user_id" if user_offset else "user_id"
 write("events", rep("events",
     f"SELECT event_id + {{i}} * {emax} AS event_id, "
-    "CAST(epoch_ns(ts) AS BIGINT) AS ts, user_id, event_type, "
+    f"CAST(epoch_ns(ts) AS BIGINT) AS ts, {user_expr}, event_type, "
     "value, props FROM {src}"))
 
 dmax = con.execute(
