@@ -50,9 +50,18 @@ object Similarity {
     */
   def topkExact(emb: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
-    val sim = cosine(col("q_emb"), col("c_emb"))
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_n", norm2(col("q_emb")))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+      .withColumn("c_n", norm2(col("c_emb")))
+    // identical arithmetic to cosine(q, c) — the float→double casts and
+    // the two self-dots are just FACTORED to once per row instead of
+    // once per (query, corpus) pair (the cast alone allocates per call);
+    // values are bit-identical, only the evaluation count drops
+    val sim = dot(col("q_emb"), col("c_emb")) /
+      (sqrt(col("q_n")) * sqrt(col("c_n")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_raw").desc, col("neighbor_id"))
     c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
@@ -84,19 +93,76 @@ object Similarity {
   def hardNegatives(emb: DataFrame, nQueries: Int = 20, k: Int = 5): DataFrame = {
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
-        col("embedding").as("q_emb"))
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_n", norm2(col("q_emb")))
     val c = emb.select(col("vec_id").as("neighbor_id"),
-      col("label").as("n_label"), col("embedding").as("c_emb"))
+        col("label").as("n_label"),
+        col("embedding").cast("array<double>").as("c_emb"))
+      .withColumn("c_n", norm2(col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim_raw").desc, col("neighbor_id"))
+    // per-row factored casts/norms — see topkExact; values bit-identical
     c.join(broadcast(q), col("n_label") =!= col("q_label"))
-      .withColumn("sim_raw", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("sim_raw", dot(col("q_emb"), col("c_emb")) /
+        (sqrt(col("q_n")) * sqrt(col("c_n"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("q_label").cast("long").as("q_label"),
         col("neighbor_id"), col("n_label").cast("long").as("n_label"),
         r6(col("sim_raw")).as("cosine"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** sim13 defaults — the SINGLE source for the engine signature AND the
+    * generated oracle SQL (the HeadVocabSize/sa9 pattern: a drifted
+    * literal would hash-mismatch loudly, never silently).
+    */
+  val RangeNQueries: Int = 20
+  val RangeTau: Double = 0.3
+
+  /** sim13 — cosine RANGE search (the τ-ball query): for every query
+    * vector, ALL corpus vectors with cosine ≥ `tau` — the other half of
+    * the vector-retrieval API surface (top-k answers "the best k
+    * whatever their quality"; range answers "everything at least this
+    * similar, however many" — FAISS ships it as `range_search` beside
+    * `search`, and retrieval-dedup / recall-bounded RAG callers want
+    * exactly these semantics). dd6/dd7 are the pair-grain cousins over
+    * one corpus; this is the query-set-vs-corpus member, and the τ
+    * predicate composes unchanged with sim2's LSH candidates or
+    * sim3/sim5's probed cells when the corpus outgrows the exact scan
+    * (a τ-ball never needs cells whose centroid-distance bound already
+    * fails τ — the same pruning the top-k family uses).
+    *
+    * The threshold compares the RAW double (the dd6 rule): both engines
+    * compute the identical sequential dot (`vec_dot` ≡
+    * `list_dot_product`) and the same two single-IEEE-op sqrt/divide
+    * steps, so the unrounded predicate admits the same pair set; only
+    * the EMITTED cosine is r6-rounded. Result rows are data-dependent
+    * per query — a query with no τ-neighbor emits nothing (the dd3
+    * convention), which is itself signal (an isolated query).
+    *
+    * Plan: broadcast the bounded query set against the streaming corpus
+    * scan — no corpus shuffle, no window (range search has no rank), the
+    * only exchange is the verify-order sort over the bounded hit set.
+    */
+  def rangeSearch(
+      emb: DataFrame,
+      nQueries: Int = RangeNQueries,
+      tau: Double = RangeTau): DataFrame = {
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_n", norm2(col("q_emb")))
+    val c = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("c_emb"))
+      .withColumn("c_n", norm2(col("c_emb")))
+    // per-row factored casts/norms — see topkExact; values bit-identical
+    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_raw", dot(col("q_emb"), col("c_emb")) /
+        (sqrt(col("q_n")) * sqrt(col("c_n"))))
+      .filter(col("sim_raw") >= tau)
+      .select(col("query_id"), col("neighbor_id"), r6(col("sim_raw")).as("cosine"))
+      .orderBy(col("query_id"), col("neighbor_id"))
   }
 
   /** Array of `nBands` bucket ids (one per independent band of `nPlanes`
@@ -1318,6 +1384,7 @@ object Similarity {
       quantizedTopk(Tables.embeddings(s, d))),
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
     "sim12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(Tables.embeddings(s, d))),
+    "sim13_range_search" -> ((s: SparkSession, d: String) => rangeSearch(Tables.embeddings(s, d))),
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
     "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(Tables.embeddings(s, d))),
     "sim4_ann_ivf_indexed" -> ((s: SparkSession, d: String) => ivfAnnIndexed(s, d)),
@@ -1495,6 +1562,22 @@ object Similarity {
     // The oracle mirrors the ENGINE's float path exactly — the same
     // bottom-k salted-md5 sample first (sampledVectors' draw regenerated
     // from the shared constants), then unit vectors
+    // the engine's cosine path mirrored op-for-op (sequential dot ≡
+    // list_dot_product, sqrt·sqrt then one divide), raw-double τ
+    // predicate, r6 only on the emitted value; literals generated from
+    // RangeNQueries/RangeTau so the defaults cannot drift
+    "sim13_range_search" ->
+      s"""SELECT query_id, neighbor_id, round(s * 1e6) / 1e6 AS cosine FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(CAST(q.embedding AS DOUBLE[]),
+         |                     CAST(c.embedding AS DOUBLE[]))
+         |    / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+         |                             CAST(q.embedding AS DOUBLE[])))
+         |     * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+         |                             CAST(c.embedding AS DOUBLE[])))) AS s
+         |  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < $RangeNQueries) t
+         |WHERE s >= $RangeTau ORDER BY query_id, neighbor_id""".stripMargin,
     // (x / sqrt(dot(v,v))), then a sequential dot — so the raw doubles
     // agree bit-for-bit and the unrounded threshold admits the same pair
     // set in both engines.

@@ -876,7 +876,65 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** td21 reference-slice modulus — the SINGLE source for the engine
+    * default AND the generated oracle SQL (the HeadVocabSize pattern).
+    */
+  val LmRefMod: Int = 10
+
+  /** td21 — unigram-LM surprisal scoring against a held-out reference
+    * slice: the CCNet shape (Wenzek et al. 2020 "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data" scores every web
+    * document by the perplexity of a KenLM model trained on a curated
+    * reference corpus; the head/middle/tail quality buckets are then
+    * just percentile cuts over that score). Here the reference corpus is
+    * the deterministic holdout `doc_id % refMod = 0` — in production, a
+    * curated slice (their Wikipedia) mounted as its own table.
+    *
+    * The LM is add-one-smoothed unigram counts over the slice:
+    * p(tok) = (c+1)/(N+D+1), D = |reference vocab|, all unseen tokens
+    * pooled into one +1 OOV mass. True surprisal −log₂p is libm and
+    * never oracle-hashable (the td11/td18 rational rule); the graded
+    * analog shipped here is the EXACT INTEGER bit count
+    * `floorlog2((N+D+1) div (c+1))` where floorlog2(x) =
+    * `length(bin(x)) − 1` — a string-length over the minimal binary
+    * rendering, one integral divide, no libm, bit-identical in both
+    * engines. It is the true per-token surprisal quantized down to whole
+    * bits (monotone in 1/p), so the downstream percentile cut selects
+    * the same head/tail up to one-bit ties. Per doc: `n_tokens`, the
+    * order-free integer `bits` sum, and `bits_per_token` (floor-div —
+    * the length-debiased score the CCNet cut runs on; HIGH = surprising
+    * = tail/noise, LOW = reference-like = head).
+    *
+    * Scale: the LM aggregate is map-side-combined token counts over the
+    * ~N/refMod reference slice (vocab-scale output, broadcast back with
+    * its one-row total); the scoring pass is the td19 shape — exploded
+    * corpus LEFT-joined against the broadcast LM, bits computed inline
+    * in codegen, one doc-keyed aggregation whose partial agg collapses
+    * each doc's tokens before the shuffle. Zero-token docs emit nothing
+    * (the td10/td17 convention).
+    */
+  def lmSurprisal(docs: DataFrame, refMod: Int = LmRefMod): DataFrame = {
+    require(refMod >= 1, s"refMod must be >= 1, got $refMod")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val lm = toks.filter(col("doc_id") % refMod === 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // N + D + 1 in one broadcast row: token mass + vocab size + OOV pool
+    val tot = lm.agg((sum(col("c")) + count(lit(1)) + lit(1L)).as("denom"))
+    val bits =
+      (length(bin(expr("denom div (coalesce(c, 0L) + 1L)"))) - 1).cast("long")
+    toks.join(broadcast(lm), Seq("tok"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), bits.as("tok_bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tok_bits")).as("bits"))
+      .select(col("doc_id"), col("n_tokens"), col("bits"),
+        expr("bits div n_tokens").as("bits_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td21_lm_surprisal" -> ((s: SparkSession, d: String) =>
+      lmSurprisal(Tables.documents(s, d))),
     "td20_source_overlap" -> ((s: SparkSession, d: String) =>
       sourceOverlap(Tables.documents(s, d))),
     "td19_oov_rate" -> ((s: SparkSession, d: String) =>
@@ -906,6 +964,22 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the same holdout slice, the same add-one LM, the same exact
+    // integer floorlog2 via length(bin(x))-1 (// = DuckDB integral
+    // divide); denom cast to BIGINT because DuckDB sums BIGINT into
+    // HUGEINT, which bin() renders at 128-bit width
+    "td21_lm_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |lm AS (SELECT tok, count(*) AS c FROM t
+         |  WHERE doc_id % $LmRefMod = 0 GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) + count(*) + 1 AS BIGINT) AS denom FROM lm)
+         |SELECT t.doc_id, count(*) AS n_tokens,
+         |  CAST(sum(length(bin(denom // (coalesce(c, 0) + 1))) - 1) AS BIGINT)
+         |    AS bits,
+         |  CAST(sum(length(bin(denom // (coalesce(c, 0) + 1))) - 1)
+         |    // count(*) AS BIGINT) AS bits_per_token
+         |FROM t LEFT JOIN lm ON t.tok = lm.tok CROSS JOIN tot
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     // the same distinct postings, the same token-keyed pair join, the
     // same three-BIGINT Jaccard with the r6 division
     "td20_source_overlap" ->

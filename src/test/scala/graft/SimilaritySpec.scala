@@ -51,6 +51,36 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim13 range search: crafted τ-ball exact, no self pairs, and it contains every top-k hit above τ") {
+    import spark.implicits._
+    // q0=[1,0]: v1 identical (cos 1), v2 at ~0.89, v3 orthogonal (cos 0)
+    val crafted = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(2.0f, 0.0f)),
+      (2L, Array(2.0f, 1.0f)), (3L, Array(0.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val ball = Similarity.rangeSearch(crafted, nQueries = 1, tau = 0.5).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(ball.keySet === Set(1L, 2L), s"τ=0.5 ball was ${ball.keySet}")
+    assert(ball(1L) === 1.0)
+    assert(math.abs(ball(2L) - 2.0 / math.sqrt(5.0)) < 1e-6)
+    // corpus: every hit clears τ (r6 edge-tolerant), never a self pair,
+    // and the exact top-k rows above τ are a SUBSET of the τ-ball
+    val emb = Tables.embeddings(spark, sf001)
+    val hits = Similarity.rangeSearch(emb).collect()
+    assert(hits.nonEmpty, "τ=0.3 finds no neighbors at sf0.001 — lower τ")
+    val hitSet = hits.map(r => (r.getLong(0), r.getLong(1))).toSet
+    hits.foreach { r =>
+      assert(r.getLong(0) !== r.getLong(1))
+      assert(r.getDouble(2) >= Similarity.RangeTau - 1e-6)
+    }
+    Similarity.topkExact(emb).collect()
+      .filter(_.getDouble(2) > Similarity.RangeTau + 1e-6)
+      .foreach { r =>
+        assert(hitSet.contains((r.getLong(0), r.getLong(1))),
+          s"top-k hit ${r.getLong(0)}->${r.getLong(1)} missing from the τ-ball")
+      }
+  }
+
   test("sim6 int8 quantization: high recall vs exact top-5, scores track raw dots, integral components") {
     val emb = Tables.embeddings(spark, sf001)
     // sim1 ranks by cosine, sim6 by (rescaled) raw dot — compare against

@@ -372,6 +372,36 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("td21 LM surprisal: exact integer bits vs hand-computed LM, OOV maxes out, reference-like text scores low") {
+    // refMod=2 -> docs 2 and 4 ARE the reference slice. LM: N=12 tokens,
+    // D=7 vocab, denom=20. bits(tok) = floorlog2(20 div (c+1)):
+    // the(c=4)->2, cat(1)->3, sat(2)->2, on(2)->2, mat(1)->3, OOV->4
+    val docs = Seq(
+      (1L, "the cat sat"),          // all in-vocab -> low bits
+      (2L, "the cat sat on the mat"),
+      (3L, "qzx wvu jkl"),          // all OOV -> the 4-bit ceiling
+      (4L, "the dog sat on the log")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.lmSurprisal(docs, refMod = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows(1L) === ((3L, 7L, 2L)))
+    assert(rows(3L) === ((3L, 12L, 4L)))
+    assert(rows(2L) === ((6L, 14L, 2L)))
+    // the CCNet cut separates reference-like from junk deterministically
+    assert(rows(3L)._3 > rows(1L)._3)
+    // corpus invariants at sf0.001 under the shared default holdout:
+    // every score bounded by the OOV ceiling, floor-div consistent
+    val corpus = TextAnalysis.lmSurprisal(
+      graft.sources.Tables.documents(spark, sf001)).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { r =>
+      val (n, bits, bpt) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(bits >= 0L && bpt === bits / n)
+      assert(bpt <= 63L, "per-token bits is bounded by the 64-bit denom")
+    }
+  }
+
   test("td20 source overlap: exact Jaccard, duplicate feeds flagged at 1.0, disjoint at 0, repeats don't inflate") {
     val docs = Seq(
       (1L, "alpha beta gamma", "mirror_a"),
