@@ -568,9 +568,34 @@ object Params {
       .agg(count(lit(1)).as("n_customers"))
       .orderBy(col("n_name"))
 
+  /** os1 — ORC source + sink roundtrip under a FACT-scale join: the
+    * supplier dim staged once as ORC ([[Tables.supplierOrc]], the
+    * marker-and-stamp idempotent scheme cs1/js1 use), broadcast against
+    * the lineitem scan, per-supplier quantity mass + line count with
+    * `s_acctbal` carried through the GROUP KEY — a double that survives
+    * the parquet→ORC→read→group→hash chain bit-exactly or the oracle
+    * (which computes from the ORIGINAL parquet) mismatches. Completes
+    * the source-format matrix: parquet (S2), CSV all-strings (S3),
+    * JSON-lines permissive (S8), ORC typed columnar (this).
+    *
+    * Scale: the dim export is dim-bounded work behind the stamp guard;
+    * the query is q05's shape — fact scan streams once, dim broadcasts,
+    * partial agg collapses to the supplier grain before the one
+    * bounded shuffle.
+    */
+  def os1OrcDimJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.supplierOrc(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"), col("s_acctbal"))
+      .agg(dsumr(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "os1_orc_dim_join" -> (os1OrcDimJoin _),
     "pf1_param_filter" -> (pf1ParamFilter _),
     "pf2_param_filter_alt" -> (pf2ParamFilterAlt _),
     "pf3_param_filter_clean" -> (pf3ParamFilterClean _),
@@ -598,6 +623,16 @@ object Params {
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the oracle reads the ORIGINAL parquet supplier — a hash match
+    // proves the ORC roundtrip (keys, strings, the s_acctbal double)
+    // was bit-exact; dsum twin per the Analytics convention
+    "os1_orc_dim_join" ->
+      """SELECT s_name, s_acctbal,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6)
+        |    AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name, s_acctbal ORDER BY s_name""".stripMargin,
     // the JSON export carries the nation dim verbatim (no corrupt lines in
     // a Spark-written export), so the oracle is the same dim join
     "js1_json_dim_join" ->

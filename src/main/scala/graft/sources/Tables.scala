@@ -177,6 +177,34 @@ object Tables {
       .drop("_corrupt_record")
   }
 
+  /** The supplier dim as an ORC export (same idempotent marker-and-stamp
+    * scheme as [[nationCsv]]/[[nationJson]]) — the third self-describing
+    * columnar format beside parquet: ORC ships with Spark (no extra
+    * jars), preserves the full type lattice (int32/int64/double/string
+    * here, unlike CSV's all-strings or JSON's doubles-only numerics),
+    * and at warehouse scale is what a Hive-era lakehouse hands a Spark
+    * reader. Read back via `spark.read.orc` with the file-embedded
+    * schema; os1 hash-gates the ROUNDTRIP — the oracle computes from
+    * the original parquet, so a single flipped bit in any key, name or
+    * acctbal double would mismatch.
+    */
+  def supplierOrc(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfName = new java.io.File(sfDir).getName
+    val orcDir = s"${sys.props("user.dir")}/target/orcdim/$sfName/supplier"
+    val marker = new java.io.File(s"$orcDir/_SUCCESS")
+    val source = new java.io.File(path(sfDir, "supplier"))
+    val stampFile = new java.io.File(s"$orcDir/_graft_source")
+    val stamp = Staging.sourceStamp(Seq(source))
+    if (!marker.exists() || !stampFile.exists() ||
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+      supplier(spark, sfDir)
+        .coalesce(1)
+        .write.mode("overwrite").orc(orcDir)
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
+    }
+    spark.read.orc(orcDir)
+  }
+
   def nationCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val sfName = new java.io.File(sfDir).getName
     val csvDir = s"${sys.props("user.dir")}/target/csvdim/$sfName/nation"

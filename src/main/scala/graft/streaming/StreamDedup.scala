@@ -229,7 +229,65 @@ object StreamDedup {
       .orderBy(col("event_id"))
   }
 
+  /** st20 shared threshold — single source for the engine default AND
+    * the generated oracle literal (the HeadVocabSize pattern). 4.5
+    * bits/token sits at ~p95 of the staged corpus's score distribution.
+    */
+  val MaxSurprisalBits: Double = 4.5
+
+  /** st20 — streaming LM-SURPRISAL gate from a batch-trained language
+    * model: td21's CCNet-shape scorer lifted to the admission door. The
+    * add-one unigram LM trains ONCE over the frozen history (the st16
+    * split), its integer bits-per-token table — floorlog2((N+D+1) div
+    * (c+1)), exact integer arithmetic, see td21 — is inlined into the
+    * streaming plan as a map literal (the st18 artifact-handoff shape;
+    * vocab here is bounded, and the million-token production path is
+    * the same BROADCAST-join handoff st18 documents via dd13's bloom),
+    * and every arriving doc is scored by one `aggregate` HOF pass:
+    * unknown tokens draw the OOV ceiling floorlog2(N+D+1). An arrival
+    * whose mean surprisal exceeds `maxBitsPerToken` reads as
+    * off-distribution (noise, wrong language, garbage encoding) and is
+    * rejected — the CCNet tail cut running at source throughput:
+    * stateless scan → project → sink, no watermark, no state store, no
+    * shuffle. Empty docs fail closed (NULL score, keep = false), the
+    * st18/st19 posture.
+    */
+  def st20StreamSurprisalGate(
+      spark: SparkSession, sfDir: String,
+      maxBitsPerToken: Double = MaxSurprisalBits): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    // vocab-scale LM collect (the sim7 centroid / st18 vocab pattern)
+    val lm = docs.filter(col("doc_id") < newFrom)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val denom = lm.map(_._2).sum + lm.length + 1L
+    def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val oovBits = flog2(denom)
+    val bitsMap = map(lm.flatMap { case (t, c) =>
+      Seq(lit(t), lit(flog2(denom / (c + 1L)))) }.toSeq: _*)
+    val arrivals = documentStream(spark, sfDir)
+      .filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(bitsMap, t), lit(oovBits)))
+          .as("bits"))
+    val rate = col("bits").cast("double") /
+      nullif(col("n_tokens").cast("double"), lit(0.0))
+    val gated = arrivals
+      .withColumn("keep", coalesce(rate <= lit(maxBitsPerToken), lit(false)))
+      .withColumn("bits_per_token", r6(rate))
+      .select(col("doc_id"), col("n_tokens"), col("bits"), col("keep"),
+        col("bits_per_token"))
+    EventStreams.runToParquet(gated, "st20_sink")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_stream_surprisal_gate" ->
+      ((s: SparkSession, d: String) => st20StreamSurprisalGate(s, d)),
     "st16_stream_dedup_gate" ->
       ((s: SparkSession, d: String) => st16StreamDedupGate(s, d)),
     "st17_stream_quality_gate" ->
@@ -293,6 +351,31 @@ object StreamDedup {
     // the td19 vocabulary cut over the history split, replayed against
     // the arrivals; rate division and the <= 0.5 admission compare are
     // the same IEEE ops, NULL-rate arrivals fail closed in both engines
+    // td21's LM/bin-length arithmetic over the frozen history, replayed
+    // against the arrivals; empty docs fail closed; the threshold
+    // literal is generated from MaxSurprisalBits
+    "st20_stream_surprisal_gate" ->
+      s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+         |ht AS (SELECT unnest(${tokensSql("text")}) AS tok FROM documents
+         |  WHERE doc_id < (SELECT v FROM nf)),
+         |lm AS (SELECT tok, count(*) AS c FROM ht GROUP BY tok),
+         |tot AS (SELECT CAST(sum(c) + count(*) + 1 AS BIGINT) AS denom FROM lm),
+         |a AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+         |  WHERE doc_id >= (SELECT v FROM nf)),
+         |x AS (SELECT doc_id, unnest(toks) AS tok FROM a),
+         |o AS (SELECT x.doc_id, count(*) AS n,
+         |    CAST(sum(length(bin(denom // (coalesce(c, 0) + 1))) - 1) AS BIGINT)
+         |      AS bits
+         |  FROM x LEFT JOIN lm ON x.tok = lm.tok CROSS JOIN tot
+         |  GROUP BY x.doc_id)
+         |SELECT a.doc_id, CAST(coalesce(o.n, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(o.bits, 0) AS BIGINT) AS bits,
+         |  CASE WHEN o.n IS NULL THEN false
+         |       ELSE (CAST(o.bits AS DOUBLE) / o.n) <= $MaxSurprisalBits END
+         |    AS keep,
+         |  round((CAST(o.bits AS DOUBLE) / o.n) * 1e6) / 1e6 AS bits_per_token
+         |FROM a LEFT JOIN o ON a.doc_id = o.doc_id
+         |ORDER BY a.doc_id""".stripMargin,
     "st18_stream_oov_gate" ->
       s"""WITH nf AS (SELECT max(doc_id) - 49 AS vmax FROM documents),
          |ht AS (SELECT unnest(${tokensSql("text")}) AS tok FROM documents

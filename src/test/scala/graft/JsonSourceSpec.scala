@@ -37,6 +37,23 @@ class JsonSourceSpec extends AnyFunSuite with SparkFixture {
       .contains("missing-comma"))
   }
 
+  test("supplierOrc round-trips the dim bit-exactly, typed, and the stamp guard never re-stages") {
+    val viaOrc = Tables.supplierOrc(spark, sf001)
+    // ORC preserves the full type lattice — schema identical to parquet
+    assert(viaOrc.schema === Tables.supplier(spark, sf001).schema)
+    val a = viaOrc.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = Tables.supplier(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a === b) // doubles compared exactly: the roundtrip is bit-level
+    // second call must be a pure read: the staged file's mtime is stable
+    val dir = new File(s"${sys.props("user.dir")}/target/orcdim/sf0.001/supplier")
+    val orc = dir.listFiles().filter(_.getName.endsWith(".orc")).head
+    val mtime = orc.lastModified()
+    Tables.supplierOrc(spark, sf001).count()
+    assert(orc.lastModified() === mtime, "stamp-guarded staging re-wrote the ORC export")
+  }
+
   test("nationJson round-trips the dim through the JSON contract") {
     val viaJson = Tables.nationJson(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet

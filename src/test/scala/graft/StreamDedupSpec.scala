@@ -96,6 +96,48 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     assert(rows.exists(_.getAs[Boolean]("keep")))
   }
 
+  test("st20: streaming LM-surprisal gate == batch LM replay; thresholds bind; empty docs fail closed") {
+    val docs = Tables.documents(spark, sf001)
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val rows = StreamDedup.st20StreamSurprisalGate(spark, sf001).collect()
+    assert(rows.length === 50, "one decision per arrival")
+    assert(rows.forall(_.getAs[Long]("doc_id") >= newFrom))
+    // batch twin: history-trained add-one LM, integer bits replay
+    import graft.functions.tokens
+    val lm = docs.filter(col("doc_id") < newFrom)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val denom = lm.values.sum + lm.size + 1L
+    def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val arr = docs.filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      val toks = arr(r.getAs[Long]("doc_id"))
+      val bits = toks.map(t => flog2(denom / (lm.getOrElse(t, 0L) + 1L))).sum
+      assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
+      assert(r.getAs[Long]("bits") === bits)
+      if (toks.nonEmpty)
+        assert(r.getAs[Boolean]("keep") ===
+          (bits.toDouble / toks.length <= StreamDedup.MaxSurprisalBits))
+      else assert(r.getAs[Boolean]("keep") === false, "empty doc must fail closed")
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")), "default threshold keeps something")
+    // the threshold BINDS in both directions: 0 rejects every nonempty
+    // arrival, an infinite budget admits every nonempty arrival
+    val strict = StreamDedup.st20StreamSurprisalGate(spark, sf001, maxBitsPerToken = 0.0)
+      .collect()
+    assert(strict.forall(r => !r.getAs[Boolean]("keep") ||
+      r.getAs[Long]("n_tokens") === 0L))
+    assert(strict.forall(!_.getAs[Boolean]("keep")))
+    val loose = StreamDedup.st20StreamSurprisalGate(spark, sf001, maxBitsPerToken = 1e9)
+      .collect()
+    loose.foreach { r =>
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Long]("n_tokens") > 0L))
+    }
+  }
+
   test("st19: streaming anomaly gate == batch fence replay; fences come from history only") {
     import graft.operators.Analytics
     val events = Tables.events(spark, sf001)
