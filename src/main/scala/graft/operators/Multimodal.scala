@@ -257,9 +257,44 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm7 — REAL video-container header decode via the native
+    * [[graft.functions.Mp4Header]] expression: major brand, movie
+    * timescale and duration parsed from actual ISO-BMFF box bytes
+    * (ISO/IEC 14496-12, no codec) — the video modality beside mm5's
+    * images and mm6's audio, completing the triple. A 100 TB video-data
+    * audit (drop clips shorter than a second, bucket by brand) reads
+    * exactly these fields, map-only at scan throughput. Codegen'd, no
+    * shuffle.
+    *
+    * Over the driver's text corpus the `ftyp` magic never occurs at
+    * byte offset 4 (verified — and for any ASCII prose every box "size"
+    * word reads ≥ 0x20202020 ≈ 539 MB, so no box walk can ever parse),
+    * so only the unknown branch is reachable; the oracle replicates it
+    * behind the mm6 LIKE-guard convention: a future magic-bearing doc
+    * mismatches LOUDLY on the fields, and the side to extend is the
+    * oracle. The real box walk (ftyp brands, largesize, v0/v1 mvhd,
+    * corrupt extents) is exercised on crafted MP4 bytes in
+    * MultimodalSpec.
+    */
+  def mp4Headers(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    docs
+      .select(col("doc_id"), length(payload).cast("long").as("byte_len"),
+        call_function("mp4_header", payload).as("hdr"))
+      .select(col("doc_id"), col("byte_len"),
+        col("hdr.format").as("format"),
+        col("hdr.major_brand").as("major_brand"),
+        col("hdr.timescale").as("timescale"),
+        col("hdr.duration_units").as("duration_units"),
+        col("hdr.duration_ms").as("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm7_mp4_headers" -> ((s: SparkSession, d: String) =>
+      mp4Headers(Tables.documents(s, d))),
     "mm6_wav_headers" -> ((s: SparkSession, d: String) =>
       wavHeaders(Tables.documents(s, d))),
     "mm5_image_headers" -> ((s: SparkSession, d: String) =>
@@ -276,6 +311,35 @@ object Multimodal {
       resizePlan(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the mm5/mm6 convention: the guard mirrors the engine's FULL
+    // classification test (ftyp four-character-code at byte offset 4,
+    // inside a 12-byte ASCII-verified prefix so char positions ARE byte
+    // positions); major_brand mirrors the engine's printable-ASCII rule.
+    // timescale/duration stay NULL for ANY ASCII prose by construction:
+    // every box-size word the walk would read is >= 0x20202020 (~539 MB)
+    // > byte_len, so no moov/mvhd can ever parse — a doc that defeats
+    // this is binary, outside VARCHAR's domain, and the box walk is
+    // spec-exercised on real bytes in MultimodalSpec
+    "mm7_mp4_headers" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  length(text) >= 12
+        |    AND octet_length(encode(substring(text, 1, 12))) = 12
+        |    AND substring(text, 5, 4) = 'ftyp' AS is_mp4
+        |  FROM documents)
+        |SELECT doc_id, byte_len,
+        |  CASE WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CASE WHEN is_mp4
+        |      AND ascii(substring(text, 9, 1)) BETWEEN 32 AND 126
+        |      AND ascii(substring(text, 10, 1)) BETWEEN 32 AND 126
+        |      AND ascii(substring(text, 11, 1)) BETWEEN 32 AND 126
+        |      AND ascii(substring(text, 12, 1)) BETWEEN 32 AND 126
+        |    THEN substring(text, 9, 4) ELSE CAST(NULL AS VARCHAR) END
+        |    AS major_brand,
+        |  CAST(NULL AS INTEGER) AS timescale,
+        |  CAST(NULL AS BIGINT) AS duration_units,
+        |  CAST(NULL AS BIGINT) AS duration_ms
+        |FROM m ORDER BY doc_id""".stripMargin,
     // The corpus is VARCHAR (valid UTF-8): PNG's 0x89 and JPEG's 0xFF are
     // continuation/invalid lead bytes that cannot start a UTF-8 string,
     // so only the (printable-ASCII) GIF branch and the unknown catch-all

@@ -932,7 +932,148 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** td22 parameters — single source for the engine defaults AND the
+    * generated oracle SQL (the HeadVocabSize pattern): the word-frequency
+    * dictionary cut and the number of greedy merges learned.
+    */
+  val BpeDictSize: Int = 512
+  val BpeMerges: Int = 8
+  /** Dictionary admission pattern: plain lowercase words only, so merge
+    * symbols can never contain the `|` delimiter the oracle's
+    * string-rendering of a symbol sequence relies on. Anchored, class-only
+    * — Java and RE2 agree.
+    */
+  val BpeWordPattern: String = "^[a-z]+$"
+
+  /** td22 — BPE merge-table training (Sennrich et al. 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"): learn the
+    * first `nMerges` byte-pair-encoding merges over the corpus — the
+    * tokenizer-training step every LLM data pipeline runs before anything
+    * downstream can count a "token". The published algorithm operates on
+    * the WORD-FREQUENCY DICTIONARY, not the corpus: each word becomes a
+    * symbol sequence (initially its characters), and each step merges the
+    * adjacent symbol pair with the highest corpus-weighted count, ties
+    * broken lexicographically on (left, right) so the learned table is a
+    * deterministic property of the corpus.
+    *
+    * Scale: the ONE data-scaled stage is the word-count aggregate
+    * (map-side-combined, the td8 shape) topped by TakeOrderedAndProject
+    * for the (count DESC, word ASC) dictionary cut; the merge loop runs
+    * over that BOUNDED dict (≤ `dictSize` rows — dict-scale is the
+    * published algorithm's working set; Sennrich's reference
+    * implementation trains on exactly this dict). The collect here is a
+    * bounded-cardinality site (≤ 512 rows) like the sim5 centroid
+    * collects; when the dict must outgrow the driver (million-type
+    * multilingual vocabularies) the documented escape hatch is running
+    * each step's pair count as a distributed aggregate over the dict
+    * table — same recurrence, one tiny job per merge.
+    *
+    * Fully oracle-HASHABLE despite the sequential recurrence: counts are
+    * exact BIGINTs, the argmax is a total order, and merge application is
+    * greedy leftmost non-overlapping — which the DuckDB twin reproduces
+    * with one `replace('|l||r|' → '|lr|')` per step over a
+    * delimiter-enclosed symbol rendering (the sa9 recursive-oracle
+    * discipline: same recurrence, independent formulation).
+    */
+  def bpeMerges(spark: SparkSession, docs: DataFrame,
+      dictSize: Int = BpeDictSize, nMerges: Int = BpeMerges): DataFrame = {
+    import spark.implicits._
+    // bounded-cardinality collect: <= dictSize (512) (word, count) rows
+    val dictRows = docs.select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").rlike(BpeWordPattern))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(dictSize)
+      .collect()
+    var dict: Array[(Array[String], Long)] =
+      dictRows.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    while (step <= nMerges) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      dict.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        // argmax with the oracle's total order: count DESC, left, right
+        val ((l, r), cnt) =
+          counts.minBy { case ((pl, pr), c) => (-c, pl, pr) }
+        merges += ((step.toLong, l, r, l + r, cnt))
+        dict = dict.map { case (syms, c) =>
+          // greedy leftmost non-overlapping merge — the replace() twin
+          val out = Array.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              out += (l + r); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.result(), c)
+        }
+      }
+      step += 1
+    }
+    merges.result()
+      .toDF("step", "left_sym", "right_sym", "merged_sym", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** The td22 oracle, generated from the SAME (dictSize, nMerges)
+    * defaults: one (pairs, argmax, replace) CTE triple per merge step —
+    * the sim5 unrolled-iteration pattern. Symbol sequences render as
+    * `|a||b||c|` (every symbol delimiter-enclosed), so the merge is one
+    * literal `replace` whose matches are exactly the greedy leftmost
+    * non-overlapping occurrences; an empty argmax (no pairs left)
+    * coalesces to a never-occurring chr(1) pattern = identity.
+    *
+    * Every chained CTE is MATERIALIZED: d_m is referenced by both
+    * p_{m+1} and d_{m+1} (and a_m twice), so the default inlining
+    * re-evaluates the chain EXPONENTIALLY in the step count — 8 steps
+    * inlined is ~2⁸ corpus scans and ran for minutes; materialized,
+    * each step is one pass over the bounded dict.
+    */
+  private def bpeOracleSql(dictSize: Int, nMerges: Int): String = {
+    val base =
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |w AS (SELECT tok, count(*) AS c FROM t
+         |  WHERE regexp_matches(tok, '$BpeWordPattern') GROUP BY tok),
+         |d0 AS MATERIALIZED (SELECT tok, c, '|' || array_to_string(
+         |    [substring(tok, i, 1) FOR i IN generate_series(1, length(tok))],
+         |    '||') || '|' AS s
+         |  FROM (SELECT tok, c,
+         |      row_number() OVER (ORDER BY c DESC, tok) AS rn FROM w) rw
+         |  WHERE rn <= $dictSize)""".stripMargin
+    val steps = (1 to nMerges).map { m =>
+      val prev = s"d${m - 1}"
+      s"""p$m AS MATERIALIZED (SELECT l, r, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT c, syms[i] AS l, syms[i + 1] AS r
+         |    FROM (SELECT c, string_split(substring(s, 2, length(s) - 2),
+         |        '||') AS syms FROM $prev) sy,
+         |      LATERAL unnest(CASE WHEN len(syms) >= 2
+         |        THEN generate_series(1, len(syms) - 1)
+         |        ELSE CAST([] AS BIGINT[]) END) u(i)) pp
+         |  GROUP BY l, r),
+         |a$m AS MATERIALIZED (SELECT CAST($m AS BIGINT) AS step, l, r, l || r AS mg, cnt
+         |  FROM p$m ORDER BY cnt DESC, l, r LIMIT 1),
+         |d$m AS MATERIALIZED (SELECT tok, c, replace(s,
+         |    coalesce((SELECT '|' || l || '||' || r || '|' FROM a$m), chr(1)),
+         |    coalesce((SELECT '|' || l || r || '|' FROM a$m), chr(1))) AS s
+         |  FROM $prev)""".stripMargin
+    }
+    val unions = (1 to nMerges).map(m =>
+      s"SELECT step, l AS left_sym, r AS right_sym, mg AS merged_sym, " +
+        s"cnt AS pair_count FROM a$m").mkString("\nUNION ALL\n")
+    base + ",\n" + steps.mkString(",\n") + "\n" + unions + "\nORDER BY step"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td22_bpe_merges" -> ((s: SparkSession, d: String) =>
+      bpeMerges(s, Tables.documents(s, d))),
     "td21_lm_surprisal" -> ((s: SparkSession, d: String) =>
       lmSurprisal(Tables.documents(s, d))),
     "td20_source_overlap" -> ((s: SparkSession, d: String) =>
@@ -964,6 +1105,10 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the same dict cut, the same greedy recurrence unrolled one CTE
+    // triple per merge step (see bpeOracleSql), generated from the
+    // shared (BpeDictSize, BpeMerges) defaults
+    "td22_bpe_merges" -> bpeOracleSql(BpeDictSize, BpeMerges),
     // the same holdout slice, the same add-one LM, the same exact
     // integer floorlog2 via length(bin(x))-1 (// = DuckDB integral
     // divide); denom cast to BIGINT because DuckDB sums BIGINT into

@@ -285,7 +285,51 @@ object StreamDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** st21 — streaming PII gate: td12's detect-and-redact scan lifted to
+    * the admission door — the sixth screen, and the one with a different
+    * POSTURE: where st16–st20 reject, a PII hit is usually scrubbed and
+    * admitted, so the gate emits BOTH decisions per arrival — `keep`
+    * (the reject-if-any-PII rule for pipelines that refuse) and
+    * `redacted_fp`, the md5 of the redacted text (emails → IPs → phones,
+    * td12's order), which is the admit-after-scrub path: the consumer
+    * verifies the scrub without the raw text ever crossing the gate log
+    * (counts-and-hashes only — the td12 posture, now enforced at
+    * ingest).
+    *
+    * Like st17 it needs no history artifact: three codegen'd regex
+    * passes, completely STATELESS — scan → project → sink, no watermark,
+    * no state store, no shuffle; source throughput at 100 TB. Patterns
+    * are the td12 constants verbatim (one source of truth), so batch
+    * backfill and streaming admission can never disagree on what "PII"
+    * means.
+    */
+  def st21StreamPiiGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), TextAnalysis.EmailPattern, "<EMAIL>"),
+          TextAnalysis.Ipv4Pattern, "<IP>"),
+        TextAnalysis.PhonePattern, "<PHONE>")
+    val gated = documentStream(spark, sfDir)
+      .select(
+        col("doc_id"),
+        call_function("match_count", col("text"),
+          lit(TextAnalysis.EmailPattern)).as("n_emails"),
+        call_function("match_count", col("text"),
+          lit(TextAnalysis.Ipv4Pattern)).as("n_ipv4"),
+        call_function("match_count", col("text"),
+          lit(TextAnalysis.PhonePattern)).as("n_phones"),
+        md5(redacted).as("redacted_fp"))
+      .withColumn("keep",
+        col("n_emails") === 0 && col("n_ipv4") === 0 && col("n_phones") === 0)
+    EventStreams.runToParquet(gated, "st21_sink")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_pii_gate" ->
+      ((s: SparkSession, d: String) => st21StreamPiiGate(s, d)),
     "st20_stream_surprisal_gate" ->
       ((s: SparkSession, d: String) => st20StreamSurprisalGate(s, d)),
     "st16_stream_dedup_gate" ->
@@ -298,6 +342,24 @@ object StreamDedup {
       ((s: SparkSession, d: String) => st19StreamAnomalyGate(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // td12's patterns and redaction order verbatim (shared constants),
+    // with the conjunctive keep — the same counts-and-hashes contract
+    "st21_stream_pii_gate" -> {
+      import graft.operators.TextAnalysis.{EmailPattern, Ipv4Pattern, PhonePattern}
+      s"""WITH r AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+         |  len(regexp_extract_all(text, '$Ipv4Pattern')) AS n_ipv4,
+         |  len(regexp_extract_all(text, '$PhonePattern')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailPattern', '<EMAIL>', 'g'),
+         |    '$Ipv4Pattern', '<IP>', 'g'),
+         |    '$PhonePattern', '<PHONE>', 'g')) AS redacted_fp
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+         |  CAST(n_ipv4 AS BIGINT) AS n_ipv4, CAST(n_phones AS BIGINT) AS n_phones,
+         |  redacted_fp, n_emails = 0 AND n_ipv4 = 0 AND n_phones = 0 AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     // dd4's signature chain on the full corpus, band keys split at the
     // dd11 batch boundary, the same equi-join — one row per collision.
     // The band index is i // rows (= Spark's posexplode pos); the key is

@@ -179,6 +179,64 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .getUTF8String(0).toString === "unknown")
   }
 
+  // real ISO-BMFF prefix (ISO/IEC 14496-12): ftyp(isom) then moov/mvhd
+  private def be32b(v: Long) = bytes(((v >> 24) & 0xFF).toInt,
+    ((v >> 16) & 0xFF).toInt, ((v >> 8) & 0xFF).toInt, (v & 0xFF).toInt)
+  private def be64b(v: Long) = be32b(v >>> 32) ++ be32b(v & 0xFFFFFFFFL)
+  private val ftyp = be32b(16L) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32b(0x200L)
+  // mvhd v0: version/flags, creation, modification, timescale 600,
+  // duration 3600 units = exactly 6000 ms
+  private val mvhdV0 = be32b(28L) ++ "mvhd".getBytes ++ bytes(0, 0, 0, 0) ++
+    be32b(0L) ++ be32b(0L) ++ be32b(600L) ++ be32b(3600L)
+  private val mp4V0 = ftyp ++ (be32b(36L) ++ "moov".getBytes ++ mvhdV0)
+
+  test("mp4_header parses real ISO-BMFF boxes and degrades honestly") {
+    val r = graft.functions.Mp4Header.compute(mp4V0)
+    assert(r.getUTF8String(0).toString === "mp4")
+    assert(r.getUTF8String(1).toString === "isom")
+    assert(r.getInt(2) === 600 && r.getLong(3) === 3600L)
+    assert(r.getLong(4) === 6000L, "duration = units*1000/timescale, exact")
+
+    // v1 mvhd (64-bit creation/modification/duration) behind a free box,
+    // inside a moov declared via 64-bit largesize (size==1)
+    val mvhdV1 = be32b(40L) ++ "mvhd".getBytes ++ bytes(1, 0, 0, 0) ++
+      be64b(0L) ++ be64b(0L) ++ be32b(90000L) ++ be64b(123456789L)
+    val free = be32b(12L) ++ "free".getBytes ++ bytes(0, 0, 0, 0)
+    val moovPayload = free ++ mvhdV1
+    val moovLarge = be32b(1L) ++ "moov".getBytes ++
+      be64b(16L + moovPayload.length) ++ moovPayload
+    val r2 = graft.functions.Mp4Header.compute(ftyp ++ moovLarge)
+    assert(r2.getInt(2) === 90000 && r2.getLong(3) === 123456789L)
+    assert(r2.getLong(4) === 123456789L * 1000L / 90000L,
+      "v1 64-bit duration in exact long floor arithmetic")
+
+    // ftyp magic with a non-printable brand byte: format kept, brand null
+    val oddBrand = be32b(16L) ++ "ftyp".getBytes ++
+      bytes(0x01, 'a', 'b', 'c') ++ be32b(0L)
+    val r3 = graft.functions.Mp4Header.compute(oddBrand)
+    assert(r3.getUTF8String(0).toString === "mp4" && r3.isNullAt(1))
+
+    // moov whose declared extent overruns the buffer ends the walk:
+    // format kept, fields null ("a corrupt mp4" beats "unknown")
+    val overrun = ftyp ++ be32b(0x7FFFFFFFL) ++ "moov".getBytes ++ bytes(1, 2)
+    val r4 = graft.functions.Mp4Header.compute(overrun)
+    assert(r4.getUTF8String(0).toString === "mp4" && r4.isNullAt(2) && r4.isNullAt(4))
+
+    // mvhd truncated below its v0 fixed fields: fields stay null
+    val shortMvhd = ftyp ++ (be32b(24L) ++ "moov".getBytes ++
+      (be32b(16L) ++ "mvhd".getBytes ++ bytes(0, 0, 0, 0) ++ be32b(0L)))
+    val r5 = graft.functions.Mp4Header.compute(shortMvhd)
+    assert(r5.getUTF8String(0).toString === "mp4" && r5.isNullAt(2))
+
+    assert(graft.functions.Mp4Header.compute("plain prose, no boxes".getBytes)
+      .getUTF8String(0).toString === "unknown")
+    assert(graft.functions.Mp4Header.compute(Array.empty[Byte])
+      .getUTF8String(0).toString === "unknown")
+    // 'ftyp' at offset 4 but fewer than 12 bytes: too short to classify
+    assert(graft.functions.Mp4Header.compute(be32b(16L) ++ "ftypis".getBytes)
+      .getUTF8String(0).toString === "unknown")
+  }
+
   test("image_header channel table follows the PNG color types") {
     val colorTypes = Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
     colorTypes.foreach { case (ct, want) =>

@@ -66,6 +66,23 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     assert(gotRows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("st21: streaming PII gate == batch td12 scan, counts-and-hashes only") {
+    import graft.operators.TextAnalysis
+    val got = StreamDedup.st21StreamPiiGate(spark, sf001).collect()
+    // batch twin: td12's scan projected to the gate contract
+    // (pii_free IS the keep rule; redaction fingerprints must be
+    // byte-identical so scrub-and-admit consumers can trust them)
+    val expect = TextAnalysis.piiScan(Tables.documents(spark, sf001))
+      .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+        col("redacted_fp"), col("pii_free").as("keep"))
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+    assert(got.nonEmpty)
+    // the gate log never carries raw text: schema is counts + hash + flag
+    assert(got.head.schema.fieldNames.toSeq ===
+      Seq("doc_id", "n_emails", "n_ipv4", "n_phones", "redacted_fp", "keep"))
+  }
+
   test("st18: streaming OOV gate == batch vocabulary replay; empty docs fail closed") {
     val docs = Tables.documents(spark, sf001)
     val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L

@@ -9,6 +9,41 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
+  test("td22 BPE merges: hand-computed greedy steps on the Sennrich corpus shape") {
+    // word counts: low×4 (3 + 1), lower×2, newest×4, widest×2
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest"),
+      (2L, "newest newest widest widest low")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bpeMerges(spark, docs, dictSize = 512, nMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    // step 1: e-s, s-t, l-o, o-w, w-e all tie at 6 → lexicographic (e,s)
+    // step 2: es-t, l-o, o-w, w-es tie at 6 → (es,t) ('e' < 'l' < 'o' < 'w')
+    // step 3: l-o, o-w, w-est tie at 6 → (l,o)
+    assert(rows.toSeq === Seq(
+      (1L, "e", "s", "es", 6L),
+      (2L, "es", "t", "est", 6L),
+      (3L, "l", "o", "lo", 6L)))
+    // determinism: identical corpus ⇒ identical merge table
+    val again = TextAnalysis.bpeMerges(spark, docs, dictSize = 512, nMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(again.toSeq === rows.toSeq)
+  }
+
+  test("td22 BPE merges: overlap is greedy leftmost and merged symbols compose") {
+    // 'aaa'×5: step 1 pairs a-a count 10 (two positions × 5); after the
+    // merge each word is [aa, a] (leftmost pair wins, no overlap), so
+    // step 2's top pair is aa-a at 5
+    val docs = Seq((1L, ("aaa " * 5).trim)).toDF("doc_id", "text")
+    val rows = TextAnalysis.bpeMerges(spark, docs, dictSize = 8, nMerges = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (1L, "a", "a", "aa", 10L),
+      (2L, "aa", "a", "aaa", 5L)))
+  }
+
   test("td6 quality filter: each rule binds on its crafted violation, keep is the conjunction") {
     val good = (("the quick brown fox jumps over a lazy dog near the riverbank " * 3).trim)
     val docs = Seq(
