@@ -1149,9 +1149,45 @@ object Analytics {
     if (ordered) out.orderBy(col("event_id")) else out
   }
 
+  // ---------------------------------------------------------------- q51
+  /** Event-type TRANSITION MATRIX — first-order Markov path analytics
+    * (which action follows which): per (prev_type, next_type), the
+    * transition count over every user's time-ordered event sequence plus
+    * the row-conditional probability p(next | prev). The
+    * sequence-analytics deliverable the window family feeds but none of
+    * W1–W8 emit: q22 fixes one funnel path, q31 measures time between
+    * steps — this measures WHERE the flow goes, the input to funnel
+    * discovery, next-action prediction and anomaly-path detection.
+    *
+    * Scale: the transition pairs come from q31's lag window — ONE
+    * user_id shuffle, per-user state is one row. The (prev, next)
+    * aggregate collapses map-side to ≤ |types|² rows, and the
+    * conditional-probability window runs over that BOUNDED aggregate
+    * (the W1 over-aggregate discipline — no unpartitioned window ever
+    * sees fact rows). Each user's first event has a NULL prev and drops
+    * out identically in both engines; tie order is pinned by
+    * (ts, event_id); the probability is one IEEE division r6-rounded.
+    */
+  def q51TypeTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    counts
+      .withColumn("p_transition",
+        r6(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(Window.partitionBy(col("prev_type")))
+            .cast("double")))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_type_transitions" -> (q51TypeTransitions _),
     "q44_trailing_rate" -> ((s: SparkSession, d: String) => q44TrailingRate(s, d)),
     "q45_cube_activity" -> (q45CubeActivity _),
     "q47_grouping_sets" -> (q47GroupingSets _),
@@ -1223,6 +1259,21 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    // the same lag pairing (ties pinned by (ts, event_id)), the same
+    // bounded (prev, next) aggregate, the same r6 conditional division
+    "q51_type_transitions" ->
+      """WITH p AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type,
+        |    count(*) AS n_transitions
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        |  round((CAST(n_transitions AS DOUBLE)
+        |    / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE))
+        |    * 1e6) / 1e6 AS p_transition
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
     "q45_cube_activity" ->
       """SELECT dayname(ts) AS dow, event_type, count(*) AS n
         |FROM events

@@ -768,6 +768,49 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** sim14 — mutual k-NN GRAPH construction: each vector's exact top-k
+    * cosine neighbors, kept only where the relation is RECIPROCAL (a in
+    * b's top-k AND b in a's top-k) — the graph substrate of NN-descent,
+    * HNSW layer seeding and mutual-kNN clustering, and a sharper
+    * near-dup signal than a raw threshold (a hub vector is top-k OF
+    * many vectors without them being top-k of IT; mutuality prunes
+    * hubs structurally). One row per unordered mutual pair with the
+    * cosine and BOTH directed ranks.
+    *
+    * Runs on the bounded [[sampledVectors]] subset (the dd6 contract —
+    * same salt, so the sample artifact is shared): the directed top-k
+    * is the sim1 window-over-candidates cut per source, the mutual
+    * filter is a self-join of two ≤ sample·k edge lists — pair-bounded,
+    * never corpus-scaled. At 100 TB the exact scan swaps for sim2's
+    * LSH candidates or sim10's probed-cell ADC as the directed-edge
+    * generator; the mutuality join is unchanged (edge lists scale with
+    * corpus·k, not corpus²).
+    */
+  def knnGraph(emb: DataFrame, sampleK: Int = 1000, k: Int = 4): DataFrame = {
+    val u = unitized(sampledVectors(emb, sampleK))
+    val a = u.select(col("vec_id").as("src"), col("unit").as("ua"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
+    val b = u.select(col("vec_id").as("dst"), col("unit").as("ub"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_raw").desc, col("dst"))
+    val knn = a.join(broadcast(b), col("src") =!= col("dst"))
+      .withColumn("cos_raw", dot(col("ua"), col("ub")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("cos_raw"), col("rank"))
+    // mutual = the low-id orientation joined against its reverse edge
+    val fwd = knn.filter(col("src") < col("dst"))
+    val rev = knn.filter(col("src") > col("dst"))
+      .select(col("dst").as("src"), col("src").as("dst"),
+        col("rank").as("rank_back"))
+    fwd.join(rev, Seq("src", "dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+        r6(col("cos_raw")).as("cosine"),
+        col("rank").cast("long").as("rank_ab"),
+        col("rank_back").cast("long").as("rank_ba"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** dd7 — the LSH near-dup path: multi-band hyperplane buckets, NARROW
     * candidate stream ((band, bucket, vec_id) only — carrying vectors
     * through the bucket join would multiply the shuffle by the vector
@@ -1385,6 +1428,7 @@ object Similarity {
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
     "sim12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(Tables.embeddings(s, d))),
     "sim13_range_search" -> ((s: SparkSession, d: String) => rangeSearch(Tables.embeddings(s, d))),
+    "sim14_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(Tables.embeddings(s, d))),
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
     "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(Tables.embeddings(s, d))),
     "sim4_ann_ivf_indexed" -> ((s: SparkSession, d: String) => ivfAnnIndexed(s, d)),
@@ -1594,6 +1638,30 @@ object Similarity {
          |  round(list_dot_product(a.unit, b.unit) * 1e6) / 1e6 AS cosine
          |FROM u a JOIN u b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.unit, b.unit) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // the dd6 sample + unitizing verbatim, the same windowed directed
+    // top-k (ties on (cos DESC, dst)) and the same reciprocal self-join
+    // of the low-id orientation against its reverse edge
+    "sim14_knn_graph" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY ${saltedUniformSql("graft-dd6-sample-v1", "vec_id")}, vec_id
+         |  LIMIT 1000),
+         |u AS (SELECT vec_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                   CAST(embedding AS DOUBLE[])))) AS unit
+         |  FROM s),
+         |d AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    list_dot_product(a.unit, b.unit) AS cos_raw,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_dot_product(a.unit, b.unit) DESC, b.vec_id) AS rnk
+         |  FROM u a JOIN u b ON a.vec_id != b.vec_id),
+         |k AS (SELECT * FROM d WHERE rnk <= 4)
+         |SELECT f.src AS vec_a, f.dst AS vec_b,
+         |  round(f.cos_raw * 1e6) / 1e6 AS cosine,
+         |  CAST(f.rnk AS BIGINT) AS rank_ab, CAST(r.rnk AS BIGINT) AS rank_ba
+         |FROM k f JOIN k r ON f.src = r.dst AND f.dst = r.src
+         |WHERE f.src < f.dst
          |ORDER BY vec_a, vec_b""".stripMargin,
     "sim5_ann_ivf_learned" -> learnedIvfSql(),
     // dd16 rides the same unrolled-Lloyd's text (lloydCellsSql), so the

@@ -282,6 +282,22 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges === 2, s"expected exactly 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("q51: lag pairs shuffle user_id ONCE; probability window sits over the bounded aggregate") {
+    val p = plan(Analytics.q51TypeTransitions(spark, sf001))
+    // the fact-scale stage is the single lag-window user_id exchange
+    val userEx = p.linesIterator.count(_.contains("hashpartitioning(user_id"))
+    assert(userEx === 1, s"expected exactly one user_id shuffle, got $userEx:\n$p")
+    // the conditional-probability window partitions by prev_type over the
+    // post-aggregate (≤ |types|² rows) — never an unpartitioned window,
+    // never a window over fact rows
+    assert(p.contains("hashpartitioning(prev_type"),
+      s"probability window not partitioned by prev_type:\n$p")
+    // lag exchange + (prev,next) aggregate + prev_type window + output
+    // sort — nothing else
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 4, s"expected <= 4 exchanges, got $exchanges:\n$p")
+  }
+
   test("q37: bucketed events satisfy the window — ZERO hash exchange in the whole chain") {
     val p = plan(Analytics.q37BucketedGaps(spark, sf001))
     assert(p.contains("SelectedBucketsCount: 8 out of 8"),

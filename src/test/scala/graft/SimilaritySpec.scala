@@ -81,6 +81,45 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       }
   }
 
+  test("sim14 kNN graph: mutuality prunes hubs; reciprocal pairs survive with both ranks") {
+    import spark.implicits._
+    // hub geometry: three orthogonal spokes e1,e2,e3 each at cos 1/√3 to
+    // the hub h=(1,1,1,0)/√3 — every spoke's top-1 is h, but h's top-1 is
+    // only ONE of them (tie at 1/√3 broken by neighbor id → spoke 1), so
+    // mutuality keeps exactly one hub edge. v5/v6 are a genuine
+    // reciprocal pair far from the hub cluster.
+    val crafted = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(1.0f, 1.0f, 1.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 0.0f, 1.0f)),
+      (6L, Array(0.0f, 0.0f, 0.1f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val edges = Similarity.knnGraph(crafted, sampleK = 100, k = 1).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(edges.keySet === Set((1L, 4L), (5L, 6L)),
+      s"mutual edge set was ${edges.keySet}")
+    val (cosHub, rAb, rBa) = edges((1L, 4L))
+    assert(math.abs(cosHub - 1.0 / math.sqrt(3.0)) < 1e-6)
+    assert(rAb === 1L && rBa === 1L)
+    assert(edges((5L, 6L))._1 > 0.99)
+
+    // corpus: every mutual edge is low-id oriented, ranks within k, and
+    // the run is deterministic
+    val emb = Tables.embeddings(spark, sf001)
+    val g = Similarity.knnGraph(emb).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 4L)
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= 4L)
+    }
+    assert(Similarity.knnGraph(emb).collect().map(_.toSeq).toSeq ===
+      g.map(_.toSeq).toSeq)
+  }
+
   test("sim6 int8 quantization: high recall vs exact top-5, scores track raw dots, integral components") {
     val emb = Tables.embeddings(spark, sf001)
     // sim1 ranks by cosine, sim6 by (rescaled) raw dot — compare against
