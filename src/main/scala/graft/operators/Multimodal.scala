@@ -290,9 +290,32 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** os2 — the `binaryFile` SOURCE roundtrip: a bounded document prefix
+    * staged as one raw file per asset ([[Tables.binaryAssets]]) and read
+    * back through Spark's file-per-row binary source — the ingest path a
+    * multimodal pipeline actually starts from (a directory tree of
+    * image/audio/video files), completing the source matrix beside
+    * parquet/CSV/JSON-lines/ORC: here a ROW is a FILE. Emitted per
+    * asset: the id parsed from the file name, the scan's metadata
+    * length, and the md5 of the scanned BYTES — so the oracle (which
+    * hashes the ORIGINAL parquet text) gate-checks the entire
+    * write-file → list → scan → hash chain bit-for-bit. Scale: the scan
+    * parallelizes across files and prunes on metadata at listing time;
+    * decode stages (mm2/mm5–mm7) compose directly on `content`.
+    */
+  def os2BinaryAssets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.binaryAssets(spark, sfDir)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("byte_len"),
+        md5(col("content")).as("content_md5"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "os2_binary_assets" -> (os2BinaryAssets _),
     "mm7_mp4_headers" -> ((s: SparkSession, d: String) =>
       mp4Headers(Tables.documents(s, d))),
     "mm6_wav_headers" -> ((s: SparkSession, d: String) =>
@@ -311,6 +334,13 @@ object Multimodal {
       resizePlan(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // hashes the ORIGINAL parquet text for the staged id prefix — a
+    // match proves the file export + binaryFile scan were byte-exact
+    "os2_binary_assets" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
     // the mm5/mm6 convention: the guard mirrors the engine's FULL
     // classification test (ftyp four-character-code at byte offset 4,
     // inside a 12-byte ASCII-verified prefix so char positions ARE byte

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.sources.Tables
@@ -1071,7 +1072,60 @@ object TextAnalysis {
     base + ",\n" + steps.mkString(",\n") + "\n" + unions + "\nORDER BY step"
   }
 
+  /** td23 — vocabulary-GROWTH curve (the Heaps-law diagnostic): distinct
+    * token types accumulated as the corpus is consumed in doc_id order,
+    * reported at `nBuckets` equal-width id checkpoints with cumulative
+    * doc and token mass. The corpus-health read every ingest pipeline
+    * wants before spending on dedup: a healthy crawl grows types ~
+    * tokens^β (Heaps), while a flattening curve means the tail of the
+    * feed is re-serving the head (mirrors, boilerplate, a crawler loop)
+    * — duplication visible WITHOUT any pairwise work.
+    *
+    * Exact and hash-gated: a type's first appearance is `min(doc_id)`
+    * per token (one map-side-combined aggregate — the "new type" event
+    * is a property of the id order, not of partitioning), bucketed by
+    * exact integer floor-division against the broadcast (min, max) id
+    * range; the cumulative sums run over the BOUNDED bucket frame
+    * (nBuckets rows — the q07 over-aggregate window discipline, never
+    * fact rows). Two data-scaled passes (per-doc token counts map-only;
+    * the token explode feeding the min), no corpus sort, no skew
+    * surface.
+    */
+  /** td23 checkpoint count — single source for the engine default AND the
+    * generated oracle literals (the HeadVocabSize pattern).
+    */
+  val VocabGrowthBuckets: Int = 10
+
+  def vocabGrowth(docs: DataFrame, nBuckets: Int = VocabGrowthBuckets): DataFrame = {
+    val ids = docs.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val decile = expr(s"(doc_id - lo) * $nBuckets div (hi - lo + 1)")
+    val docStats = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .crossJoin(broadcast(ids))
+      .select(decile.as("decile"), col("n_toks"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("new_docs"), sum(col("n_toks")).as("new_tokens"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("doc_id"))
+      .crossJoin(broadcast(ids))
+      .select(decile.as("decile"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docStats.join(firstSeen, Seq("decile"), "left")
+      .na.fill(0L, Seq("new_types"))
+      .select(col("decile"),
+        sum(col("new_docs")).over(w).as("n_docs_cum"),
+        sum(col("new_tokens")).over(w).as("n_tokens_cum"),
+        col("new_types"),
+        sum(col("new_types")).over(w).as("cum_types"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td23_vocab_growth" -> ((s: SparkSession, d: String) =>
+      vocabGrowth(Tables.documents(s, d))),
     "td22_bpe_merges" -> ((s: SparkSession, d: String) =>
       bpeMerges(s, Tables.documents(s, d))),
     "td21_lm_surprisal" -> ((s: SparkSession, d: String) =>
@@ -1105,6 +1159,30 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the same min-doc first-appearance rule, the same exact integer
+    // floor-div bucketing against the (min, max) id range, the same
+    // bounded cumulative frame
+    "td23_vocab_growth" ->
+      s"""WITH ids AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+         |d AS (SELECT doc_id, len($toksSql) AS n_toks FROM documents),
+         |ds AS (SELECT (doc_id - lo) * $VocabGrowthBuckets // (hi - lo + 1) AS decile,
+         |    count(*) AS new_docs, sum(n_toks) AS new_tokens
+         |  FROM d, ids GROUP BY 1),
+         |fs AS (SELECT (doc_id - lo) * $VocabGrowthBuckets // (hi - lo + 1) AS decile,
+         |    count(*) AS new_types
+         |  FROM (SELECT tok, min(doc_id) AS doc_id FROM
+         |      (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |    GROUP BY tok) f, ids
+         |  GROUP BY 1)
+         |SELECT ds.decile,
+         |  CAST(sum(new_docs) OVER w AS BIGINT) AS n_docs_cum,
+         |  CAST(sum(new_tokens) OVER w AS BIGINT) AS n_tokens_cum,
+         |  CAST(coalesce(new_types, 0) AS BIGINT) AS new_types,
+         |  CAST(sum(coalesce(new_types, 0)) OVER w AS BIGINT) AS cum_types
+         |FROM ds LEFT JOIN fs USING (decile)
+         |WINDOW w AS (ORDER BY ds.decile
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |ORDER BY ds.decile""".stripMargin,
     // the same dict cut, the same greedy recurrence unrolled one CTE
     // triple per merge step (see bpeOracleSql), generated from the
     // shared (BpeDictSize, BpeMerges) defaults

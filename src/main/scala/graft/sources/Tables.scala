@@ -205,6 +205,44 @@ object Tables {
     spark.read.orc(orcDir)
   }
 
+  /** os2 asset staging: a BOUNDED id-prefix of the documents corpus
+    * exported once as one raw `.bin` file per document (marker-and-stamp
+    * idempotence, the [[nationCsv]] scheme), then read back through
+    * Spark's `binaryFile` source — THE ingest format for multimodal
+    * asset directories (images/audio/video as files): each file becomes
+    * one row (path, modificationTime, length, content), the scan
+    * parallelizes across files, and `pathGlobFilter`/predicate pushdown
+    * on the metadata columns prune at the listing. The export collect is
+    * bounded (`nAssets` = 50 rows) — a fixture-staging step, not a data
+    * path; at 100 TB the files already exist (a crawl's asset store) and
+    * ONLY the binaryFile read runs.
+    */
+  def binaryAssets(spark: SparkSession, sfDir: String,
+      nAssets: Int = 50): DataFrame = {
+    val sfName = new java.io.File(sfDir).getName
+    val binDir = s"${sys.props("user.dir")}/target/binassets/$sfName/docs"
+    val marker = new java.io.File(s"$binDir/_SUCCESS")
+    val source = new java.io.File(path(sfDir, "documents"))
+    val stampFile = new java.io.File(s"$binDir/_graft_source")
+    val stamp = Staging.sourceStamp(Seq(source))
+    if (!marker.exists() || !stampFile.exists() ||
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+      new java.io.File(binDir).mkdirs()
+      // bounded collect: nAssets (doc_id, text) rows, the fixture export
+      documents(spark, sfDir).filter(col("doc_id") < nAssets)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f"$binDir/doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(binDir)
+  }
+
   def nationCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val sfName = new java.io.File(sfDir).getName
     val csvDir = s"${sys.props("user.dir")}/target/csvdim/$sfName/nation"

@@ -54,6 +54,25 @@ class JsonSourceSpec extends AnyFunSuite with SparkFixture {
     assert(orc.lastModified() === mtime, "stamp-guarded staging re-wrote the ORC export")
   }
 
+  test("binaryAssets: file-per-row binaryFile scan round-trips bytes exactly, stamp-guarded") {
+    val assets = graft.operators.Multimodal.os2BinaryAssets(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(assets.length === 50)
+    // byte-exact: the scanned file content hashes to the source text's md5
+    val want = Tables.documents(spark, sf001).filter(col("doc_id") < 50)
+      .select(col("doc_id"), length(col("text").cast("binary")).cast("long"),
+        md5(col("text")))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(assets.toSeq === want.toSeq)
+    // second call must be a pure read (the stamp guard holds)
+    val dir = new File(s"${sys.props("user.dir")}/target/binassets/sf0.001/docs")
+    val f = dir.listFiles().filter(_.getName.endsWith(".bin")).head
+    val mtime = f.lastModified()
+    Tables.binaryAssets(spark, sf001).count()
+    assert(f.lastModified() === mtime, "stamp-guarded staging re-wrote the assets")
+  }
+
   test("nationJson round-trips the dim through the JSON contract") {
     val viaJson = Tables.nationJson(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet

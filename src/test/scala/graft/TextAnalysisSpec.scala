@@ -9,6 +9,20 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
+  test("td23 vocab growth: first appearance counts once, curve is cumulative and flat under duplication") {
+    // 3 docs, one per bucket: doc0 mints {a,b}, doc1 mints {c} (re-serves
+    // a), doc2 mints nothing (pure repeat — the duplication signature)
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "b c b")).toDF("doc_id", "text")
+    val rows = TextAnalysis.vocabGrowth(docs, nBuckets = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (0L, 1L, 2L, 2L, 2L),   // 1 doc, 2 tokens, 2 new types
+      (1L, 2L, 4L, 1L, 3L),   // +c
+      (2L, 3L, 7L, 0L, 3L)))  // flat: the tail re-serves the head
+  }
+
   test("td22 BPE merges: hand-computed greedy steps on the Sennrich corpus shape") {
     // word counts: low×4 (3 + 1), lower×2, newest×4, widest×2
     val docs = Seq(
