@@ -357,6 +357,60 @@ object Params {
   def sa6TokenShardsQ(spark: SparkSession, sfDir: String): DataFrame =
     sa6TokenShards(Tables.documents(spark, sfDir))
 
+  /** sa11 shared constants — single source for the engine defaults AND
+    * the generated oracle literals (the HeadVocabSize pattern).
+    */
+  val EpochCount: Int = 2
+  val EpochSalt: String = "graft-epoch-v1"
+
+  /** sa11 — deterministic PER-EPOCH shuffle order: for each training
+    * epoch, a full permutation rank of the corpus drawn from the salted
+    * md5 of (epoch, doc_id) — the reproducible data-ordering contract
+    * every serious LLM training run needs (loss curves are only
+    * comparable across reruns/restarts if epoch e presents the data in
+    * the SAME order every time; a framework RNG shuffle is neither
+    * resumable nor engine-portable). Different epochs get independent
+    * permutations (the salt concatenates the epoch), and the rank is a
+    * property of the keys: re-runs, engines and cluster layouts agree
+    * row-for-row.
+    *
+    * The naive formulation is one unpartitioned-per-epoch window over
+    * the corpus — a single-partition sort at scale; shipped instead as
+    * the sa6/q41 DISTRIBUTED TWO-PHASE RANK: the uniform draw is
+    * range-bucketed (`floor(u·B)` — exact, u has 52 bits and B is a
+    * power of two), per-(epoch, bucket) counts roll into an exclusive
+    * offset over the BOUNDED (epochs × B) frame, and the final rank is
+    * offset + intra-bucket row_number partitioned by (epoch, bucket) —
+    * bit-identical to the naive global rank, which IS the oracle. One
+    * epoch-exploded scan, one (epoch, bucket) shuffle, no global sort.
+    */
+  def sa11EpochOrder(
+      docs: DataFrame, epochs: Int = EpochCount, buckets: Int = 64): DataFrame = {
+    val drawn = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("u", saltedUniform(EpochSalt,
+        concat(col("epoch").cast("string"), lit(":"), col("doc_id").cast("string"))))
+      .withColumn("b", floor(col("u") * buckets).cast("long"))
+    val offsets = drawn.groupBy(col("epoch"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off",
+        coalesce(sum(col("n")).over(
+          Window.partitionBy(col("epoch")).orderBy(col("b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("epoch"), col("b"), col("off"))
+    val intra = Window.partitionBy(col("epoch"), col("b"))
+      .orderBy(col("u"), col("doc_id"))
+    drawn.join(broadcast(offsets), Seq("epoch", "b"))
+      .withColumn("shuffle_rank",
+        col("off") + row_number().over(intra).cast("long"))
+      .select(col("epoch"), col("doc_id"), col("shuffle_rank"))
+      .orderBy(col("epoch"), col("doc_id"))
+  }
+
+  def sa11EpochOrderQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa11EpochOrder(Tables.documents(spark, sfDir))
+
   /** sa7 — EXACT-N deterministic sample via bottom-k on a salted hash:
     * order every doc by its salted-md5 uniform draw and keep the k
     * smallest. This is the exact-n sampler sa1 cannot be — sa1's
@@ -609,6 +663,7 @@ object Params {
     "sa8_stratified_hash_sample" -> (sa8StratifiedHashSampleQ _),
     "sa9_pack_greedy" -> (sa9PackGreedyQ _),
     "sa10_stratum_bottomk" -> (sa10StratumBottomKQ _),
+    "sa11_epoch_order" -> (sa11EpochOrderQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
@@ -639,6 +694,21 @@ object Params {
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the NAIVE global-rank formulation (one window per epoch) — the
+    // sa6 discipline: the engine's two-phase bucketed rank must be
+    // bit-identical to this; draw and epoch literal from the shared
+    // constants
+    "sa11_epoch_order" ->
+      s"""WITH e AS (SELECT doc_id, epoch
+         |  FROM documents, unnest(range($EpochCount)) t(epoch)),
+         |u AS (SELECT doc_id, epoch,
+         |  ${saltedUniformSql(EpochSalt,
+              "CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS u
+         |  FROM e)
+         |SELECT epoch, doc_id,
+         |  row_number() OVER (PARTITION BY epoch ORDER BY u, doc_id)
+         |    AS shuffle_rank
+         |FROM u ORDER BY epoch, doc_id""".stripMargin,
     "sa4_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id, len(${tokensSql("text")}) AS w FROM documents),
          |s AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM t),

@@ -768,6 +768,54 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** dd24 shared constants — single source for the engine defaults AND
+    * the generated oracle literals (the HeadVocabSize pattern).
+    */
+  val DecontTau: Double = 0.4
+  val DecontEvalK: Int = 100
+  val DecontSalt: String = "graft-dd24-eval-v1"
+
+  /** dd24 — EMBEDDING-level decontamination: flag every training vector
+    * whose cosine to ANY held-out eval vector clears `tau` — the
+    * SEMANTIC companion of dd10/dd13's n-gram overlap screens
+    * (paraphrased or lightly-rewritten eval items share no 8-gram but
+    * sit right next to the eval point in embedding space; modern data
+    * cards report exactly this screen beside the lexical one). One row
+    * per contaminated training vector naming its closest eval neighbor
+    * (ties on eval_id) — a manifest that scales with CONTAMINATION, not
+    * corpus.
+    *
+    * Eval side = the deterministic salted bottom-k draw (its own salt,
+    * bounded at `evalK` by construction — eval suites are bounded in
+    * production too, the dd10 broadcast posture); the corpus side
+    * anti-joins those ids out (an eval member must not screen itself)
+    * and STREAMS against the broadcast eval set: one dot per (train,
+    * eval) pair, no corpus shuffle, the τ cut on the raw double (the
+    * dd6 rule), then the per-train argmax over the RARE surviving
+    * candidates as a WindowGroupLimit. At 100 TB: corpus-linear scan
+    * work × |eval|, and the candidate stream composes with sim2/sim5
+    * probes when |eval| grows.
+    */
+  def embeddingDecontaminate(
+      emb: DataFrame, tau: Double = DecontTau,
+      evalK: Int = DecontEvalK): DataFrame = {
+    val evalSet = unitized(sampledVectors(emb, evalK, DecontSalt))
+      .select(col("vec_id").as("eval_id"), col("unit").as("ue"))
+    val train = unitized(emb)
+      .join(broadcast(evalSet.select(col("eval_id"))),
+        col("vec_id") === col("eval_id"), "left_anti")
+    val w = Window.partitionBy(col("train_id"))
+      .orderBy(col("cos_raw").desc, col("eval_id"))
+    train.select(col("vec_id").as("train_id"), col("unit"))
+      .crossJoin(broadcast(evalSet))
+      .withColumn("cos_raw", dot(col("unit"), col("ue")))
+      .filter(col("cos_raw") >= tau)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("train_id"), col("eval_id"), r6(col("cos_raw")).as("cosine"))
+      .orderBy(col("train_id"))
+  }
+
   /** sim14 — mutual k-NN GRAPH construction: each vector's exact top-k
     * cosine neighbors, kept only where the relation is RECIPROCAL (a in
     * b's top-k AND b in a's top-k) — the graph substrate of NN-descent,
@@ -1429,6 +1477,8 @@ object Similarity {
     "sim12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(Tables.embeddings(s, d))),
     "sim13_range_search" -> ((s: SparkSession, d: String) => rangeSearch(Tables.embeddings(s, d))),
     "sim14_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(Tables.embeddings(s, d))),
+    "dd24_embedding_decontaminate" -> ((s: SparkSession, d: String) =>
+      embeddingDecontaminate(Tables.embeddings(s, d))),
     "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
     "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(Tables.embeddings(s, d))),
     "sim4_ann_ivf_indexed" -> ((s: SparkSession, d: String) => ivfAnnIndexed(s, d)),
@@ -1639,6 +1689,33 @@ object Similarity {
          |FROM u a JOIN u b ON a.vec_id < b.vec_id
          |WHERE list_dot_product(a.unit, b.unit) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // the same salted bottom-k eval draw, NOT-IN anti filter, broadcast
+    // pair dots with the raw-double τ cut, and the (cos DESC, eval_id)
+    // argmax — all literals from the shared dd24 constants
+    "dd24_embedding_decontaminate" ->
+      s"""WITH s AS (SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY ${saltedUniformSql(DecontSalt, "vec_id")}, vec_id
+         |  LIMIT $DecontEvalK),
+         |ue AS (SELECT vec_id AS eval_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                   CAST(embedding AS DOUBLE[])))) AS unit
+         |  FROM s),
+         |ut AS (SELECT vec_id AS train_id,
+         |  list_transform(CAST(embedding AS DOUBLE[]),
+         |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                   CAST(embedding AS DOUBLE[])))) AS unit
+         |  FROM embeddings
+         |  WHERE vec_id NOT IN (SELECT eval_id FROM ue)),
+         |c AS (SELECT t.train_id, e.eval_id,
+         |    list_dot_product(t.unit, e.unit) AS cos_raw
+         |  FROM ut t CROSS JOIN ue e
+         |  WHERE list_dot_product(t.unit, e.unit) >= $DecontTau),
+         |r AS (SELECT train_id, eval_id, cos_raw, row_number() OVER (
+         |    PARTITION BY train_id ORDER BY cos_raw DESC, eval_id) AS rnk
+         |  FROM c)
+         |SELECT train_id, eval_id, round(cos_raw * 1e6) / 1e6 AS cosine
+         |FROM r WHERE rnk = 1 ORDER BY train_id""".stripMargin,
     // the dd6 sample + unitizing verbatim, the same windowed directed
     // top-k (ties on (cos DESC, dst)) and the same reciprocal self-join
     // of the low-id orientation against its reverse edge

@@ -271,6 +271,43 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     assert(back.select("doc_id").distinct().count() === n)
   }
 
+  test("sa11: each epoch is a full permutation, epochs differ, and the bucketed rank matches the naive global rank") {
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val n = docs.count()
+    val rows = Params.sa11EpochOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === n * Params.EpochCount)
+    // bijection: within each epoch the ranks are exactly 1..n
+    (0L until Params.EpochCount.toLong).foreach { e =>
+      val ranks = rows.filter(_._1 == e).map(_._3).sorted
+      assert(ranks.toSeq === (1L to n).toSeq, s"epoch $e is not a permutation")
+    }
+    // independence: the two epochs must not present the same order
+    val byEpoch = rows.groupBy(_._1).map { case (e, rs) =>
+      e -> rs.sortBy(_._3).map(_._2).toSeq
+    }
+    assert(byEpoch(0L) !== byEpoch(1L), "epochs drew identical permutations")
+    // the two-phase bucketed rank must equal the naive single-window rank
+    // (tiny corpus: the naive plan is affordable here, never in prod)
+    val naive = {
+      import org.apache.spark.sql.expressions.Window
+      val drawn = docs.select(col("doc_id"),
+          explode(sequence(lit(0L), lit(Params.EpochCount - 1L))).as("epoch"))
+        .withColumn("u", graft.functions.saltedUniform(Params.EpochSalt,
+          concat(col("epoch").cast("string"), lit(":"),
+            col("doc_id").cast("string"))))
+      drawn.withColumn("shuffle_rank",
+          row_number().over(Window.partitionBy(col("epoch"))
+            .orderBy(col("u"), col("doc_id"))).cast("long"))
+        .select(col("epoch"), col("doc_id"), col("shuffle_rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(rows.toSet === naive, "two-phase rank drifted from the naive rank")
+    // determinism across runs
+    assert(Params.sa11EpochOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === rows.toSeq)
+  }
+
   test("sa7: bottom-k sample is exact-n, deterministic, and matches the md5 formula") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val k = 20

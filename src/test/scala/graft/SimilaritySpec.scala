@@ -120,6 +120,34 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       g.map(_.toSeq).toSeq)
   }
 
+  test("dd24 embedding decontamination: eval never screens itself, flags clear tau, argmax verified") {
+    val emb = Tables.embeddings(spark, sf001)
+    val out = Similarity.embeddingDecontaminate(emb).collect()
+    assert(out.nonEmpty, "the planted near-dups must contaminate at tau=0.4")
+    val evalIds = Similarity.sampledVectors(emb, Similarity.DecontEvalK,
+      Similarity.DecontSalt).select("vec_id").collect().map(_.getLong(0)).toSet
+    out.foreach { r =>
+      assert(!evalIds.contains(r.getLong(0)), "an eval member screened itself")
+      assert(evalIds.contains(r.getLong(1)), "matched neighbor not in the eval set")
+      assert(r.getDouble(2) >= Similarity.DecontTau - 1e-6)
+    }
+    // one row per contaminated train vector (the argmax collapsed)
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    // brute-force argmax check: for each flagged train vector, no eval
+    // vector scores strictly higher than the named one
+    val units = Similarity.unitized(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    out.foreach { r =>
+      val best = evalIds.map(e => cos(units(r.getLong(0)), units(e))).max
+      assert(math.abs(best - r.getDouble(2)) < 1e-6,
+        s"named neighbor is not the max for train ${r.getLong(0)}")
+    }
+    assert(Similarity.embeddingDecontaminate(emb).collect().map(_.toSeq).toSeq
+      === out.map(_.toSeq).toSeq)
+  }
+
   test("sim6 int8 quantization: high recall vs exact top-5, scores track raw dots, integral components") {
     val emb = Tables.embeddings(spark, sf001)
     // sim1 ranks by cosine, sim6 by (rescaled) raw dot — compare against
