@@ -1011,7 +1011,7 @@ object Dedup {
     * sa3 hex-prefix construction), so the bloom PROBE itself is
     * oracle-exact, not just its guarantees.
     */
-  private def bloomPositions(s: Column): Column =
+  private[graft] def bloomPositions(s: Column): Column =
     array((0 until BloomHashes).map(i =>
       pmod(conv(substring(md5(concat(lit(s"bloom$i:"), s)), 1, 15), 16, 10)
         .cast("long"), lit(BloomBits))): _*)

@@ -327,7 +327,67 @@ object StreamDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** st22 — streaming DECONTAMINATION gate from a batch-built bloom
+    * BITSET: the seventh admission screen, and the shipped form of the
+    * upgrade path st18 documents — dd13's eval-suite bloom probed at
+    * the door, so an arrival that overlaps the held-out benchmark is
+    * rejected BEFORE it can contaminate the training corpus (and every
+    * reported eval after it). Completes the batch-artifact-into-stream
+    * set: st16 ships MinHash keys, st18 the vocabulary, st19 the
+    * fences, st20 the LM — this ships the eval suite as m=2^18 bloom
+    * bits.
+    *
+    * The bitset is inlined as ONE array literal (byte-per-bit: 2^18
+    * booleans ≈ 256 KB, one plan object, O(1) `element_at` probes — a
+    * position-set literal would be an O(|set|) scan per probe), so the
+    * gate stays completely STATELESS: shingle → 5 salted-md5 positions
+    * → forall bit-test, all map-side HOF work, scan → project → sink at
+    * source throughput, no watermark, no state store, no shuffle — the
+    * dd13 aggregate formulation (two groupBys) would be stateful on a
+    * stream. When m outgrows a plan literal, the broadcast position
+    * join (dd13's own plan) is the documented reconciliation path. No
+    * false negatives by construction; FP rate is the dd13-measured
+    * bloom trade. Zero-shingle arrivals FAIL CLOSED (a doc too short
+    * for the screen to see must not slip past it — the st18 posture).
+    */
+  /** st22 eval-split size — single source for the engine default AND the
+    * generated oracle literal (the dd13 convention: the first
+    * `DecontEvalDocs` ids are "the eval suite" at any scale).
+    */
+  val DecontEvalDocs: Long = 20L
+
+  def st22StreamDecontGate(
+      spark: SparkSession, sfDir: String, nEval: Long = DecontEvalDocs,
+      n: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    // batch side: the eval suite's set-bit positions (bounded by
+    // m = BloomBits; at eval scale a few-thousand-row collect — the
+    // sim7 centroid / st18 vocab artifact pattern)
+    val setBits = Dedup.explodedShingles(docs.filter(col("doc_id") < nEval), n)
+      .select(explode(Dedup.bloomPositions(col("s"))).as("p")).distinct()
+      .collect().map(_.getLong(0))
+    val bits = new Array[Boolean](Dedup.BloomBits.toInt)
+    setBits.foreach(p => bits(p.toInt) = true)
+    val bloomLit = typedLit(bits.toSeq)
+    val flaggedCount = size(filter(col("shingles"), s =>
+      forall(Dedup.bloomPositions(s), p =>
+        element_at(bloomLit, (p + lit(1L)).cast("int")))))
+    val gated = documentStream(spark, sfDir)
+      .filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"),
+        Dedup.shinglesOf(tokens(col("text")), n).as("shingles"))
+      .select(col("doc_id"),
+        size(col("shingles")).cast("long").as("n_shingles"),
+        flaggedCount.cast("long").as("n_flagged"))
+      .withColumn("keep", col("n_shingles") > 0 && col("n_flagged") === 0)
+    EventStreams.runToParquet(gated, "st22_sink")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st22_stream_decont_gate" ->
+      ((s: SparkSession, d: String) => st22StreamDecontGate(s, d)),
     "st21_stream_pii_gate" ->
       ((s: SparkSession, d: String) => st21StreamPiiGate(s, d)),
     "st20_stream_surprisal_gate" ->
@@ -342,6 +402,37 @@ object StreamDedup {
       ((s: SparkSession, d: String) => st19StreamAnomalyGate(s, d)))
 
   val oracles: Map[String, String] = Map(
+    // dd13's position arithmetic verbatim (the bitset probe is
+    // bit-for-bit the position-set membership: bit p is set iff p is in
+    // the eval position set), arrivals split at the st16 boundary,
+    // zero-shingle rows kept and failed closed via the LEFT join
+    "st22_stream_decont_gate" -> {
+      val posList = (0 until Dedup.BloomHashes).map(i =>
+        s"('0x' || substring(md5('bloom$i:' || s), 1, 15))::BIGINT % ${Dedup.BloomBits}")
+        .mkString("[", ", ", "]")
+      s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+         |t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |    [array_to_string(toks[i+1:i+3], ' ')
+         |     FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ep AS (SELECT DISTINCT p FROM
+         |  (SELECT unnest($posList) AS p FROM ex
+         |   WHERE doc_id < $DecontEvalDocs)),
+         |tp AS (SELECT doc_id, s, unnest($posList) AS p FROM ex
+         |  WHERE doc_id >= (SELECT v FROM nf)),
+         |hits AS (SELECT doc_id, s, count(*) AS h
+         |  FROM tp JOIN ep USING (p) GROUP BY 1, 2),
+         |fl AS (SELECT doc_id, count(*) AS n_flagged FROM hits
+         |  WHERE h = ${Dedup.BloomHashes} GROUP BY 1),
+         |a AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh
+         |  WHERE doc_id >= (SELECT v FROM nf))
+         |SELECT a.doc_id, CAST(a.n_shingles AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(fl.n_flagged, 0) AS BIGINT) AS n_flagged,
+         |  a.n_shingles > 0 AND coalesce(fl.n_flagged, 0) = 0 AS keep
+         |FROM a LEFT JOIN fl ON a.doc_id = fl.doc_id
+         |ORDER BY a.doc_id""".stripMargin
+    },
     // td12's patterns and redaction order verbatim (shared constants),
     // with the conjunctive keep — the same counts-and-hashes contract
     "st21_stream_pii_gate" -> {

@@ -66,6 +66,41 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     assert(gotRows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("st22: streaming decontamination gate == batch bloom replay; zero-shingle fails closed") {
+    val got = StreamDedup.st22StreamDecontGate(spark, sf001).collect()
+    val docs = Tables.documents(spark, sf001)
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    // batch twin: dd13's position-join formulation over the same splits
+    val ex = Dedup.explodedShingles(docs, 3)
+    val ep = ex.filter(col("doc_id") < StreamDedup.DecontEvalDocs)
+      .select(explode(Dedup.bloomPositions(col("s"))).as("p")).distinct()
+      .withColumn("present", lit(1))
+    val perDoc = ex.filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"), col("s"),
+        explode(Dedup.bloomPositions(col("s"))).as("p"))
+      .join(broadcast(ep), Seq("p"), "left")
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(col("present")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        count(when(col("h") === Dedup.BloomHashes, 1)).as("n_fl"))
+    val expect = docs.filter(col("doc_id") >= newFrom).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_sh"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_fl"), lit(0L)).as("n_flagged"))
+      .withColumn("keep", col("n_shingles") > 0 && col("n_flagged") === 0)
+      .orderBy(col("doc_id")).collect()
+    assert(got.map(_.toSeq).toSeq === expect.map(_.toSeq).toSeq)
+    // the corpus exercises both branches, and the fail-closed rule holds:
+    // keep is only ever true when the screen actually saw shingles
+    assert(got.exists(_.getAs[Boolean]("keep")))
+    assert(got.exists(!_.getAs[Boolean]("keep")))
+    got.foreach { r =>
+      if (r.getAs[Long]("n_shingles") === 0L)
+        assert(!r.getAs[Boolean]("keep"), "zero-shingle arrival slipped past")
+    }
+  }
+
   test("st21: streaming PII gate == batch td12 scan, counts-and-hashes only") {
     import graft.operators.TextAnalysis
     val got = StreamDedup.st21StreamPiiGate(spark, sf001).collect()
