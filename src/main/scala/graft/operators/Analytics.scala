@@ -1184,9 +1184,41 @@ object Analytics {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Period-over-period reporting — weekly volume and value mass with
+    * the week-over-week delta and percent change: the standing
+    * growth-dashboard deliverable (is this week bigger than last?) that
+    * q23's trailing average and q50's cohort grid sit beside but don't
+    * emit. First week's deltas are NULL (no prior period) in both
+    * engines identically.
+    *
+    * Scale: ONE map-side-combined aggregate collapses the fact scan to
+    * the CALENDAR grain (≤ weeks-of-history rows), and the lag window
+    * runs over that bounded frame — the q07 over-aggregate window
+    * discipline; the value sum is an exact DECIMAL, the percent change
+    * one r6-rounded IEEE division against the prior exact count.
+    */
+  def q52PeriodOverPeriod(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekly = Tables.events(spark, sfDir)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,6)")).as("tv"))
+    val w = Window.orderBy(col("week"))
+    weekly
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .select(col("week"), col("n_events"),
+        r6(col("tv").cast("double")).as("total_value"),
+        col("prev_n"),
+        (col("n_events") - col("prev_n")).as("delta_n"),
+        r6((col("n_events") - col("prev_n")).cast("double") /
+          col("prev_n").cast("double")).as("pct_change"))
+      .orderBy(col("week"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q52_period_over_period" -> (q52PeriodOverPeriod _),
     "q51_type_transitions" -> (q51TypeTransitions _),
     "q44_trailing_rate" -> ((s: SparkSession, d: String) => q44TrailingRate(s, d)),
     "q45_cube_activity" -> (q45CubeActivity _),
@@ -1259,6 +1291,21 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    // Monday-start week trunc (the q50 parity), exact DECIMAL value
+    // sum, lag over the bounded weekly frame, r6 percent division
+    "q52_period_over_period" ->
+      """WITH wk AS (SELECT date_trunc('week', ts) AS week,
+        |    count(*) AS n_events,
+        |    sum(CAST(value AS DECIMAL(38,6))) AS tv
+        |  FROM events GROUP BY 1)
+        |SELECT week, n_events,
+        |  round(CAST(tv AS DOUBLE) * 1e6) / 1e6 AS total_value,
+        |  lag(n_events) OVER (ORDER BY week) AS prev_n,
+        |  n_events - lag(n_events) OVER (ORDER BY week) AS delta_n,
+        |  round((CAST(n_events - lag(n_events) OVER (ORDER BY week) AS DOUBLE)
+        |    / CAST(lag(n_events) OVER (ORDER BY week) AS DOUBLE)) * 1e6) / 1e6
+        |    AS pct_change
+        |FROM wk ORDER BY week""".stripMargin,
     // the same lag pairing (ties pinned by (ts, event_id)), the same
     // bounded (prev, next) aggregate, the same r6 conditional division
     "q51_type_transitions" ->

@@ -312,9 +312,43 @@ object Multimodal {
         md5(col("content")).as("content_md5"))
       .orderBy(col("doc_id"))
 
+  /** mm8 — REAL tensor-file header decode via the native
+    * [[graft.functions.NpyHeader]] expression: dtype, memory order,
+    * dimensionality and exact element count parsed from actual NPY
+    * header bytes (NEP 1 / numpy format.py — no numpy needed). The
+    * TENSOR modality beside mm5 images, mm6 audio, mm7 video:
+    * embedding dumps and feature caches ship as `.npy`, and a 100 TB
+    * tensor audit (wrong-dtype drop, shape bucketing, element
+    * accounting) reads exactly these fields map-only at scan
+    * throughput.
+    *
+    * Over the text corpus the `\\x93NUMPY` magic is UNREACHABLE in
+    * principle: 0x93 is a UTF-8 continuation byte, so no valid string
+    * can begin with it (the mm2/mm5 PNG argument) — the oracle is the
+    * constant unknown branch, and the real header parse (v1/v2 length
+    * fields, dict fields, 0-d/1-d/n-d shapes, truncation) is
+    * spec-exercised on crafted NPY bytes in MultimodalSpec.
+    */
+  def npyHeaders(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    docs
+      .select(col("doc_id"), length(payload).cast("long").as("byte_len"),
+        call_function("npy_header", payload).as("hdr"))
+      .select(col("doc_id"), col("byte_len"),
+        col("hdr.format").as("format"),
+        col("hdr.version").as("version"),
+        col("hdr.dtype").as("dtype"),
+        col("hdr.fortran_order").as("fortran_order"),
+        size(col("hdr.shape")).cast("int").as("n_dims"),
+        col("hdr.n_elems").as("n_elems"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm8_npy_headers" -> ((s: SparkSession, d: String) =>
+      npyHeaders(Tables.documents(s, d))),
     "os2_binary_assets" -> (os2BinaryAssets _),
     "mm7_mp4_headers" -> ((s: SparkSession, d: String) =>
       mp4Headers(Tables.documents(s, d))),
@@ -334,6 +368,21 @@ object Multimodal {
       resizePlan(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the NPY magic byte 0x93 is a UTF-8 CONTINUATION byte — no valid
+    // string starts with it, so over a VARCHAR corpus only the unknown
+    // branch is reachable in principle (the mm2/mm5 PNG argument; no
+    // LIKE guard can even express the magic). The real parse is
+    // spec-exercised on crafted bytes in MultimodalSpec.
+    "mm8_npy_headers" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  'unknown' AS format,
+        |  CAST(NULL AS VARCHAR) AS version,
+        |  CAST(NULL AS VARCHAR) AS dtype,
+        |  CAST(NULL AS BOOLEAN) AS fortran_order,
+        |  CAST(NULL AS INTEGER) AS n_dims,
+        |  CAST(NULL AS BIGINT) AS n_elems
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // hashes the ORIGINAL parquet text for the staged id prefix — a
     // match proves the file export + binaryFile scan were byte-exact
     "os2_binary_assets" ->

@@ -116,7 +116,14 @@ object Sql {
     // ranking functions over it): q48's oracle text IS dialect-neutral,
     // so the same string runs verbatim in both engines and is its own
     // oracle — the sql6/sql7 discipline extended to window syntax.
-    "sql8_window_ranks" -> Analytics.oracles("q48_window_ranks"))
+    "sql8_window_ranks" -> Analytics.oracles("q48_window_ranks"),
+    // sql9 — the GROUPING SETS surface as raw SQL: q47's oracle text is
+    // dialect-neutral (GROUPING SETS, NULLS FIRST, the dsum round form
+    // all parse and evaluate identically), so ONE string runs verbatim
+    // in both engines and is its own oracle — the sql8 discipline
+    // extended to multi-grain aggregation syntax. Catalyst plans it as
+    // the same single-pass Expand the q47 DataFrame twin uses.
+    "sql9_grouping_sets" -> Analytics.oracles("q47_grouping_sets"))
 
   /** sql7's DataFrame twin: the explicit `left_semi` join the IN-subquery
     * text must plan to.
@@ -157,7 +164,8 @@ object Sql {
     "sql5_top_routes" -> (Analytics.q09TopRoutes _),
     "sql6_correlated_whale_orders" -> (sql6Twin _),
     "sql7_in_subquery_semi" -> (sql7Twin _),
-    "sql8_window_ranks" -> (Analytics.q48WindowRanks _))
+    "sql8_window_ranks" -> (Analytics.q48WindowRanks _),
+    "sql9_grouping_sets" -> (Analytics.q47GroupingSets _))
 
   // ------------------------------------------------------------ registry
 
@@ -178,5 +186,6 @@ object Sql {
     // one dialect-neutral string, two engines — its own oracle
     "sql6_correlated_whale_orders" -> sparkSql("sql6_correlated_whale_orders"),
     "sql7_in_subquery_semi" -> sparkSql("sql7_in_subquery_semi"),
-    "sql8_window_ranks" -> sparkSql("sql8_window_ranks"))
+    "sql8_window_ranks" -> sparkSql("sql8_window_ranks"),
+    "sql9_grouping_sets" -> sparkSql("sql9_grouping_sets"))
 }

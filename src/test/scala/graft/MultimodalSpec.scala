@@ -237,6 +237,60 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .getUTF8String(0).toString === "unknown")
   }
 
+  // real NPY v1.0 header exactly as numpy writes it: magic, version,
+  // uint16-LE header length, space-padded newline-terminated dict
+  private def npyV1(dict: String): Array[Byte] = {
+    val base = 6 + 2 + 2
+    val padded = {
+      val total = ((base + dict.length + 1 + 63) / 64) * 64
+      dict + (" " * (total - base - dict.length - 1)) + "\n"
+    }
+    bytes(0x93) ++ "NUMPY".getBytes ++ bytes(1, 0) ++
+      le16b(padded.length) ++ padded.getBytes("ISO-8859-1")
+  }
+
+  test("npy_header parses real NPY v1/v2 headers and degrades honestly") {
+    val r = graft.functions.NpyHeader.compute(
+      npyV1("{'descr': '<f4', 'fortran_order': False, 'shape': (3, 4), }"))
+    assert(r.getUTF8String(0).toString === "npy")
+    assert(r.getUTF8String(1).toString === "1.0")
+    assert(r.getUTF8String(2).toString === "<f4")
+    assert(r.getBoolean(3) === false)
+    assert(r.getArray(4).toLongArray().toSeq === Seq(3L, 4L))
+    assert(r.getLong(5) === 12L)
+
+    // fortran order + 1-d trailing-comma tuple
+    val r2 = graft.functions.NpyHeader.compute(
+      npyV1("{'descr': '<i8', 'fortran_order': True, 'shape': (7,), }"))
+    assert(r2.getBoolean(3) === true)
+    assert(r2.getArray(4).toLongArray().toSeq === Seq(7L))
+    assert(r2.getLong(5) === 7L)
+
+    // 0-d scalar: shape (), one element
+    val r3 = graft.functions.NpyHeader.compute(
+      npyV1("{'descr': '<f8', 'fortran_order': False, 'shape': (), }"))
+    assert(r3.getArray(4).numElements() === 0 && r3.getLong(5) === 1L)
+
+    // v2.0: uint32-LE header length
+    val dict = "{'descr': '|u1', 'fortran_order': False, 'shape': (5, 6), }"
+    val padded = dict + " " * (64 - ((12 + dict.length + 1) % 64)) + "\n"
+    val v2 = bytes(0x93) ++ "NUMPY".getBytes ++ bytes(2, 0) ++
+      le32b(padded.length.toLong) ++ padded.getBytes("ISO-8859-1")
+    val r4 = graft.functions.NpyHeader.compute(v2)
+    assert(r4.getUTF8String(1).toString === "2.0")
+    assert(r4.getUTF8String(2).toString === "|u1" && r4.getLong(5) === 30L)
+
+    // valid magic, header length overrunning the buffer: npy + nulls
+    val trunc = bytes(0x93) ++ "NUMPY".getBytes ++ bytes(1, 0) ++ le16b(4096)
+    val r5 = graft.functions.NpyHeader.compute(trunc)
+    assert(r5.getUTF8String(0).toString === "npy" && r5.isNullAt(2) && r5.isNullAt(5))
+
+    assert(graft.functions.NpyHeader.compute("prose, not a tensor".getBytes)
+      .getUTF8String(0).toString === "unknown")
+    assert(graft.functions.NpyHeader.compute(Array.empty[Byte])
+      .getUTF8String(0).toString === "unknown")
+  }
+
   test("image_header channel table follows the PNG color types") {
     val colorTypes = Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
     colorTypes.foreach { case (ct, want) =>
