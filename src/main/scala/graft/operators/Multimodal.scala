@@ -344,9 +344,42 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm9 — REAL archive-container walk via the native
+    * [[graft.functions.TarMembers]] expression: member/file counts,
+    * payload mass and the first member name from actual USTAR header
+    * blocks (POSIX.1-1988 layout) — the CONTAINER format beside the
+    * per-asset headers: large multimodal training sets ship as tar
+    * shards of samples (the WebDataset convention), and a 100 TB shard
+    * audit (members per shard, payload accounting, corrupt-shard
+    * detection) reads ONLY the 512-byte headers, skipping every
+    * payload. Map-only, codegen'd, no shuffle.
+    *
+    * Over the text corpus the `ustar` magic at byte offset 257 never
+    * occurs (verified; the mm6 LIKE-guard convention below makes a
+    * future occurrence a LOUD mismatch rather than a silent pass); the
+    * real walk — octal sizes, 512-block rounding, typeflags, zero-block
+    * termination, corrupt-header stop — is exercised on crafted tar
+    * bytes in MultimodalSpec.
+    */
+  def tarMembers(docs: DataFrame): DataFrame = {
+    val payload = col("text").cast("binary")
+    docs
+      .select(col("doc_id"), length(payload).cast("long").as("byte_len"),
+        call_function("tar_members", payload).as("hdr"))
+      .select(col("doc_id"), col("byte_len"),
+        col("hdr.format").as("format"),
+        col("hdr.n_members").as("n_members"),
+        col("hdr.n_files").as("n_files"),
+        col("hdr.total_payload").as("total_payload"),
+        col("hdr.first_name").as("first_name"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm9_tar_members" -> ((s: SparkSession, d: String) =>
+      tarMembers(Tables.documents(s, d))),
     "mm8_npy_headers" -> ((s: SparkSession, d: String) =>
       npyHeaders(Tables.documents(s, d))),
     "os2_binary_assets" -> (os2BinaryAssets _),
@@ -368,6 +401,27 @@ object Multimodal {
       resizePlan(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the mm6 convention: the guard mirrors the engine's classification
+    // (512-byte minimum + `ustar` magic at byte offset 257, inside an
+    // ASCII-verified prefix so char positions ARE byte positions); the
+    // corpus never triggers it, and if a future doc does, the member
+    // FIELDS mismatch loudly and the side to extend is THIS oracle (the
+    // header walk is outside SQL's domain, exercised in the spec)
+    "mm9_tar_members" ->
+      """WITH m AS (SELECT doc_id, text,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  octet_length(encode(text)) >= 512
+        |    AND length(text) >= 262
+        |    AND octet_length(encode(substring(text, 1, 262))) = 262
+        |    AND substring(text, 258, 5) = 'ustar' AS is_tar
+        |  FROM documents)
+        |SELECT doc_id, byte_len,
+        |  CASE WHEN is_tar THEN 'tar' ELSE 'unknown' END AS format,
+        |  CAST(NULL AS INTEGER) AS n_members,
+        |  CAST(NULL AS INTEGER) AS n_files,
+        |  CAST(NULL AS BIGINT) AS total_payload,
+        |  CAST(NULL AS VARCHAR) AS first_name
+        |FROM m ORDER BY doc_id""".stripMargin,
     // the NPY magic byte 0x93 is a UTF-8 CONTINUATION byte — no valid
     // string starts with it, so over a VARCHAR corpus only the unknown
     // branch is reachable in principle (the mm2/mm5 PNG argument; no

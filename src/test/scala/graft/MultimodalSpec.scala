@@ -291,6 +291,54 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       .getUTF8String(0).toString === "unknown")
   }
 
+  // real USTAR header block exactly as tar writes it: name(100),
+  // mode/uid/gid, size(12, octal), mtime, checksum, typeflag(156),
+  // magic `ustar\0` + version at 257
+  private def tarHeader(name: String, size: Long, typeflag: Char): Array[Byte] = {
+    val h = new Array[Byte](512)
+    name.getBytes("ISO-8859-1").copyToArray(h, 0)
+    ("%011o".format(size) + " ").getBytes.copyToArray(h, 124)
+    h(156) = typeflag.toByte
+    "ustar 00".getBytes("ISO-8859-1").copyToArray(h, 257)
+    h
+  }
+  private def tarPadded(content: Array[Byte]): Array[Byte] =
+    content ++ new Array[Byte](((content.length + 511) / 512) * 512 - content.length)
+
+  test("tar_members walks real USTAR blocks and degrades honestly") {
+    // WebDataset-shaped shard: 000123.jpg (700 B), 000123.txt (10 B),
+    // a directory member, then the two-zero-block terminator
+    val tar = tarHeader("000123.jpg", 700L, '0') ++ tarPadded(new Array[Byte](700)) ++
+      tarHeader("000123.txt", 10L, '0') ++ tarPadded("hello tar!".getBytes) ++
+      tarHeader("samples/", 0L, '5') ++
+      new Array[Byte](1024)
+    val r = graft.functions.TarMembers.compute(tar)
+    assert(r.getUTF8String(0).toString === "tar")
+    assert(r.getInt(1) === 3, "members = 2 files + 1 dir")
+    assert(r.getInt(2) === 2, "regular files only")
+    assert(r.getLong(3) === 710L, "payload sums DECLARED sizes")
+    assert(r.getUTF8String(4).toString === "000123.jpg")
+
+    // corrupt second header: counts stop at the corruption, format kept
+    val corrupt = tarHeader("a.bin", 512L, '0') ++ tarPadded(new Array[Byte](512)) ++
+      Array.fill[Byte](512)('x')
+    val r2 = graft.functions.TarMembers.compute(corrupt)
+    assert(r2.getUTF8String(0).toString === "tar" && r2.getInt(1) === 1)
+
+    // a member whose payload extent overruns the buffer ends the walk
+    // but still counts the member it declared
+    val overrun = tarHeader("big.bin", 1L << 20, '0') ++ new Array[Byte](512)
+    val r3 = graft.functions.TarMembers.compute(overrun)
+    assert(r3.getUTF8String(0).toString === "tar" && r3.getInt(1) === 1)
+    assert(r3.getLong(3) === (1L << 20))
+
+    assert(graft.functions.TarMembers.compute("plain prose".getBytes)
+      .getUTF8String(0).toString === "unknown")
+    // 511 bytes cannot hold one header block
+    assert(graft.functions.TarMembers.compute(new Array[Byte](511))
+      .getUTF8String(0).toString === "unknown")
+  }
+
   test("image_header channel table follows the PNG color types") {
     val colorTypes = Seq(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
     colorTypes.foreach { case (ct, want) =>
