@@ -1215,9 +1215,48 @@ object Analytics {
       .orderBy(col("week"))
   }
 
+  // ---------------------------------------------------------------- q53
+  /** EXPLICIT SALTED skew join — the manual form of the skew mitigation
+    * the engine otherwise delegates to AQE: the fact side gets a
+    * deterministic salt in [0, S) (a row-level hash — the salt only has
+    * to SPREAD, not to be portable: it cancels in the aggregate, so the
+    * RESULT is salt-invariant and the oracle is the plain join), the dim
+    * side replicates S× via explode, and the join runs on
+    * (key, salt) — a key that hashes one supplier's entire fact mass
+    * onto one task now spreads it across S tasks, at the cost of an
+    * S-times-larger (still broadcast-scale) dim.
+    *
+    * When to reach for this instead of AQE's skew-split: AQE rewrites
+    * SORT-MERGE joins from runtime stats AFTER a skewed task is
+    * planned; explicit salting is the deterministic pre-planned form
+    * that also covers broadcast-side hotspots, stats-blind first runs,
+    * and engines/paths AQE doesn't reach (e.g. streaming joins, where
+    * no runtime re-plan exists). Partial aggregation still collapses
+    * each (group, partition) before the final shuffle, so the extra
+    * salt column costs nothing downstream — plan-audited: the join
+    * keys carry the salt, the dim side carries the Generate.
+    */
+  def q53SaltedJoin(spark: SparkSession, sfDir: String,
+      saltBuckets: Int = 8): DataFrame = {
+    val fact = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_quantity"),
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+          lit(saltBuckets.toLong)).as("salt"))
+    val dim = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_name"),
+        explode(sequence(lit(0L), lit(saltBuckets - 1L))).as("salt"))
+    fact.join(dim,
+        fact("l_suppkey") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy(col("s_name"))
+      .agg(dsumr(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_salted_join" -> ((s: SparkSession, d: String) => q53SaltedJoin(s, d)),
     "q52_period_over_period" -> (q52PeriodOverPeriod _),
     "q51_type_transitions" -> (q51TypeTransitions _),
     "q44_trailing_rate" -> ((s: SparkSession, d: String) => q44TrailingRate(s, d)),
@@ -1291,6 +1330,14 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    // the PLAIN join: the salt is an engine-side spreading device that
+    // cancels in the aggregate, so salted and unsalted results must
+    // hash-match — which is exactly what this oracle checks
+    "q53_salted_join" ->
+      s"""SELECT s_name, ${dsumSql("l_quantity")} AS sum_qty,
+         |count(*) AS n_items
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
     // Monday-start week trunc (the q50 parity), exact DECIMAL value
     // sum, lag over the bounded weekly frame, r6 percent division
     "q52_period_over_period" ->

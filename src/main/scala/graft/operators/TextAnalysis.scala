@@ -1123,7 +1123,57 @@ object TextAnalysis {
       .orderBy(col("decile"))
   }
 
+  /** td24 — per-source DISTRIBUTION-DRIFT monitor: the exact L1 (total
+    * variation ×2) distance between each source's token distribution
+    * and the whole-corpus distribution — the feed-health alarm that
+    * fires when one ingest feed starts serving something different
+    * (spam flood, language shift, scraper breakage) BEFORE any
+    * document-level screen sees it. Complements td20 (pairwise set
+    * overlap between feeds) and td18 (target-ratio scoring): this is
+    * each feed vs the mixture it belongs to, frequency-weighted.
+    *
+    * Exact and hash-gated by the td11/td18 rational rule: with o_t the
+    * source's count, c_t the corpus count, n_s and N the totals,
+    *   L1 = Σ_t |o_t/n_s − c_t/N| = (A + n_s·(N − B)) / (n_s·N)
+    * where A = Σ_{t∈s} |o_t·N − c_t·n_s| and B = Σ_{t∈s} c_t — the
+    * absent-token tail collapses CLOSED-FORM into n_s·(N − B), so the
+    * sum runs only over the source's OWN tokens, never source × vocab.
+    * A and B are exact DECIMAL(38,0) integer sums (order-free); one
+    * r6-rounded division at the end. Range [0, 2).
+    *
+    * Scale: one (source, token) map-side-combined aggregate feeds
+    * everything; the corpus table (vocab-scale) joins it on token with
+    * AQE skew handling; per-source rollup + two broadcast one-row
+    * totals. Two data-scaled shuffles, no window over facts.
+    */
+  def sourceDrift(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("o"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("o")).as("c"))
+    val ns = st.groupBy(col("source")).agg(sum(col("o")).as("n_s"))
+    val tot = ct.agg(sum(col("c")).cast("decimal(38,0)").as("n_total"))
+    st.join(ct, Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        sum(abs(col("o").cast("decimal(38,0)") * col("n_total") -
+          col("c").cast("decimal(38,0)") * col("n_s"))).as("a_sum"),
+        sum(col("c").cast("decimal(38,0)")).as("b_sum"),
+        max(col("n_total")).as("n_total"))
+      .select(col("source"), col("n_tokens"),
+        r6(((col("a_sum") +
+          col("n_tokens").cast("decimal(38,0)") *
+            (col("n_total") - col("b_sum"))).cast("double")) /
+          (col("n_tokens").cast("double") * col("n_total").cast("double")))
+          .as("drift_l1"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td24_source_drift" -> ((s: SparkSession, d: String) =>
+      sourceDrift(Tables.documents(s, d))),
     "td23_vocab_growth" -> ((s: SparkSession, d: String) =>
       vocabGrowth(Tables.documents(s, d))),
     "td22_bpe_merges" -> ((s: SparkSession, d: String) =>
@@ -1159,6 +1209,29 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the same exact integer A/B sums (HUGEINT = the DECIMAL(38,0)
+    // twin), the same closed-form absent-token tail, the same one
+    // double division r6-rounded (decimal→double is correctly rounded
+    // in both engines, the dsum convention)
+    "td24_source_drift" ->
+      s"""WITH st AS (SELECT source, tok, count(*) AS o FROM
+         |    (SELECT source, unnest($toksSql) AS tok FROM documents) u
+         |  GROUP BY 1, 2),
+         |ct AS (SELECT tok, sum(o) AS c FROM st GROUP BY tok),
+         |ns AS (SELECT source, sum(o) AS n_s FROM st GROUP BY source),
+         |tot AS (SELECT sum(c) AS n_total FROM ct),
+         |agg AS (SELECT source,
+         |    max(n_s) AS n_tokens,
+         |    sum(abs(o::HUGEINT * n_total - c::HUGEINT * n_s)) AS a_sum,
+         |    sum(c::HUGEINT) AS b_sum,
+         |    max(n_total) AS n_total
+         |  FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN tot
+         |  GROUP BY source)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  round((CAST(a_sum + n_tokens::HUGEINT * (n_total - b_sum) AS DOUBLE)
+         |    / (CAST(n_tokens AS DOUBLE) * CAST(n_total AS DOUBLE))) * 1e6) / 1e6
+         |    AS drift_l1
+         |FROM agg ORDER BY source""".stripMargin,
     // the same min-doc first-appearance rule, the same exact integer
     // floor-div bucketing against the (min, max) id range, the same
     // bounded cumulative frame

@@ -282,6 +282,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges === 2, s"expected exactly 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("q53: the salted join carries the salt in its keys and replicates the dim via Generate") {
+    val p = plan(Analytics.q53SaltedJoin(spark, sf001))
+    // the dim side replicates through an explode (Generate), and the
+    // join condition includes the salt column — a hot supplier's fact
+    // mass spreads across saltBuckets tasks instead of one
+    assert(p.contains("Generate") && p.contains("explode"),
+      s"dim not replicated via explode:\n$p")
+    assert(p.toLowerCase.contains("salt"), s"join keys carry no salt:\n$p")
+  }
+
   test("q51: lag pairs shuffle user_id ONCE; probability window sits over the bounded aggregate") {
     val p = plan(Analytics.q51TypeTransitions(spark, sf001))
     // the fact-scale stage is the single lag-window user_id exchange

@@ -9,6 +9,25 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
 
+  test("td24 source drift: exact L1 vs hand-computed distributions, off-feed source maxes") {
+    // corpus = {a:4, b:2, z:3}, N=9. s1=s2="a a b" (a 2/3, b 1/3):
+    // L1 = |2/3-4/9| + |1/3-2/9| + |0-3/9| = 6/9. s3="z z z":
+    // L1 = 4/9 + 2/9 + |1-3/9| = 12/9 — the broken-feed signature.
+    val docs = Seq(
+      ("src_a", 1L, "a a b"), ("src_a", 2L, "a a b"),
+      ("src_z", 3L, "z z z")
+    ).toDF("source", "doc_id", "text")
+    val rows = TextAnalysis.sourceDrift(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows("src_a")._1 === 6L && rows("src_z")._1 === 3L)
+    assert(math.abs(rows("src_a")._2 - 6.0 / 9.0) < 1e-6)
+    assert(math.abs(rows("src_z")._2 - 12.0 / 9.0) < 1e-6)
+    // a source that IS the corpus drifts zero
+    val uni = Seq(("only", 1L, "x y z")).toDF("source", "doc_id", "text")
+    val u = TextAnalysis.sourceDrift(uni).collect()
+    assert(u.length === 1 && u.head.getDouble(2) === 0.0)
+  }
+
   test("td23 vocab growth: first appearance counts once, curve is cumulative and flat under duplication") {
     // 3 docs, one per bucket: doc0 mints {a,b}, doc1 mints {c} (re-serves
     // a), doc2 mints nothing (pure repeat — the duplication signature)
