@@ -733,13 +733,25 @@ object Similarity {
     */
   def sampledVectors(
       emb: DataFrame, k: Int = 1000,
-      salt: String = "graft-dd6-sample-v1"): DataFrame =
-    emb
-      .select(col("vec_id"), col("embedding"),
-        saltedUniform(salt, col("vec_id")).as("u"))
+      salt: String = "graft-dd6-sample-v1"): DataFrame = {
+    // ids-FIRST: the bottom-k runs over the NARROW (vec_id, u) pair so
+    // it plans as TakeOrderedAndProject (per-partition k-row heaps, no
+    // corpus shuffle); sorting with the embedding attached invites the
+    // optimizer to push downstream wide projections (the unitize
+    // transform) between the sort and the limit, which demotes the
+    // top-k into a RANGE-PARTITIONED GLOBAL SORT of the corpus — the
+    // exact plan this operator exists to avoid (caught by the dd24 plan
+    // audit in round 11; dd6 had carried the sort since r8). The k-row
+    // id set then broadcast-joins back to fetch its vectors: one extra
+    // bounded join beats a corpus sort at any scale.
+    val ids = emb
+      .select(col("vec_id"), saltedUniform(salt, col("vec_id")).as("u"))
       .orderBy(col("u"), col("vec_id"))
       .limit(k)
+      .select(col("vec_id"))
+    emb.join(broadcast(ids), Seq("vec_id"))
       .select(col("vec_id"), col("embedding"))
+  }
 
   /** dd6 — embedding-cosine near-duplicate pairs, EXACT baseline: every
     * pair with cosine ≥ threshold, via an all-pairs broadcast-nested-loop

@@ -399,6 +399,41 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sa11: epoch ranks are two-phase — intra-bucket window partitioned, offsets from an aggregate") {
+    val p = plan(Params.sa11EpochOrder(Tables.documents(spark, sf001)))
+    // the rank window is partitioned by (epoch, bucket), never global
+    assert(p.contains("hashpartitioning(epoch#"),
+      s"intra-bucket rank window not partitioned:\n$p")
+    // the offsets side is the bounded (epochs × B) aggregate, broadcast
+    assert(p.contains("BroadcastExchange"),
+      s"bucket offsets not broadcast back:\n$p")
+    // any SinglePartition exchange must be fed by an aggregate (bucket
+    // counts), never by the epoch-exploded corpus
+    val numbered = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1).toInt)
+    numbered.foreach { k =>
+      val detail = p.substring(p.indexOf(s"($k) Exchange"))
+        .linesIterator.take(4).mkString("\n")
+      if (detail.contains("SinglePartition"))
+        assert(p.contains(s"(${k - 1}) HashAggregate"),
+          s"SinglePartition exchange ($k) not fed by the bucket aggregate:\n$p")
+    }
+  }
+
+  test("dd24: eval set broadcasts both ways — the corpus never shuffles before the tau cut") {
+    val p = plan(graft.operators.Similarity.embeddingDecontaminate(
+      Tables.embeddings(spark, sf001)))
+    // the eval ids anti-join and the eval-vector pair join both
+    // broadcast the bounded side; the corpus streams
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"eval side not broadcast:\n$p")
+    // the only hash exchange is the per-train argmax window over the
+    // RARE post-tau candidates (plus the output sort's range exchange)
+    val hashEx = p.linesIterator.count(_.contains("hashpartitioning(train_id"))
+    assert(hashEx >= 1, s"argmax window missing its candidate exchange:\n$p")
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$p")
+  }
+
   test("sa6: distributed prefix sum — no unpartitioned window ever sees fact rows") {
     val p = plan(Params.sa6TokenShards(Tables.documents(spark, sf001)))
     // the intra-bucket cumsum is partitioned by the range bucket
