@@ -348,6 +348,47 @@ object EventStreams {
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
   }
 
+  /** st23 — FULL-OUTER stream-stream interval join, completing the
+    * stream-join matrix (st6 inner, st10 left-outer): st6's attribution
+    * pairs PLUS a null-extended row per never-converted view (st10's
+    * side) PLUS a null-extended row per ORPHAN purchase — a purchase
+    * with no preceding view inside the horizon, the
+    * attribution-integrity signal (bot traffic, lost view events, a
+    * broken tracker) the one-sided joins structurally cannot emit.
+    * Each side's null rows surface exactly when its join state evicts:
+    * an unmatched view once the watermark passes `view_ts + horizon`
+    * (no matching purchase can arrive), an unmatched purchase once the
+    * watermark passes `purchase_ts` (the condition bounds a matching
+    * view at `view_ts ≤ purchase_ts`, so nothing older can arrive) —
+    * the same range-bounded state that keeps the join runnable
+    * unbounded defines BOTH outer timings. Deterministic on the
+    * drained backlog exactly as st10: the final watermark is
+    * `least(max view ts, max purchase ts) − 1h` and rows younger than
+    * their eviction bound stay in state, as a restart would resume
+    * them.
+    */
+  def st23StreamFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val horizon = AttributionHorizonMinutes
+    val s = eventStream(spark, sfDir)
+    val v = s.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = s.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = v.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon MINUTES"),
+        "full_outer")
+      .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
+        col("view_ts").cast("timestamp_ntz").as("view_ts"),
+        col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
+    runToParquet(joined, "st23_sink")
+      .orderBy(col("user_id").asc, col("view_ts").asc_nulls_first,
+        col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
+  }
+
   /** st15 — STREAM-STATIC interval join: the live stream tagged against
     * q38's campaign windows with the SAME day-binning rewrite — each
     * event computes its day bin once, equi-joins the broadcast binned
@@ -525,6 +566,7 @@ object EventStreams {
     "st5_stream_dedup" -> (st5StreamDedup _),
     "st6_stream_attribution" -> (st6StreamAttribution _),
     "st10_stream_left_outer" -> (st10StreamLeftOuter _),
+    "st23_stream_full_outer" -> (st23StreamFullOuter _),
     // st14 is rows-only by design: sketch estimates are merge-order
     // dependent (like dd4/sa1/q29's sketch columns); the MG guarantees
     // are asserted in StreamingSpec against exact cross-batch counts
@@ -587,6 +629,32 @@ object EventStreams {
     // hour; the max-of-all model would emit null rows for views Spark
     // still holds in state). NULLS FIRST pinned — Spark's ascending
     // default and DuckDB's disagree
+    // st10's watermark model extended to BOTH null-extension rules: an
+    // unmatched view emits once view_ts + horizon < wm, an unmatched
+    // purchase once purchase_ts < wm (a matching view is bounded at
+    // view_ts <= purchase_ts); matched pairs always emit. The same
+    // least(max view, max purchase) - 1h final watermark.
+    "st23_stream_full_outer" ->
+      s"""WITH w AS (SELECT least(
+         |    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+         |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+         |  - INTERVAL 1 HOUR AS wm),
+         |v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+         |p AS (SELECT user_id AS p_user, ts AS purchase_ts, value
+         |      FROM events WHERE event_type = 'purchase'),
+         |j AS (SELECT coalesce(v.user_id, p.p_user) AS user_id,
+         |        v.view_ts, p.purchase_ts, p.value
+         |      FROM v FULL JOIN p
+         |        ON v.user_id = p.p_user
+         |       AND p.purchase_ts >= v.view_ts
+         |       AND p.purchase_ts <= v.view_ts + INTERVAL $AttributionHorizonMinutes MINUTES)
+         |SELECT user_id, view_ts, purchase_ts, value FROM j
+         |WHERE (view_ts IS NOT NULL AND purchase_ts IS NOT NULL)
+         |   OR (purchase_ts IS NULL
+         |       AND view_ts + INTERVAL $AttributionHorizonMinutes MINUTES < (SELECT wm FROM w))
+         |   OR (view_ts IS NULL AND purchase_ts < (SELECT wm FROM w))
+         |ORDER BY user_id, view_ts NULLS FIRST, purchase_ts NULLS FIRST,
+         |  value NULLS FIRST""".stripMargin,
     "st10_stream_left_outer" ->
       s"""WITH w AS (SELECT least(
          |    (SELECT max(ts) FROM events WHERE event_type = 'view'),

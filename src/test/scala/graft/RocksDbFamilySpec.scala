@@ -32,6 +32,7 @@ class RocksDbFamilySpec extends AnyFunSuite with SparkFixture {
     "st6_stream_attribution",
     "st7_stream_sessions",
     "st10_stream_left_outer",
+    "st23_stream_full_outer",
     "st12_stream_window_users")
 
   statefulFamily.foreach { name =>

@@ -75,6 +75,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     assert(streamed === batch)
   }
 
+  test("st23: full outer = st10's left rows plus watermark-closed orphan purchases") {
+    import org.apache.spark.sql.functions._
+    val full = EventStreams.st23StreamFullOuter(spark, sf001).collect()
+      .map(_.toSeq).toSeq
+    val left = EventStreams.st10StreamLeftOuter(spark, sf001).collect()
+      .map(_.toSeq).toSeq
+    // the left-outer subset is exactly st10's output
+    assert(full.filter(r => r(1) != null).sortBy(_.toString) ===
+      left.sortBy(_.toString))
+    // the added rows are orphan purchases: no view, value present, and
+    // each one's purchase really has no in-horizon preceding view
+    val orphans = full.filter(r => r(1) == null)
+    assert(orphans.nonEmpty, "no orphan purchases in corpus — full outer untested")
+    val ev = Tables.events(spark, sf001)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toSeq
+    val horizonMs = EventStreams.AttributionHorizonMinutes * 60000L
+    orphans.foreach { r =>
+      val u = r(0).asInstanceOf[Long]
+      val pts = r(2).asInstanceOf[java.time.LocalDateTime]
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      assert(!views.exists { case (vu, vts) =>
+        vu == u && pts >= vts && pts <= vts + horizonMs
+      }, s"orphan purchase for user $u actually had an in-horizon view")
+    }
+    // drained-backlog determinism: a second run reports the same rows
+    assert(EventStreams.st23StreamFullOuter(spark, sf001).collect()
+      .map(_.toSeq).toSeq === full)
+  }
+
   test("RocksDB state store: stateful queries produce identical results under the disk-backed provider") {
     // The 100 TB posture for keyed state: the default HDFS-backed store
     // holds every key on the executor heap; RocksDB spills to local disk
