@@ -780,6 +780,35 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** sim15 — ANN EVALUATION as a first-class operator: per query, the
+    * recall@5 of the LSH index (sim2) against the exact scan (sim1) —
+    * the number every production vector-serving stack monitors
+    * continuously (an index that silently degrades — skewed inserts, a
+    * stale quantizer — shows up HERE first, not in latency). Both sides
+    * are deterministic hash-gated operators, so the METRIC itself is
+    * hash-gated: the oracle wraps the two existing oracle texts as CTEs
+    * and replays the same membership count — the evaluation can never
+    * drift from the operators it evaluates.
+    *
+    * Scale: both inputs are the already-bounded query-set plans
+    * (nQueries × k rows each); the join and rollup are metric-scale.
+    * Swapping sim2 for sim3/sim5/sim10 as the candidate side gives the
+    * same monitor for any index in the family.
+    */
+  def annRecall(emb: DataFrame, k: Int = 5): DataFrame = {
+    val exact = topkExact(emb).select(col("query_id"), col("neighbor_id"))
+    val ann = lshAnn(emb)
+      .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
+    exact.join(ann,
+        col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
+        "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("n2")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        r6(col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** dd24 shared constants — single source for the engine defaults AND
     * the generated oracle literals (the HeadVocabSize pattern).
     */
@@ -1486,6 +1515,7 @@ object Similarity {
     "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
       quantizedTopk(Tables.embeddings(s, d))),
     "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
+    "sim15_ann_recall" -> ((s: SparkSession, d: String) => annRecall(Tables.embeddings(s, d))),
     "sim12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(Tables.embeddings(s, d))),
     "sim13_range_search" -> ((s: SparkSession, d: String) => rangeSearch(Tables.embeddings(s, d))),
     "sim14_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(Tables.embeddings(s, d))),
@@ -1563,7 +1593,23 @@ object Similarity {
        |  WHERE c.vec_id <> pb.query_id),
        |$verifyRankSql""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = baseOracles +
+    // sim15's oracle WRAPS the two oracle texts it evaluates as CTEs
+    // (DuckDB accepts nested WITH in a CTE body) and replays the same
+    // membership count — the evaluation metric can never drift from the
+    // operators it measures; the /5 matches sim1's rank<=5 contract
+    ("sim15_ann_recall" ->
+      s"""WITH x AS (${baseOracles("sim1_topk_exact")}),
+         |a AS (${baseOracles("sim2_ann_lsh")})
+         |SELECT x.query_id,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+         |  round((CAST(count(a.neighbor_id) AS DOUBLE) / 5) * 1e6) / 1e6
+         |    AS recall
+         |FROM x LEFT JOIN a
+         |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+         |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     // the greedy MMR recurrence unrolled per step — candidate/pair
     // cosines via the sim1-established list_cosine_similarity bit-match
     "sim11_mmr_rerank" -> mmrOracleSql(),

@@ -120,6 +120,27 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       g.map(_.toSeq).toSeq)
   }
 
+  test("sim15 ANN-recall monitor: per-query metric matches an independent replay, floor holds") {
+    val emb = Tables.embeddings(spark, sf001)
+    val rows = Similarity.annRecall(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length === 20)
+    rows.foreach { case (_, h, rec) =>
+      assert(h >= 0L && h <= 5L && rec >= 0.0 && rec <= 1.0)
+    }
+    // independent replay from the two operators' own outputs
+    val exact = Similarity.topkExact(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshAnn(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { case (q, h, _) =>
+      val want = exact.filter(_._1 == q).count(ann.contains)
+      assert(h === want.toLong, s"query $q: monitor says $h, replay says $want")
+    }
+    // the monitor must agree with the sim2 spec's recall floor
+    assert(rows.map(_._3).sum / rows.length >= 0.9)
+  }
+
   test("dd24 embedding decontamination: eval never screens itself, flags clear tau, argmax verified") {
     val emb = Tables.embeddings(spark, sf001)
     val out = Similarity.embeddingDecontaminate(emb).collect()
