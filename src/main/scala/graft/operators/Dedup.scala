@@ -1137,6 +1137,58 @@ object Dedup {
 
   // ------------------------------------------------------------ registry
 
+  // ------------------------------------------------------------- pl1
+
+  /** pl1 — the CORPUS GAUNTLET: the whole pretraining-admission pipeline
+    * as ONE declarative DAG, hash-gated end-to-end. Every document gets
+    * the verdict of each stage it must survive — dd20's URL
+    * canonicalization (is this doc the kept copy of its page?), td6's
+    * Gopher/C4 quality rules, dd9's near-dup cluster manifest (is it the
+    * representative of its content?), dd10's eval-overlap
+    * decontamination — plus `admitted`, the conjunction: the per-doc
+    * accounting a real pipeline logs (V9's sequential attribution at
+    * corpus scale, "which gate killed this doc"). Each stage is the
+    * REGISTRY operator itself (same functions, same persisted artifacts
+    * — dd9's labels come from the build-once cluster artifact, nothing
+    * recomputes), so the composition can never drift from the stages it
+    * composes; the oracle WRAPS the four stage oracle texts as CTEs (the
+    * sim15 discipline) and replays the same left joins.
+    *
+    * Scale: four already-audited plans joined on doc_id — the joins add
+    * two data-scaled hash shuffles over (id, flag)-width rows; at
+    * 100 TB each stage manifest is also exactly what the pipeline
+    * would persist between stages, making this the read-side audit
+    * query over those manifests.
+    */
+  def corpusGauntlet(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val url = urlDedup(Tables.documents(spark, sfDir))
+      .select(col("keep_doc").as("doc_id")).distinct()
+      .withColumn("u_keep", lit(true))
+    val quality = graft.operators.TextAnalysis
+      .qualityFilter(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("keep").as("q_keep"))
+    val deduped = dedupCorpus(Tables.documents(spark, sfDir),
+        clusterLabels(spark, sfDir))
+      .select(col("doc_id")).distinct().withColumn("d_keep", lit(true))
+    val flagged = decontaminate(Tables.documentsRebalanced(spark, sfDir))
+      .select(col("doc_id")).distinct().withColumn("c_flag", lit(true))
+    docs
+      .join(url, Seq("doc_id"), "left")
+      .join(quality, Seq("doc_id"), "left")
+      .join(deduped, Seq("doc_id"), "left")
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("u_keep"), lit(false)).as("url_keep"),
+        coalesce(col("q_keep"), lit(false)).as("quality_keep"),
+        coalesce(col("d_keep"), lit(false)).as("dedup_keep"),
+        col("c_flag").isNull.as("decont_ok"))
+      .withColumn("admitted",
+        col("url_keep") && col("quality_keep") && col("dedup_keep") &&
+          col("decont_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd12_substring_dups" -> ((s: SparkSession, d: String) =>
       substringDups(Tables.documentsRebalanced(s, d))),
@@ -1146,6 +1198,7 @@ object Dedup {
     "dd2_fingerprint_dups" -> ((s: SparkSession, d: String) => fingerprintGroups(Tables.documents(s, d))),
     "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),
     "dd19_containment" -> ((s: SparkSession, d: String) => containmentPairs(Tables.documentsRebalanced(s, d))),
+    "pl1_corpus_gauntlet" -> (corpusGauntlet _),
     "dd20_url_dedup" -> ((s: SparkSession, d: String) => urlDedup(Tables.documents(s, d))),
     "dd21_fuzzy_linkage" -> (fuzzyLinkageQ _),
     "dd18_snapshot_diff" -> (snapshotDiffQ _),
@@ -1177,7 +1230,31 @@ object Dedup {
     */
   private val toksSql = tokensSql("text")
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = baseOracles +
+    // pl1's oracle wraps the four STAGE oracle texts as CTEs (the sim15
+    // discipline — the composition can never drift from the stages) and
+    // replays the same left joins and conjunction
+    ("pl1_corpus_gauntlet" ->
+      s"""WITH s1 AS (${baseOracles("dd20_url_dedup")}),
+         |s2 AS (${graft.operators.TextAnalysis.oracles("td6_quality_filter")}),
+         |s3 AS (${baseOracles("dd9_dedup_corpus")}),
+         |s4 AS (${baseOracles("dd10_decontaminate")}),
+         |d AS (SELECT doc_id FROM documents)
+         |SELECT d.doc_id,
+         |  u.keep_doc IS NOT NULL AS url_keep,
+         |  coalesce(q.keep, false) AS quality_keep,
+         |  k.doc_id IS NOT NULL AS dedup_keep,
+         |  c.doc_id IS NULL AS decont_ok,
+         |  (u.keep_doc IS NOT NULL AND coalesce(q.keep, false)
+         |   AND k.doc_id IS NOT NULL AND c.doc_id IS NULL) AS admitted
+         |FROM d
+         |LEFT JOIN (SELECT DISTINCT keep_doc FROM s1) u ON u.keep_doc = d.doc_id
+         |LEFT JOIN s2 q ON q.doc_id = d.doc_id
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM s3) k ON k.doc_id = d.doc_id
+         |LEFT JOIN (SELECT DISTINCT doc_id FROM s4) c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     // the same frontier derivation (doc_id div/% 7 modes), the same
     // canonicalization chain (canonicalizeUrlSql), the same keep rule
     "dd20_url_dedup" -> {

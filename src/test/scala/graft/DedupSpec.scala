@@ -65,6 +65,35 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(got(3L) === Set("x y x", "y x y")) // 6 raw trigrams, 2 distinct
   }
 
+  test("pl1: gauntlet verdicts equal each stage's own output; admitted is the conjunction") {
+    import graft.sources.Tables
+    val rows = Dedup.corpusGauntlet(spark, sf001).collect()
+    val n = Tables.documents(spark, sf001).count()
+    assert(rows.length === n, "one verdict row per corpus doc")
+    // stage flags replayed from the operators themselves
+    val urlKeep = Dedup.urlDedup(Tables.documents(spark, sf001))
+      .select("keep_doc").collect().map(_.getLong(0)).toSet
+    val qKeep = graft.operators.TextAnalysis
+      .qualityFilter(Tables.documents(spark, sf001))
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    val dKeep = Dedup.dedupCorpus(Tables.documents(spark, sf001),
+        Dedup.clusterLabels(spark, sf001))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = Dedup.decontaminate(Tables.documentsRebalanced(spark, sf001))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(1) === urlKeep.contains(id), s"url_keep($id)")
+      assert(r.getBoolean(2) === qKeep.contains(id), s"quality_keep($id)")
+      assert(r.getBoolean(3) === dKeep.contains(id), s"dedup_keep($id)")
+      assert(r.getBoolean(4) === !flagged.contains(id), s"decont_ok($id)")
+      assert(r.getBoolean(5) ===
+        (r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4)))
+    }
+    // the corpus exercises both outcomes
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
   test("dd9: survivors = corpus minus non-representative cluster members; every representative survives") {
     val docs = Tables.documents(spark, sf001)
     val clusters = Dedup.dupClusters(Dedup.ngramJaccardPairs(docs))
