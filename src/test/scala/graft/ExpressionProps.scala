@@ -161,6 +161,69 @@ object ExpressionProps extends Properties("NativeExpressions") {
       r.getUTF8String(0).toString == "wav"
     }
 
+  property("mp4_header never throws on arbitrary bytes; format is always set") =
+    Prop.forAll(bytesGen) { b =>
+      val r = graft.functions.Mp4Header.compute(b)
+      Set("mp4", "unknown")(r.getUTF8String(0).toString)
+    }
+
+  // ftyp-prefixed garbage drives the box walk (plain-random bytes almost
+  // never classify); the walk must terminate and never read past the end
+  private val ftypGen: Gen[Array[Byte]] =
+    Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(tail =>
+          "\u0000\u0000\u0000\u0010ftypisom".getBytes("ISO-8859-1") ++ tail))
+
+  property("mp4_header box walk never throws or loops on corrupt box bodies") =
+    Prop.forAll(ftypGen) { b =>
+      graft.functions.Mp4Header.compute(b).getUTF8String(0).toString == "mp4"
+    }
+
+  property("npy_header never throws on arbitrary bytes; format is always set") =
+    Prop.forAll(bytesGen) { b =>
+      val r = graft.functions.NpyHeader.compute(b)
+      Set("npy", "unknown")(r.getUTF8String(0).toString)
+    }
+
+  private val npyGen: Gen[Array[Byte]] =
+    Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(tail => "\u0093NUMPY".getBytes("ISO-8859-1") ++ tail))
+
+  property("npy_header dict parse never throws on corrupt headers") =
+    Prop.forAll(npyGen) { b =>
+      graft.functions.NpyHeader.compute(b).getUTF8String(0).toString match {
+        case "npy" | "unknown" => true // n < 10 stays unknown
+        case _                 => false
+      }
+    }
+
+  property("tar_members never throws on arbitrary bytes; format is always set") =
+    Prop.forAll(bytesGen) { b =>
+      val r = graft.functions.TarMembers.compute(b)
+      Set("tar", "unknown")(r.getUTF8String(0).toString)
+    }
+
+  // a real first header block with garbage after it drives the member
+  // walk across corrupt sizes and truncated payload extents
+  private val tarGen: Gen[Array[Byte]] = {
+    val hdr = new Array[Byte](512)
+    "member".getBytes.copyToArray(hdr, 0)
+    "00000001000 ".getBytes.copyToArray(hdr, 124)
+    hdr(156) = '0'
+    "ustar 00".getBytes("ISO-8859-1").copyToArray(hdr, 257)
+    Gen.choose(0, 1024).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(tail => hdr ++ tail))
+  }
+
+  property("tar_members walk never throws or loops on corrupt archives") =
+    Prop.forAll(tarGen) { b =>
+      val r = graft.functions.TarMembers.compute(b)
+      r.getUTF8String(0).toString == "tar" && r.getInt(1) >= 1
+    }
+
   property("script_counts never reads out of bounds; counts bounded by byte length") =
     Prop.forAll(bytesGen) { b =>
       val counts = graft.functions.ScriptCounts.compute(UTF8String.fromBytes(b))
