@@ -385,7 +385,88 @@ object StreamDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** st24 — the STREAMING GAUNTLET: the five stateless admission screens
+    * (st17 quality, st18 OOV, st20 LM-surprisal, st21 PII, st22
+    * decontamination) FUSED into ONE scan → project → sink plan — what
+    * production actually runs at the door: one pass per arrival, not
+    * five queries re-reading the stream. Every screen's artifact is
+    * built exactly as its standalone gate builds it (same derivations,
+    * same shared constants) and inlined into the single projection
+    * (vocab array, LM bits map, bloom bitset, rule/PII expressions), so
+    * the fused plan is still completely STATELESS — no watermark, no
+    * state store, no shuffle, source throughput at 100 TB with 5× fewer
+    * scans than the screens run separately. Emitted per arrival: each
+    * screen's keep verdict plus `admitted`, the conjunction — pl1's
+    * which-gate-killed-this-doc accounting at the door. Hash-gated by
+    * the composition discipline: the oracle wraps the five gate oracle
+    * texts as CTEs and joins them, so the fusion can never drift from
+    * the screens it fuses.
+    */
+  def st24StreamGauntlet(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val histToks = docs.filter(col("doc_id") < newFrom)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // st18's vocabulary artifact (same cut, same shared constant)
+    val vocab = histToks
+      .orderBy(col("n").desc, col("tok")).limit(TextAnalysis.HeadVocabSize)
+      .select(col("tok")).collect().map(_.getString(0))
+    val vlit = array(vocab.map(lit(_)): _*)
+    // st20's LM artifact (same add-one bits table)
+    val lm = histToks.collect().map(r => r.getString(0) -> r.getLong(1))
+    val denom = lm.map(_._2).sum + lm.length + 1L
+    def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    val oovBits = flog2(denom)
+    val bitsMap = map(lm.flatMap { case (t, c) =>
+      Seq(lit(t), lit(flog2(denom / (c + 1L)))) }.toSeq: _*)
+    // st22's bloom artifact (same eval split, same positions)
+    val setBits = Dedup.explodedShingles(
+        docs.filter(col("doc_id") < DecontEvalDocs), 3)
+      .select(explode(Dedup.bloomPositions(col("s"))).as("p")).distinct()
+      .collect().map(_.getLong(0))
+    val bits = new Array[Boolean](Dedup.BloomBits.toInt)
+    setBits.foreach(p => bits(p.toInt) = true)
+    val bloomLit = typedLit(bits.toSeq)
+    // ONE stateless projection evaluating every screen
+    val rules = TextAnalysis.qualityRules(col("toks"), col("text"))
+    val nTok = size(col("toks")).cast("long")
+    val nOov = aggregate(col("toks"), lit(0L),
+      (acc, t) => acc + when(array_contains(vlit, t), 0L).otherwise(1L))
+    val bitsSum = aggregate(col("toks"), lit(0L),
+      (acc, t) => acc + coalesce(element_at(bitsMap, t), lit(oovBits)))
+    val oovRate = nOov.cast("double") / nullif(nTok.cast("double"), lit(0.0))
+    val surRate = bitsSum.cast("double") / nullif(nTok.cast("double"), lit(0.0))
+    val nFlagged = size(filter(col("shingles"), s =>
+      forall(Dedup.bloomPositions(s), p =>
+        element_at(bloomLit, (p + lit(1L)).cast("int")))))
+    val gated = documentStream(spark, sfDir)
+      .filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+        Dedup.shinglesOf(tokens(col("text")), 3).as("shingles"))
+      .select(col("doc_id"),
+        rules.map(_._2).reduce(_ && _).as("quality_keep"),
+        coalesce(oovRate <= lit(0.5), lit(false)).as("oov_keep"),
+        coalesce(surRate <= lit(MaxSurprisalBits), lit(false))
+          .as("surprisal_keep"),
+        (call_function("match_count", col("text"),
+            lit(TextAnalysis.EmailPattern)) === 0 &&
+          call_function("match_count", col("text"),
+            lit(TextAnalysis.Ipv4Pattern)) === 0 &&
+          call_function("match_count", col("text"),
+            lit(TextAnalysis.PhonePattern)) === 0).as("pii_keep"),
+        (size(col("shingles")) > 0 && nFlagged === 0).as("decont_keep"))
+      .withColumn("admitted",
+        col("quality_keep") && col("oov_keep") && col("surprisal_keep") &&
+          col("pii_keep") && col("decont_keep"))
+    EventStreams.runToParquet(gated, "st24_sink")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st24_stream_gauntlet" ->
+      ((s: SparkSession, d: String) => st24StreamGauntlet(s, d)),
     "st22_stream_decont_gate" ->
       ((s: SparkSession, d: String) => st22StreamDecontGate(s, d)),
     "st21_stream_pii_gate" ->
@@ -401,7 +482,34 @@ object StreamDedup {
     "st19_stream_anomaly_gate" ->
       ((s: SparkSession, d: String) => st19StreamAnomalyGate(s, d)))
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = baseOracles +
+    // st24's oracle wraps the five gate oracle texts as CTEs (the
+    // sim15/pl1 composition discipline) and joins their keep verdicts;
+    // st17/st21 cover all docs, so the arrival join restricts them;
+    // st18/st20/st22 are already arrival-scoped
+    ("st24_stream_gauntlet" ->
+      s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+         |g1 AS (${baseOracles("st17_stream_quality_gate")}),
+         |g2 AS (${baseOracles("st18_stream_oov_gate")}),
+         |g3 AS (${baseOracles("st20_stream_surprisal_gate")}),
+         |g4 AS (${baseOracles("st21_stream_pii_gate")}),
+         |g5 AS (${baseOracles("st22_stream_decont_gate")})
+         |SELECT d.doc_id,
+         |  g1.keep AS quality_keep, g2.keep AS oov_keep,
+         |  g3.keep AS surprisal_keep, g4.keep AS pii_keep,
+         |  g5.keep AS decont_keep,
+         |  (g1.keep AND g2.keep AND g3.keep AND g4.keep AND g5.keep)
+         |    AS admitted
+         |FROM (SELECT doc_id FROM documents
+         |      WHERE doc_id >= (SELECT v FROM nf)) d
+         |JOIN g1 ON g1.doc_id = d.doc_id
+         |JOIN g2 ON g2.doc_id = d.doc_id
+         |JOIN g3 ON g3.doc_id = d.doc_id
+         |JOIN g4 ON g4.doc_id = d.doc_id
+         |JOIN g5 ON g5.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+
+  private lazy val baseOracles: Map[String, String] = Map(
     // dd13's position arithmetic verbatim (the bitset probe is
     // bit-for-bit the position-set membership: bit p is set iff p is in
     // the eval position set), arrivals split at the st16 boundary,

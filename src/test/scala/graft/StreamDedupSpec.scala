@@ -66,6 +66,35 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     assert(gotRows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("st24: the fused gauntlet's verdicts equal each standalone gate's keep column") {
+    val fused = StreamDedup.st24StreamGauntlet(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val newFrom = Tables.documents(spark, sf001)
+      .agg(max(col("doc_id"))).head.getLong(0) - 49L
+    def keeps(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.filter(col("doc_id") >= newFrom)
+        .select(col("doc_id"), col("keep")).collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val q = keeps(StreamDedup.st17StreamQualityGate(spark, sf001))
+    val o = keeps(StreamDedup.st18StreamOovGate(spark, sf001))
+    val s = keeps(StreamDedup.st20StreamSurprisalGate(spark, sf001))
+    val p = keeps(StreamDedup.st21StreamPiiGate(spark, sf001))
+    val c = keeps(StreamDedup.st22StreamDecontGate(spark, sf001))
+    assert(fused.keySet === q.keySet)
+    fused.foreach { case (id, r) =>
+      assert(r.getBoolean(1) === q(id), s"quality($id)")
+      assert(r.getBoolean(2) === o(id), s"oov($id)")
+      assert(r.getBoolean(3) === s(id), s"surprisal($id)")
+      assert(r.getBoolean(4) === p(id), s"pii($id)")
+      assert(r.getBoolean(5) === c(id), s"decont($id)")
+      assert(r.getBoolean(6) ===
+        (q(id) && o(id) && s(id) && p(id) && c(id)), s"admitted($id)")
+    }
+    // both outcomes live
+    assert(fused.values.exists(_.getBoolean(6)))
+    assert(fused.values.exists(!_.getBoolean(6)))
+  }
+
   test("st22: streaming decontamination gate == batch bloom replay; zero-shingle fails closed") {
     val got = StreamDedup.st22StreamDecontGate(spark, sf001).collect()
     val docs = Tables.documents(spark, sf001)
