@@ -42,7 +42,11 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * exchange) diffs loudly between rounds even when timings are noisy.
   * `tools/benchdiff.py` compares two records.
   *
-  * FINGERPRINT SCHEME 3 (fp_scheme in the record): the md5 is taken over
+  * FINGERPRINT SCHEME 4 (fp_scheme in the record; 4 adds the
+  * session-counter scrubs — `_common_expr_<n>`/`lambda x_<n>` carry
+  * JVM-global counters, so scheme-3 hashes depended on how many
+  * common-subexpression rewrites ran earlier in the session): the md5
+  * is taken over
   * the canonicalized FINAL adaptive plan of the DataFrame's OWN
   * QueryExecution, which is also the execution the clock times — the run
   * drives `df.queryExecution.toRdd.count()` (full evaluation of every
@@ -146,6 +150,14 @@ object Bench {
       .replaceAll("\\$\\$Lambda@[0-9a-f]+", "\\$\\$Lambda")
       .replaceAll("@[0-9a-f]{6,}", "@<id>")
       .replaceAll("graft_stream/p\\d+", "graft_stream/p<pid>")
+      // Common-subexpression aliases minted by the with()/ConditionalExpr
+      // rewrite carry a JVM-GLOBAL counter ("_common_expr_53"): the same
+      // plan hashes differently depending on how many such rewrites ran
+      // EARLIER in the session (caught in r11 — registry growth shifted
+      // ~13 fingerprints of unchanged queries). Same story for the
+      // lambda-variable counter ("lambda x_17").
+      .replaceAll("_common_expr_\\d+", "_common_expr_<n>")
+      .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_<n>")
   }
 
   def fingerprint(p: SparkPlan): String = {
@@ -269,7 +281,7 @@ object Bench {
     // capturer's tail window (round 7's official record lost every
     // per-query number that way); this file is the committable history.
     val recJson =
-      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":3,"env":$envJson,""" +
+      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":4,"env":$envJson,""" +
         s""""n_failed":${results.size - ok.size},""" +
         s""""total_warm":$warmTotal,"total_cold":$coldTotal,""" +
         s""""errors":$errs,"queries":{""" +

@@ -24,7 +24,9 @@ either end-load far above processor count), a LOUD banner flags that
 timing deltas are environment, not code — r8's driver record looked like
 a uniform 1.5x regression and cost a judging session to refute.
 
-Fingerprint schemes: `fp_scheme` 3 hashes the truly-finalized adaptive
+Fingerprint schemes: `fp_scheme` 4 scrubs the JVM-global
+common-subexpression/lambda counters (scheme-3 hashes shifted with
+session composition); 3 hashes the truly-finalized adaptive
 plan of the execution that was timed (scheme 2 claimed finality but read
 an adaptive handle a separate noop-write QueryExecution never executed;
 scheme 1 hashed the pre-execution plan, blind to AQE-level changes).
