@@ -646,9 +646,29 @@ object Params {
         count(lit(1)).as("n_items"))
       .orderBy(col("s_name"))
 
+  /** os3 — GZIP JSON-LINES roundtrip: a bounded document prefix staged
+    * once as `.json.gz` ([[Tables.documentsJsonGz]]) — the wire format
+    * crawl corpora actually arrive in (WET extracts, CC dumps, vendor
+    * deliveries) — and read back through the explicit-schema PERMISSIVE
+    * contract with transparent codec decompression at the scan. The
+    * md5-of-text column hash-gates the whole
+    * write-escape-compress → decompress-parse chain byte-for-byte
+    * against the ORIGINAL parquet. Completes the source matrix's codec
+    * axis: parquet/ORC columnar, CSV/JSON-lines text, binaryFile
+    * per-asset, gzip JSONL compressed-text. 100 TB note: gzip members
+    * are NOT splittable — parallelism = shard-file count, which is how
+    * crawl dumps ship (thousands of shards), never within one file.
+    */
+  def os3GzipJsonl(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documentsJsonGz(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(col("text")).as("text_md5"))
+      .orderBy(col("doc_id"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "os3_gzip_jsonl" -> (os3GzipJsonl _),
     "os1_orc_dim_join" -> (os1OrcDimJoin _),
     "pf1_param_filter" -> (pf1ParamFilter _),
     "pf2_param_filter_alt" -> (pf2ParamFilterAlt _),
@@ -668,6 +688,12 @@ object Params {
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
   val oracles: Map[String, String] = Map(
+    // hashes the ORIGINAL parquet text for the staged prefix — a match
+    // proves the JSON-escape + gzip + decompress + parse chain was
+    // byte-exact
+    "os3_gzip_jsonl" ->
+      """SELECT doc_id, lang, source, md5(text) AS text_md5
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     "pf1_param_filter" -> oracleSqlFor(defaultParams),
     "pf2_param_filter_alt" -> oracleSqlFor(altParams),
     // pf3 serves from the clean staging, whose rows equal the raw events

@@ -243,6 +243,42 @@ object Tables {
       .load(binDir)
   }
 
+  /** os3 staging: a bounded document prefix exported once as GZIP
+    * JSON-LINES — the wire format web-crawl corpora actually ship in
+    * (WET extracts, CC dumps, vendor deliveries are `.jsonl.gz`) — then
+    * read back through the [[jsonSource]] explicit-schema PERMISSIVE
+    * contract; Spark's codec layer decompresses transparently at the
+    * scan. Marker-and-stamp idempotence (the [[nationCsv]] scheme).
+    * Note the 100 TB posture difference from parquet/ORC: a gzip member
+    * is NOT splittable, so parallelism = file count — crawl dumps ship
+    * thousands of shard files, and the reader scales with them, never
+    * within one.
+    */
+  def documentsJsonGz(spark: SparkSession, sfDir: String,
+      nDocs: Int = 100): DataFrame = {
+    val sfName = new java.io.File(sfDir).getName
+    val gzDir = s"${sys.props("user.dir")}/target/gzdocs/$sfName/documents"
+    val marker = new java.io.File(s"$gzDir/_SUCCESS")
+    val source = new java.io.File(path(sfDir, "documents"))
+    val stampFile = new java.io.File(s"$gzDir/_graft_source")
+    val stamp = Staging.sourceStamp(Seq(source))
+    if (!marker.exists() || !stampFile.exists() ||
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+      documents(spark, sfDir).filter(col("doc_id") < nDocs)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "gzip").json(gzDir)
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
+    }
+    jsonSource(spark, gzDir, StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("text", StringType))))
+      .filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+  }
+
   def nationCsv(spark: SparkSession, sfDir: String): DataFrame = {
     val sfName = new java.io.File(sfDir).getName
     val csvDir = s"${sys.props("user.dir")}/target/csvdim/$sfName/nation"

@@ -73,6 +73,27 @@ class JsonSourceSpec extends AnyFunSuite with SparkFixture {
     assert(f.lastModified() === mtime, "stamp-guarded staging re-wrote the assets")
   }
 
+  test("documentsJsonGz: gzip JSONL round-trips byte-exactly through the codec layer, stamp-guarded") {
+    val got = graft.operators.Params.os3GzipJsonl(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val want = Tables.documents(spark, sf001).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"), col("source"), md5(col("text")))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq === want.toSeq)
+    // the staged file is genuinely gzip (magic 1f 8b), and the guard holds
+    val dir = new File(s"${sys.props("user.dir")}/target/gzdocs/sf0.001/documents")
+    val gz = dir.listFiles().filter(_.getName.endsWith(".json.gz")).head
+    val head = java.nio.file.Files.readAllBytes(gz.toPath).take(2)
+    assert((head(0) & 0xFF) === 0x1F && (head(1) & 0xFF) === 0x8B)
+    val mtime = gz.lastModified()
+    // a bare count() prunes the scan to the internal corrupt-record
+    // column, which the JSON reader disallows as the ONLY referenced
+    // column — touch a data column instead
+    Tables.documentsJsonGz(spark, sf001).agg(max(col("doc_id"))).head
+    assert(gz.lastModified() === mtime, "stamp-guarded staging re-wrote the export")
+  }
+
   test("nationJson round-trips the dim through the JSON contract") {
     val viaJson = Tables.nationJson(spark, sf001)
       .collect().map(r => (r.getInt(0), r.getString(1))).toSet
