@@ -1171,7 +1171,51 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** td25 — the cross-source overlap matrix at SKETCH scale: td20's
+    * documented escape hatch ("at thousands of per-domain feeds the
+    * same matrix runs over dd4's MinHash signatures"), SHIPPED. Each
+    * source gets ONE k-component MinHash signature of the union of its
+    * documents' shingle sets — computed as the component-wise MIN of
+    * the per-document native signatures (min distributes over union, so
+    * the doc-level `minhash_sig` pass is reused verbatim) — and every
+    * source pair's Jaccard is estimated by the matching-component
+    * fraction. Unlike the engine-RNG sketch family this is FULLY
+    * hash-gated: the signature is a deterministic md5-derived property
+    * of the corpus (dd4's discipline), so the estimate itself
+    * cross-engine hash-matches; the ESTIMATOR-vs-exact error is what
+    * the spec bounds.
+    *
+    * Scale: the signature table is S×k cells built by one
+    * map-side-combined aggregate over the exploded doc signatures —
+    * per-source state is k minima however large the source; the pair
+    * join fans on (i, m) matches only, bounded by S²k, never corpus².
+    * This is what replaces td20 when S reaches the thousands: td20's
+    * exact postings join is corpus-sized, this never touches text
+    * again after the one signature pass.
+    */
+  def sourceOverlapSketch(
+      docs: DataFrame, k: Int = 32, n: Int = 3): DataFrame = {
+    val sig = docs
+      .select(col("source"),
+        graft.operators.Dedup.shinglesOf(tokens(col("text")), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("source"),
+        posexplode(call_function("minhash_sig", col("sh"), lit(k)))
+          .as(Seq("i", "m")))
+      .groupBy(col("source"), col("i")).agg(min(col("m")).as("m"))
+    sig.as("a").join(sig.as("b"),
+        col("a.i") === col("b.i") && col("a.m") === col("b.m") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .select(col("source_a"), col("source_b"), col("n_match"),
+        r6(col("n_match").cast("double") / lit(k.toDouble)).as("jaccard_est"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td25_source_overlap_sketch" -> ((s: SparkSession, d: String) =>
+      sourceOverlapSketch(Tables.documents(s, d))),
     "td24_source_drift" -> ((s: SparkSession, d: String) =>
       sourceDrift(Tables.documents(s, d))),
     "td23_vocab_growth" -> ((s: SparkSession, d: String) =>
@@ -1209,6 +1253,32 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // dd4's signature chain (same base hash, same md5-drawn (a,b)) at
+    // the SOURCE grain: min over the source's shingle union, then the
+    // matching-component pair count — the whole estimate is a
+    // deterministic property of the corpus, so it hash-matches
+    "td25_source_overlap_sketch" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |sh AS (SELECT source, unnest(list_distinct(
+         |    [array_to_string(toks[i+1:i+3], ' ')
+         |     FOR i IN range(len(toks)-2)])) AS s
+         |  FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT source,
+         |  ('0x' || substring(md5(s), 1, 13))::BIGINT % 2147483647 AS h FROM sh),
+         |perm AS (SELECT i,
+         |  ('0x' || substring(md5('mh-a:' || i), 1, 13))::BIGINT % 2147483646 + 1 AS a,
+         |  ('0x' || substring(md5('mh-b:' || i), 1, 13))::BIGINT % 2147483647 AS b
+         |  FROM range(32) r(i)),
+         |sig AS (SELECT source, i, min((a * h + b) % 2147483647) AS m
+         |  FROM h CROSS JOIN perm GROUP BY source, i),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    count(*) AS n_match
+         |  FROM sig a JOIN sig b
+         |    ON a.i = b.i AND a.m = b.m AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_match,
+         |  round((CAST(n_match AS DOUBLE) / 32) * 1e6) / 1e6 AS jaccard_est
+         |FROM p ORDER BY source_a, source_b""".stripMargin,
     // the same exact integer A/B sums (HUGEINT = the DECIMAL(38,0)
     // twin), the same closed-form absent-token tail, the same one
     // double division r6-rounded (decimal→double is correctly rounded

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.TextAnalysis
 
@@ -8,6 +9,36 @@ import graft.operators.TextAnalysis
   */
 class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
   import spark.implicits._
+
+  test("td25 sketch overlap: estimates track exact shingle Jaccard; mirror feeds read ~1") {
+    import graft.operators.Dedup
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val est = TextAnalysis.sourceOverlapSketch(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(est.nonEmpty)
+    // exact shingle-set Jaccard per source pair (affordable at sf0.001)
+    val sets = docs
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .collect().groupBy(_.getString(0))
+      .map { case (src, rows) => src -> rows.map(_.getString(1)).toSet }
+    val k = 32
+    est.foreach { case ((a, b), e) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // binomial std at k=32 is ~0.09; 0.35 is a >3-sigma bound
+      assert(math.abs(e - exact) <= 0.35,
+        s"pair ($a,$b): est $e vs exact $exact")
+    }
+    // a mirrored feed must read ~1.0: duplicate one source verbatim
+    import spark.implicits._
+    val m = docs.select(col("source"), col("doc_id"), col("text"))
+      .union(docs.filter(col("source") === "src0")
+        .select(lit("mirror").as("source"), col("doc_id"), col("text")))
+    val withMirror = TextAnalysis.sourceOverlapSketch(m).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(withMirror(("mirror", "src0")) === 1.0,
+      "a verbatim mirror must match on every component")
+  }
 
   test("td24 source drift: exact L1 vs hand-computed distributions, off-feed source maxes") {
     // corpus = {a:4, b:2, z:3}, N=9. s1=s2="a a b" (a 2/3, b 1/3):
