@@ -15,6 +15,18 @@ object Verify {
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
     new java.io.File(outDir).mkdirs()
     def q(s: String): String = "\"" + GraftSession.jsonEscape(s) + "\""
+    // Environment stamp (the Bench contended-gate lesson, r11): a
+    // correctness cycle that ran slow-but-green on a loaded machine must
+    // be attributable after the fact. Same fields, same threshold.
+    locally {
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
+      Files.writeString(Paths.get(s"$outDir/env.json"),
+        s"""{"load_avg_start":$load,"max_load":$maxLoad,""" +
+          s""""contended":${load > maxLoad},""" +
+          s""""n_procs":${Runtime.getRuntime.availableProcessors}}""")
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val errors = selected.flatMap { case (name, fn) =>

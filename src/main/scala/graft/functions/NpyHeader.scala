@@ -69,8 +69,14 @@ object NpyHeader {
   private def quotedValue(hdr: String, key: String): String = {
     val k = hdr.indexOf(s"'$key':")
     if (k < 0) return null
-    val open = hdr.indexOf('\'', k + key.length + 3)
-    if (open < 0) return null
+    // the value must START with a quote (spaces aside): a structured
+    // descr like [('a', '<i4'), ...] is not a simple dtype, and grabbing
+    // its first quoted token would mis-report field name "a" as the
+    // dtype — corrupt-beats-unknown says report null instead
+    var i = k + key.length + 3
+    while (i < hdr.length && hdr.charAt(i) == ' ') i += 1
+    if (i >= hdr.length || hdr.charAt(i) != '\'') return null
+    val open = i
     val close = hdr.indexOf('\'', open + 1)
     if (close < 0) return null
     hdr.substring(open + 1, close)

@@ -440,10 +440,11 @@ object Multimodal {
     // hashes the ORIGINAL parquet text for the staged id prefix — a
     // match proves the file export + binaryFile scan were byte-exact
     "os2_binary_assets" ->
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  md5(text) AS content_md5
-        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  md5(text) AS content_md5
+         |FROM documents WHERE doc_id < ${Tables.Os2AssetCount}
+         |ORDER BY doc_id""".stripMargin,
     // the mm5/mm6 convention: the guard mirrors the engine's FULL
     // classification test (ftyp four-character-code at byte offset 4,
     // inside a 12-byte ASCII-verified prefix so char positions ARE byte

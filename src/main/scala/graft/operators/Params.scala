@@ -692,8 +692,9 @@ object Params {
     // proves the JSON-escape + gzip + decompress + parse chain was
     // byte-exact
     "os3_gzip_jsonl" ->
-      """SELECT doc_id, lang, source, md5(text) AS text_md5
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, lang, source, md5(text) AS text_md5
+         |FROM documents WHERE doc_id < ${Tables.Os3DocCount}
+         |ORDER BY doc_id""".stripMargin,
     "pf1_param_filter" -> oracleSqlFor(defaultParams),
     "pf2_param_filter_alt" -> oracleSqlFor(altParams),
     // pf3 serves from the clean staging, whose rows equal the raw events

@@ -795,9 +795,12 @@ object Similarity {
     * Swapping sim2 for sim3/sim5/sim10 as the candidate side gives the
     * same monitor for any index in the family.
     */
-  def annRecall(emb: DataFrame, k: Int = 5): DataFrame = {
-    val exact = topkExact(emb).select(col("query_id"), col("neighbor_id"))
-    val ann = lshAnn(emb)
+  def annRecall(emb: DataFrame, k: Int = AnnK): DataFrame = {
+    // k feeds BOTH sides and the denominator — recall@k is only
+    // meaningful when the exact list, the candidate list, and the
+    // divisor agree on the depth
+    val exact = topkExact(emb, k = k).select(col("query_id"), col("neighbor_id"))
+    val ann = lshAnn(emb, k = k)
       .select(col("query_id").as("q2"), col("neighbor_id").as("n2"))
     exact.join(ann,
         col("query_id") === col("q2") && col("neighbor_id") === col("n2"),
@@ -808,6 +811,13 @@ object Similarity {
         r6(col("n_hits").cast("double") / lit(k.toDouble)).as("recall"))
       .orderBy(col("query_id"))
   }
+
+  /** The ANN family's top-k depth — single source for [[annRecall]]'s
+    * default AND the sim15 oracle's recall denominator (the
+    * HeadVocabSize pattern); must match the rank<=5 contract the sim1/
+    * sim2 oracle texts encode, which the sim15 CTE wrap inherits.
+    */
+  val AnnK: Int = 5
 
   /** dd24 shared constants — single source for the engine defaults AND
     * the generated oracle literals (the HeadVocabSize pattern).
@@ -1603,7 +1613,7 @@ object Similarity {
          |a AS (${baseOracles("sim2_ann_lsh")})
          |SELECT x.query_id,
          |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
-         |  round((CAST(count(a.neighbor_id) AS DOUBLE) / 5) * 1e6) / 1e6
+         |  round((CAST(count(a.neighbor_id) AS DOUBLE) / $AnnK) * 1e6) / 1e6
          |    AS recall
          |FROM x LEFT JOIN a
          |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id

@@ -17,6 +17,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** os2/os3 staged-prefix sizes — single source for the staging
+    * defaults AND the generated oracle literals (the HeadVocabSize
+    * pattern); the counts also ride in the staging stamps, so changing
+    * either restages and regenerates the oracle together.
+    */
+  val Os2AssetCount: Int = 50
+  val Os3DocCount: Int = 100
+
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   // Reader cache: building a reader re-reads parquet footers and re-lists
@@ -218,16 +226,23 @@ object Tables {
     * ONLY the binaryFile read runs.
     */
   def binaryAssets(spark: SparkSession, sfDir: String,
-      nAssets: Int = 50): DataFrame = {
+      nAssets: Int = Os2AssetCount): DataFrame = {
     val sfName = new java.io.File(sfDir).getName
     val binDir = s"${sys.props("user.dir")}/target/binassets/$sfName/docs"
     val marker = new java.io.File(s"$binDir/_SUCCESS")
     val source = new java.io.File(path(sfDir, "documents"))
     val stampFile = new java.io.File(s"$binDir/_graft_source")
-    val stamp = Staging.sourceStamp(Seq(source))
+    // the count is part of the stamp: a call with a different nAssets
+    // must restage, not silently serve the previously staged prefix
+    val stamp = Staging.sourceStamp(Seq(source)) + s":n=$nAssets"
     if (!marker.exists() || !stampFile.exists() ||
         new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
       new java.io.File(binDir).mkdirs()
+      // clear stale exports first — a shrunk nAssets must not leave
+      // orphan .bin files for the glob to pick up
+      Option(new java.io.File(binDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".bin") || f.getName == "_SUCCESS")
+        .foreach(_.delete())
       // bounded collect: nAssets (doc_id, text) rows, the fixture export
       documents(spark, sfDir).filter(col("doc_id") < nAssets)
         .select(col("doc_id"), col("text")).collect().foreach { r =>
@@ -255,13 +270,15 @@ object Tables {
     * within one.
     */
   def documentsJsonGz(spark: SparkSession, sfDir: String,
-      nDocs: Int = 100): DataFrame = {
+      nDocs: Int = Os3DocCount): DataFrame = {
     val sfName = new java.io.File(sfDir).getName
     val gzDir = s"${sys.props("user.dir")}/target/gzdocs/$sfName/documents"
     val marker = new java.io.File(s"$gzDir/_SUCCESS")
     val source = new java.io.File(path(sfDir, "documents"))
     val stampFile = new java.io.File(s"$gzDir/_graft_source")
-    val stamp = Staging.sourceStamp(Seq(source))
+    // count in the stamp: a different nDocs restages (the write is
+    // mode=overwrite, so no stale-file sweep is needed here)
+    val stamp = Staging.sourceStamp(Seq(source)) + s":n=$nDocs"
     if (!marker.exists() || !stampFile.exists() ||
         new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
       documents(spark, sfDir).filter(col("doc_id") < nDocs)

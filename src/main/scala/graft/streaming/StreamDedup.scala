@@ -235,37 +235,77 @@ object StreamDedup {
     */
   val MaxSurprisalBits: Double = 4.5
 
+  /** st20 LM head size — single source for the engine default AND the
+    * generated oracle literals (the HeadVocabSize pattern). The inlined
+    * LM is CAPPED at this many types (see [[lmArtifact]]); 24 is
+    * deliberately BELOW the staged corpus's 31-type vocabulary so the
+    * pooled-tail branch is live — and therefore hash-gated — at every
+    * test scale, not just in production.
+    */
+  val LmVocabSize: Int = 24
+
+  /** The capped LM artifact shared by st20 and st24: (denom, cTail,
+    * head types with their exact counts). The add-one denominator
+    * N+D+1 is EXACT over the FULL history (two scalar aggregates — it
+    * never rides on the collect), the head is the top-V types by
+    * (count DESC, tok), and every type outside the head — pruned tail
+    * AND genuinely unseen — draws the POOLED tail count
+    * cTail = floor(tailMass / tailTypes) (0 when the head covers the
+    * vocabulary), so the pruned mass is absorbed, not dropped, and the
+    * integer arithmetic stays engine-exact. Driver footprint is V rows
+    * + two scalars REGARDLESS of corpus content — the fix for the
+    * unbounded full-vocabulary collect this replaced: a 100 TB web
+    * corpus's unigram vocabulary is hapax-heavy and effectively
+    * unbounded, so inlining it was a driver OOM and a plan-literal
+    * blow-up; under Zipf the pooled tail mean sits near 1, so the OOV
+    * draw stays close to the add-one ceiling floorlog2(N+D+1) the
+    * uncapped model charged.
+    */
+  private def lmArtifact(histToks: DataFrame): (Long, Long, Array[(String, Long)]) = {
+    val stats = histToks.agg(sum(col("n")).as("mass"), count(lit(1)).as("d")).head
+    val mass = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val d = stats.getLong(1)
+    val head = histToks.orderBy(col("n").desc, col("tok")).limit(LmVocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val denom = mass + d + 1L
+    val cTail =
+      if (d > LmVocabSize) (mass - head.map(_._2).sum) / (d - LmVocabSize)
+      else 0L
+    (denom, cTail, head)
+  }
+
   /** st20 — streaming LM-SURPRISAL gate from a batch-trained language
     * model: td21's CCNet-shape scorer lifted to the admission door. The
     * add-one unigram LM trains ONCE over the frozen history (the st16
-    * split), its integer bits-per-token table — floorlog2((N+D+1) div
-    * (c+1)), exact integer arithmetic, see td21 — is inlined into the
-    * streaming plan as a map literal (the st18 artifact-handoff shape;
-    * vocab here is bounded, and the million-token production path is
-    * the same BROADCAST-join handoff st18 documents via dd13's bloom),
-    * and every arriving doc is scored by one `aggregate` HOF pass:
-    * unknown tokens draw the OOV ceiling floorlog2(N+D+1). An arrival
-    * whose mean surprisal exceeds `maxBitsPerToken` reads as
-    * off-distribution (noise, wrong language, garbage encoding) and is
-    * rejected — the CCNet tail cut running at source throughput:
-    * stateless scan → project → sink, no watermark, no state store, no
-    * shuffle. Empty docs fail closed (NULL score, keep = false), the
-    * st18/st19 posture.
+    * split), and its integer bits-per-token table — floorlog2((N+D+1)
+    * div (c+1)), exact integer arithmetic, see td21 — is inlined into
+    * the streaming plan as a map literal CAPPED at the top
+    * [[LmVocabSize]] types, with the pruned tail pooled into the OOV
+    * draw (see [[lmArtifact]] — the artifact is V rows + two scalars no
+    * matter how large the corpus vocabulary grows; the alternative
+    * production shape for a huge V is td21's broadcast-join handoff).
+    * Every arriving doc is scored by one `aggregate` HOF pass: head
+    * tokens draw their exact bits, everything else draws
+    * floorlog2((N+D+1) div (cTail+1)). An arrival whose mean surprisal
+    * exceeds `maxBitsPerToken` reads as off-distribution (noise, wrong
+    * language, garbage encoding) and is rejected — the CCNet tail cut
+    * running at source throughput: stateless scan → project → sink, no
+    * watermark, no state store, no shuffle. Empty docs fail closed
+    * (NULL score, keep = false), the st18/st19 posture.
     */
   def st20StreamSurprisalGate(
       spark: SparkSession, sfDir: String,
       maxBitsPerToken: Double = MaxSurprisalBits): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
-    // vocab-scale LM collect (the sim7 centroid / st18 vocab pattern)
-    val lm = docs.filter(col("doc_id") < newFrom)
+    // bounded artifact: top-V head rows + two scalar aggs, never the vocab
+    val histToks = docs.filter(col("doc_id") < newFrom)
       .select(explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val denom = lm.map(_._2).sum + lm.length + 1L
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val (denom, cTail, head) = lmArtifact(histToks)
     def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
-    val oovBits = flog2(denom)
-    val bitsMap = map(lm.flatMap { case (t, c) =>
+    val oovBits = flog2(denom / (cTail + 1L))
+    val bitsMap = map(head.flatMap { case (t, c) =>
       Seq(lit(t), lit(flog2(denom / (c + 1L)))) }.toSeq: _*)
     val arrivals = documentStream(spark, sfDir)
       .filter(col("doc_id") >= newFrom)
@@ -356,9 +396,16 @@ object StreamDedup {
     */
   val DecontEvalDocs: Long = 20L
 
+  /** st22/st24 shingle width — single source for the engine default AND
+    * the generated oracle slices (the HeadVocabSize pattern; changing
+    * the width regenerates `toks[i+1:i+n]` and the range bound in the
+    * oracle text with it).
+    */
+  val DecontShingleN: Int = 3
+
   def st22StreamDecontGate(
       spark: SparkSession, sfDir: String, nEval: Long = DecontEvalDocs,
-      n: Int = 3): DataFrame = {
+      n: Int = DecontShingleN): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
     // batch side: the eval suite's set-bit positions (bounded by
@@ -414,16 +461,15 @@ object StreamDedup {
       .orderBy(col("n").desc, col("tok")).limit(TextAnalysis.HeadVocabSize)
       .select(col("tok")).collect().map(_.getString(0))
     val vlit = array(vocab.map(lit(_)): _*)
-    // st20's LM artifact (same add-one bits table)
-    val lm = histToks.collect().map(r => r.getString(0) -> r.getLong(1))
-    val denom = lm.map(_._2).sum + lm.length + 1L
+    // st20's LM artifact (same capped top-V + pooled-tail bits table)
+    val (denom, cTail, head) = lmArtifact(histToks)
     def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
-    val oovBits = flog2(denom)
-    val bitsMap = map(lm.flatMap { case (t, c) =>
+    val oovBits = flog2(denom / (cTail + 1L))
+    val bitsMap = map(head.flatMap { case (t, c) =>
       Seq(lit(t), lit(flog2(denom / (c + 1L)))) }.toSeq: _*)
     // st22's bloom artifact (same eval split, same positions)
     val setBits = Dedup.explodedShingles(
-        docs.filter(col("doc_id") < DecontEvalDocs), 3)
+        docs.filter(col("doc_id") < DecontEvalDocs), DecontShingleN)
       .select(explode(Dedup.bloomPositions(col("s"))).as("p")).distinct()
       .collect().map(_.getLong(0))
     val bits = new Array[Boolean](Dedup.BloomBits.toInt)
@@ -444,7 +490,7 @@ object StreamDedup {
     val gated = documentStream(spark, sfDir)
       .filter(col("doc_id") >= newFrom)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
-        Dedup.shinglesOf(tokens(col("text")), 3).as("shingles"))
+        Dedup.shinglesOf(tokens(col("text")), DecontShingleN).as("shingles"))
       .select(col("doc_id"),
         rules.map(_._2).reduce(_ && _).as("quality_keep"),
         coalesce(oovRate <= lit(0.5), lit(false)).as("oov_keep"),
@@ -521,8 +567,8 @@ object StreamDedup {
       s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
          |t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(
-         |    [array_to_string(toks[i+1:i+3], ' ')
-         |     FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+         |    [array_to_string(toks[i+1:i+$DecontShingleN], ' ')
+         |     FOR i IN range(len(toks)-${DecontShingleN - 1})]) AS shingles FROM t),
          |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
          |ep AS (SELECT DISTINCT p FROM
          |  (SELECT unnest($posList) AS p FROM ex
@@ -613,21 +659,34 @@ object StreamDedup {
     // the arrivals; rate division and the <= 0.5 admission compare are
     // the same IEEE ops, NULL-rate arrivals fail closed in both engines
     // td21's LM/bin-length arithmetic over the frozen history, replayed
-    // against the arrivals; empty docs fail closed; the threshold
-    // literal is generated from MaxSurprisalBits
+    // against the arrivals with the engine's CAPPED head: top-LmVocabSize
+    // types keep their exact counts, every other token — pruned tail and
+    // unseen alike — draws the pooled tail count floor(tailMass /
+    // tailTypes); denominator N+D+1 stays exact over the FULL vocabulary.
+    // Empty docs fail closed; all literals are generated from the shared
+    // constants (MaxSurprisalBits, LmVocabSize)
     "st20_stream_surprisal_gate" ->
       s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
          |ht AS (SELECT unnest(${tokensSql("text")}) AS tok FROM documents
          |  WHERE doc_id < (SELECT v FROM nf)),
          |lm AS (SELECT tok, count(*) AS c FROM ht GROUP BY tok),
-         |tot AS (SELECT CAST(sum(c) + count(*) + 1 AS BIGINT) AS denom FROM lm),
+         |hd AS (SELECT tok, c FROM (
+         |    SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rn
+         |    FROM lm)
+         |  WHERE rn <= $LmVocabSize),
+         |pool AS (SELECT CAST(t.mass + t.d + 1 AS BIGINT) AS denom,
+         |    CAST(CASE WHEN t.d > $LmVocabSize
+         |      THEN (t.mass - h.hmass) // (t.d - $LmVocabSize)
+         |      ELSE 0 END AS BIGINT) AS ctail
+         |  FROM (SELECT coalesce(sum(c), 0) AS mass, count(*) AS d FROM lm) t,
+         |       (SELECT coalesce(sum(c), 0) AS hmass FROM hd) h),
          |a AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
          |  WHERE doc_id >= (SELECT v FROM nf)),
          |x AS (SELECT doc_id, unnest(toks) AS tok FROM a),
          |o AS (SELECT x.doc_id, count(*) AS n,
-         |    CAST(sum(length(bin(denom // (coalesce(c, 0) + 1))) - 1) AS BIGINT)
-         |      AS bits
-         |  FROM x LEFT JOIN lm ON x.tok = lm.tok CROSS JOIN tot
+         |    CAST(sum(length(bin(denom // (coalesce(hd.c, ctail) + 1))) - 1)
+         |      AS BIGINT) AS bits
+         |  FROM x LEFT JOIN hd ON x.tok = hd.tok CROSS JOIN pool
          |  GROUP BY x.doc_id)
          |SELECT a.doc_id, CAST(coalesce(o.n, 0) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(o.bits, 0) AS BIGINT) AS bits,

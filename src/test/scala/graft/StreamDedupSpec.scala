@@ -183,20 +183,28 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     val rows = StreamDedup.st20StreamSurprisalGate(spark, sf001).collect()
     assert(rows.length === 50, "one decision per arrival")
     assert(rows.forall(_.getAs[Long]("doc_id") >= newFrom))
-    // batch twin: history-trained add-one LM, integer bits replay
+    // batch twin: history-trained add-one LM with the CAPPED top-V head
+    // and the pooled-tail OOV draw — re-derived from the FULL vocabulary
+    // here, so the test proves the capped artifact equals what an
+    // unbounded derivation would pool
     import graft.functions.tokens
     val lm = docs.filter(col("doc_id") < newFrom)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val denom = lm.values.sum + lm.size + 1L
+    val v = StreamDedup.LmVocabSize
+    assert(lm.size > v,
+      "the staged vocabulary must exceed LmVocabSize so the pooled-tail branch is live")
+    val head = lm.toSeq.sortBy { case (t, c) => (-c, t) }.take(v).toMap
+    val cTail = (lm.values.sum - head.values.sum) / (lm.size - v)
     def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
     val arr = docs.filter(col("doc_id") >= newFrom)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     rows.foreach { r =>
       val toks = arr(r.getAs[Long]("doc_id"))
-      val bits = toks.map(t => flog2(denom / (lm.getOrElse(t, 0L) + 1L))).sum
+      val bits = toks.map(t => flog2(denom / (head.getOrElse(t, cTail) + 1L))).sum
       assert(r.getAs[Long]("n_tokens") === toks.length.toLong)
       assert(r.getAs[Long]("bits") === bits)
       if (toks.nonEmpty)
