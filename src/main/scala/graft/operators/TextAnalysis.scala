@@ -979,6 +979,21 @@ object TextAnalysis {
   def bpeMerges(spark: SparkSession, docs: DataFrame,
       dictSize: Int = BpeDictSize, nMerges: Int = BpeMerges): DataFrame = {
     import spark.implicits._
+    trainBpeMerges(docs, dictSize, nMerges)
+      .toDF("step", "left_sym", "right_sym", "merged_sym", "pair_count")
+      .orderBy(col("step"))
+  }
+
+  /** The td22 training recurrence as a local value — the merge table
+    * itself, for callers that APPLY it rather than report it: td26's
+    * corpus encode and st25's streaming gate inline these ≤ `nMerges`
+    * (left, right) pairs as replace-literals (the st18 frozen-artifact
+    * handoff). Shared so the applied table is BY CONSTRUCTION the one
+    * td22 reports — a drifted re-derivation would hash-mismatch both.
+    */
+  private[graft] def trainBpeMerges(docs: DataFrame,
+      dictSize: Int = BpeDictSize, nMerges: Int = BpeMerges)
+      : Seq[(Long, String, String, String, Long)] = {
     // bounded-cardinality collect: <= dictSize (512) (word, count) rows
     val dictRows = docs.select(explode(tokens(col("text"))).as("tok"))
       .filter(col("tok").rlike(BpeWordPattern))
@@ -1020,8 +1035,60 @@ object TextAnalysis {
       step += 1
     }
     merges.result()
-      .toDF("step", "left_sym", "right_sym", "merged_sym", "pair_count")
-      .orderBy(col("step"))
+  }
+
+  /** td26 — BPE tokenizer APPLICATION: the missing sequel to td22 — a
+    * pipeline trains a tokenizer once, then tokenizes every document
+    * with it (token accounting is what sequence packing, billing and
+    * context-length curricula all consume). The ≤ `nMerges` trained
+    * merges inline as literal (search, replace) pairs over the same
+    * delimiter-enclosed symbol rendering the td22 oracle uses
+    * (`|c||h||a||t|`), so applying a merge is one `replace` whose
+    * matches are exactly the greedy leftmost non-overlapping
+    * occurrences — the engine and the SQL twin share one formulation.
+    * Per doc: dictionary-admissible word count, total BPE symbol count
+    * after all merges, and their r6 ratio (tokens per word — the
+    * compression the tokenizer achieves; NULL for word-free docs).
+    *
+    * Scale: encode is MAP-ONLY — per word one char-render regexp, a
+    * constant chain of codegen'd `replace` calls and a length
+    * difference, summed per doc by one `aggregate` HOF. No explode, no
+    * join, no shuffle (the verify `orderBy` aside): the ideal 100 TB
+    * shape, source throughput on every executor. The trained table is
+    * a bounded artifact (≤ `nMerges` tiny strings) via the shared
+    * [[trainBpeMerges]] recurrence — the sim7/st18 batch-artifact
+    * handoff, never a vocab-scale collect.
+    */
+  def bpeEncode(spark: SparkSession, docs: DataFrame,
+      dictSize: Int = BpeDictSize, nMerges: Int = BpeMerges): DataFrame = {
+    val pairs = trainBpeMerges(docs, dictSize, nMerges)
+      .map { case (_, l, r, _, _) => (l, r) }
+    val words = filter(tokens(col("text")), w => w.rlike(BpeWordPattern))
+    docs
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L),
+          (acc, w) => acc + bpeSymCount(w, pairs)).as("n_bpe_tokens"))
+      .withColumn("bpe_ratio", r6(col("n_bpe_tokens").cast("double") /
+        nullif(col("n_words").cast("double"), lit(0.0))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Symbol count of one word after applying `pairs` in training order:
+    * render chars as `|c||h|…`, chain one literal `replace` per merge
+    * (greedy leftmost non-overlapping — the td22 oracle semantics),
+    * then count symbols as half the surviving delimiter count. All
+    * codegen'd string expressions; exact because the delimiter count is
+    * always even. Shared by td26 and st25.
+    */
+  private[graft] def bpeSymCount(
+      w: Column, pairs: Seq[(String, String)]): Column = {
+    val rendered = regexp_replace(w, "(.)", "|$1|")
+    val merged = pairs.foldLeft(rendered) { case (s, (l, r)) =>
+      replace(s, lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|"))
+    }
+    ((length(merged) - length(replace(merged, lit("|"), lit("")))) / lit(2))
+      .cast("long")
   }
 
   /** The td22 oracle, generated from the SAME (dictSize, nMerges)
@@ -1039,8 +1106,25 @@ object TextAnalysis {
     * each step is one pass over the bounded dict.
     */
   private def bpeOracleSql(dictSize: Int, nMerges: Int): String = {
+    val unions = (1 to nMerges).map(m =>
+      s"SELECT step, l AS left_sym, r AS right_sym, mg AS merged_sym, " +
+        s"cnt AS pair_count FROM a$m").mkString("\nUNION ALL\n")
+    "WITH " + bpeCtePrefix(dictSize, nMerges) + "\n" + unions +
+      "\nORDER BY step"
+  }
+
+  /** The td22 training chain as a reusable CTE body (no leading WITH):
+    * word dictionary → d0 symbol rendering → one (pairs, argmax,
+    * replace) MATERIALIZED triple per step, leaving a1..a{nMerges} as
+    * the learned merge table. Shared by the td22 oracle, td26's encode
+    * oracle and st25's gate oracle (with `docWhere` restricting the
+    * training corpus to the frozen history split) — the oracle-side
+    * mirror of [[trainBpeMerges]] being shared on the engine side.
+    */
+  private[graft] def bpeCtePrefix(dictSize: Int, nMerges: Int,
+      docWhere: String = ""): String = {
     val base =
-      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents),
+      s"""t AS (SELECT unnest($toksSql) AS tok FROM documents $docWhere),
          |w AS (SELECT tok, count(*) AS c FROM t
          |  WHERE regexp_matches(tok, '$BpeWordPattern') GROUP BY tok),
          |d0 AS MATERIALIZED (SELECT tok, c, '|' || array_to_string(
@@ -1066,10 +1150,33 @@ object TextAnalysis {
          |    coalesce((SELECT '|' || l || r || '|' FROM a$m), chr(1))) AS s
          |  FROM $prev)""".stripMargin
     }
-    val unions = (1 to nMerges).map(m =>
-      s"SELECT step, l AS left_sym, r AS right_sym, mg AS merged_sym, " +
-        s"cnt AS pair_count FROM a$m").mkString("\nUNION ALL\n")
-    base + ",\n" + steps.mkString(",\n") + "\n" + unions + "\nORDER BY step"
+    base + ",\n" + steps.mkString(",\n")
+  }
+
+  /** The td26 oracle: the SAME training chain as td22 (shared
+    * [[bpeCtePrefix]] — encode can never drift from training), then the
+    * corpus re-rendered per (doc, word) with the a1..aN merges applied
+    * as the identical nested replace chain, symbol counts as half the
+    * delimiter count, LEFT-joined back so word-free docs emit (0, 0,
+    * NULL).
+    */
+  private[graft] def bpeEncodeOracleSql(dictSize: Int, nMerges: Int,
+      docWhere: String = "", arrivalWhere: String = ""): String = {
+    val chain = (1 to nMerges).foldLeft(
+      "regexp_replace(w, '(.)', '|\\1|', 'g')") { (s, m) =>
+      s"""replace($s,
+         |    coalesce((SELECT '|' || l || '||' || r || '|' FROM a$m), chr(1)),
+         |    coalesce((SELECT '|' || l || r || '|' FROM a$m), chr(1)))""".stripMargin
+    }
+    s"""${bpeCtePrefix(dictSize, nMerges, docWhere)},
+       |enc AS (SELECT doc_id, $chain AS s
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS w
+       |        FROM documents $arrivalWhere) q
+       |  WHERE regexp_matches(w, '$BpeWordPattern')),
+       |ag AS (SELECT doc_id, count(*) AS nw,
+       |    CAST(sum((length(s) - length(replace(s, '|', ''))) // 2)
+       |      AS BIGINT) AS nb
+       |  FROM enc GROUP BY doc_id)""".stripMargin
   }
 
   /** td23 — vocabulary-GROWTH curve (the Heaps-law diagnostic): distinct
@@ -1214,6 +1321,8 @@ object TextAnalysis {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td26_bpe_encode" -> ((s: SparkSession, d: String) =>
+      bpeEncode(s, Tables.documents(s, d))),
     "td25_source_overlap_sketch" -> ((s: SparkSession, d: String) =>
       sourceOverlapSketch(Tables.documents(s, d))),
     "td24_source_drift" -> ((s: SparkSession, d: String) =>
@@ -1330,6 +1439,16 @@ object TextAnalysis {
     // triple per merge step (see bpeOracleSql), generated from the
     // shared (BpeDictSize, BpeMerges) defaults
     "td22_bpe_merges" -> bpeOracleSql(BpeDictSize, BpeMerges),
+    // td22's training chain verbatim (shared CTE builder), the corpus
+    // re-encoded with the learned a1..aN merges as the same nested
+    // replace chain; word-free docs LEFT-join to (0, 0, NULL)
+    "td26_bpe_encode" ->
+      s"""WITH ${bpeEncodeOracleSql(BpeDictSize, BpeMerges)}
+         |SELECT d.doc_id, CAST(coalesce(ag.nw, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(ag.nb, 0) AS BIGINT) AS n_bpe_tokens,
+         |  round((CAST(ag.nb AS DOUBLE) / ag.nw) * 1e6) / 1e6 AS bpe_ratio
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // the same holdout slice, the same add-one LM, the same exact
     // integer floorlog2 via length(bin(x))-1 (// = DuckDB integral
     // divide); denom cast to BIGINT because DuckDB sums BIGINT into

@@ -432,6 +432,66 @@ object StreamDedup {
       .orderBy(col("doc_id"))
   }
 
+  /** st25 shared threshold — single source for the engine default AND
+    * the generated oracle literal (the HeadVocabSize pattern): the
+    * tokens-per-word admission ceiling. On the staged corpus the
+    * history-trained merges compress in-distribution arrivals well
+    * below it while character-fragmented text (the merges never fire)
+    * sits above — both branches are live, and hash-gated, at every
+    * test scale.
+    */
+  val MaxBpeRatio: Double = 3.8
+
+  /** st25 — streaming SUBWORD-COMPRESSION gate: td26's tokenizer
+    * application lifted to the admission door. The BPE merge table
+    * trains ONCE on the frozen history (the st16 split, via the shared
+    * [[graft.operators.TextAnalysis.trainBpeMerges]] recurrence) and
+    * inlines into the streaming plan as ≤ `BpeMerges` literal
+    * (search, replace) string pairs — the smallest artifact in the
+    * batch→stream handoff set (st16 MinHash keys, st18 vocabulary,
+    * st19 fences, st20 LM, st22 bloom bits, this the merge table).
+    * Each arrival is encoded exactly as td26 encodes the corpus; a doc
+    * whose tokens-per-word ratio exceeds [[MaxBpeRatio]] is text the
+    * tokenizer cannot compress — the merges trained on history never
+    * fire, so the doc fragments to near-characters: wrong language,
+    * obfuscated spam, encoding garbage — the SUBWORD-level complement
+    * to st18's word-level OOV screen (a doc built from rare-but-real
+    * character sequences passes st18's head-vocab test and still fails
+    * here, and vice versa). Stateless scan → project → sink, all
+    * codegen'd string work, no watermark/state/shuffle — source
+    * throughput at any scale. Word-free arrivals FAIL CLOSED (NULL
+    * ratio, keep = false), the st18 posture.
+    */
+  def st25StreamBpeGate(
+      spark: SparkSession, sfDir: String,
+      maxRatio: Double = MaxBpeRatio): DataFrame = {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, sfDir)
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    // bounded artifact: <= BpeMerges tiny string pairs, never the vocab
+    val pairs = TextAnalysis
+      .trainBpeMerges(docs.filter(col("doc_id") < newFrom))
+      .map { case (_, l, r, _, _) => (l, r) }
+    val words = filter(tokens(col("text")),
+      w => w.rlike(TextAnalysis.BpeWordPattern))
+    val arrivals = documentStream(spark, sfDir)
+      .filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"), words.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_words"),
+        aggregate(col("ws"), lit(0L),
+          (acc, w) => acc + TextAnalysis.bpeSymCount(w, pairs))
+          .as("n_bpe_tokens"))
+    val rate = col("n_bpe_tokens").cast("double") /
+      nullif(col("n_words").cast("double"), lit(0.0))
+    val gated = arrivals
+      .withColumn("keep", coalesce(rate <= lit(maxRatio), lit(false)))
+      .withColumn("bpe_ratio", r6(rate))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        col("keep"), col("bpe_ratio"))
+    EventStreams.runToParquet(gated, "st25_sink")
+      .orderBy(col("doc_id"))
+  }
+
   /** st24 — the STREAMING GAUNTLET: the five stateless admission screens
     * (st17 quality, st18 OOV, st20 LM-surprisal, st21 PII, st22
     * decontamination) FUSED into ONE scan → project → sink plan — what
@@ -519,6 +579,8 @@ object StreamDedup {
       ((s: SparkSession, d: String) => st21StreamPiiGate(s, d)),
     "st20_stream_surprisal_gate" ->
       ((s: SparkSession, d: String) => st20StreamSurprisalGate(s, d)),
+    "st25_stream_bpe_gate" ->
+      ((s: SparkSession, d: String) => st25StreamBpeGate(s, d)),
     "st16_stream_dedup_gate" ->
       ((s: SparkSession, d: String) => st16StreamDedupGate(s, d)),
     "st17_stream_quality_gate" ->
@@ -556,6 +618,28 @@ object StreamDedup {
          |ORDER BY d.doc_id""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
+    // td26's training-and-encode chain (shared CTE builder) with the
+    // training corpus restricted to the frozen history split and the
+    // encode restricted to arrivals; word-free arrivals fail closed via
+    // the LEFT join, threshold literal from the shared MaxBpeRatio
+    "st25_stream_bpe_gate" -> {
+      import graft.operators.TextAnalysis
+      s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+         |${TextAnalysis.bpeEncodeOracleSql(
+             TextAnalysis.BpeDictSize, TextAnalysis.BpeMerges,
+             "WHERE doc_id < (SELECT v FROM nf)",
+             "WHERE doc_id >= (SELECT v FROM nf)")}
+         |SELECT d.doc_id, CAST(coalesce(ag.nw, 0) AS BIGINT) AS n_words,
+         |  CAST(coalesce(ag.nb, 0) AS BIGINT) AS n_bpe_tokens,
+         |  CASE WHEN ag.nw IS NULL THEN false
+         |       ELSE (CAST(ag.nb AS DOUBLE) / ag.nw) <= $MaxBpeRatio END
+         |    AS keep,
+         |  round((CAST(ag.nb AS DOUBLE) / ag.nw) * 1e6) / 1e6 AS bpe_ratio
+         |FROM (SELECT doc_id FROM documents
+         |      WHERE doc_id >= (SELECT v FROM nf)) d
+         |LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
     // dd13's position arithmetic verbatim (the bitset probe is
     // bit-for-bit the position-set membership: bit p is set iff p is in
     // the eval position set), arrivals split at the st16 boundary,

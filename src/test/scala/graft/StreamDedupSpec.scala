@@ -227,6 +227,65 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("st25: streaming BPE gate == batch replay of the history-trained merges; thresholds bind") {
+    import graft.operators.TextAnalysis
+    import graft.functions.tokens
+    val docs = Tables.documents(spark, sf001)
+    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val rows = StreamDedup.st25StreamBpeGate(spark, sf001).collect()
+    assert(rows.length === 50, "one decision per arrival")
+    assert(rows.forall(_.getAs[Long]("doc_id") >= newFrom))
+    // batch twin: the shared recurrence on the history split, merges
+    // applied locally with the textbook greedy-leftmost loop — an
+    // INDEPENDENT formulation of the engine's replace-chain encode
+    val pairs = TextAnalysis
+      .trainBpeMerges(docs.filter(col("doc_id") < newFrom))
+      .map { case (_, l, r, _, _) => (l, r) }
+    assert(pairs.nonEmpty, "history must train at least one merge")
+    def enc(w: String): Long = {
+      var syms = w.map(_.toString).toArray
+      pairs.foreach { case (l, r) =>
+        val out = Array.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms.length.toLong
+    }
+    val arr = docs.filter(col("doc_id") >= newFrom)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      val words = arr(r.getAs[Long]("doc_id"))
+        .filter(_.matches(TextAnalysis.BpeWordPattern))
+      val nb = words.map(enc).sum
+      assert(r.getAs[Long]("n_words") === words.length.toLong)
+      assert(r.getAs[Long]("n_bpe_tokens") === nb)
+      if (words.nonEmpty)
+        assert(r.getAs[Boolean]("keep") ===
+          (nb.toDouble / words.length <= StreamDedup.MaxBpeRatio))
+      else assert(r.getAs[Boolean]("keep") === false,
+        "word-free arrival must fail closed")
+    }
+    // the staged corpus exercises BOTH decisions at the default ceiling
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+    // the threshold BINDS both directions: 0 rejects everything, an
+    // infinite budget admits exactly the word-bearing arrivals
+    val strict = StreamDedup.st25StreamBpeGate(spark, sf001, maxRatio = 0.0)
+      .collect()
+    assert(strict.forall(!_.getAs[Boolean]("keep")))
+    val loose = StreamDedup.st25StreamBpeGate(spark, sf001, maxRatio = 1e9)
+      .collect()
+    loose.foreach { r =>
+      assert(r.getAs[Boolean]("keep") === (r.getAs[Long]("n_words") > 0L))
+    }
+  }
+
   test("st19: streaming anomaly gate == batch fence replay; fences come from history only") {
     import graft.operators.Analytics
     val events = Tables.events(spark, sf001)

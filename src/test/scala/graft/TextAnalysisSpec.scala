@@ -108,6 +108,44 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       (2L, "aa", "a", "aaa", 5L)))
   }
 
+  test("td26 BPE encode: hand-computed symbol counts under the trained merges; word-free docs emit (0, 0, NULL)") {
+    // the td22 Sennrich corpus ⇒ merges (e,s), (es,t), (l,o); after
+    // them: low → [lo,w]=2, lower → [lo,w,e,r]=4, newest → [n,e,w,est]=4,
+    // widest → [w,i,d,est]=4. doc 3 has no dictionary-admissible words.
+    val docs = Seq(
+      (1L, "low low low lower lower newest newest"),
+      (2L, "newest newest widest widest low"),
+      (3L, "!!! 123 ???")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bpeEncode(spark, docs, dictSize = 512, nMerges = 3)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 7L, 3 * 2 + 2 * 4 + 2 * 4L),   // 22
+          (2L, 5L, 2 * 4 + 2 * 4 + 2L),        // 18
+          (3L, 0L, 0L)))
+    assert(math.abs(rows(0).getDouble(3) - 3.142857) < 1e-9)
+    assert(math.abs(rows(1).getDouble(3) - 3.6) < 1e-9)
+    assert(rows(2).isNullAt(3), "word-free doc has NULL ratio")
+  }
+
+  test("td26 BPE encode: zero merges count characters; more merges never increase the count; floor is n_words") {
+    val docs = Seq((1L, "banana bandana"), (2L, "abracadabra")).toDF("doc_id", "text")
+    val chars = TextAnalysis.bpeEncode(spark, docs, dictSize = 512, nMerges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(chars === Map(1L -> ("banana".length + "bandana".length).toLong,
+      2L -> "abracadabra".length.toLong))
+    var prev = chars
+    for (m <- 1 to 4) {
+      val cur = TextAnalysis.bpeEncode(spark, docs, dictSize = 512, nMerges = m)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      cur.foreach { case (id, nb) =>
+        assert(nb <= prev(id), s"merge $m must not grow doc $id")
+      }
+      prev = cur
+    }
+    // every word stays at least one symbol
+    assert(prev.values.forall(_ >= 1L))
+  }
+
   test("td6 quality filter: each rule binds on its crafted violation, keep is the conjunction") {
     val good = (("the quick brown fox jumps over a lazy dog near the riverbank " * 3).trim)
     val docs = Seq(
