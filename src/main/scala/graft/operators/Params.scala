@@ -411,6 +411,54 @@ object Params {
   def sa11EpochOrderQ(spark: SparkSession, sfDir: String): DataFrame =
     sa11EpochOrder(Tables.documents(spark, sfDir))
 
+  /** sa12 shared constants — single source for the engine defaults AND
+    * the generated oracle literals (the HeadVocabSize pattern).
+    */
+  val GroupSplitHoldoutPct: Int = 20
+  val GroupSplitSalt: String = "graft-groupsplit-v1"
+
+  /** sa12 — LEAKAGE-SAFE train/holdout split: sa3's hash-bucket split
+    * moved from the DOCUMENT grain to the DEDUP-CLUSTER grain. A
+    * per-doc hash split routes members of the same near-duplicate
+    * family to BOTH sides — the held-out half then "evaluates" on
+    * near-copies of training documents, and the measured loss is
+    * memorization, not generalization (the classic leakage bug every
+    * serious LLM eval post-mortem finds). Here the split key is the
+    * doc's dd8 cluster representative (its own id when unclustered), so
+    * an entire near-dup family lands on ONE side by construction — the
+    * invariant is structural, not statistical.
+    *
+    * Composition: labels come from the PERSISTED dd8 artifact
+    * ([[Dedup.clusterLabels]] — build-once, spec-stamped), so the split
+    * costs one join against a label table that is small relative to the
+    * corpus (it holds only clustered docs); AQE broadcasts it when the
+    * dup fraction allows and shuffle-joins on doc_id otherwise — both
+    * sides already key on doc_id, no extra repartition. The bucket
+    * arithmetic is sa3's exact integer md5 % 100 on the GROUP id, so
+    * membership is deterministic across engines, re-runs and layouts.
+    */
+  def sa12LeakageSafeSplit(
+      docs: DataFrame, labels: DataFrame,
+      holdoutPct: Int = GroupSplitHoldoutPct,
+      salt: String = GroupSplitSalt): DataFrame = {
+    val grouped = docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("rep_id")), Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("rep_id"), col("doc_id")))
+    val bucket = conv(
+      substring(md5(concat(lit(s"$salt:"), col("group_id").cast("string"))),
+        1, 15), 16, 10).cast("long") % 100
+    grouped
+      .select(col("doc_id"), col("group_id"), bucket.as("bucket"))
+      .select(col("doc_id"), col("group_id"), col("bucket"),
+        when(col("bucket") < holdoutPct, "holdout").otherwise("train")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sa12LeakageSafeSplitQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa12LeakageSafeSplit(Tables.documents(spark, sfDir),
+      Dedup.clusterLabels(spark, sfDir))
+
   /** sa7 — EXACT-N deterministic sample via bottom-k on a salted hash:
     * order every doc by its salted-md5 uniform draw and keep the k
     * smallest. This is the exact-n sampler sa1 cannot be — sa1's
@@ -684,6 +732,7 @@ object Params {
     "sa9_pack_greedy" -> (sa9PackGreedyQ _),
     "sa10_stratum_bottomk" -> (sa10StratumBottomKQ _),
     "sa11_epoch_order" -> (sa11EpochOrderQ _),
+    "sa12_leakage_safe_split" -> (sa12LeakageSafeSplitQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
@@ -736,6 +785,39 @@ object Params {
          |  row_number() OVER (PARTITION BY epoch ORDER BY u, doc_id)
          |    AS shuffle_rank
          |FROM u ORDER BY epoch, doc_id""".stripMargin,
+    // the dd8/dd9 connected-component derivation verbatim (same
+    // shingling, DF cap, jaccard threshold, min-label closure), then
+    // sa3's exact integer bucket arithmetic keyed on the GROUP id —
+    // literals from the shared (GroupSplitHoldoutPct, GroupSplitSalt)
+    "sa12_leakage_safe_split" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |          FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS (SELECT doc_a, doc_b
+         |          FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |reps AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id),
+         |g AS (SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id),
+         |b AS (SELECT doc_id, group_id,
+         |  ('0x' || substring(md5('$GroupSplitSalt:' || CAST(group_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+         |  FROM g)
+         |SELECT doc_id, group_id, bucket,
+         |  CASE WHEN bucket < $GroupSplitHoldoutPct THEN 'holdout'
+         |       ELSE 'train' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     "sa4_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id, len(${tokensSql("text")}) AS w FROM documents),
          |s AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM t),

@@ -217,6 +217,57 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sa12: no near-dup family straddles the split; unclustered docs split on their own id; deterministic") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf001)
+    val labels = Dedup.clusterLabels(spark, sf001)
+    val rows = Params.sa12LeakageSafeSplit(docs, labels).collect()
+    assert(rows.length === 500, "one verdict per document")
+    val split = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    val group = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // THE invariant: every member of a dedup cluster carries its
+    // representative's group and therefore its representative's split —
+    // the leakage a per-doc hash split permits is structurally impossible
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(lab.nonEmpty, "the staged corpus must have dup clusters")
+    lab.foreach { case (doc, rep) =>
+      assert(group(doc) === rep, s"doc $doc must group under its rep $rep")
+      assert(split(doc) === split(rep),
+        s"doc $doc and its rep $rep must land on the same side")
+    }
+    // unclustered docs are their own singleton group
+    val clustered = lab.map(_._1).toSet
+    group.foreach { case (doc, g) =>
+      if (!clustered.contains(doc)) assert(g === doc)
+    }
+    // both sides are populated and the per-GROUP rate tracks the 20%
+    // bucket cut (group-grain, not doc-grain — clusters move in blocks)
+    val groups = rows.map(r => (r.getLong(1), r.getString(3))).distinct
+    val hold = groups.count(_._2 == "holdout")
+    assert(hold > 0 && hold < groups.length)
+    // determinism: same inputs, same verdicts
+    val again = Params.sa12LeakageSafeSplit(docs, labels).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again === split)
+    // the leakage this prevents is REAL on the staged corpus: at least
+    // one cluster's members would be separated by the naive per-doc
+    // sa3-style bucket on the same salt
+    def docBucket(id: Long): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${Params.GroupSplitSalt}:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.substring(0, 15), 16) % 100
+    }
+    val naiveSeparates = lab.exists { case (doc, rep) =>
+      doc != rep &&
+        (docBucket(doc) < Params.GroupSplitHoldoutPct) !=
+        (docBucket(rep) < Params.GroupSplitHoldoutPct)
+    }
+    assert(naiveSeparates,
+      "the corpus must contain a cluster the naive split would leak")
+  }
+
   test("sa4: weighted sample is deterministic, near-target-sized, and weight-monotone") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val a = Params.sa4WeightedSample(docs).collect()
