@@ -1196,6 +1196,77 @@ object Similarity {
       qEmb, k)
   }
 
+  /** sim16 — PQ QUANTIZATION-DISTORTION monitor: per subspace, the mean
+    * squared error between each vector slice and its nearest codebook
+    * entry — the codebook-staleness signal that pairs with sim15's
+    * recall monitor (ARTIFACTS.md rule 3): recall tells you the END
+    * effect of a stale quantizer, distortion tells you WHICH subspace's
+    * codebook drifted and by how much, before recall visibly degrades.
+    * Production vector stores track exactly this pair (FAISS's
+    * imbalance/quantization-error stats).
+    *
+    * Hash-gated like sim9: the per-(vector, subspace) error
+    * ‖xⱼ − c‖² = xⱼ·xⱼ + (c·c − 2·xⱼ·c) is quantized to the 1e-6
+    * integer grid ([[qround]]) BEFORE aggregation, so the per-subspace
+    * sum is a SUM OF INTEGERS — exact at any accumulation order in both
+    * engines; the mean divides once at the end (r6). The argmin reuses
+    * the encode's score expression, so the monitored distortion is BY
+    * CONSTRUCTION the one the sim9 index actually incurs.
+    *
+    * Scale: one stateless map pass over the corpus (codebook literals,
+    * no join) + one m-row aggregate — map-side-combined, shuffle
+    * carries m rows per partition. Linear, skew-free, artifact-bounded.
+    */
+  def pqDistortion(
+      spark: SparkSession, sfDir: String, m: Int = 4, ks: Int = 16,
+      pqIters: Int = 3, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val cbs = ensurePqCodebooks(spark, sfDir, m, ks, pqIters, dim)
+    val x = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    val errs = (0 until m).map { j =>
+      val xj = slice(col("x"), j * sub + 1, sub)
+      val scored = cbs(j).map { case (cid, c) =>
+        val cv = typedLit(c)
+        struct((dot(cv, cv) - lit(2.0) * dot(xj, cv)).as("s"),
+          lit(cid).as("c"))
+      }
+      val best = array_min(array(scored: _*)).getField("s")
+      qround((dot(xj, xj) + best) * lit(1e6)).cast("long")
+    }
+    x.select(posexplode(array(errs: _*)).as(Seq("j", "e")))
+      .groupBy(col("j"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("e")).as("sum_err_q"))
+      .select(col("j"), col("n_vecs"), col("sum_err_q"),
+        r6(col("sum_err_q").cast("double") / col("n_vecs") / lit(1e6))
+          .as("mean_sq_err"))
+      .orderBy(col("j"))
+  }
+
+  /** sim16's oracle: the shared [[pqLloydSqlPrefix]] codebook chain,
+    * then the same min-score + grid-quantize + integer-sum arithmetic.
+    * The error expression parenthesizes EXACTLY as the engine's
+    * `xx + (cc − 2xc)` — double addition is not associative, and the
+    * grid quantization happens per row in both engines, so the sums
+    * compare as integers.
+    */
+  private def pqDistortionSql(
+      m: Int = 4, ks: Int = 16, iters: Int = 3, dim: Int = 64): String = {
+    val err = "(list_dot_product(v, v) + s)"
+    s"""${pqLloydSqlPrefix(m, ks, iters, dim)},
+       |sc AS (SELECT sv.vec_id, sv.j, sv.v,
+       |    min(list_dot_product(c.c, c.c) - 2 * list_dot_product(sv.v, c.c)) AS s
+       |  FROM sv JOIN c$iters c ON c.j = sv.j
+       |  GROUP BY sv.vec_id, sv.j, sv.v),
+       |er AS (SELECT j, CAST(${qrSql(err, "1000000.0")} AS BIGINT) AS e
+       |  FROM sc)
+       |SELECT j, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(e) AS BIGINT) AS sum_err_q,
+       |  round((CAST(sum(e) AS DOUBLE) / count(*) / 1000000.0) * 1e6) / 1e6
+       |    AS mean_sq_err
+       |FROM er GROUP BY j ORDER BY j""".stripMargin
+  }
+
   // --------------------------------------------------------------- sim10
 
   /** Canonical location of the IVFPQ index artifact: residual codebooks
@@ -1521,6 +1592,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim11_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(Tables.embeddings(s, d))),
     "sim9_pq_topk" -> ((s: SparkSession, d: String) => pqTopk(s, d)),
+    "sim16_pq_distortion" ->
+      ((s: SparkSession, d: String) => pqDistortion(s, d)),
     "sim10_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfpqTopk(s, d)),
     "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
       quantizedTopk(Tables.embeddings(s, d))),
@@ -1666,6 +1739,9 @@ object Similarity {
     // the m-subspace Lloyd chain, deterministic encode, integer LUT sums,
     // top-nCand cut and exact verify — see pqTopkSql
     "sim9_pq_topk" -> pqTopkSql(),
+    // the shared Lloyd prefix + the engine's exact (xx + (cc - 2xc))
+    // parenthesization, grid-quantized per row, integer sums per subspace
+    "sim16_pq_distortion" -> pqDistortionSql(),
     // coarse chain + residual-PQ chain + probed-cell integer ADC — see
     // ivfPqTopkSql
     "sim10_ivfpq_topk" -> ivfPqTopkSql(),
@@ -1944,12 +2020,21 @@ object Similarity {
     * approximate scores, the (iscore DESC, neighbor_id) top-nCand cut,
     * and the shared exact-cosine verify tail.
     */
-  private def pqTopkSql(
-      m: Int = 4, ks: Int = 16, iters: Int = 3, dim: Int = 64,
-      nQueries: Int = 20, nCand: Int = 40): String = {
+  /** The sim9 oracle helper: round-half-away-from-zero on a scaled
+    * value — the SQL twin of [[qround]].
+    */
+  private def qrSql(e: String, scale: String): String =
+    s"sign($e * $scale) * floor(abs($e * $scale) + 0.5)"
+
+  /** The per-subspace quantized-Lloyd CTE chain (e/sv/c0 + one
+    * (assign, means, update) triple per iteration, leaving `c$iters` as
+    * the trained codebooks) — shared by the sim9 oracle and sim16's
+    * distortion-monitor oracle, the oracle-side mirror of
+    * [[ensurePqCodebooks]] being shared on the engine side.
+    */
+  private def pqLloydSqlPrefix(
+      m: Int, ks: Int, iters: Int, dim: Int): String = {
     val sub = dim / m
-    def qr(e: String, scale: String) =
-      s"sign($e * $scale) * floor(abs($e * $scale) + 0.5)"
     val base =
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |sv AS (SELECT e.vec_id, CAST(t.j AS INT) AS j,
@@ -1966,7 +2051,7 @@ object Similarity {
          |        c.cid) AS rn
          |    FROM sv JOIN c${i - 1} c ON c.j = sv.j) WHERE rn = 1),
          |m$i AS (SELECT j, cell, p, count(*) AS n,
-         |    sum(CAST(${qr("v[p]", "1000000000000.0")} AS HUGEINT)) AS s
+         |    sum(CAST(${qrSql("v[p]", "1000000000000.0")} AS HUGEINT)) AS s
          |  FROM a$i, range(1, ${sub + 1}) t(p) GROUP BY j, cell, p),
          |c$i AS (SELECT pc.j, pc.cid, coalesce(nc.c, pc.c) AS c
          |  FROM c${i - 1} pc LEFT JOIN (
@@ -1977,8 +2062,15 @@ object Similarity {
          |      FROM m$i) GROUP BY j, cell) nc
          |    ON nc.j = pc.j AND nc.cell = pc.cid)""".stripMargin
     }.mkString(",\n")
-    s"""$base,
-       |$steps,
+    s"$base,\n$steps"
+  }
+
+  private def pqTopkSql(
+      m: Int = 4, ks: Int = 16, iters: Int = 3, dim: Int = 64,
+      nQueries: Int = 20, nCand: Int = 40): String = {
+    val sub = dim / m
+    def qr(e: String, scale: String) = qrSql(e, scale)
+    s"""${pqLloydSqlPrefix(m, ks, iters, dim)},
        |codes AS (SELECT vec_id, j, cid AS code FROM (
        |    SELECT sv.vec_id, sv.j, c.cid,
        |      row_number() OVER (PARTITION BY sv.vec_id, sv.j ORDER BY

@@ -575,6 +575,31 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("td26: BPE encode is map-only — the replace chain never shuffles a fact row") {
+    // encode = per-word render + constant replace chain + HOF sum: any
+    // Exchange beyond the verify sort would mean the tokenizer started
+    // shuffling the corpus to apply a per-row string function
+    val p = plan(TextAnalysis.bpeEncode(spark,
+      Tables.documents(spark, sf001)))
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"map-only encode picked up a data shuffle:\n$p")
+    // the trained merges are plan LITERALS (the frozen-artifact handoff),
+    // not a join against a merge table
+    assert(!p.contains("Join"), s"encode must not join the merge table:\n$p")
+  }
+
+  test("sa12: leakage-safe split is ONE label join — group arithmetic never reshuffles the corpus") {
+    import graft.operators.Dedup
+    val p = plan(Params.sa12LeakageSafeSplit(
+      Tables.documents(spark, sf001), Dedup.clusterLabels(spark, sf001)))
+    // exactly one join (docs ⋈ labels); the bucket/split derivation is
+    // per-row projection on its output
+    val joins = p.linesIterator.count(_.matches("\\(\\d+\\) [A-Za-z]*Join.*"))
+    assert(joins === 1, s"split must cost exactly the label join:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"non-equi fallback:\n$p")
+  }
+
   test("dd15: the verify never re-derives candidates — one minhash lineage, no cartesian") {
     val p = plan(Dedup.minhashVerifiedPairs(Tables.documents(spark, sf001)))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

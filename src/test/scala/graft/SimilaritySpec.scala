@@ -298,6 +298,42 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     info(f"derived-k (k=$k) recall at 4/$k cells: $recall%.2f")
   }
 
+  test("sim16 PQ distortion: matches an independent local recompute against the persisted codebooks") {
+    val (m, ks, iters, dim) = (4, 16, 3, 64)
+    val sub = dim / m
+    val rows = Similarity.pqDistortion(spark, sf001).collect()
+    assert(rows.length === m, "one row per subspace")
+    assert(rows.map(_.getInt(0)).toSeq === (0 until m), "ordered by j")
+    // independent replay: plain Scala loops over the same persisted
+    // codebooks and raw vectors — min-score argmin, the engine's exact
+    // xx + (cc − 2xc) parenthesization, grid quantize, integer sum
+    val cbs = Similarity.ensurePqCodebooks(spark, sf001, m, ks, iters, dim)
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(functions.col("vec_id"),
+        functions.col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](1).toArray)
+    def d(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((acc, i) => acc + a(i) * b(i))
+    for (j <- 0 until m) {
+      var sum = 0L
+      vecs.foreach { v =>
+        val xj = v.slice(j * sub, (j + 1) * sub)
+        val best = cbs(j).map { case (_, c) =>
+          val cv = c.toArray; d(cv, cv) - 2.0 * d(xj, cv)
+        }.min
+        val e = (d(xj, xj) + best) * 1e6
+        sum += (math.signum(e) * math.floor(math.abs(e) + 0.5)).toLong
+      }
+      val r = rows(j)
+      assert(r.getLong(1) === vecs.length.toLong)
+      assert(r.getLong(2) === sum,
+        s"subspace $j integer error sum must match the local replay")
+      assert(r.getLong(2) >= 0L, "squared error is nonnegative")
+      val mean = math.round((sum.toDouble / vecs.length / 1e6) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - mean) < 1e-12)
+    }
+  }
+
   test("sim9 PQ top-k: recall floor vs sim1, deterministic, exact cosines, codebook artifact reused") {
     val emb = Tables.embeddings(spark, sf001)
     val rows = Similarity.pqTopk(spark, sf001).collect()
