@@ -1267,6 +1267,60 @@ object Similarity {
        |FROM er GROUP BY j ORDER BY j""".stripMargin
   }
 
+  /** sim17 — IVF CELL-IMBALANCE monitor: FAISS's imbalance factor
+    * `k · Σ nᶜ² / N²` over the learned-IVF assignment — 1.0 is perfect
+    * balance, and every unit above it multiplies the EXPECTED probe
+    * cost (a probe lands in a cell with probability nᶜ/N and then scans
+    * nᶜ rows, so expected scan = Σ nᶜ²/N = imbalance · N/k). This is
+    * the TAIL-LATENCY signal beside sim15 (recall) and sim16
+    * (distortion): a skewing corpus fattens hot cells long before
+    * recall moves, and the fix — retrain with larger k or split the hot
+    * cell — is a batch job over the same [[ensureLearnedIvf]] entry
+    * point (whose oversized-cell guard is the alarm form of this
+    * monitor; this is the continuous, hash-gated metric form).
+    *
+    * Exact and hash-gated: counts are integers, Σ nᶜ² is a BIGINT sum
+    * (fits as long as cells stay within ~10⁶× of the derived target —
+    * comfortably at any realistic skew), and the single division
+    * happens once at the end (r6, identical parenthesization in the
+    * twin). One aggregate over the cell-partitioned index — k-scale
+    * work, no corpus scan (the partition column is all it reads).
+    */
+  def cellImbalance(
+      spark: SparkSession, sfDir: String, kCells: Int = 0,
+      iters: Int = 5): DataFrame = {
+    val path = ensureLearnedIvf(spark, sfDir, kCells, iters)
+    val k = spark.read.parquet(s"$path/centroids").count()
+    val cs = spark.read.parquet(s"$path/cells")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val kd = lit(k).cast("double")
+    cs.agg(count(lit(1)).as("nonempty_cells"), sum(col("n")).as("n_vecs"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(lit(k).as("k_cells"), col("nonempty_cells"), col("n_vecs"),
+        col("sum_sq"),
+        r6((kd * col("sum_sq").cast("double") / col("n_vecs").cast("double"))
+          / col("n_vecs").cast("double")).as("imbalance"))
+  }
+
+  /** sim17's oracle: the shared unrolled-Lloyd chain re-derives the
+    * full-corpus assignment (`a6`), then the same integer cell counts
+    * and the identical ((k·Σn²/N)/N) parenthesization.
+    */
+  private def cellImbalanceSql(iters: Int = 5, dim: Int = 64): String =
+    s"""${lloydCellsSql(0, iters, dim, "")},
+       |cs AS (SELECT cell, count(*) AS n FROM a${iters + 1} GROUP BY cell),
+       |kk AS (SELECT count(*) AS k FROM c$iters)
+       |SELECT CAST(kk.k AS BIGINT) AS k_cells,
+       |  CAST((SELECT count(*) FROM cs) AS BIGINT) AS nonempty_cells,
+       |  CAST((SELECT sum(n) FROM cs) AS BIGINT) AS n_vecs,
+       |  CAST((SELECT sum(n * n) FROM cs) AS BIGINT) AS sum_sq,
+       |  round(((CAST(kk.k AS DOUBLE)
+       |      * (SELECT CAST(sum(n * n) AS DOUBLE) FROM cs)
+       |      / (SELECT CAST(sum(n) AS DOUBLE) FROM cs))
+       |    / (SELECT CAST(sum(n) AS DOUBLE) FROM cs)) * 1e6) / 1e6
+       |    AS imbalance
+       |FROM kk""".stripMargin
+
   // --------------------------------------------------------------- sim10
 
   /** Canonical location of the IVFPQ index artifact: residual codebooks
@@ -1594,6 +1648,8 @@ object Similarity {
     "sim9_pq_topk" -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "sim16_pq_distortion" ->
       ((s: SparkSession, d: String) => pqDistortion(s, d)),
+    "sim17_cell_imbalance" ->
+      ((s: SparkSession, d: String) => cellImbalance(s, d)),
     "sim10_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfpqTopk(s, d)),
     "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
       quantizedTopk(Tables.embeddings(s, d))),
@@ -1742,6 +1798,9 @@ object Similarity {
     // the shared Lloyd prefix + the engine's exact (xx + (cc - 2xc))
     // parenthesization, grid-quantized per row, integer sums per subspace
     "sim16_pq_distortion" -> pqDistortionSql(),
+    // the shared Lloyd chain re-derives the assignment; integer counts,
+    // one r6 division with the engine's parenthesization
+    "sim17_cell_imbalance" -> cellImbalanceSql(),
     // coarse chain + residual-PQ chain + probed-cell integer ADC — see
     // ivfPqTopkSql
     "sim10_ivfpq_topk" -> ivfPqTopkSql(),

@@ -334,6 +334,29 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sim17 cell imbalance: matches a local replay over the persisted index, bounded below by 1") {
+    val rows = Similarity.cellImbalance(spark, sf001).collect()
+    assert(rows.length === 1)
+    val r = rows(0)
+    // independent replay over the same persisted cell index
+    val path = Similarity.ensureLearnedIvf(spark, sf001, 0, 5)
+    val k = spark.read.parquet(s"$path/centroids").count()
+    val counts = spark.read.parquet(s"$path/cells")
+      .groupBy(functions.col("cell")).count()
+      .collect().map(_.getLong(1))
+    assert(r.getLong(0) === k)
+    assert(r.getLong(1) === counts.length.toLong)
+    assert(r.getLong(2) === counts.sum)
+    assert(r.getLong(3) === counts.map(n => n * n).sum)
+    val n = counts.sum.toDouble
+    val imb = math.round(((k.toDouble * counts.map(c => c * c).sum / n) / n)
+      * 1e6) / 1e6
+    assert(math.abs(r.getDouble(4) - imb) < 1e-12)
+    // Cauchy–Schwarz floor: k · Σn²/N² ≥ k / nonempty ≥ 1
+    assert(r.getDouble(4) >= 1.0 - 1e-6,
+      "imbalance below its mathematical floor")
+  }
+
   test("sim9 PQ top-k: recall floor vs sim1, deterministic, exact cosines, codebook artifact reused") {
     val emb = Tables.embeddings(spark, sf001)
     val rows = Similarity.pqTopk(spark, sf001).collect()
