@@ -790,12 +790,19 @@ object Dedup {
     * case-insensitive.
     */
   def canonicalizeUrl(u: Column): Column = {
-    val noFrag = regexp_replace(u, "#.*$", "")
-    val noQuery = regexp_replace(noFrag, "\\?.*$", "")
+    // (?s) + no '$': strip from the first marker to the ABSOLUTE end.
+    // Java's '$' matches before a FINAL LINE TERMINATOR while RE2's is
+    // end-of-text, so a '$'-anchored strip diverges between engine and
+    // oracle — and is non-idempotent — on URLs ending in '\n' (found by
+    // the TextParserProps fuzz property; crawl frontiers do carry such
+    // garbage). Dotall '.*' with no anchor reads "leftmost marker to end
+    // of input" identically in both engines.
+    val noFrag = regexp_replace(u, "(?s)#.*", "")
+    val noQuery = regexp_replace(noFrag, "(?s)\\?.*", "")
     val https = regexp_replace(noQuery, "(?i)^https?://", "https://")
     val noWww = regexp_replace(https, "(?i)^https://www\\.", "https://")
     val host = lower(regexp_extract(noWww, "^https://([^/]*)", 1))
-    val path = regexp_extract(noWww, "^https://[^/]*(.*)$", 1)
+    val path = regexp_extract(noWww, "(?s)^https://[^/]*(.*)", 1)
     when(u.rlike("(?i)^https?://"),
       rtrim(concat(lit("https://"), host, path), "/"))
       .otherwise(u)
@@ -808,11 +815,11 @@ object Dedup {
     */
   private[graft] def canonicalizeUrlSql(expr: String): String = {
     val stripped = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      s"$expr, '#.*$$', ''), '\\?.*$$', ''), '(?i)^https?://', 'https://'), " +
+      s"$expr, '(?s)#.*', ''), '(?s)\\?.*', ''), '(?i)^https?://', 'https://'), " +
       "'(?i)^https://www\\.', 'https://')"
     val canon =
       s"rtrim('https://' || lower(regexp_extract($stripped, '^https://([^/]*)', 1))" +
-        s" || regexp_extract($stripped, '^https://[^/]*(.*)$$', 1), '/')"
+        s" || regexp_extract($stripped, '(?s)^https://[^/]*(.*)', 1), '/')"
     // non-http(s) URLs pass through verbatim — mirror of the Column form
     s"(CASE WHEN regexp_matches($expr, '(?i)^https?://') THEN $canon ELSE $expr END)"
   }
