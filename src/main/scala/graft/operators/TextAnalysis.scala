@@ -941,10 +941,16 @@ object TextAnalysis {
   val BpeMerges: Int = 8
   /** Dictionary admission pattern: plain lowercase words only, so merge
     * symbols can never contain the `|` delimiter the oracle's
-    * string-rendering of a symbol sequence relies on. Anchored, class-only
-    * — Java and RE2 agree.
+    * string-rendering of a symbol sequence relies on. End-anchored with
+    * `\z` (absolute end of input), not `$`: Java's `$` also matches
+    * BEFORE a final line terminator while RE2's does not, so a
+    * `$`-anchored admission would accept "abc\n" in the engine and
+    * reject it in the oracle — unreachable through the tokenizer (tokens
+    * cannot contain whitespace) but divergence-proof against any future
+    * caller (the dd20 lesson, applied preemptively; both engines support
+    * `\z` with identical semantics).
     */
-  val BpeWordPattern: String = "^[a-z]+$"
+  val BpeWordPattern: String = "^[a-z]+\\z"
 
   /** td22 — BPE merge-table training (Sennrich et al. 2016, "Neural
     * Machine Translation of Rare Words with Subword Units"): learn the
