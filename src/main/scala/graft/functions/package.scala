@@ -78,21 +78,41 @@ package object functions {
   /** Whitespace tokenizer shared by the text operators: split on RUNS of
     * whitespace (tabs, newlines, multiple spaces — a single-space split
     * minted fake empty tokens for all of these), then drop the empty
-    * tokens a leading/trailing non-space whitespace run leaves behind
-    * (`trim` only strips spaces; interior empties cannot occur under a
-    * `+`-quantified split). A whitespace-only document therefore has ZERO
-    * tokens — callers dividing by the token count guard with `nullif`.
-    * Matches [[tokensSql]] exactly.
+    * tokens leading/trailing whitespace runs leave behind. NO `trim()`:
+    * Spark's trim strips only ASCII space while DuckDB's also strips
+    * unicode spaces (NBSP — found by the adversarial-corpus differential
+    * run: a leading U+00A0 survived the engine and vanished in the
+    * oracle), and the empty-token filter already covers everything trim
+    * was there for — a `+`-quantified split leaves at most one leading
+    * and one trailing empty, both removed. A whitespace-only document
+    * therefore has ZERO tokens — callers dividing by the token count
+    * guard with `nullif`. Matches [[tokensSql]] exactly.
     */
   def tokens(text: Column): Column =
-    array_remove(split(trim(text), WsClass + "+"), "")
+    array_remove(split(text, WsClass + "+"), "")
 
   /** The DuckDB twin of [[tokens]], generated from the same [[WsClass]]
     * (DuckDB standard string literals pass the backslashes through to RE2
     * unprocessed, so the pattern text is byte-identical).
     */
   def tokensSql(textExpr: String): String =
-    s"list_filter(regexp_split_to_array(trim($textExpr), '$WsClass+'), x -> x != '')"
+    s"list_filter(regexp_split_to_array($textExpr, '$WsClass+'), x -> x != '')"
+
+  /** ASCII-only case fold for HASH-BEARING paths (fingerprints, dedup
+    * keys, URL hosts): `translate` over the 26 ASCII letters, identical
+    * byte-for-byte in both engines. NOT `lower()`: full-Unicode case
+    * mapping differs between Java (e.g. U+0130 'İ' → "i̇", TWO chars)
+    * and DuckDB's utf8proc — found by the adversarial-corpus
+    * differential run as an engine↔oracle hash divergence. The
+    * documented contract is therefore ASCII case-insensitivity with
+    * non-ASCII bytes preserved exactly — conservative for dedup (never
+    * merges on locale-dependent folds).
+    */
+  val AsciiUpper: String = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  val AsciiLower: String = "abcdefghijklmnopqrstuvwxyz"
+  def asciiLower(c: Column): Column = translate(c, AsciiUpper, AsciiLower)
+  def asciiLowerSql(e: String): String =
+    s"translate($e, '$AsciiUpper', '$AsciiLower')"
 
   /** Deterministic salted uniform draw in [0,1): the first 13 hex chars
     * (52 bits — exact in a double) of md5("salt:id"), divided by 2^52.

@@ -776,8 +776,9 @@ object Dedup {
     * slashes. Every step is an anchored single-match regex or plain
     * string op, spelled identically in the DuckDB twin (anchored
     * patterns make Spark's replace-all vs DuckDB's replace-first
-    * equivalent; the character classes and `(?i)` inline flag are
-    * RE2∩Java-portable).
+    * equivalent; case-insensitivity is spelled as explicit ASCII
+    * classes because Java's `(?i)` is ASCII-only while RE2's applies
+    * Unicode simple folding — see the inline note).
     *
     * URLs that are not http(s) at all — ftp:, mailto:, data:,
     * protocol-relative `//host` — PASS THROUGH VERBATIM: they are not
@@ -799,11 +800,16 @@ object Dedup {
     // of input" identically in both engines.
     val noFrag = regexp_replace(u, "(?s)#.*", "")
     val noQuery = regexp_replace(noFrag, "(?s)\\?.*", "")
-    val https = regexp_replace(noQuery, "(?i)^https?://", "https://")
-    val noWww = regexp_replace(https, "(?i)^https://www\\.", "https://")
-    val host = lower(regexp_extract(noWww, "^https://([^/]*)", 1))
+    // explicit ASCII case classes, not (?i): RE2's (?i) applies Unicode
+    // simple folding (U+017F 'ſ' folds to 's') while Java's is
+    // ASCII-only without UNICODE_CASE — a scheme like "httpſ://" would
+    // canonicalize in the oracle and pass through in the engine. The
+    // spelled-out classes read identically in both.
+    val https = regexp_replace(noQuery, "^[Hh][Tt][Tt][Pp][Ss]?://", "https://")
+    val noWww = regexp_replace(https, "^https://[Ww][Ww][Ww]\\.", "https://")
+    val host = asciiLower(regexp_extract(noWww, "^https://([^/]*)", 1))
     val path = regexp_extract(noWww, "(?s)^https://[^/]*(.*)", 1)
-    when(u.rlike("(?i)^https?://"),
+    when(u.rlike("^[Hh][Tt][Tt][Pp][Ss]?://"),
       rtrim(concat(lit("https://"), host, path), "/"))
       .otherwise(u)
   }
@@ -815,13 +821,14 @@ object Dedup {
     */
   private[graft] def canonicalizeUrlSql(expr: String): String = {
     val stripped = s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
-      s"$expr, '(?s)#.*', ''), '(?s)\\?.*', ''), '(?i)^https?://', 'https://'), " +
-      "'(?i)^https://www\\.', 'https://')"
+      s"$expr, '(?s)#.*', ''), '(?s)\\?.*', ''), '^[Hh][Tt][Tt][Pp][Ss]?://', 'https://'), " +
+      "'^https://[Ww][Ww][Ww]\\.', 'https://')"
     val canon =
-      s"rtrim('https://' || lower(regexp_extract($stripped, '^https://([^/]*)', 1))" +
+      s"rtrim('https://' || ${asciiLowerSql(
+        s"regexp_extract($stripped, '^https://([^/]*)', 1)")}" +
         s" || regexp_extract($stripped, '(?s)^https://[^/]*(.*)', 1), '/')"
     // non-http(s) URLs pass through verbatim — mirror of the Column form
-    s"(CASE WHEN regexp_matches($expr, '(?i)^https?://') THEN $canon ELSE $expr END)"
+    s"(CASE WHEN regexp_matches($expr, '^[Hh][Tt][Tt][Pp][Ss]?://') THEN $canon ELSE $expr END)"
   }
 
   /** dd20 — URL-level dedup: group by canonical URL, keep the smallest
@@ -1370,7 +1377,9 @@ object Dedup {
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd2_fingerprint_dups" ->
-      s"""SELECT md5(array_to_string(list_sort(${tokensSql("lower(text)")}), ' ')) AS fp,
+      // coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+      // concat_ws is '' — zero-token docs must fingerprint identically
+      s"""SELECT md5(coalesce(array_to_string(list_sort(${tokensSql(asciiLowerSql("text"))}), ' '), '')) AS fp,
          |count(*) AS n_copies, min(doc_id) AS keep_id
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd3_ngram_jaccard" ->

@@ -216,7 +216,7 @@ object TextAnalysis {
     * cheap exact-near-dup key (see [[Dedup]] for the graded variants).
     */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", sort_array(tokens(lower(text)))))
+    md5(concat_ws(" ", sort_array(tokens(asciiLower(text)))))
 
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -307,7 +307,12 @@ object TextAnalysis {
         greatest(length(text), lit(1))
     val distinctRatio = size(array_distinct(toks)).cast("double") / nToks
     Seq(
-      "r_n_tokens" -> nToks.between(minTokens, maxTokens),
+      // the COUNT rule compares the plain size (0 tokens ⇒ false, and
+      // the reject attribution names r_n_tokens) — only the RATIO rules
+      // go through the nullif guard. The oracle's `len(toks) BETWEEN`
+      // is false at 0; a nullif'd NULL here diverged on zero-token docs
+      // (found by the adversarial-corpus differential run).
+      "r_n_tokens" -> size(toks).cast("long").between(minTokens, maxTokens),
       "r_token_len" -> avgTokLen.between(minAvgTokLen, maxAvgTokLen),
       "r_stopwords" -> (stopwordCount(toks) >= minStopHits),
       "r_symbols" -> (symbolRatio <= maxSymbolRatio),
@@ -1657,7 +1662,7 @@ object TextAnalysis {
     },
     "td3_fingerprint" ->
       s"""SELECT doc_id,
-         |  md5(array_to_string(list_sort(${tokensSql("lower(text)")}), ' ')) AS fp
+         |  md5(coalesce(array_to_string(list_sort(${tokensSql(asciiLowerSql("text"))}), ' '), '')) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
     "td4_token_counts" ->
       s"""SELECT doc_id,

@@ -225,6 +225,15 @@ object Tables {
     * path; at 100 TB the files already exist (a crawl's asset store) and
     * ONLY the binaryFile read runs.
     */
+  /** 100 TB caveat, found by the adversarial-corpus differential run:
+    * Spark's file listing DROPS zero-byte files, so an empty asset
+    * (empty documents exist in every web dump) silently vanishes from a
+    * `binaryFile` scan rather than surfacing as a zero-length payload
+    * row. A pipeline that must account for every asset (os2's posture)
+    * should reconcile scan count against manifest count — the staged
+    * fixture here guarantees non-empty payloads, so the gate's
+    * count-exactness holds by construction.
+    */
   def binaryAssets(spark: SparkSession, sfDir: String,
       nAssets: Int = Os2AssetCount): DataFrame = {
     val sfName = new java.io.File(sfDir).getName
