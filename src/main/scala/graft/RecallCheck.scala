@@ -43,7 +43,7 @@ object RecallCheck {
     val nQueries = 20
     val k = 5
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = Similarity.adm(spark, sfDir)
     val n = emb.count()
     val kCells = Similarity.deriveKCells(n)
     val exact = pairs(Similarity.topkExact(emb, nQueries, k))

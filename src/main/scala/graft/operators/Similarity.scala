@@ -45,6 +45,115 @@ object Similarity {
     dot(ad, bd) / (sqrt(norm2(ad)) * sqrt(norm2(bd)))
   }
 
+  // ------------------------------------------------ vector admission
+
+  /** Component-magnitude bound of the vector admission contract.
+    *
+    * Derivation (BIGINT grid safety): every hash-gated consumer below
+    * quantizes dot products / squared distances onto the 1e-6 integer
+    * grid before aggregation. With |x| ≤ 1e4 over dim 64, the worst dot
+    * is 64·(1e4)² = 6.4e9 and the worst squared L2 distance 4× that =
+    * 2.56e10 — on the grid 2.56e16, a 360× headroom under Long.MaxValue.
+    * Real embedding components are O(1); anything past this bound is
+    * pipeline garbage (an un-normalized logit dump, a corrupted shard),
+    * not signal.
+    */
+  val MaxAbsComponent: Double = 1e4
+
+  /** TRUE iff the vector is inside the index-domain contract: every
+    * component present, finite, and |x| ≤ [[MaxAbsComponent]], and the
+    * norm nonzero. The engine predicate spells NaN/∞/oversized as
+    * `isnan(x) OR abs(x) > bound` (abs(±∞) exceeds any finite bound in
+    * both engines) plus an explicit `x IS NULL` arm so a NULL component
+    * rejects by rule, not by three-valued-logic accident; a NULL vector
+    * itself null-propagates to rejection in both engines.
+    */
+  def isAdmissible(v: Column): Column = {
+    val d = v.cast("array<double>")
+    // the norm rides a null→0 sanitized copy: vec_dot's getDouble on a
+    // null slot is UNDEFINED (UnsafeArrayData zeroes it, GenericArrayData
+    // NPEs), and DuckDB's list_dot_product errors outright — both engines
+    // therefore norm the same well-defined array. For null-free vectors
+    // (the only ones the first arm lets through) it is the identity.
+    val sane = transform(d, x => coalesce(x, lit(0.0)))
+    !exists(d, x => x.isNull || isnan(x) || abs(x) > lit(MaxAbsComponent)) &&
+      norm2(sane) > lit(0.0)
+  }
+
+  /** The vector admission screen — the FAISS posture, adopted after
+    * adversarial differential fuzzing (tools/advvectors.py): indexes and
+    * cosine math require finite, nonzero input. Without it, ONE zero-norm
+    * embedding in a 100 TB corpus kills every cosine consumer with
+    * DIVIDE_BY_ZERO under ANSI mode, and one huge-magnitude row overflows
+    * the BIGINT grid in the PQ/ADC paths (both observed: 19 of the 21
+    * embeddings-backed queries failed on the adversarial corpus before
+    * this screen). Every sim/dd-embedding consumer reads the corpus
+    * through this filter; the oracle texts read the identical predicate
+    * through [[onAdmissible]]; [[vecHygiene]] (sim18) is the REPORTING
+    * twin that says which rows the screen rejected and why.
+    */
+  def admissible(emb: DataFrame): DataFrame =
+    emb.filter(isAdmissible(col("embedding")))
+
+  /** [[Tables.embeddings]] behind the admission screen — the read path of
+    * every registry entry in this family.
+    */
+  def adm(spark: SparkSession, sfDir: String): DataFrame =
+    admissible(Tables.embeddings(spark, sfDir))
+
+  /** The admission predicate as a DuckDB view body over the raw table —
+    * single source for every oracle text via [[onAdmissible]]. The
+    * `x IS NULL` arm matters: DuckDB's `list_filter` silently DROPS
+    * elements whose lambda yields NULL, so without it a NULL component
+    * would pass the oracle while the engine rejects it.
+    */
+  private val AdmissibleVectorsSql: String =
+    """SELECT vec_id, embedding, label FROM embeddings
+      |  WHERE len(list_filter(CAST(embedding AS DOUBLE[]),
+      |          x -> x IS NULL OR isnan(x) OR abs(x) > 10000.0)) = 0
+      |    AND list_dot_product(
+      |          list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 0.0)),
+      |          list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 0.0))) > 0""".stripMargin
+
+  /** Rewrite an oracle text to read the admitted corpus: every table
+    * reference `embeddings` becomes the `adm` CTE (regex on the word, so
+    * aliased joins `FROM embeddings q JOIN embeddings c` rewrite too),
+    * prepended as one CTE. The replace-then-prepend order keeps the CTE
+    * body's own `FROM embeddings` (the raw table — correct) untouched.
+    */
+  private def onAdmissible(sql: String): String = {
+    val swapped = sql.replaceAll("\\bembeddings\\b", "adm")
+    val cte = s"adm AS ($AdmissibleVectorsSql)"
+    if (swapped.startsWith("WITH ")) s"WITH $cte,\n${swapped.stripPrefix("WITH ")}"
+    else s"WITH $cte\n$swapped"
+  }
+
+  /** sim18 — the per-vector hygiene report: the admission screen's
+    * reporting twin. For every raw row: how many components are broken
+    * (NULL / NaN / |x| > [[MaxAbsComponent]], one `size(filter(...))`
+    * pass), whether the norm is zero, and the resulting admission
+    * verdict. At 100 TB this is the monitor a corpus owner reads before
+    * asking why the index shrank — map-only, no shuffle, no join, and
+    * the one place the REJECTED rows are visible (every other operator
+    * in the family reads through the screen by contract).
+    */
+  def vecHygiene(emb: DataFrame): DataFrame = {
+    val d = col("embedding").cast("array<double>")
+    // same null→0 sanitization as [[isAdmissible]]'s norm arm — here it
+    // is LOAD-BEARING: this operator reads raw rows, so null components
+    // genuinely reach the norm (contract: they contribute zero; an
+    // all-null or empty vector reports zero_norm = true)
+    val sane = transform(d, x => coalesce(x, lit(0.0)))
+    emb.select(
+        col("vec_id"),
+        coalesce(size(filter(d, x =>
+          x.isNull || isnan(x) || abs(x) > lit(MaxAbsComponent))), lit(-1))
+          .cast("long").as("n_bad_components"),
+        coalesce(norm2(sane) === lit(0.0), lit(false)).as("zero_norm"),
+        coalesce(isAdmissible(col("embedding")), lit(false)).as("admitted"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector (vec_id < nQueries
     * marks the query set). Self-matches excluded.
     */
@@ -323,7 +432,7 @@ object Similarity {
       spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
       nPlanes: Int = 4, dim: Int = 64, nProbe: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = adm(spark, sfDir)
     val path = ivfIndexPath(sfDir, nPlanes, dim, seed)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
     // check-and-build under the cross-process staging lock (double-checked:
@@ -534,7 +643,7 @@ object Similarity {
       spark: SparkSession, sfDir: String, kCells: Int, iters: Int,
       baseSplit: Option[Long] = None,
       targetCellSize: Long = DefaultTargetCellSize): String = {
-    val emb0 = Tables.embeddings(spark, sfDir)
+    val emb0 = adm(spark, sfDir)
     val emb = baseSplit.map(s => emb0.filter(col("vec_id") < s)).getOrElse(emb0)
     // kCells <= 0 ⇒ derive k from the TRAINING subset's cardinality so
     // cell sizes stay ~targetCellSize at any corpus scale (one
@@ -544,7 +653,7 @@ object Similarity {
       else deriveKCells(emb.count(), targetCellSize)
     val path = learnedIvfPath(sfDir, k, iters, baseSplit)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-    val spec = "kmeans-lloyd-v2 init=lowest-ids ties=cid means=qfloor-1e12" +
+    val spec = "kmeans-lloyd-v3 adm=finite-1e4-nonzero init=lowest-ids ties=cid means=qfloor-1e12" +
       baseSplit.map(s => s" base<$s").getOrElse("") +
       "\n" + graft.sources.Staging.sourceStamp(Seq(source))
     graft.sources.Staging.withExclusiveLock(
@@ -635,7 +744,7 @@ object Similarity {
       spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
       kCells: Int = 0, iters: Int = 5, nProbe: Int = 4,
       targetCellSize: Long = DefaultTargetCellSize): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = adm(spark, sfDir)
     val path = ensureLearnedIvf(spark, sfDir, kCells, iters,
       targetCellSize = targetCellSize)
     val corpus = spark.read.parquet(s"$path/cells")
@@ -1057,7 +1166,7 @@ object Similarity {
     val sub = dim / m
     val path = pqCodebookPath(sfDir, m, ks, iters)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-    val spec = s"pq-codebooks-v1 m=$m ks=$ks sub=$sub " +
+    val spec = s"pq-codebooks-v2 adm=finite-1e4-nonzero m=$m ks=$ks sub=$sub " +
       "init=lowest-ids ties=cid means=qfloor-1e12\n" +
       graft.sources.Staging.sourceStamp(Seq(source))
     graft.sources.Staging.withExclusiveLock(new java.io.File(path)) {
@@ -1067,7 +1176,7 @@ object Similarity {
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
       if (!fresh) {
         import spark.implicits._
-        val x = Tables.embeddings(spark, sfDir)
+        val x = adm(spark, sfDir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
         trainPqCodebooks(x, m, ks, iters, sub)
           .toDF("j", "code", "cvec")
@@ -1158,7 +1267,7 @@ object Similarity {
       dim: Int = 64): DataFrame = {
     val sub = dim / m
     val cbs = ensurePqCodebooks(spark, sfDir, m, ks, pqIters, dim)
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = adm(spark, sfDir)
     val x = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
     // encode: per-subspace argmin over ks codebook literals — pure
     // per-row expressions, the frozen quantizer rides into the plan
@@ -1222,7 +1331,7 @@ object Similarity {
       pqIters: Int = 3, dim: Int = 64): DataFrame = {
     val sub = dim / m
     val cbs = ensurePqCodebooks(spark, sfDir, m, ks, pqIters, dim)
-    val x = Tables.embeddings(spark, sfDir)
+    val x = adm(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
     val errs = (0 until m).map { j =>
       val xj = slice(col("x"), j * sub + 1, sub)
@@ -1353,7 +1462,7 @@ object Similarity {
       targetCellSize = targetCellSize)
     val path = ivfPqIndexPath(sfDir, iters, m, ks, pqIters)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-    val spec = s"ivfpq-v1 m=$m ks=$ks sub=$sub pqIters=$pqIters " +
+    val spec = s"ivfpq-v2 adm=finite-1e4-nonzero m=$m ks=$ks sub=$sub pqIters=$pqIters " +
       s"coarse=$coarsePath init=lowest-ids ties=cid means=qfloor-1e12\n" +
       graft.sources.Staging.sourceStamp(Seq(source))
     graft.sources.Staging.withExclusiveLock(new java.io.File(path)) {
@@ -1430,7 +1539,7 @@ object Similarity {
     val (cbs, encPath) = ensureIvfPqIndex(spark, sfDir, kCells, iters,
       m, ks, pqIters, dim)
     val coarsePath = ensureLearnedIvf(spark, sfDir, kCells, iters)
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = adm(spark, sfDir)
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").cast("array<double>").as("qx"))
@@ -1644,7 +1753,7 @@ object Similarity {
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim11_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(Tables.embeddings(s, d))),
+    "sim11_mmr_rerank" -> ((s: SparkSession, d: String) => mmrRerank(adm(s, d))),
     "sim9_pq_topk" -> ((s: SparkSession, d: String) => pqTopk(s, d)),
     "sim16_pq_distortion" ->
       ((s: SparkSession, d: String) => pqDistortion(s, d)),
@@ -1652,21 +1761,25 @@ object Similarity {
       ((s: SparkSession, d: String) => cellImbalance(s, d)),
     "sim10_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfpqTopk(s, d)),
     "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
-      quantizedTopk(Tables.embeddings(s, d))),
-    "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(Tables.embeddings(s, d))),
-    "sim15_ann_recall" -> ((s: SparkSession, d: String) => annRecall(Tables.embeddings(s, d))),
-    "sim12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(Tables.embeddings(s, d))),
-    "sim13_range_search" -> ((s: SparkSession, d: String) => rangeSearch(Tables.embeddings(s, d))),
-    "sim14_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(Tables.embeddings(s, d))),
+      quantizedTopk(adm(s, d))),
+    "sim1_topk_exact" -> ((s: SparkSession, d: String) => topkExact(adm(s, d))),
+    "sim15_ann_recall" -> ((s: SparkSession, d: String) => annRecall(adm(s, d))),
+    "sim12_hard_negatives" -> ((s: SparkSession, d: String) => hardNegatives(adm(s, d))),
+    "sim13_range_search" -> ((s: SparkSession, d: String) => rangeSearch(adm(s, d))),
+    "sim14_knn_graph" -> ((s: SparkSession, d: String) => knnGraph(adm(s, d))),
     "dd24_embedding_decontaminate" -> ((s: SparkSession, d: String) =>
-      embeddingDecontaminate(Tables.embeddings(s, d))),
-    "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(Tables.embeddings(s, d))),
-    "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(Tables.embeddings(s, d))),
+      embeddingDecontaminate(adm(s, d))),
+    "sim2_ann_lsh" -> ((s: SparkSession, d: String) => lshAnn(adm(s, d))),
+    "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(adm(s, d))),
     "sim4_ann_ivf_indexed" -> ((s: SparkSession, d: String) => ivfAnnIndexed(s, d)),
     "sim5_ann_ivf_learned" -> ((s: SparkSession, d: String) => ivfAnnLearned(s, d)),
-    "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(Tables.embeddingsRebalanced(s, d))),
-    "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(Tables.embeddings(s, d))),
-    "dd16_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)))
+    "dd6_embed_neardup" -> ((s: SparkSession, d: String) => embedNearDupsExact(admissible(Tables.embeddingsRebalanced(s, d)))),
+    "dd7_embed_neardup_lsh" -> ((s: SparkSession, d: String) => embedNearDupsLsh(adm(s, d))),
+    "dd16_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
+    // sim18 reads the RAW table by design — it reports what the screen
+    // rejects, so it must see the rejected rows
+    "sim18_vec_hygiene" ->
+      ((s: SparkSession, d: String) => vecHygiene(Tables.embeddings(s, d))))
 
   /** The DuckDB twin of [[graft.functions.RhpBuckets.planes]]: a `pl`
     * CTE body regenerating the identical hyperplane matrix — component
@@ -1732,7 +1845,7 @@ object Similarity {
        |  WHERE c.vec_id <> pb.query_id),
        |$verifyRankSql""".stripMargin
 
-  val oracles: Map[String, String] = baseOracles +
+  val oracles: Map[String, String] = (baseOracles +
     // sim15's oracle WRAPS the two oracle texts it evaluates as CTEs
     // (DuckDB accepts nested WITH in a CTE body) and replays the same
     // membership count — the evaluation metric can never drift from the
@@ -1746,7 +1859,26 @@ object Similarity {
          |    AS recall
          |FROM x LEFT JOIN a
          |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
-         |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin)
+         |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin))
+    // every oracle in the family reads the admitted corpus, exactly like
+    // the engine side — the ONE exception is sim18, the screen's
+    // reporting twin, whose whole point is the raw rows
+    .map { case (k, sql) => k -> onAdmissible(sql) } +
+    ("sim18_vec_hygiene" ->
+      """WITH s AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[]) AS v,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |                   x -> coalesce(x, 0.0)) AS sane
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(coalesce(len(list_filter(v,
+        |      x -> x IS NULL OR isnan(x) OR abs(x) > 10000.0)), -1) AS BIGINT)
+        |    AS n_bad_components,
+        |  coalesce(list_dot_product(sane, sane) = 0, false) AS zero_norm,
+        |  coalesce(len(list_filter(v,
+        |      x -> x IS NULL OR isnan(x) OR abs(x) > 10000.0)) = 0
+        |    AND list_dot_product(sane, sane) > 0, false) AS admitted
+        |FROM s ORDER BY vec_id""".stripMargin)
 
   private lazy val baseOracles: Map[String, String] = Map(
     // the greedy MMR recurrence unrolled per step — candidate/pair
@@ -2063,8 +2195,11 @@ object Similarity {
   private[graft] def streamMaintainedIvfSql(
       kCells: Int = 0, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
       k: Int = 5, nProbe: Int = 4): String =
-    learnedIvfSql(kCells, iters, dim, nQueries, k, nProbe,
-      trainWhere = "WHERE vec_id < (SELECT count(*) // 2 FROM embeddings)")
+    // wrapped here, not at the VectorIndexStream registration, so the
+    // split-point subquery counts the ADMITTED corpus — exactly what the
+    // engine's `adm(...).count() / 2` counts
+    onAdmissible(learnedIvfSql(kCells, iters, dim, nQueries, k, nProbe,
+      trainWhere = "WHERE vec_id < (SELECT count(*) // 2 FROM embeddings)"))
 
   /** dd16's oracle: the same unrolled Lloyd's reproduces the cells, then
     * the within-cell id-ordered pair scan with the dd6/dd7 unit-vector

@@ -41,7 +41,10 @@ object VectorIndexStream {
     val p = Tables.path(sfDir, "embeddings")
     val streamPath =
       if (new java.io.File(p).isFile) s"${p.dropRight(1)}[${p.last}]" else p
+    // the vector admission screen applies at the streaming door too —
+    // same predicate as the batch read, so base and delta share a domain
     spark.readStream.schema(raw.schema).parquet(streamPath)
+      .filter(Similarity.isAdmissible(col("embedding")))
   }
 
   /** Nearest FROZEN centroid as a pure per-row expression: one
@@ -79,7 +82,7 @@ object VectorIndexStream {
   private[streaming] def maintainedIndex(
       spark: SparkSession, sfDir: String, kCells: Int, iters: Int):
       (DataFrame, DataFrame, DataFrame) = {
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = Similarity.adm(spark, sfDir)
     // one scalar count to site the base/stream split — metadata-scale
     val splitAt = emb.count() / 2
     val basePath =
@@ -138,7 +141,7 @@ object VectorIndexStream {
       spark: SparkSession, sfDir: String, kCells: Int, iters: Int): String = {
     val path = compactedIndexPath(sfDir, kCells, iters)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-    val spec = s"sim8-compacted-v1 k=$kCells iters=$iters half-split\n" +
+    val spec = s"sim8-compacted-v2 adm=finite-1e4-nonzero k=$kCells iters=$iters half-split\n" +
       graft.sources.Staging.sourceStamp(Seq(source))
     // lock the artifact's OWN dir, not the shared target/ivf/<sf> root:
     // a stale build nests ensureLearnedIvf (via maintainedIndex), which
@@ -179,7 +182,7 @@ object VectorIndexStream {
   def sim8ServeCompacted(
       spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
       kCells: Int = 0, iters: Int = 5, nProbe: Int = 4): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
+    val emb = Similarity.adm(spark, sfDir)
     val splitAt = emb.count() / 2 // metadata-scale, same split as sim7
     val basePath =
       Similarity.ensureLearnedIvf(spark, sfDir, kCells, iters, Some(splitAt))

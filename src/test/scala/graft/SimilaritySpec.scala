@@ -511,4 +511,67 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(r => r.getLong(0) === 0L))        // hub = min vec_id
     assert(rows.forall(r => r.getDouble(2) === 1.0))     // identical ⇒ cosine 1
   }
+
+  /** Every degenerate class tools/advvectors.py plants, as a local frame:
+    * before the admission screen existed, the zero vector alone killed 19
+    * of the 21 embeddings-backed queries with DIVIDE_BY_ZERO under ANSI
+    * mode, and the 1e18-component row overflowed the BIGINT grid.
+    */
+  private def degenerateFrame() = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType)))
+    def f(xs: Double*): Seq[java.lang.Float] = xs.map(x => java.lang.Float.valueOf(x.toFloat))
+    val rows = Seq(
+      Row(0L, f(1.0, 2.0, 3.0, 4.0), 0),                            // benign
+      Row(1L, f(0.0, 0.0, 0.0, 0.0), 1),                            // zero norm
+      Row(2L, f(1e18, 1e18, 1e18, 1e18), 2),                        // oversized
+      Row(3L, f(1e-42, 1e-42, 1e-42, 1e-42), 3),                    // denormal: fine
+      Row(4L, Seq[java.lang.Float](Float.NaN, 1f, 1f, 1f), 4),      // NaN
+      Row(5L, Seq[java.lang.Float](Float.PositiveInfinity, 1f, 1f, 1f), 5), // Inf
+      Row(6L, Seq[java.lang.Float](null, 1f, 1f, 1f), 6),           // null component
+      Row(7L, null, 7),                                             // null vector
+      Row(8L, Seq.empty[java.lang.Float], 8),                       // empty vector
+      Row(9L, f(-1.0, -2.0, -3.0, -4.0), 9))                        // negative: fine
+    spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  test("vector admission: each degenerate class rejected, benign/denormal/negative admitted, bound is grid-safe") {
+    val adm = Similarity.admissible(degenerateFrame())
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(adm === Set(0L, 3L, 9L))
+    // the documented BIGINT-grid derivation actually holds: worst squared
+    // L2 distance on the 1e-6 grid, at dim 64 under the component bound
+    val worst = 4.0 * 64.0 * Similarity.MaxAbsComponent * Similarity.MaxAbsComponent
+    assert(worst * 1e6 < Long.MaxValue.toDouble / 100,
+      "admission bound must keep grid arithmetic far from Long overflow")
+  }
+
+  test("sim18 hygiene report: per-class flags, and the admitted column agrees with the screen") {
+    val rep = Similarity.vecHygiene(degenerateFrame()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(rep(0L) === ((0L, false, true)))   // benign
+    assert(rep(1L) === ((0L, true, false)))   // zero norm: clean components, zero norm
+    assert(rep(2L) === ((4L, false, false)))  // oversized: every component bad
+    assert(rep(3L) === ((0L, false, true)))   // denormal squares stay > 0 in double
+    assert(rep(4L)._1 === 1L && !rep(4L)._3)  // NaN counted, rejected
+    assert(rep(5L)._1 === 1L && !rep(5L)._3)  // Inf counted, rejected
+    assert(rep(6L) === ((1L, false, false)))  // null component: counted, norm of rest nonzero
+    assert(rep(7L) === ((-1L, false, false))) // null vector: sentinel count, rejected
+    assert(rep(8L) === ((0L, true, false)))   // empty: nothing bad, but no norm
+    assert(rep(9L) === ((0L, false, true)))   // negative admitted
+  }
+
+  test("admission is binding end-to-end: topkExact over a degenerate corpus runs under ANSI and never ranks a rejected row") {
+    // without the screen this throws DIVIDE_BY_ZERO on the zero vector
+    val out = Similarity.topkExact(
+      Similarity.admissible(degenerateFrame()), nQueries = 10, k = 2).collect()
+    assert(out.nonEmpty)
+    val ids = out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(ids.subsetOf(Set(0L, 3L, 9L)), s"rejected ids ranked: $ids")
+  }
 }
