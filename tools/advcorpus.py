@@ -13,7 +13,9 @@ empty docs, RTL/CJK/emoji, zalgo — and the verify loop is:
 
 Only the documents-backed queries apply (td*/dd*/st2x text gates); the
 cs1/os*/mm*/sim* families need their own tables/fixtures and report
-PATH_NOT_FOUND / fixture-shape noise here by design.
+PATH_NOT_FOUND / fixture-shape noise here by design. The sim/dd
+embedding family has its own adversarial generator: tools/advvectors.py
+(whose first run produced the vector admission contract + sim18).
 
 Round-12 catch record (each fixed + pinned the same day):
   - dd20: Java '$' matches before a FINAL newline, RE2's does not →
