@@ -41,7 +41,6 @@ N = 500
 NAN, INF = float("nan"), float("inf")
 
 import random
-rnd = random.Random(20260814)
 
 
 def benign(i):
