@@ -34,6 +34,33 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** The dd11 batch-split convention, shared by the incremental-dedup
+    * family here and EVERY streaming admission gate (st16–st25): the
+    * last [[ArrivalWindow]] doc ids stand in for "today's batch" at any
+    * scale — history is `doc_id < max(doc_id) − (ArrivalWindow − 1)`,
+    * arrivals the rest. Single source for the engine splits AND the
+    * generated oracle texts (the HeadVocabSize pattern): changing the
+    * window here changes both sides together, so they cannot silently
+    * diverge until a hash gate trips.
+    */
+  val ArrivalWindow: Long = 50L
+
+  /** Oracle-side literal for the split: `max(doc_id) - 49`. */
+  val ArrivalOffsetSql: String = s"max(doc_id) - ${ArrivalWindow - 1}"
+
+  /** The split threshold: ids ≥ this are arrivals. The max-id probe is a
+    * metadata-scale scalar, not a data collect. Guarded: an empty
+    * documents table has a NULL max (a bare `getLong` would NPE) — fail
+    * with a named contract error instead, matching the gates' fail-closed
+    * posture.
+    */
+  def arrivalSplit(docs: DataFrame): Long = {
+    val m = docs.agg(max(col("doc_id"))).head
+    require(!m.isNullAt(0),
+      "arrivalSplit: empty documents table — max(doc_id) is NULL, no batch split exists")
+    m.getLong(0) - (ArrivalWindow - 1L)
+  }
+
   // ------------------------------------------------------------ exact
 
   /** Exact duplicate groups by content hash (md5 to match the oracle). */
@@ -1232,9 +1259,7 @@ object Dedup {
     "dd14_best_representative" -> (bestRepresentative _),
     "dd11_incremental_dedup" -> ((s: SparkSession, d: String) => {
       val docs = Tables.documentsRebalanced(s, d)
-      // the last 50 ids stand in for "today's batch" at any scale; the
-      // max-id probe is a metadata-scale scalar, not a data collect
-      val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+      val newFrom = arrivalSplit(docs)
       incrementalDedupLabels(docs, clusterLabels(s, d, upTo = newFrom), newFrom)
     }))
 
@@ -1520,7 +1545,7 @@ object Dedup {
     // batch-sized mini graph only.
     "dd11_incremental_dedup" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+         |nf AS (SELECT $ArrivalOffsetSql AS v FROM documents),
          |sh AS (SELECT doc_id,
          |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
          |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),

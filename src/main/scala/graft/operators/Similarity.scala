@@ -108,9 +108,9 @@ object Similarity {
     * would pass the oracle while the engine rejects it.
     */
   private val AdmissibleVectorsSql: String =
-    """SELECT vec_id, embedding, label FROM embeddings
+    s"""SELECT vec_id, embedding, label FROM embeddings
       |  WHERE len(list_filter(CAST(embedding AS DOUBLE[]),
-      |          x -> x IS NULL OR isnan(x) OR abs(x) > 10000.0)) = 0
+      |          x -> x IS NULL OR isnan(x) OR abs(x) > $MaxAbsComponent)) = 0
       |    AND list_dot_product(
       |          list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 0.0)),
       |          list_transform(CAST(embedding AS DOUBLE[]), x -> coalesce(x, 0.0))) > 0""".stripMargin
@@ -120,8 +120,21 @@ object Similarity {
     * aliased joins `FROM embeddings q JOIN embeddings c` rewrite too),
     * prepended as one CTE. The replace-then-prepend order keeps the CTE
     * body's own `FROM embeddings` (the raw table — correct) untouched.
+    *
+    * Invariants this rewrite assumes of the family's oracle texts — both
+    * asserted, because a violation would produce syntactically valid but
+    * WRONG SQL the hash gate might not catch cheaply: (1) no
+    * `WITH RECURSIVE` prefix (prepending a plain CTE before RECURSIVE is
+    * a syntax error in DuckDB, and re-ordering would change scoping);
+    * (2 — UNASSERTED caveat, syntactically undetectable without a real
+    * SQL lexer) the word `embeddings` must appear only as a table
+    * reference — an occurrence inside a string literal or SQL comment
+    * would be rewritten too; no oracle in the family writes one.
     */
   private def onAdmissible(sql: String): String = {
+    require(!sql.startsWith("WITH RECURSIVE"),
+      "onAdmissible: cannot prepend the adm CTE before WITH RECURSIVE — " +
+        "restructure the oracle to read a plain WITH chain")
     val swapped = sql.replaceAll("\\bembeddings\\b", "adm")
     val cte = s"adm AS ($AdmissibleVectorsSql)"
     if (swapped.startsWith("WITH ")) s"WITH $cte,\n${swapped.stripPrefix("WITH ")}"
@@ -1865,18 +1878,18 @@ object Similarity {
     // reporting twin, whose whole point is the raw rows
     .map { case (k, sql) => k -> onAdmissible(sql) } +
     ("sim18_vec_hygiene" ->
-      """WITH s AS (SELECT vec_id,
+      s"""WITH s AS (SELECT vec_id,
         |    CAST(embedding AS DOUBLE[]) AS v,
         |    list_transform(CAST(embedding AS DOUBLE[]),
         |                   x -> coalesce(x, 0.0)) AS sane
         |  FROM embeddings)
         |SELECT vec_id,
         |  CAST(coalesce(len(list_filter(v,
-        |      x -> x IS NULL OR isnan(x) OR abs(x) > 10000.0)), -1) AS BIGINT)
+        |      x -> x IS NULL OR isnan(x) OR abs(x) > $MaxAbsComponent)), -1) AS BIGINT)
         |    AS n_bad_components,
         |  coalesce(list_dot_product(sane, sane) = 0, false) AS zero_norm,
         |  coalesce(len(list_filter(v,
-        |      x -> x IS NULL OR isnan(x) OR abs(x) > 10000.0)) = 0
+        |      x -> x IS NULL OR isnan(x) OR abs(x) > $MaxAbsComponent)) = 0
         |    AND list_dot_product(sane, sane) > 0, false) AS admitted
         |FROM s ORDER BY vec_id""".stripMargin)
 

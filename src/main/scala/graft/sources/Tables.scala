@@ -224,8 +224,8 @@ object Tables {
     * bounded (`nAssets` = 50 rows) — a fixture-staging step, not a data
     * path; at 100 TB the files already exist (a crawl's asset store) and
     * ONLY the binaryFile read runs.
-    */
-  /** 100 TB caveat, found by the adversarial-corpus differential run:
+    *
+    * 100 TB caveat, found by the adversarial-corpus differential run:
     * Spark's file listing DROPS zero-byte files, so an empty asset
     * (empty documents exist in every web dump) silently vanishes from a
     * `binaryFile` scan rather than surfacing as a zero-length payload

@@ -63,7 +63,7 @@ object StreamDedup {
     val docs = Tables.documents(spark, sfDir)
     // the dd11 convention: the last 50 ids are "today's batch" at any
     // scale; the max-id probe is a metadata-scale scalar
-    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val newFrom = Dedup.arrivalSplit(docs)
     val histKeys = Dedup.bandedKeys(docs.filter(col("doc_id") < newFrom), k, n, bands)
       .select(col("band"), col("band_hash"), col("doc_id").as("hist_id"))
     val arrivals = documentStream(spark, sfDir)
@@ -141,7 +141,7 @@ object StreamDedup {
       vocabSize: Int = graft.operators.TextAnalysis.HeadVocabSize,
       maxOovRate: Double = 0.5): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val newFrom = Dedup.arrivalSplit(docs)
     // V-row artifact collect (aggregate-scale, the sim7 centroid pattern)
     val vocab = docs.filter(col("doc_id") < newFrom)
       .select(explode(tokens(col("text"))).as("tok"))
@@ -297,7 +297,7 @@ object StreamDedup {
       spark: SparkSession, sfDir: String,
       maxBitsPerToken: Double = MaxSurprisalBits): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val newFrom = Dedup.arrivalSplit(docs)
     // bounded artifact: top-V head rows + two scalar aggs, never the vocab
     val histToks = docs.filter(col("doc_id") < newFrom)
       .select(explode(tokens(col("text"))).as("tok"))
@@ -407,7 +407,7 @@ object StreamDedup {
       spark: SparkSession, sfDir: String, nEval: Long = DecontEvalDocs,
       n: Int = DecontShingleN): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val newFrom = Dedup.arrivalSplit(docs)
     // batch side: the eval suite's set-bit positions (bounded by
     // m = BloomBits; at eval scale a few-thousand-row collect — the
     // sim7 centroid / st18 vocab artifact pattern)
@@ -467,7 +467,7 @@ object StreamDedup {
       maxRatio: Double = MaxBpeRatio): DataFrame = {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sfDir)
-    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val newFrom = Dedup.arrivalSplit(docs)
     // bounded artifact: <= BpeMerges tiny string pairs, never the vocab
     val pairs = TextAnalysis
       .trainBpeMerges(docs.filter(col("doc_id") < newFrom))
@@ -512,7 +512,7 @@ object StreamDedup {
   def st24StreamGauntlet(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sfDir)
-    val newFrom = docs.agg(max(col("doc_id"))).head.getLong(0) - 49L
+    val newFrom = Dedup.arrivalSplit(docs)
     val histToks = docs.filter(col("doc_id") < newFrom)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
@@ -596,7 +596,7 @@ object StreamDedup {
     // st17/st21 cover all docs, so the arrival join restricts them;
     // st18/st20/st22 are already arrival-scoped
     ("st24_stream_gauntlet" ->
-      s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+      s"""WITH nf AS (SELECT ${Dedup.ArrivalOffsetSql} AS v FROM documents),
          |g1 AS (${baseOracles("st17_stream_quality_gate")}),
          |g2 AS (${baseOracles("st18_stream_oov_gate")}),
          |g3 AS (${baseOracles("st20_stream_surprisal_gate")}),
@@ -624,7 +624,7 @@ object StreamDedup {
     // the LEFT join, threshold literal from the shared MaxBpeRatio
     "st25_stream_bpe_gate" -> {
       import graft.operators.TextAnalysis
-      s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+      s"""WITH nf AS (SELECT ${Dedup.ArrivalOffsetSql} AS v FROM documents),
          |${TextAnalysis.bpeEncodeOracleSql(
              TextAnalysis.BpeDictSize, TextAnalysis.BpeMerges,
              "WHERE doc_id < (SELECT v FROM nf)",
@@ -648,7 +648,7 @@ object StreamDedup {
       val posList = (0 until Dedup.BloomHashes).map(i =>
         s"('0x' || substring(md5('bloom$i:' || s), 1, 15))::BIGINT % ${Dedup.BloomBits}")
         .mkString("[", ", ", "]")
-      s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+      s"""WITH nf AS (SELECT ${Dedup.ArrivalOffsetSql} AS v FROM documents),
          |t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, list_distinct(
          |    [array_to_string(toks[i+1:i+$DecontShingleN], ' ')
@@ -696,7 +696,7 @@ object StreamDedup {
     // comma-joined string)
     "st16_stream_dedup_gate" ->
       s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
-         |nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+         |nf AS (SELECT ${Dedup.ArrivalOffsetSql} AS v FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(
          |    [array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)])) AS s
          |  FROM t WHERE len(toks) >= 3),
@@ -750,7 +750,7 @@ object StreamDedup {
     // Empty docs fail closed; all literals are generated from the shared
     // constants (MaxSurprisalBits, LmVocabSize)
     "st20_stream_surprisal_gate" ->
-      s"""WITH nf AS (SELECT max(doc_id) - 49 AS v FROM documents),
+      s"""WITH nf AS (SELECT ${Dedup.ArrivalOffsetSql} AS v FROM documents),
          |ht AS (SELECT unnest(${tokensSql("text")}) AS tok FROM documents
          |  WHERE doc_id < (SELECT v FROM nf)),
          |lm AS (SELECT tok, count(*) AS c FROM ht GROUP BY tok),
@@ -781,7 +781,7 @@ object StreamDedup {
          |FROM a LEFT JOIN o ON a.doc_id = o.doc_id
          |ORDER BY a.doc_id""".stripMargin,
     "st18_stream_oov_gate" ->
-      s"""WITH nf AS (SELECT max(doc_id) - 49 AS vmax FROM documents),
+      s"""WITH nf AS (SELECT ${Dedup.ArrivalOffsetSql} AS vmax FROM documents),
          |ht AS (SELECT unnest(${tokensSql("text")}) AS tok FROM documents
          |  WHERE doc_id < (SELECT vmax FROM nf)),
          |v AS (SELECT tok FROM (
