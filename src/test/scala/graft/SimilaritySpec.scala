@@ -574,4 +574,43 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val ids = out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
     assert(ids.subsetOf(Set(0L, 3L, 9L)), s"rejected ids ranked: $ids")
   }
+
+  test("staged adm store: consumer plans scan the admitted table with NO per-row admission predicate; content equals the inline screen; stale spec restages") {
+    import org.apache.spark.sql.functions._
+    val admDf = Similarity.adm(spark, sf001)
+    // 1. the store IS the screen's output, row-for-row
+    val inline = Similarity.admissible(
+      graft.sources.Tables.embeddings(spark, sf001))
+    assert(admDf.count() === inline.count())
+    assert(admDf.join(inline, Seq("vec_id"), "left_anti").count() === 0L)
+    // 2. consumer plans carry no admission predicate: the two array
+    //    passes (ArrayExists / the sanitized-norm transform) must appear
+    //    NOWHERE in a family consumer's optimized plan — that is the
+    //    whole point of staging (at 100 TB the screen ran per query)
+    val consumer = Similarity.topkExact(admDf).queryExecution.optimizedPlan.toString
+    assert(!consumer.contains("exists("), "admission exists() leaked into a consumer scan")
+    assert(!consumer.toLowerCase.contains("isnan"), "admission isnan leaked into a consumer scan")
+    // ...while the frame still READS the staged store, not the raw table
+    val files = admDf.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("target/adm/")),
+      s"adm does not read the staged store: ${files.take(3).mkString(", ")}")
+    // 3. sim18 (the reporting twin) still screens RAW rows inline
+    val hygiene = Similarity.vecHygiene(
+      graft.sources.Tables.embeddings(spark, sf001)).queryExecution.optimizedPlan.toString
+    assert(hygiene.toLowerCase.contains("isnan"))
+    // 4. staleness: a poisoned spec forces a restage (CONTENT equality
+    //    re-proven), a fresh spec serves without rewriting
+    val specFile = new java.io.File(
+      s"${sys.props("user.dir")}/target/adm/sf0.001/embeddings/_graft_spec")
+    assert(specFile.exists())
+    val goodSpec = new String(java.nio.file.Files.readAllBytes(specFile.toPath))
+    java.nio.file.Files.write(specFile.toPath, "stale".getBytes)
+    val restaged = Similarity.adm(spark, sf001)
+    assert(new String(java.nio.file.Files.readAllBytes(specFile.toPath)) === goodSpec,
+      "poisoned spec must trigger a restage that rewrites the spec")
+    assert(restaged.count() === inline.count())
+    val mtime = specFile.lastModified()
+    Similarity.adm(spark, sf001) // fresh ⇒ serve, no rewrite
+    assert(specFile.lastModified() === mtime)
+  }
 }
