@@ -85,7 +85,14 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * `"contended":true` with loud banners at start and end, and
   * SPARK_GRAFT_BENCH_REFUSE_LOAD=1 makes Bench exit 3 instead of
   * recording at all — a contended record can never silently become a
-  * round's comparison base.
+  * round's comparison base. Since r13 a contended START first DRAINS:
+  * Bench sleeps in 15 s polls until the load average drops under the
+  * threshold or SPARK_GRAFT_BENCH_DRAIN_SEC (default 300, 0 disables)
+  * is exhausted, and only then applies the stamp-or-refuse verdict —
+  * a harness that doesn't set REFUSE_LOAD (the round driver's doesn't)
+  * self-heals through transient neighbors instead of recording a
+  * useless contended run; `env.load_avg_pre_drain` keeps the original
+  * reading so a drained record is visibly drained.
   *
   * Set SPARK_GRAFT_BENCH_PLAN_DIR to also dump each query's scrubbed
   * canonical plan text to `<dir>/<query>.plan.txt` — the supported way to
@@ -195,10 +202,33 @@ object Bench {
     // stamped contended + a loud banner; SPARK_GRAFT_BENCH_REFUSE_LOAD=1
     // upgrades that to a refusal for official re-records.
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0").toDouble
-    val contended = loadAvgStart > maxLoad
+    // Bounded DRAIN before the gate verdict (r12 lesson: the driver's
+    // harness doesn't set REFUSE_LOAD, so its contended run produced a
+    // record that was useless as a comparison base — self-healing beats
+    // refusing when the contention is a transient neighbor). Poll the
+    // 1-min load average until it drops under the threshold or the
+    // budget (default 300 s, SPARK_GRAFT_BENCH_DRAIN_SEC; 0 disables)
+    // runs out; only THEN stamp-or-refuse. The load average is a ~1-min
+    // EWMA, so polling faster than ~15 s reads the same signal.
+    val drainBudgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DRAIN_SEC", "300").toInt
+    var loadNow = loadAvgStart
+    if (loadNow > maxLoad && drainBudgetSec > 0) {
+      System.err.println(
+        s"[bench] load_avg $loadNow > $maxLoad — draining up to ${drainBudgetSec}s " +
+          "for the machine to go idle before recording")
+      val deadline = System.nanoTime() + drainBudgetSec * 1_000_000_000L
+      while (loadNow > maxLoad && System.nanoTime() < deadline) {
+        Thread.sleep(15000)
+        loadNow = osBean.getSystemLoadAverage
+      }
+      System.err.println(
+        if (loadNow <= maxLoad) s"[bench] drained: load_avg now $loadNow — recording clean"
+        else s"[bench] drain budget exhausted at load_avg $loadNow — applying the gate")
+    }
+    val contended = loadNow > maxLoad
     if (contended) {
       System.err.println(
-        s"[bench] ENVIRONMENT CONTENDED: load_avg_start $loadAvgStart > " +
+        s"[bench] ENVIRONMENT CONTENDED: load_avg $loadNow > " +
           s"$maxLoad on $nProcs cpus — timings will NOT be comparable " +
           "across records; the record is stamped \"contended\":true")
       if (sys.env.get("SPARK_GRAFT_BENCH_REFUSE_LOAD").contains("1")) {
@@ -262,13 +292,17 @@ object Bench {
     val warmTotal = ok.map(_._3).sum
     val coldTotal = ok.map(_._2).sum
     val loadAvgEnd = osBean.getSystemLoadAverage
+    // load_avg_start = the post-drain value the gate judged (what the
+    // run actually started under); the pre-drain reading is kept so a
+    // drained record is visibly a drained record
     val envJson =
-      s"""{"load_avg_start":$loadAvgStart,"load_avg_end":$loadAvgEnd,""" +
+      s"""{"load_avg_start":$loadNow,"load_avg_pre_drain":$loadAvgStart,""" +
+        s""""load_avg_end":$loadAvgEnd,""" +
         s""""available_processors":$nProcs,""" +
         s""""max_load":$maxLoad,"contended":$contended}"""
     if (contended)
       System.err.println(
-        s"[bench] ENVIRONMENT CONTENDED (load_avg_start $loadAvgStart > " +
+        s"[bench] ENVIRONMENT CONTENDED (load_avg_start $loadNow > " +
           s"$maxLoad): this record's timings are environment, not code")
     println(
       s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
