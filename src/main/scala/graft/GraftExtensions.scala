@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, ImageHeader, MatchCount, MinHashSig, Mp4Header, NpyHeader, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash60, StopCounts, TarMembers, WavHeader, WordShingles}
+import graft.functions.{BpeSymCount, DotProduct, ImageHeader, MatchCount, MinHashSig, Mp4Header, NpyHeader, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash60, StopCounts, TarMembers, WavHeader, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -79,6 +79,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"match_count pattern must be a string literal, got $other")
         }
         MatchCount(args.head, pattern)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bpe_sym_count"),
+      new ExpressionInfo(classOf[BpeSymCount].getName, "bpe_sym_count"),
+      (args: Seq[Expression]) => {
+        val spec = args(1) match {
+          case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) => p.toString
+          case other => throw new IllegalArgumentException(
+            s"bpe_sym_count merge spec must be a string literal, got $other")
+        }
+        BpeSymCount(args.head, spec)
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),

@@ -1085,22 +1085,19 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Symbol count of one word after applying `pairs` in training order:
-    * render chars as `|c||h|…`, chain one literal `replace` per merge
-    * (greedy leftmost non-overlapping — the td22 oracle semantics),
-    * then count symbols as half the surviving delimiter count. All
-    * codegen'd string expressions; exact because the delimiter count is
-    * always even. Shared by td26 and st25.
+  /** Symbol count of one word after applying `pairs` in training order —
+    * the native [[graft.functions.BpeSymCount]] expression (greedy
+    * leftmost non-overlapping merges over code-point spans; one fused
+    * JVM pass, codegen'd). Replaces the rendered-string chain (per-char
+    * regexp + one allocating `replace` per merge, per word OCCURRENCE)
+    * that was the registry's largest 100×-scale constant; the DuckDB
+    * oracles keep the replace-chain formulation, so the two stay
+    * hash-proven equal. Shared by td26 and st25.
     */
   private[graft] def bpeSymCount(
-      w: Column, pairs: Seq[(String, String)]): Column = {
-    val rendered = regexp_replace(w, "(.)", "|$1|")
-    val merged = pairs.foldLeft(rendered) { case (s, (l, r)) =>
-      replace(s, lit("|" + l + "||" + r + "|"), lit("|" + l + r + "|"))
-    }
-    ((length(merged) - length(replace(merged, lit("|"), lit("")))) / lit(2))
-      .cast("long")
-  }
+      w: Column, pairs: Seq[(String, String)]): Column =
+    call_function("bpe_sym_count", w,
+      lit(pairs.map { case (l, r) => s"$l:$r" }.mkString(",")))
 
   /** The td22 oracle, generated from the SAME (dictSize, nMerges)
     * defaults: one (pairs, argmax, replace) CTE triple per merge step —

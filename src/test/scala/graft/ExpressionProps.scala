@@ -273,4 +273,31 @@ object ExpressionProps extends Properties("NativeExpressions") {
         }
         sizeOk && noFalseNegatives && estimatesBounded
     }
+  // bpe_sym_count vs the rendered replace-chain model it replaced (the
+  // td26/st25 formulation the DuckDB oracles still run): render chars as
+  // |c||h|..., one literal replace per merge in order, count = surviving
+  // delimiters / 2. Pairs include never-matching and repeated symbols.
+  private val bpeWord: Gen[String] =
+    Gen.choose(0, 12).flatMap(Gen.listOfN(_, Gen.oneOf('a', 'b', 'c', 'd'))).map(_.mkString)
+  private val bpeSym: Gen[String] =
+    Gen.oneOf("a", "b", "c", "d", "ab", "bc", "abc", "z")
+  private val bpePairs: Gen[List[(String, String)]] =
+    Gen.choose(0, 6).flatMap(Gen.listOfN(_, Gen.zip(bpeSym, bpeSym)))
+  private def bpeModel(word: String, pairs: List[(String, String)]): Long = {
+    val rendered = word.map(c => s"|$c|").mkString
+    val merged = pairs.foldLeft(rendered) { case (s, (l, r)) =>
+      s.replace(s"|$l||$r|", s"|$l$r|")
+    }
+    ((merged.length - merged.replace("|", "").length) / 2).toLong
+  }
+  property("bpe_sym_count == rendered replace-chain model (greedy leftmost non-overlapping)") =
+    Prop.forAll(bpeWord, bpePairs) { (w, pairs) =>
+      val sp = spark
+      import sp.implicits._
+      val spec = pairs.map { case (l, r) => s"$l:$r" }.mkString(",")
+      val got = Seq(Tuple1(w)).toDF("w")
+        .select(call_function("bpe_sym_count", col("w"), lit(spec)))
+        .collect().head.getLong(0)
+      got == bpeModel(w, pairs)
+    }
 }
