@@ -375,9 +375,50 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** mm10 — asset-store RECONCILIATION: full-outer join the staging
+    * manifest (what the writer believes it staged: name + byte length,
+    * [[Tables.assetManifest]]) against the `binaryFile` scan's metadata
+    * (what Spark can actually list), and classify every asset:
+    * `ok` (present, sizes agree), `size_mismatch` (present, truncated or
+    * grown), `missing_from_scan` (in the manifest but invisible to the
+    * scan — the zero-byte class Spark's file listing silently DROPS,
+    * found by the adversarial-corpus run and until now only documented),
+    * `unexpected_in_scan` (an orphan file no manifest row claims).
+    *
+    * This is the close-the-loop operator for the os2 posture ("a
+    * pipeline that must account for every asset"): the scan alone can
+    * never see what the listing dropped, so accounting REQUIRES the
+    * manifest join. Scale: the scan side projects only (path, length) —
+    * the binaryFile source prunes `content`, so no payload bytes are
+    * read; both sides are file-count-scale metadata and the join keys
+    * are unique per side. The staged fixture is non-empty by
+    * construction, so the registry query's oracle is the all-`ok`
+    * projection of the documents prefix; the degenerate classes are
+    * exercised on planted fixtures in `MultimodalSpec`.
+    */
+  def assetReconcile(manifest: DataFrame, scan: DataFrame): DataFrame = {
+    val scanMeta = scan.select(
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+      col("length").as("scan_bytes"))
+    manifest.join(scanMeta, Seq("file_name"), "full_outer")
+      .select(col("file_name"), col("manifest_bytes"), col("scan_bytes"),
+        when(col("manifest_bytes").isNull, lit("unexpected_in_scan"))
+          .when(col("scan_bytes").isNull, lit("missing_from_scan"))
+          .when(col("manifest_bytes") === col("scan_bytes"), lit("ok"))
+          .otherwise(lit("size_mismatch")).as("status"))
+      .orderBy(col("file_name"))
+  }
+
+  /** The mm10 registry instantiation over the os2 staged store. */
+  def assetReconcileQ(spark: SparkSession, sfDir: String): DataFrame =
+    assetReconcile(
+      Tables.assetManifest(spark, sfDir),
+      Tables.binaryAssets(spark, sfDir))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm10_asset_reconcile" -> (assetReconcileQ _),
     "mm9_tar_members" -> ((s: SparkSession, d: String) =>
       tarMembers(Tables.documents(s, d))),
     "mm8_npy_headers" -> ((s: SparkSession, d: String) =>
@@ -445,6 +486,20 @@ object Multimodal {
          |  md5(text) AS content_md5
          |FROM documents WHERE doc_id < ${Tables.Os2AssetCount}
          |ORDER BY doc_id""".stripMargin,
+    // the staged fixture is non-empty by construction, so the truthful
+    // reconciliation is all-'ok' with manifest == scan == UTF-8 byte
+    // length of the source text; the engine computes it from the REAL
+    // manifest file and the REAL binaryFile listing, so any staging or
+    // listing defect (dropped file, truncation, orphan) hash-mismatches
+    // loudly. The degenerate statuses are spec-exercised on planted
+    // fixtures (MultimodalSpec) — DuckDB cannot list Spark's scan.
+    "mm10_asset_reconcile" ->
+      s"""SELECT printf('doc_%05d.bin', doc_id) AS file_name,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS manifest_bytes,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS scan_bytes,
+         |  'ok' AS status
+         |FROM documents WHERE doc_id < ${Tables.Os2AssetCount}
+         |ORDER BY file_name""".stripMargin,
     // the mm5/mm6 convention: the guard mirrors the engine's FULL
     // classification test (ftyp four-character-code at byte offset 4,
     // inside a 12-byte ASCII-verified prefix so char positions ARE byte

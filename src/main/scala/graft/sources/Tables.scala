@@ -244,7 +244,8 @@ object Tables {
     // the count is part of the stamp: a call with a different nAssets
     // must restage, not silently serve the previously staged prefix
     val stamp = Staging.sourceStamp(Seq(source)) + s":n=$nAssets"
-    if (!marker.exists() || !stampFile.exists() ||
+    val manifestFile = new java.io.File(s"$binDir/graft_manifest.tsv")
+    if (!marker.exists() || !stampFile.exists() || !manifestFile.exists() ||
         new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
       new java.io.File(binDir).mkdirs()
       // clear stale exports first — a shrunk nAssets must not leave
@@ -253,18 +254,48 @@ object Tables {
         .filter(f => f.getName.endsWith(".bin") || f.getName == "_SUCCESS")
         .foreach(_.delete())
       // bounded collect: nAssets (doc_id, text) rows, the fixture export
+      val manifest = new StringBuilder
       documents(spark, sfDir).filter(col("doc_id") < nAssets)
         .select(col("doc_id"), col("text")).collect().foreach { r =>
+          val name = f"doc_${r.getLong(0)}%05d.bin"
+          val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           java.nio.file.Files.write(
-            java.nio.file.Paths.get(f"$binDir/doc_${r.getLong(0)}%05d.bin"),
-            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            java.nio.file.Paths.get(s"$binDir/$name"), bytes)
+          // the manifest records what the WRITER believes it staged —
+          // (name, byte length) per asset — so mm10 can reconcile the
+          // scan against it (Spark's listing drops zero-byte files; the
+          // manifest is the only place such an asset remains visible)
+          manifest.append(name).append('\t').append(bytes.length).append('\n')
         }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$binDir/graft_manifest.tsv"),
+        manifest.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
       java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
     }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")
       .load(binDir)
+  }
+
+  /** The os2 staging MANIFEST — (file_name, n_bytes) per asset as the
+    * writer recorded them ([[binaryAssets]] writes it next to the
+    * `.bin` files; calling this ensures the staging ran). The
+    * reconciliation input for mm10: a store's manifest is ground truth
+    * for what SHOULD be scannable, and the one artifact that still sees
+    * assets Spark's zero-byte-dropping file listing cannot.
+    */
+  def assetManifest(spark: SparkSession, sfDir: String,
+      nAssets: Int = Os2AssetCount): DataFrame = {
+    binaryAssets(spark, sfDir, nAssets) // idempotent ensure
+    val sfName = new java.io.File(sfDir).getName
+    val binDir = s"${sys.props("user.dir")}/target/binassets/$sfName/docs"
+    spark.read
+      .option("sep", "\t")
+      .schema(StructType(Seq(
+        StructField("file_name", StringType),
+        StructField("manifest_bytes", LongType))))
+      .csv(s"$binDir/graft_manifest.tsv")
   }
 
   /** os3 staging: a bounded document prefix exported once as GZIP

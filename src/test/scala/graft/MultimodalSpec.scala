@@ -506,4 +506,39 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     val s = rows(3L)
     assert(!s.decoded && s.pixel_md5 == null)
   }
+
+  test("mm10 reconcile: planted zero-byte, truncated, and orphan assets surface with the right status") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("mm10fuzz").toFile
+    def put(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, bytes)
+    put("a_ok.bin", "payload".getBytes("UTF-8"))          // 7 bytes, listed
+    put("b_empty.bin", Array.empty[Byte])                 // zero-byte: listing drops it
+    put("c_trunc.bin", "pay".getBytes("UTF-8"))           // 3 bytes vs manifest 7
+    put("d_orphan.bin", "x".getBytes("UTF-8"))            // no manifest row
+    val manifest = {
+      val sp = spark; import sp.implicits._
+      Seq(("a_ok.bin", 7L), ("b_empty.bin", 0L), ("c_trunc.bin", 7L))
+        .toDF("file_name", "manifest_bytes")
+    }
+    val scan = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin").load(dir.getAbsolutePath)
+    val got = graft.operators.Multimodal.assetReconcile(manifest, scan).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(got("a_ok.bin") === "ok")
+    assert(got("b_empty.bin") === "missing_from_scan",
+      "the zero-byte asset Spark's listing drops must surface via the manifest")
+    assert(got("c_trunc.bin") === "size_mismatch")
+    assert(got("d_orphan.bin") === "unexpected_in_scan")
+    assert(got.size === 4)
+    graft.sources.Staging.deleteRecursively(dir)
+  }
+
+  test("mm10 registry query: staged fixture reconciles all-ok at the staged asset count") {
+    val rows = graft.operators.Multimodal.assetReconcileQ(spark, sf001).collect()
+    assert(rows.length === graft.sources.Tables.Os2AssetCount)
+    assert(rows.forall(_.getString(3) == "ok"))
+    assert(rows.forall(r => r.getLong(1) == r.getLong(2)))
+  }
 }
