@@ -925,6 +925,12 @@ object Dedup {
     * block — e.g. a typo corrupting both end chars) surface with a
     * NULL match — fail loud, the V9 accounting posture.
     *
+    * Distance contract: BYTE-edit levenshtein over UTF-8 (see the
+    * `bytes1` note below) — engine-portable where code-point distance is
+    * not, identical to code-point distance on ASCII names, and an upper
+    * bound on it otherwise (a multi-byte typo just "costs more", which
+    * only tightens the budget).
+    *
     * Registry instantiation derives the dirty feed deterministically
     * from the nation dim (key % 3 picks the corruption: verbatim, one
     * char dropped, one char doubled — the classic typo classes);
@@ -949,9 +955,21 @@ object Dedup {
     val last = pass(s => s.substr(length(s), lit(1)))
     val w = Window.partitionBy(col("dirty_id"))
       .orderBy(col("dist"), col("clean_name"))
+    // The distance CONTRACT is BYTE-edit levenshtein over the UTF-8
+    // encoding — locale-independent and engine-portable: DuckDB's
+    // levenshtein counts byte edits while Spark's counts code points
+    // (found by probing before the adversarial-dimension replay: DuckDB
+    // levenshtein('café','cafe') = 2). Decoding the UTF-8 bytes as
+    // ISO-8859-1 yields a string with exactly one char per byte, so
+    // Spark's code-point distance over THAT equals the byte distance —
+    // identity for ASCII names (hashes unchanged), well-defined for
+    // dirty unicode ones; byte distance upper-bounds code-point
+    // distance, so the budget stays conservative.
+    def bytes1(c: Column): Column = decode(encode(c, "UTF-8"), "ISO-8859-1")
     val matched = first.unionByName(last)
       .distinct() // a pair can surface from both blocks — score it once
-      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
+      .withColumn("dist",
+        levenshtein(bytes1(col("dirty_name")), bytes1(col("clean_name"))))
       .filter(col("dist") <= maxDist)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)

@@ -169,6 +169,13 @@ object Multimodal {
   def frameSample(
       docs: DataFrame,
       frameSize: Int = 32, stride: Int = 4, maxFrames: Int = 8): DataFrame = {
+    // frame_md5 hashes the HEX RENDERING of the frame bytes, not the raw
+    // bytes: a byte slice of UTF-8 text is not valid VARCHAR, and
+    // DuckDB's md5 is VARCHAR-only — hex is the portable byte-faithful
+    // fingerprint both engines can compute (found by the adversarial
+    // replay: the old char-sliced oracle silently agreed on ASCII and
+    // diverged on any multibyte doc). Frames themselves are BYTE frames
+    // (octet offsets/lengths) — a frame sampler addresses bytes.
     val frames = expr(
       s"""transform(
          |  slice(filter(sequence(0, int(ceil(octet_length(bin) / ${frameSize}.0)) - 1),
@@ -177,7 +184,7 @@ object Multimodal {
          |  i -> struct(
          |    CAST(i AS BIGINT) AS frame_idx,
          |    CAST(octet_length(substring(bin, i * $frameSize + 1, $frameSize)) AS BIGINT) AS frame_len,
-         |    md5(substring(bin, i * $frameSize + 1, $frameSize)) AS frame_md5))""".stripMargin)
+         |    md5(hex(substring(bin, i * $frameSize + 1, $frameSize))) AS frame_md5))""".stripMargin)
     docs
       .select(col("doc_id"), col("text").cast("binary").as("bin"))
       .select(col("doc_id"), explode(frames).as("f"))
@@ -613,11 +620,14 @@ object Multimodal {
     // DuckDB cannot substring a BLOB; the corpus is pure ASCII (verified:
     // length(text) == octet_length(encode(text)) for every row), so VARCHAR
     // slicing is byte slicing and md5(varchar) hashes the same bytes.
+    // BYTE frames via the hex rendering (2 hex chars per byte, so the
+    // char-sliced hex string addresses exact byte offsets), md5 over the
+    // hex — the engine hashes the same uppercase hex of the same bytes
     "mm3_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-        |  CAST(length(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS BIGINT) AS frame_len,
-        |  md5(substring(text, CAST(i * 32 + 1 AS INT), 32)) AS frame_md5
+        |  CAST(length(substring(hex(encode(text)), CAST(i * 64 + 1 AS INT), 64)) // 2 AS BIGINT) AS frame_len,
+        |  md5(substring(hex(encode(text)), CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
         |FROM documents, LATERAL unnest(
-        |  [x FOR x IN range(CAST(ceil(length(text) / 32.0) AS INT)) IF x % 4 = 0][1:8]) AS t(i)
+        |  [x FOR x IN range(CAST(ceil(octet_length(encode(text)) / 32.0) AS INT)) IF x % 4 = 0][1:8]) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -756,9 +756,15 @@ object Params {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // the oracle reads the ORIGINAL parquet supplier — a hash match
     // proves the ORC roundtrip (keys, strings, the s_acctbal double)
-    // was bit-exact; dsum twin per the Analytics convention
+    // was bit-exact; dsum twin per the Analytics convention. The
+    // `+ 0.0` on the projected key is the declarative twin of Spark's
+    // NormalizeFloatingNumbers: Spark canonicalizes -0.0 to 0.0 in
+    // GROUP-BY keys while DuckDB keeps the stored sign as the group
+    // representative (found by the adversarial dimension replay);
+    // IEEE -0.0 + 0.0 = +0.0 and x + 0.0 = x for every other finite x,
+    // so the twin is exact and benign-corpus hashes are unchanged
     "os1_orc_dim_join" ->
-      """SELECT s_name, s_acctbal,
+      """SELECT s_name, s_acctbal + 0.0 AS s_acctbal,
         |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6)
         |    AS sum_qty,
         |  count(*) AS n_items

@@ -342,18 +342,40 @@ object Tables {
     val marker = new java.io.File(s"$csvDir/_SUCCESS")
     val source = new java.io.File(path(sfDir, "nation"))
     // rewrite when absent OR stale (the source's (mtime, length) stamp
-    // changed — sees same-second rewrites a marker-mtime compare misses)
+    // changed — sees same-second rewrites a marker-mtime compare misses).
+    // The WRITE-CONTRACT version rides in the stamp (the os2 nAssets
+    // pattern): a change to the value-faithfulness options below must
+    // restage files written under the old contract
     val stampFile = new java.io.File(s"$csvDir/_graft_source")
-    val stamp = Staging.sourceStamp(Seq(source))
+    val stamp = Staging.sourceStamp(Seq(source)) + ":csv-v2"
     if (!marker.exists() || !stampFile.exists() ||
         new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
       nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
         .coalesce(1)
-        .write.mode("overwrite").option("header", "true").csv(csvDir)
+        .write.mode("overwrite").option("header", "true")
+        // value-faithful write contract (each default found LOSSY by the
+        // adversarial dimension replay): the writer TRIMS field
+        // whitespace by default (" leading space" came back bare), and
+        // writes NULL as the same unquoted empty an empty string can
+        // parse to — pin nulls to \N so the two are distinguishable
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "\\N")
+        .csv(csvDir)
       java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
     }
     spark.read
       .option("header", "true")
+      // the read half of the contract: only \N is null (the default
+      // nullValue "" turned a quoted empty string into NULL), a parsed
+      // empty stays the empty string, and multiLine honors quoted
+      // embedded newlines (the default line-splitter truncated them).
+      // multiLine makes a CSV file non-splittable — the right trade for
+      // a BOUNDED dim; a fact-scale CSV feed should ship newline-free
+      // fields (or parquet) instead
+      .option("nullValue", "\\N")
+      .option("emptyValue", "")
+      .option("multiLine", "true")
       .schema(StructType(Seq(
         StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType))))

@@ -30,9 +30,33 @@ Round-12 catch record (each fixed + pinned the same day):
     → zero-token fingerprint NULL vs md5('').
   - dd20: RE2 (?i) applies Unicode simple folding ('ſ'→'s'), Java's is
     ASCII-only → explicit [Hh][Tt][Tt][Pp] classes now (preemptive).
-Known out-of-contract rows (documented, not fixed): os2/mm3 fixture
-gates assume non-empty staged assets — Spark's file listing drops
-zero-byte files (see Tables.binaryAssets scaladoc).
+Round-13 extension: adversarial DIMENSION tables (nation/region/
+supplier/customer + a minimal lineitem), so dd21_fuzzy_linkage and the
+cs1/js1/os1 source-roundtrip family replay too. Catch record (each
+fixed + pinned the same day):
+  - dd21: DuckDB levenshtein counts BYTE edits, Spark counts code
+    points -> divergent on any non-ASCII name. Contract is now
+    byte-edit distance (engine computes over an ISO-8859-1 view of
+    the UTF-8 bytes; identity for ASCII).
+  - cs1: Spark CSV write TRIMS field whitespace by default, maps
+    quoted "" and NULL to the same empty field, and the default read
+    treats both as NULL; embedded newlines truncated without
+    multiLine. nationCsv now pins the full value-faithful contract
+    (ignore*WhiteSpace=false, nullValue=backslash-N, emptyValue="",
+    multiLine) with a versioned staging stamp.
+  - os1: Spark normalizes -0.0 to 0.0 in GROUP BY keys, DuckDB keeps
+    the stored sign -> oracle now projects s_acctbal + 0.0 (the
+    NormalizeFloatingNumbers twin; exact for every other value).
+  - mm3: oracle sliced frames by CHARACTER, engine by BYTE -> agreed
+    on ASCII only. Contract is now byte frames fingerprinted as
+    md5(hex(bytes)) in both engines (DuckDB md5 is VARCHAR-only, so
+    raw byte slices are inexpressible there).
+Known out-of-contract rows (documented, not fixed): the os2 count
+gate assumes non-empty staged assets — Spark's file listing drops
+zero-byte files; mm10_asset_reconcile is the operator that SURFACES
+exactly this (on this corpus it reports the empty doc's asset as
+missing_from_scan, while its all-ok oracle is valid only for
+non-empty fixtures by contract).
 """
 import sys
 import duckdb
@@ -103,3 +127,85 @@ n = con.execute(
     f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')"
 ).fetchone()[0]
 print(f"{dst}/documents.parquet: {n} docs")
+
+# ---------------------------------------------------------------- dims
+# Round-13 extension: adversarial DIMENSION tables, so the dim-backed
+# queries replay too — dd21's edit-distance/rescue logic is exactly the
+# code dirty vendor names exercise, and cs1/js1/os1 roundtrip dim
+# strings through CSV/JSON/ORC staging where escaping bugs live.
+# Schemas mirror the driver testdata (TESTDATA.md).
+adv_names = [
+    "FRANCE",                       # plain ASCII (the benign anchor)
+    "GERMANY",
+    "türkiye İstanbul",   # Turkish dotted capital I
+    "zalgo z̸͢a̶͘l̵̈go",
+    "rtl العربية",
+    "cjk 中文",
+    "emoji \U0001F600\U0001F1FA\U0001F1F8",
+    "nbsp name",
+    "tab\tname",
+    "comma, name",
+    'quote " name',
+    "backslash \\ name",
+    "newline\nname",
+    "nul\x00name",
+    " leading space",
+    "trailing space ",
+    "",                             # empty string (NOT null)
+    "a" * 200,                      # long
+    "café",                    # é: 1 code point, 2 UTF-8 bytes
+    "café",                   # combining accent
+    "ﬁligature",
+    "\U0001d518nicode plane1",      # astral: 1 cp, 4 bytes
+    "ı dotless",
+    "mixed Ss ß",
+    "dup dup",
+]
+assert len(adv_names) == 25
+con.execute("CREATE TABLE nat (n_nationkey INTEGER, n_name VARCHAR, "
+            "n_regionkey INTEGER)")
+con.executemany("INSERT INTO nat VALUES (?,?,?)",
+                [(i, adv_names[i], i % 5) for i in range(25)])
+con.execute(f"COPY (SELECT * FROM nat ORDER BY n_nationkey) TO "
+            f"'{dst}/nation.parquet' (FORMAT PARQUET)")
+
+con.execute("CREATE TABLE reg (r_regionkey INTEGER, r_name VARCHAR)")
+con.executemany("INSERT INTO reg VALUES (?,?)",
+                [(i, adv_names[i * 5]) for i in range(5)])
+con.execute(f"COPY (SELECT * FROM reg ORDER BY r_regionkey) TO "
+            f"'{dst}/region.parquet' (FORMAT PARQUET)")
+
+# edgy-but-finite doubles: -0.0, subnormal, representability edges (the
+# ORC/CSV/JSON roundtrips and the GROUP-BY-double key must carry each
+# bit-exactly); NaN/inf stay out - acctbal is an amount, not a sensor
+adv_bal = [0.0, -0.0, 5e-324, -5e-324, 0.1 + 0.2, -987.654321,
+           1e15 + 0.1, 2.0 ** 53 + 1.0, 123.456, -1e-308]
+con.execute("CREATE TABLE sup (s_suppkey BIGINT, s_name VARCHAR, "
+            "s_nationkey INTEGER, s_acctbal DOUBLE)")
+con.executemany("INSERT INTO sup VALUES (?,?,?,?)",
+                [(i + 1, adv_names[(i * 3) % 25], i % 25, adv_bal[i])
+                 for i in range(10)])
+con.execute(f"COPY (SELECT * FROM sup ORDER BY s_suppkey) TO "
+            f"'{dst}/supplier.parquet' (FORMAT PARQUET)")
+
+con.execute("CREATE TABLE cust (c_custkey BIGINT, c_name VARCHAR, "
+            "c_nationkey INTEGER, c_acctbal DOUBLE, c_mktsegment VARCHAR)")
+con.executemany("INSERT INTO cust VALUES (?,?,?,?,?)",
+                [(i + 1, adv_names[(i * 7) % 25], i % 25,
+                  adv_bal[i % 10], ["BUILDING", "MACHINERY"][i % 2])
+                 for i in range(150)])
+con.execute(f"COPY (SELECT * FROM cust ORDER BY c_custkey) TO "
+            f"'{dst}/customer.parquet' (FORMAT PARQUET)")
+
+# minimal lineitem: just the columns os1 prunes to; quantities exercise
+# the DECIMAL(38,6) dsum grid
+con.execute("CREATE TABLE li (l_suppkey BIGINT, l_quantity DOUBLE)")
+con.executemany("INSERT INTO li VALUES (?,?)",
+                [(1 + (i % 10), [1.0, 50.0, 0.5, 49.999999, 7.25][i % 5])
+                 for i in range(1000)])
+con.execute(f"COPY (SELECT * FROM li) TO '{dst}/lineitem.parquet' "
+            f"(FORMAT PARQUET)")
+for t in ["nation", "region", "supplier", "customer", "lineitem"]:
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{dst}/{t}.parquet')").fetchone()[0]
+    print(f"{dst}/{t}.parquet: {n} rows")
