@@ -664,7 +664,7 @@ object Similarity {
     * constant per row); the min-struct carries the vector through the
     * aggregation so no second corpus join is needed.
     */
-  private def assignCells(
+  private[graft] def assignCells(
       x: DataFrame, centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val spark = x.sparkSession
     import spark.implicits._
@@ -1005,6 +1005,23 @@ object Similarity {
     * sim2 oracle texts encode, which the sim15 CTE wrap inherits.
     */
   val AnnK: Int = 5
+
+  /** Index-health REFRESH THRESHOLDS — the ARTIFACTS.md triad's named
+    * trigger values, as constants so the monitors, the ops runbook and
+    * the drift test read ONE set of numbers. The triad is
+    * complementary by design: a drifted corpus can COLLAPSE into few
+    * cells (imbalance spikes, recall often survives — every neighbor is
+    * in the one fat cell you probe, but tail latency dies) or SCATTER
+    * across stale cell boundaries (recall dies at fixed nProbe while
+    * imbalance looks fine); distortion attributes either to the
+    * quantizer no longer fitting the data. `SimilaritySpec` proves both
+    * drift modes trip their thresholds against a frozen
+    * (base-half-trained) quantizer and that a full retrain restores all
+    * three.
+    */
+  val HealthRecallFloor: Double = 0.8
+  val HealthImbalanceMax: Double = 2.0
+  val HealthDistortionGrowthMax: Double = 2.0
 
   /** dd24 shared constants — single source for the engine defaults AND
     * the generated oracle literals (the HeadVocabSize pattern).

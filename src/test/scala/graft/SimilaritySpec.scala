@@ -613,4 +613,148 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     Similarity.adm(spark, sf001) // fresh ⇒ serve, no rewrite
     assert(specFile.lastModified() === mtime)
   }
+
+  // ---------------------------------------------------- index-health drift
+
+  /** Deterministic synthetic corpus builder for the drift cases: rows of
+    * (vec_id, x: array<double>) with `embedding` aliased for the training
+    * entry points. dim 64, content set per-case.
+    */
+  private def vecFrame(rows: Seq[(Long, Array[Double])]) = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("vec_id", "embedding")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("embedding"))
+  }
+
+  private def unit(dim: Int)(f: PartialFunction[Int, Double]): Array[Double] =
+    Array.tabulate(dim)(d => if (f.isDefinedAt(d)) f(d) else 0.0)
+
+  /** k * sum(n^2) / N^2 over an assignment — the sim17 formula. */
+  private def imbalanceOf(cells: org.apache.spark.sql.DataFrame, k: Int): Double = {
+    import org.apache.spark.sql.functions._
+    val agg = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n")).as("nv"), sum(col("n") * col("n")).as("sq")).head
+    k.toDouble * agg.getLong(1) / agg.getLong(0) / agg.getLong(0)
+  }
+
+  /** mean min-cell squared distance — the sim16 shape at m=1. */
+  private def distortionOf(corpus: org.apache.spark.sql.DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): Double = {
+    import org.apache.spark.sql.functions._
+    val scored = centroids.map { case (cid, c) =>
+      val cv = typedLit(c)
+      struct((Similarity.dot(cv, cv) - lit(2.0) * Similarity.dot(col("x"), cv)).as("s"),
+        lit(cid).as("c"))
+    }
+    val best = array_min(array(scored: _*)).getField("s")
+    corpus.select(avg(Similarity.norm2(col("x")) + best)).head.getDouble(0)
+  }
+
+  /** recall@5 with nProbe=1 against a given assignment: a hit is an exact
+    * top-5 neighbor that shares the query's cell.
+    */
+  private def recallAt5(corpus: org.apache.spark.sql.DataFrame,
+      cells: org.apache.spark.sql.DataFrame, queryIds: Seq[Long]): Double = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val withCell = corpus.join(cells.select(col("vec_id"), col("cell")), "vec_id")
+    val q = withCell.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("x").as("qx"), col("cell").as("qcell"))
+    val sim = Similarity.dot(col("qx"), col("x")) /
+      (sqrt(Similarity.norm2(col("qx"))) * sqrt(Similarity.norm2(col("x"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
+    val top = withCell.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("s", sim)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+    top.filter(col("cell") === col("qcell")).count().toDouble / (queryIds.size * 5)
+  }
+
+  test("index-health triad, COLLAPSE drift: stale quantizer trips imbalance+distortion (recall blind), splitting the hot regime restores them") {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    // base regime: 4 interleaved tight clusters at 10*e_c
+    val base = (0 until 100).map { i =>
+      val c = i % 4
+      (i.toLong, unit(dim) { case `c` => 10.0 + ((i / 4) % 5 - 2) * 0.1 })
+    }
+    // drift: one far blob with real internal spread along component 6
+    val drift = (100 until 400).map { i =>
+      (i.toLong, unit(dim) { case 5 => 40.0 + ((i - 100) % 5 - 2) * 0.1
+                             case 6 => (i - 100) * 0.1 })
+    }
+    val corpus = vecFrame(base ++ drift).select(col("vec_id"), col("embedding").as("x"))
+    val stale = Similarity.kmeansCentroids(
+      vecFrame(base), k = 4, iters = 3) // trained BEFORE the drift arrived
+    val staleCells = Similarity.assignCells(corpus, stale)
+    val staleImb = imbalanceOf(staleCells, stale.size)
+    assert(staleImb > Similarity.HealthImbalanceMax,
+      s"collapse drift must trip the imbalance threshold: $staleImb")
+    val baseHalf = corpus.filter(col("vec_id") < 100)
+    val growth = distortionOf(corpus, stale) / distortionOf(baseHalf, stale)
+    assert(growth > Similarity.HealthDistortionGrowthMax,
+      s"collapse drift must trip distortion growth: $growth")
+    // recall is BLIND to this mode (the whole blob sits in one probed fat
+    // cell) - the reason the triad is a SET, not one number
+    val staleRecall = recallAt5(corpus, staleCells, (100L until 120L))
+    assert(staleRecall >= Similarity.HealthRecallFloor,
+      s"collapse mode should not degrade recall: $staleRecall")
+    // the documented remedy for a hot cell: keep the fitted base cells,
+    // SPLIT the hot regime into quantile cells (ensureLearnedIvf's warn
+    // text; equivalently a retrain at the derived larger k)
+    val blobMeanAt = (q: Int) => unit(dim) { case 5 => 40.0
+                                            case 6 => (q * 75 + 37) * 0.1 }
+    val fresh = stale.map { case (cid, c) => (cid, c) } ++
+      (0 until 4).map(q => (4 + q, blobMeanAt(q).toSeq))
+    val freshCells = Similarity.assignCells(corpus, fresh)
+    val freshImb = imbalanceOf(freshCells, fresh.size)
+    assert(freshImb < Similarity.HealthImbalanceMax,
+      s"splitting the hot regime must restore balance: $freshImb")
+    // after a refresh the growth monitor's baseline RESETS to the new
+    // quantizer's own fit residual (growth = current/fit-time = 1 by
+    // construction on the corpus it was fitted to) — the meaningful
+    // restore fact is the absolute residual collapsing vs the stale one
+    assert(distortionOf(corpus, fresh) < distortionOf(corpus, stale) / 10.0,
+      "the refreshed quantizer must collapse the absolute residual")
+  }
+
+  test("index-health triad, SCATTER drift: stale cell boundaries cut every neighborhood (recall trips, imbalance blind), retraining on the drifted regime restores recall") {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    val base = (0 until 200).map { i =>
+      val c = i % 4
+      (i.toLong, unit(dim) { case `c` => 10.0 + ((i / 4) % 5 - 2) * 0.1 })
+    }
+    // drifted clusters sit BETWEEN the stale centroid directions and
+    // alternate a tiny offset across the stale decision boundary, so
+    // every second neighbor lands in the other (unprobed) cell
+    val drift = (200 until 400).map { i =>
+      val c = (i - 200) % 4
+      val j = (i - 200) / 4
+      val delta = if (j % 2 == 0) 0.01 else -0.01
+      (i.toLong, unit(dim) {
+        case `c`                  => 7.0 + delta
+        case d if d == (c + 1) % 4 => 7.0 - delta
+        case d if d == 20 + c      => j * 0.02
+      })
+    }
+    val corpus = vecFrame(base ++ drift).select(col("vec_id"), col("embedding").as("x"))
+    val stale = Similarity.kmeansCentroids(vecFrame(base), k = 4, iters = 3)
+    val staleCells = Similarity.assignCells(corpus, stale)
+    val staleRecall = recallAt5(corpus, staleCells, (200L until 220L))
+    assert(staleRecall < Similarity.HealthRecallFloor,
+      s"scatter drift must trip the recall floor: $staleRecall")
+    val staleImb = imbalanceOf(staleCells, stale.size)
+    assert(staleImb < Similarity.HealthImbalanceMax,
+      s"imbalance is blind to scatter drift by design: $staleImb")
+    // the ops remedy: retrain on the drifted regime (ids interleave the
+    // drifted clusters, so the engine's lowest-ids init covers them)
+    val retrained = Similarity.kmeansCentroids(
+      vecFrame(drift), k = 4, iters = 5)
+    val freshCells = Similarity.assignCells(corpus, retrained)
+    val freshRecall = recallAt5(corpus, freshCells, (200L until 220L))
+    assert(freshRecall >= Similarity.HealthRecallFloor,
+      s"retraining must restore recall: $freshRecall")
+  }
 }
