@@ -459,6 +459,113 @@ object Params {
     sa12LeakageSafeSplit(Tables.documents(spark, sfDir),
       Dedup.clusterLabels(spark, sfDir))
 
+  /** sa13 shared constants — single source for the engine defaults AND
+    * the generated oracle literals (the sa9OracleSql pattern). The global
+    * budget is ~half the sf0.01 per-source token mass, so the fill gate
+    * bites mid-source at every staged scale factor.
+    */
+  val Sa13Budget: Long = 14000L
+  val Sa13QBuckets: Int = 20
+
+  /** sa13 — BUDGETED EPOCH ASSEMBLY: the manifest a pretraining run
+    * builds when it has a global token budget and a target source
+    * mixture — "fill each source's share with its BEST documents first".
+    * Three published ideas composed: the per-source share is sa5's
+    * temperature rebalance (∝ √n, exact-DECIMAL share sum, floored to an
+    * integer token budget per source), the ranking key is td1's bounded
+    * quality score (quality-descending fill — the curriculum/data-budget
+    * move), and admission is "take documents while the EXCLUSIVE
+    * running token total is under the source's budget" (the first doc
+    * crossing the line is still admitted — whole-document semantics, sa9's
+    * posture: a training document is never split by the budget). Every
+    * doc comes back with its fill position and verdict (V9's accounting
+    * posture: the artifact explains every admit/reject).
+    *
+    * Scale: the NAIVE formulation is a per-source quality-ordered
+    * cumsum — a window whose partitions are corpus/|sources|, i.e. a
+    * handful of near-global sorts at 100 TB. This plan is sa6's
+    * distributed two-phase prefix sum keyed on (source, quality BUCKET)
+    * instead: quality lives on the r6 grid in [0,1], so `floor(q·20)`
+    * gives 21 buckets whose order REFINES quality order (monotone ⇒
+    * bucket boundaries never contradict the ranking); phase 1 computes
+    * per-(source, bucket) token sums (map-side combined, the only
+    * data-scaled aggregation), phase 2 runs the exclusive offset window
+    * over the BOUNDED (source × bucket) grid, phase 3 cumsums WITHIN
+    * each bucket. Identical output to the naive window — the oracle IS
+    * the naive formulation — and no window partition ever holds more
+    * than one bucket of one source. Budgets and offsets broadcast.
+    */
+  def sa13BudgetEpoch(
+      docs: DataFrame, budget: Long = Sa13Budget): DataFrame = {
+    val toks = tokens(col("text"))
+    // ranking key: NULL quality (zero-token docs) coalesces to 0.0 so the
+    // order is total and engine-portable (NULL-order defaults differ);
+    // the REPORTED q keeps the NULL (td1's contract)
+    val base = docs.select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("w"),
+        TextAnalysis.qualityScore(toks).as("q"))
+      .withColumn("qr", coalesce(col("q"), lit(0.0)))
+    // per-source √n-share budgets: sa5's rebalance arithmetic, floored to
+    // an exact integer token budget (bounded: one row per source)
+    val ns = base.groupBy(col("source")).agg(count(lit(1)).as("nl"))
+    val sw = ns.agg(sum(sqrt(col("nl")).cast("decimal(38,6)")).as("sw"))
+    val budgets = ns.crossJoin(broadcast(sw))
+      .select(col("source"),
+        floor(lit(budget.toDouble) * sqrt(col("nl"))
+          / col("sw").cast("double")).cast("long").as("src_budget"))
+    val bucketed = base
+      .withColumn("qb", floor(col("qr") * Sa13QBuckets).cast("int"))
+    val offW = Window.partitionBy(col("source")).orderBy(col("qb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("source"), col("qb"))
+      .agg(sum(col("w")).as("bw"))
+      .withColumn("off", coalesce(sum(col("bw")).over(offW), lit(0L)))
+      .select(col("source"), col("qb"), col("off"))
+    val intra = Window.partitionBy(col("source"), col("qb"))
+      .orderBy(col("qr").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("source", "qb"))
+      .join(broadcast(budgets), Seq("source"))
+      .withColumn("excl", col("off") + coalesce(sum(col("w")).over(intra), lit(0L)))
+      .select(col("doc_id"), col("source"), col("w"), col("q"),
+        col("excl").as("tokens_before"), col("src_budget"),
+        (col("excl") < col("src_budget")).as("admitted"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sa13BudgetEpochQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa13BudgetEpoch(Tables.documents(spark, sfDir))
+
+  /** sa13's oracle: the NAIVE per-source quality-ordered exclusive cumsum
+    * — the distributed two-phase plan must reproduce it row-for-row. The
+    * quality pieces are TextAnalysis's generated twins (single source),
+    * the share arithmetic is sa5's spelling (√ then DECIMAL(38,6) sum,
+    * multiply-then-divide in the same operation order).
+    */
+  private[graft] def sa13OracleSql(budget: Long = Sa13Budget): String =
+    s"""WITH t AS (SELECT doc_id, source, ${tokensSql("text")} AS toks
+       |           FROM documents),
+       |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS w,
+       |        ${TextAnalysis.qualityScoreSql(
+                   "len(toks)", TextAnalysis.stopCountSql("toks"))} AS q
+       |      FROM t),
+       |ns AS (SELECT source, count(*) AS nl FROM q GROUP BY source),
+       |sw AS (SELECT SUM(CAST(sqrt(nl) AS DECIMAL(38,6))) AS sw FROM ns),
+       |bud AS (SELECT source,
+       |          CAST(floor($budget.0 * sqrt(nl) / CAST(sw AS DOUBLE))
+       |            AS BIGINT) AS src_budget
+       |        FROM ns, sw),
+       |c AS (SELECT doc_id, source, w, q,
+       |        coalesce(SUM(w) OVER (PARTITION BY source
+       |          ORDER BY coalesce(q, 0.0) DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS tokens_before
+       |      FROM q)
+       |SELECT c.doc_id, c.source, c.w, c.q,
+       |  CAST(c.tokens_before AS BIGINT) AS tokens_before, b.src_budget,
+       |  c.tokens_before < b.src_budget AS admitted
+       |FROM c JOIN bud b USING (source) ORDER BY doc_id""".stripMargin
+
   /** sa7 — EXACT-N deterministic sample via bottom-k on a salted hash:
     * order every doc by its salted-md5 uniform draw and keep the k
     * smallest. This is the exact-n sampler sa1 cannot be — sa1's
@@ -733,10 +840,14 @@ object Params {
     "sa10_stratum_bottomk" -> (sa10StratumBottomKQ _),
     "sa11_epoch_order" -> (sa11EpochOrderQ _),
     "sa12_leakage_safe_split" -> (sa12LeakageSafeSplitQ _),
+    "sa13_budget_epoch" -> (sa13BudgetEpochQ _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the naive per-source quality-ordered cumsum the
+    // two-phase bucket plan must reproduce row-for-row
+    "sa13_budget_epoch" -> sa13OracleSql(),
     // hashes the ORIGINAL parquet text for the staged prefix — a match
     // proves the JSON-escape + gzip + decompress + parse chain was
     // byte-exact

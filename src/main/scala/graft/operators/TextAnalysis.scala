@@ -23,6 +23,16 @@ object TextAnalysis {
     stops.map(s => s"'$s'").mkString("(", ", ", ")")
   private val stopSql = stopSqlFor(EnglishStop)
 
+  /** DuckDB twin pieces of [[qualityScore]], shared by td1's stats oracle
+    * and sa13's budget-fill oracle (single Scala source feeds both texts,
+    * the sa9OracleSql pattern): the English stop-count over a toks list
+    * expression, and the bounded score over (n_tokens, n_stop) columns.
+    */
+  private[graft] def stopCountSql(toks: String): String =
+    s"len(list_filter($toks, x -> x IN $stopSql))"
+  private[graft] def qualityScoreSql(n: String, nStop: String): String =
+    s"round(least(1.0, $n / 20.0) * (1.0 - $nStop / nullif($n, 0)), 6)"
+
   /** Word-or-whitespace character class for the symbol-ratio rule —
     * everything NOT matched counts as a symbol. Embeds the tokenizer's
     * [[graft.functions.WsClass]] so tabs/newlines are never symbols;
@@ -1604,14 +1614,14 @@ object TextAnalysis {
     "td1_text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, text, len(toks) AS n_tokens,
-         |        len(list_filter(toks, x -> x IN $stopSql)) AS n_stop,
+         |        ${stopCountSql("toks")} AS n_stop,
          |        length(regexp_replace(text, '$WsClass', '', 'g')) AS len_nonws FROM t)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(length(text) AS BIGINT) AS len_chars,
          |  CAST(len_nonws AS BIGINT) AS len_nonws,
          |  round(len_nonws / nullif(n_tokens, 0), 6) AS avg_token_len,
          |  round(n_stop / nullif(n_tokens, 0), 6) AS stop_ratio,
-         |  round(least(1.0, n_tokens / 20.0) * (1.0 - n_stop / nullif(n_tokens, 0)), 6) AS quality_score
+         |  ${qualityScoreSql("n_tokens", "n_stop")} AS quality_score
          |FROM s ORDER BY doc_id""".stripMargin,
     "td2_lang_id" -> {
       val rounded = LangStops.map(_._1)

@@ -268,6 +268,54 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
       "the corpus must contain a cluster the naive split would leak")
   }
 
+  test("sa13: bucketed two-phase fill equals the naive per-source quality cumsum; admitted is a quality-prefix; budgets follow the sqrt share") {
+    val rows = Params.sa13BudgetEpoch(
+      graft.sources.Tables.documents(spark, sf001)).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("w")),
+        if (r.isNullAt(r.fieldIndex("q"))) None
+        else Some(r.getDouble(r.fieldIndex("q"))),
+        r.getLong(r.fieldIndex("tokens_before")),
+        r.getLong(r.fieldIndex("src_budget")),
+        r.getBoolean(r.fieldIndex("admitted"))))
+    assert(rows.length === 500, "one verdict per document")
+    // replicate the NAIVE per-source (quality desc, doc_id) exclusive
+    // cumsum driver-side — the two-phase bucket plan must reproduce it
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(t => (-t._4.getOrElse(0.0), t._1))
+      var cum = 0L
+      ordered.foreach { case (id, _, w, _, before, budget, admitted) =>
+        assert(before === cum, s"$src doc $id: tokens_before $before != $cum")
+        assert(admitted === (cum < budget), s"$src doc $id verdict")
+        cum += w
+      }
+      // admitted set is a PREFIX of the quality order (whole-doc fill:
+      // verdicts flip false exactly once, at the budget line)
+      val flips = ordered.map(_._7).sliding(2)
+        .count(s => s.length == 2 && s(0) != s(1))
+      assert(flips <= 1, s"$src: admitted must be a quality-prefix")
+      // the crossing doc itself is admitted (whole-document semantics)
+      val lastIn = ordered.filter(_._7)
+      if (lastIn.nonEmpty && lastIn.length < ordered.length)
+        assert(lastIn.map(_._3).sum >= ordered.head._6,
+          s"$src: the doc crossing the budget line must be admitted")
+    }
+    // per-source budgets follow the floored sqrt share of the GLOBAL budget
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val sw = bySrc.values.toSeq.sorted
+      .map(n => BigDecimal(math.sqrt(n.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .sum
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val expect = math.floor(
+        Params.Sa13Budget.toDouble * math.sqrt(bySrc(src).toDouble) / sw.toDouble).toLong
+      assert(rs.head._6 === expect, s"$src budget")
+    }
+    // some source must genuinely hit its line (the gate bites), and some
+    // docs on BOTH sides exist
+    assert(rows.count(_._7) > 0 && rows.count(!_._7) > 0)
+  }
+
   test("sa4: weighted sample is deterministic, near-target-sized, and weight-monotone") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val a = Params.sa4WeightedSample(docs).collect()

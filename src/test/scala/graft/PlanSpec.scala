@@ -451,6 +451,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("sa13: budget fill is bucket-distributed — no per-source window ever sees unbucketed fact rows") {
+    val p = plan(Params.sa13BudgetEpoch(Tables.documents(spark, sf001)))
+    // the intra-bucket cumsum is partitioned by (source, quality bucket)
+    assert("hashpartitioning\\(source#\\d+, qb#\\d+".r.findFirstIn(p).isDefined,
+      s"intra window not partitioned by (source, qb):\n$p")
+    // the only source-grain window (the bucket-offset prefix) runs over
+    // the aggregated (source, qb) grid, never the raw document stream:
+    // every source-only hash exchange must be fed by a HashAggregate
+    val numbered = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1).toInt)
+    numbered.foreach { k =>
+      val detail = p.substring(p.indexOf(s"($k) Exchange"))
+        .linesIterator.take(4).mkString("\n")
+      if ("hashpartitioning\\(source#\\d+, 32\\)".r.findFirstIn(detail).isDefined)
+        assert(p.contains(s"(${k - 1}) HashAggregate"),
+          s"source-grain exchange ($k) not fed by the bucket aggregate:\n$p")
+    }
+  }
+
   test("td12: PII scan is map-only and prunes the scan to doc_id + text") {
     val p = plan(TextAnalysis.piiScan(Tables.documents(spark, sf001)))
     val read = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
