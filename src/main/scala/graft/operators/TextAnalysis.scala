@@ -1338,7 +1338,103 @@ object TextAnalysis {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** td27 shared constants — single source for the engine defaults AND
+    * the generated oracle literals (the HeadVocabSize pattern): the
+    * head-vocabulary fit width and the head-mass cut.
+    */
+  val Td27FitV: Int = 128
+  val Td27HeadK: Int = 10
+
+  /** td27 — ZIPF-SLOPE corpus health fit: the log-log slope of the
+    * token rank/frequency curve per source, the classic diagnostic for
+    * corpus pathology (natural language sits near −1; template spam and
+    * boilerplate flatten the head, OCR noise and deduplication failures
+    * fatten the tail — Piantadosi 2014's review of Zipf's law is the
+    * published frame). Shipped beside it: `head10_share`, the exact
+    * fraction of each source's token mass carried by its top-10 types —
+    * the one-number skew summary a mixture designer reads first.
+    *
+    * Hashability: a true least-squares over ln(rank)/ln(freq) is libm
+    * and never oracle-exact (the td11/td18/td21 rational rule). The
+    * shipped fit is the same regression over the EXACT INTEGER bit
+    * quantization x = floorlog2(rank), y = floorlog2(freq) — td21's
+    * `length(bin(n)) − 1` trick — so Σx, Σy, Σxy, Σx² are exact longs,
+    * the slope is one correctly-rounded division of exact integers
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), and both engines land on the
+    * identical double before the shared r6 grid. Whole-bit quantization
+    * coarsens the fit identically in both engines and keeps the
+    * diagnostic's monotone meaning (a flattened head still flattens the
+    * bit-slope).
+    *
+    * Scale: the frequency table is one map-side-combined aggregate at
+    * (source, token) grain; the rank cut `row_number ≤ V` over the
+    * (source)-partitioned frequency order plans as WindowGroupLimit
+    * (per-partition V-row heaps per source, the sa10 shape), so the
+    * full vocabulary never sorts; everything after the cut is
+    * (sources × V) rows. The head-mass denominator reuses the same
+    * frequency table in a second bounded aggregate — no second pass
+    * over text.
+    */
+  def zipfFit(
+      docs: DataFrame, v: Int = Td27FitV, headK: Int = Td27HeadK): DataFrame = {
+    val freq = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("c").desc, col("tok"))
+    val ranked = freq.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= v)
+    def bits(c: Column): Column = (length(bin(c.cast("long"))) - 1).cast("long")
+    val fit = ranked
+      .select(col("source"), bits(col("rk")).as("x"), bits(col("c")).as("y"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_types"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val head = ranked.filter(col("rk") <= headK)
+      .groupBy(col("source")).agg(sum(col("c")).as("hc"))
+    val tot = freq.groupBy(col("source")).agg(sum(col("c")).as("tc"))
+    fit.join(head, Seq("source")).join(tot, Seq("source"))
+      .select(col("source"), col("n_types"),
+        r6((col("n_types") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / nullif((col("n_types") * col("sxx") - col("sx") * col("sx"))
+            .cast("double"), lit(0.0))).as("zipf_slope"),
+        r6(col("hc").cast("double") / col("tc").cast("double"))
+          .as("head10_share"))
+      .orderBy(col("source"))
+  }
+
+  /** td27's oracle: the identical integer-bit regression — generated
+    * from the same constants, `//`-free (all products stay integral
+    * until the single final division each side rounds to the r6 grid).
+    */
+  private[graft] def zipfFitOracleSql(
+      v: Int = Td27FitV, headK: Int = Td27HeadK): String =
+    s"""WITH tk AS (SELECT source, unnest(${tokensSql("text")}) AS tok
+       |            FROM documents),
+       |f AS (SELECT source, tok, count(*) AS c FROM tk GROUP BY source, tok),
+       |r AS (SELECT source, tok, c, row_number() OVER (PARTITION BY source
+       |        ORDER BY c DESC, tok) AS rk FROM f),
+       |p AS (SELECT source, CAST(length(bin(rk)) - 1 AS BIGINT) AS x,
+       |        CAST(length(bin(c)) - 1 AS BIGINT) AS y
+       |      FROM r WHERE rk <= $v),
+       |s AS (SELECT source, count(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+       |        SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM p GROUP BY source),
+       |h AS (SELECT source, SUM(c) AS hc FROM r WHERE rk <= $headK
+       |      GROUP BY source),
+       |tot AS (SELECT source, SUM(c) AS tc FROM f GROUP BY source)
+       |SELECT s.source, CAST(s.n AS BIGINT) AS n_types,
+       |  round(CAST(s.n*s.sxy - s.sx*s.sy AS DOUBLE)
+       |    / nullif(CAST(s.n*s.sxx - s.sx*s.sx AS DOUBLE), 0.0) * 1e6) / 1e6
+       |    AS zipf_slope,
+       |  round(CAST(h.hc AS DOUBLE) / CAST(tot.tc AS DOUBLE) * 1e6) / 1e6
+       |    AS head10_share
+       |FROM s JOIN h USING (source) JOIN tot USING (source)
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "td27_zipf_fit" -> ((s: SparkSession, d: String) =>
+      zipfFit(Tables.documents(s, d))),
     "td26_bpe_encode" -> ((s: SparkSession, d: String) =>
       bpeEncode(s, Tables.documents(s, d))),
     "td25_source_overlap_sketch" -> ((s: SparkSession, d: String) =>
@@ -1380,6 +1476,9 @@ object TextAnalysis {
       tfidfKeywords(Tables.documentsRebalanced(s, d))))
 
   val oracles: Map[String, String] = Map(
+    // the identical integer-bit regression, all-integral until one
+    // final correctly-rounded division per column (td21's rational rule)
+    "td27_zipf_fit" -> zipfFitOracleSql(),
     // dd4's signature chain (same base hash, same md5-drawn (a,b)) at
     // the SOURCE grain: min over the source's shingle union, then the
     // matching-component pair count — the whole estimate is a

@@ -565,4 +565,48 @@ class TextAnalysisSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(2) <= r.getLong(3))
     }
   }
+
+  test("td27: bit-regression equals a driver-side replica; a 1/rank corpus fits near -1; template spam pins the head mass") {
+    // driver-side replica over the staged corpus
+    val docs = graft.sources.Tables.documents(spark, sf001)
+    val rows = TextAnalysis.zipfFit(docs).collect()
+    assert(rows.nonEmpty)
+    val freqs = docs
+      .select(col("source"), explode(graft.functions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def bits(n: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val ranked = freqs.filter(_._1 == src).sortBy(t => (-t._3, t._2))
+        .take(TextAnalysis.Td27FitV).zipWithIndex
+        .map { case ((_, _, c), i) => (bits(i + 1L), bits(c)) }
+      val n = ranked.length.toLong
+      assert(r.getLong(1) === n, s"$src n_types")
+      val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+      val sxy = ranked.map(t => t._1 * t._2).sum
+      val sxx = ranked.map(t => t._1 * t._1).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(math.abs(r.getDouble(2) - slope) < 1e-6, s"$src slope")
+      // at sf0.001 a source's vocab can quantize to one flat bit-curve
+      // (slope exactly 0); head-heaviness may only assert non-positive —
+      // the 1/rank synthetic below pins the strictly-negative behavior
+      assert(r.getDouble(2) <= 0.0, s"$src: slope must be non-positive")
+      val h = r.getDouble(3)
+      assert(h > 0.0 && h < 1.0, s"$src head10_share")
+    }
+    // a synthetic 1/rank corpus: type i occurs floor(256/i) times -> the
+    // bit-quantized fit lands near the Zipf ideal -1
+    val zipfWords = (1 to 64).flatMap(i => Seq.fill(256 / i)(s"w$i"))
+    val zipfDocs = Seq((0L, zipfWords.mkString(" "), "en", "z"))
+      .toDF("doc_id", "text", "lang", "source")
+    val zr = TextAnalysis.zipfFit(zipfDocs).collect().head
+    assert(math.abs(zr.getDouble(2) - (-1.0)) < 0.15,
+      s"1/rank corpus must fit near -1, got ${zr.getDouble(2)}")
+    // template spam: three tokens carry EVERYTHING -> head mass saturates
+    val spam = (0L until 20L).map(i => (i, "buy cheap now", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val sr = TextAnalysis.zipfFit(spam).collect().head
+    assert(sr.getDouble(3) === 1.0, "spam head10_share must saturate")
+  }
 }
