@@ -422,9 +422,55 @@ object Multimodal {
       Tables.assetManifest(spark, sfDir),
       Tables.binaryAssets(spark, sfDir))
 
+  /** mm11 — WEBDATASET sample ASSEMBLY: group a file-per-modality store
+    * ([[Tables.wdSamples]] — `sample_%05d.{txt,cls,json}`) back into
+    * training SAMPLES keyed by the basename stem, and report each
+    * sample's modality inventory and completeness verdict — the
+    * assembly step every multimodal dataloader runs before it can batch
+    * (WebDataset's sample-grouping contract: files sharing a stem ARE
+    * one sample). `complete` requires the payload (`.txt`) and the
+    * metadata (`.json`); the label (`.cls`) is optional and simply
+    * shows in the inventory. The `.txt` payload rides through as
+    * (bytes, md5), so the verdict row also hash-gates the staged bytes
+    * end-to-end (the os2 posture).
+    *
+    * Scale: one aggregate keyed by sample id — map-side combined, and
+    * the only payload column that crosses the exchange is the bytes a
+    * sample actually needs (binaryFile prunes `content` per-column
+    * per-file). The honest 100 TB note: file-per-modality stores pay
+    * this stem-group shuffle, which is exactly why WebDataset TARS
+    * shards so sample parts sit ADJACENT in one stream — mm9's tar
+    * enumeration is that layout's scan; this operator is the
+    * un-tarred / re-shard path (and the audit that finds incomplete
+    * samples BEFORE tarring).
+    */
+  def sampleAssembly(scan: DataFrame): DataFrame = {
+    val assembled = scan.select(
+        regexp_extract(col("path"), "sample_(\\d+)\\.[a-z]+$", 1)
+          .cast("long").as("sample_id"),
+        regexp_extract(col("path"), "\\.([a-z]+)$", 1).as("ext"),
+        col("length").as("n_bytes"), col("content"))
+      .groupBy(col("sample_id"))
+      .agg(count(lit(1)).as("n_parts"),
+        array_join(sort_array(collect_list(col("ext"))), ",").as("exts"),
+        max(when(col("ext") === "txt", md5(col("content")))).as("txt_md5"),
+        max(when(col("ext") === "txt", col("n_bytes"))).as("txt_bytes"),
+        coalesce(max(when(col("ext") === "txt", lit(1))), lit(0)).as("has_txt"),
+        coalesce(max(when(col("ext") === "json", lit(1))), lit(0)).as("has_json"))
+    assembled
+      .select(col("sample_id"), col("n_parts"), col("exts"),
+        col("txt_md5"), col("txt_bytes"),
+        (col("has_txt") === 1 && col("has_json") === 1).as("complete"))
+      .orderBy(col("sample_id"))
+  }
+
+  def sampleAssemblyQ(spark: SparkSession, sfDir: String): DataFrame =
+    sampleAssembly(Tables.wdSamples(spark, sfDir))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm11_sample_assembly" -> (sampleAssemblyQ _),
     "mm10_asset_reconcile" -> (assetReconcileQ _),
     "mm9_tar_members" -> ((s: SparkSession, d: String) =>
       tarMembers(Tables.documents(s, d))),
@@ -500,6 +546,26 @@ object Multimodal {
     // listing defect (dropped file, truncation, orphan) hash-mismatches
     // loudly. The degenerate statuses are spec-exercised on planted
     // fixtures (MultimodalSpec) — DuckDB cannot list Spark's scan.
+    // the staged store is DERIVED from the documents prefix by the
+    // shared drop rules, so the oracle re-derives each sample's part
+    // list from the same constants; md5(varchar) hashes the UTF-8
+    // rendering, matching the engine's md5 over the staged bytes
+    "mm11_sample_assembly" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents
+         |           WHERE doc_id < ${Tables.Mm11SampleCount}),
+         |parts AS (
+         |  SELECT doc_id, 'txt' AS ext, md5(text) AS m,
+         |    octet_length(encode(text)) AS b FROM d
+         |  UNION ALL SELECT doc_id, 'cls', CAST(NULL AS VARCHAR), NULL
+         |    FROM d WHERE doc_id % ${Tables.Mm11ClsDropMod} != ${Tables.Mm11ClsDropRem}
+         |  UNION ALL SELECT doc_id, 'json', CAST(NULL AS VARCHAR), NULL
+         |    FROM d WHERE doc_id % ${Tables.Mm11JsonDropMod} != ${Tables.Mm11JsonDropRem})
+         |SELECT doc_id AS sample_id, count(*) AS n_parts,
+         |  array_to_string(list_sort(list(ext)), ',') AS exts,
+         |  max(m) AS txt_md5, CAST(max(b) AS BIGINT) AS txt_bytes,
+         |  (max(CASE WHEN ext = 'txt' THEN 1 ELSE 0 END) = 1
+         |    AND max(CASE WHEN ext = 'json' THEN 1 ELSE 0 END) = 1) AS complete
+         |FROM parts GROUP BY doc_id ORDER BY sample_id""".stripMargin,
     "mm10_asset_reconcile" ->
       s"""SELECT printf('doc_%05d.bin', doc_id) AS file_name,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS manifest_bytes,

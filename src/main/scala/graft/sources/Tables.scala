@@ -25,6 +25,19 @@ object Tables {
   val Os2AssetCount: Int = 50
   val Os3DocCount: Int = 100
 
+  /** mm11 staged-sample contract — single source for the staging writer,
+    * the engine constants AND the generated oracle literals: sample
+    * count, and the deterministic drop rules that plant INCOMPLETE
+    * samples (doc_id ≡ 3 mod 7 ships without its `.cls` label, doc_id ≡
+    * 5 mod 11 without its `.json` metadata — the missing-modality
+    * reality of web-scraped sample stores).
+    */
+  val Mm11SampleCount: Int = 50
+  val Mm11ClsDropMod: Int = 7
+  val Mm11ClsDropRem: Int = 3
+  val Mm11JsonDropMod: Int = 11
+  val Mm11JsonDropRem: Int = 5
+
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
   // Reader cache: building a reader re-reads parquet footers and re-lists
@@ -296,6 +309,62 @@ object Tables {
         StructField("file_name", StringType),
         StructField("manifest_bytes", LongType))))
       .csv(s"$binDir/graft_manifest.tsv")
+  }
+
+  /** mm11 staging: a bounded document prefix exported once as a
+    * WEBDATASET-STYLE sample directory — one `sample_%05d.<ext>` file
+    * per modality per sample (`.txt` payload, `.cls` label, `.json`
+    * metadata), the file-per-modality layout WebDataset tars up
+    * shard-by-shard (Aizman et al. 2019, webdataset/webdataset README;
+    * the un-tarred form is what object stores actually serve). The
+    * [[Mm11ClsDropMod]]/[[Mm11JsonDropMod]] rules deterministically
+    * withhold modalities, so the staged store CONTAINS the incomplete
+    * samples mm11's assembly must surface. Marker-and-stamp idempotence
+    * (the [[binaryAssets]] scheme, count + contract version in the
+    * stamp; stale-file sweep so a shrunk count leaves no orphans).
+    * Non-empty payloads by the os2 fixture contract — a zero-byte
+    * modality file would vanish from the listing (the documented
+    * zero-byte caveat) and read as missing.
+    */
+  def wdSamples(spark: SparkSession, sfDir: String,
+      nSamples: Int = Mm11SampleCount): DataFrame = {
+    val sfName = new java.io.File(sfDir).getName
+    val wdDir = s"${sys.props("user.dir")}/target/wdsamples/$sfName/shard0"
+    val marker = new java.io.File(s"$wdDir/_SUCCESS")
+    val source = new java.io.File(path(sfDir, "documents"))
+    val stampFile = new java.io.File(s"$wdDir/_graft_source")
+    val stamp = Staging.sourceStamp(Seq(source)) +
+      s":n=$nSamples:drop=$Mm11ClsDropMod/$Mm11ClsDropRem," +
+      s"$Mm11JsonDropMod/$Mm11JsonDropRem:wd-v1"
+    if (!marker.exists() || !stampFile.exists() ||
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+      new java.io.File(wdDir).mkdirs()
+      Option(new java.io.File(wdDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("sample_") || f.getName == "_SUCCESS")
+        .foreach(_.delete())
+      val utf8 = java.nio.charset.StandardCharsets.UTF_8
+      // bounded collect: nSamples fixture rows (the os2 posture — at
+      // 100 TB the sample store already exists, only the scan runs)
+      documents(spark, sfDir).filter(col("doc_id") < nSamples)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .collect().foreach { r =>
+          val id = r.getLong(0)
+          def put(ext: String, bytes: Array[Byte]): Unit =
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(f"$wdDir/sample_$id%05d.$ext"), bytes)
+          put("txt", r.getString(1).getBytes(utf8))
+          if (id % Mm11ClsDropMod != Mm11ClsDropRem)
+            put("cls", r.getString(2).getBytes(utf8))
+          if (id % Mm11JsonDropMod != Mm11JsonDropRem)
+            put("json",
+              s"""{"doc_id":$id,"source":"${r.getString(3)}"}""".getBytes(utf8))
+        }
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "sample_*")
+      .load(wdDir)
   }
 
   /** os3 staging: a bounded document prefix exported once as GZIP

@@ -541,4 +541,45 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(rows.forall(_.getString(3) == "ok"))
     assert(rows.forall(r => r.getLong(1) == r.getLong(2)))
   }
+
+  test("mm11: assembly surfaces exactly the planted incomplete samples; payload hash-gates the staged bytes; an orphan part reads incomplete") {
+    import graft.sources.Tables
+    val rows = graft.operators.Multimodal.sampleAssemblyQ(spark, sf001).collect()
+    assert(rows.length === Tables.Mm11SampleCount)
+    val docs = Tables.documents(spark, sf001)
+      .filter(col("doc_id") < Tables.Mm11SampleCount)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val dropCls = id % Tables.Mm11ClsDropMod == Tables.Mm11ClsDropRem
+      val dropJson = id % Tables.Mm11JsonDropMod == Tables.Mm11JsonDropRem
+      val expectExts = (Seq("txt") ++ (if (dropCls) Nil else Seq("cls")) ++
+        (if (dropJson) Nil else Seq("json"))).sorted.mkString(",")
+      assert(r.getString(2) === expectExts, s"sample $id inventory")
+      assert(r.getLong(1) === expectExts.split(",").length.toLong)
+      assert(r.getBoolean(5) === !dropJson, s"sample $id completeness")
+      // the payload fingerprint ties the staged bytes to the source row
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val expectMd5 = md.digest(docs(id).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(3) === expectMd5, s"sample $id payload md5")
+    }
+    // both planted classes actually occur in the fixture window
+    assert(rows.exists(!_.getBoolean(5)), "a json-dropped sample must exist")
+    assert(rows.exists(_.getString(2) == "json,txt"), "a cls-dropped sample must exist")
+    // an orphan part (metadata with no payload) must read incomplete,
+    // never crash the assembly — built on a scratch store
+    val dir = java.nio.file.Files.createTempDirectory("mm11orphan").toFile
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/sample_00000.json"), "{}".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/sample_00001.txt"), "hello".getBytes("UTF-8"))
+    val scratch = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "sample_*").load(dir.getAbsolutePath)
+    val got = graft.operators.Multimodal.sampleAssembly(scratch).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getBoolean(5))).toMap
+    assert(got(0L) === (("json", false)), "orphan metadata: incomplete, no txt")
+    assert(got(1L) === (("txt", false)), "payload without metadata: incomplete")
+  }
 }

@@ -56,7 +56,9 @@ gate assumes non-empty staged assets — Spark's file listing drops
 zero-byte files; mm10_asset_reconcile is the operator that SURFACES
 exactly this (on this corpus it reports the empty doc's asset as
 missing_from_scan, while its all-ok oracle is valid only for
-non-empty fixtures by contract).
+non-empty fixtures by contract); mm11_sample_assembly reads the same
+empty doc's zero-byte .txt modality as a missing part (complete=false
+vs the oracle's derivation) — the identical listing contract.
 """
 import sys
 import duckdb
