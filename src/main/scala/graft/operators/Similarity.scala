@@ -731,7 +731,11 @@ object Similarity {
       else deriveKCells(emb.count(), targetCellSize)
     val path = learnedIvfPath(sfDir, k, iters, baseSplit)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-    val spec = "kmeans-lloyd-v3 adm=finite-1e4-nonzero init=lowest-ids ties=cid means=qfloor-1e12" +
+    // v4: the index row carries the vector's LABEL payload beside the
+    // embedding — the payload-in-index design real vector stores use
+    // (metadata filters evaluate on the index row itself, sim19), paid
+    // by one build-time join instead of a per-query label attach
+    val spec = "kmeans-lloyd-v4 adm=finite-1e4-nonzero init=lowest-ids ties=cid means=qfloor-1e12 payload=label" +
       baseSplit.map(s => s" base<$s").getOrElse("") +
       "\n" + graft.sources.Staging.sourceStamp(Seq(source))
     graft.sources.Staging.withExclusiveLock(
@@ -748,8 +752,12 @@ object Similarity {
         assignCells(
             emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x")),
             centroids)
+          // payload attach (one build-time shuffle, never a query-time
+          // one): label rides in the index row so filtered serving is a
+          // map-side predicate on the probe scan (sim19)
+          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
           .select(col("vec_id").as("neighbor_id"), col("x").as("c_emb"),
-            col("cell"))
+            col("label"), col("cell"))
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
         // oversized-cell guard: derived k bounds the MEAN cell at
@@ -829,6 +837,72 @@ object Similarity {
     val centroidsDf = spark.read.parquet(s"$path/centroids")
       .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
     serveIvf(corpus, centroidsDf, emb, nQueries, k, nProbe)
+  }
+
+  /** sim19 shared constant: filtered search probes MORE cells than the
+    * unfiltered sim5 default — the standard selectivity compensation
+    * (with labels ~uniform over L classes, a probed cell contributes
+    * ~1/L of its members, so matching sim5's candidate depth needs more
+    * cells; doubling 4 → 8 is the measured-sufficient setting for this
+    * corpus's 10 labels, and SimilaritySpec holds the recall floor
+    * against the exact filtered scan).
+    */
+  val FilteredNProbe: Int = 8
+
+  /** sim19 — FILTERED vector search (metadata-constrained ANN): each
+    * query retrieves its top-k among corpus vectors sharing the QUERY'S
+    * OWN label — the constrained-retrieval shape every production
+    * vector store serves ("nearest products in the same category",
+    * "nearest passages from the same source"), and the feature that
+    * separates an index from a toy: a post-filter over unfiltered top-k
+    * silently returns FEWER than k (or nothing) for selective filters,
+    * so the filter must participate in candidate generation.
+    *
+    * Design — payload-in-index (the Qdrant/Weaviate/Vespa attribute
+    * store): [[ensureLearnedIvf]] writes the label INTO each index row,
+    * so the filtered probe is sim5's probe plus ONE codegen'd map-side
+    * predicate on the already-pruned cell scan — no query-time label
+    * join, no second corpus pass, identical shuffle structure to the
+    * unfiltered serve. Selectivity is compensated by probing
+    * [[FilteredNProbe]] cells (see constant); the exact-cosine verify
+    * tail and ranking are shared ([[verifyAndRank]]).
+    *
+    * Same artifact as sim5/sim7/sim15 (one index serves filtered and
+    * unfiltered traffic — the operational point of payload-in-index),
+    * spec-stamped v4 for the payload column.
+    */
+  def filteredAnnLearned(
+      spark: SparkSession, sfDir: String, nQueries: Int = 20, k: Int = 5,
+      kCells: Int = 0, iters: Int = 5, nProbe: Int = FilteredNProbe,
+      targetCellSize: Long = DefaultTargetCellSize): DataFrame = {
+    val emb = adm(spark, sfDir)
+    val path = ensureLearnedIvf(spark, sfDir, kCells, iters,
+      targetCellSize = targetCellSize)
+    val corpus = spark.read.parquet(s"$path/cells")
+    val centroidsDf = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qx"),
+        col("label").as("q_label"))
+    val score = dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col("qx"), col("cvec"))
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("ps"), col("cid"))
+    // probes carry the query's label so the candidate filter needs no
+    // further lookup — the (query × probe, label) key set stays tiny
+    val probes = q.crossJoin(broadcast(centroidsDf))
+      .select(col("query_id"), col("q_label"), col("cid"), score.as("ps"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_label"),
+        col("cid").cast(corpus.schema("cell").dataType).as("cell"))
+    val qEmb = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = corpus
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id") &&
+        col("label") === col("q_label"))
+      .select(col("query_id"), col("neighbor_id"), col("c_emb"))
+    verifyAndRank(cands, qEmb, k)
   }
 
   /** dd16 — SEMANTIC DEDUPLICATION (the SemDeDup shape, Abbas et al.
@@ -1868,6 +1942,7 @@ object Similarity {
     "sim3_ann_ivf" -> ((s: SparkSession, d: String) => ivfAnn(adm(s, d))),
     "sim4_ann_ivf_indexed" -> ((s: SparkSession, d: String) => ivfAnnIndexed(s, d)),
     "sim5_ann_ivf_learned" -> ((s: SparkSession, d: String) => ivfAnnLearned(s, d)),
+    "sim19_filtered_ann" -> ((s: SparkSession, d: String) => filteredAnnLearned(s, d)),
     // dd6's all-pairs BNLJ is CPU-bound with no shuffle to restore
     // parallelism — it used the rebalanced raw read for that; the staged
     // adm store is written at default parallelism, so the plain staged
@@ -2175,6 +2250,10 @@ object Similarity {
          |WHERE f.src < f.dst
          |ORDER BY vec_a, vec_b""".stripMargin,
     "sim5_ann_ivf_learned" -> learnedIvfSql(),
+    // the same Lloyd's text with the label-constrained candidate set;
+    // labels re-read from the (admitted) corpus by key, matching the
+    // payload the engine's v4 index row carries by construction
+    "sim19_filtered_ann" -> filteredIvfSql(),
     // dd16 rides the same unrolled-Lloyd's text (lloydCellsSql), so the
     // cells the pair scan runs over are the hash-gated sim5 cells
     "dd16_semantic_dedup" -> semanticDedupSql())
@@ -2284,6 +2363,33 @@ object Similarity {
       k: Int = 5, nProbe: Int = 4, trainWhere: String = ""): String =
     s"""${lloydCellsSql(kCells, iters, dim, trainWhere)},
        |${ivfServeSql(iters, nQueries, nProbe)}""".stripMargin
+
+  /** sim19's oracle: [[learnedIvfSql]]'s Lloyd's prefix with a
+    * label-constrained candidate CTE in place of the unfiltered serve —
+    * the filter participates in candidate generation, exactly as the
+    * engine's map-side index predicate does, then the shared verify tail.
+    */
+  private def filteredIvfSql(
+      kCells: Int = 0, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
+      nProbe: Int = FilteredNProbe): String =
+    s"""${lloydCellsSql(kCells, iters, dim, "")},
+       |probes AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(c.c, c.c) - 2 * list_dot_product(q.v, c.c),
+       |        c.cid) AS pr
+       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < $nQueries) q
+       |    CROSS JOIN c$iters c) WHERE pr <= $nProbe),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |cand AS (
+       |  SELECT pb.query_id, af.vec_id AS neighbor_id
+       |  FROM a${iters + 1} af
+       |  JOIN probes pb ON af.cell = pb.cell
+       |  JOIN lab nl ON nl.vec_id = af.vec_id
+       |  JOIN lab ql ON ql.vec_id = pb.query_id
+       |  WHERE af.vec_id <> pb.query_id AND nl.label = ql.label),
+       |$verifyRankSql""".stripMargin
 
   /** sim7's oracle: identical Lloyd's + serve text, but the training
     * subset is the BASE HALF of the corpus (`vec_id < n/2`, the split the

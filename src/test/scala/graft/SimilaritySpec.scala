@@ -757,4 +757,54 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(freshRecall >= Similarity.HealthRecallFloor,
       s"retraining must restore recall: $freshRecall")
   }
+
+  test("sim19 filtered ANN: constraint honored, recall floor vs the exact filtered scan, post-filtering sim5 is NOT equivalent, no extra exchange") {
+    import org.apache.spark.sql.functions._
+    val emb = Similarity.adm(spark, sf001)
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.filteredAnnLearned(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.nonEmpty)
+    // every returned neighbor shares its query's label
+    got.foreach { case (q, n, _) =>
+      assert(labels(n) === labels(q), s"query $q got cross-label neighbor $n")
+    }
+    // exact filtered top-5 driver-side (500-vector corpus): recall floor
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val queries = got.map(_._1).distinct
+    val exact = queries.flatMap { q =>
+      vecs.keys.toSeq.filter(n => n != q && labels(n) == labels(q))
+        .map(n => (q, n, cos(vecs(q), vecs(n))))
+        .sortBy(t => (-t._3, t._2)).take(5).map(t => (t._1, t._2))
+    }.toSet
+    val gotSet = got.map(t => (t._1, t._2)).toSet
+    val recall = (exact & gotSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"filtered recall $recall")
+    // the reason the filter must participate in candidate generation:
+    // post-filtering the UNFILTERED top-5 by label under-fills k for
+    // most queries (labels ~1/10 selective)
+    val unfiltered = Similarity.ivfAnnLearned(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val postFiltered = unfiltered.filter { case (q, n) => labels(n) == labels(q) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(queries.exists(q => postFiltered.getOrElse(q, 0) < 5),
+      "post-filtering must under-fill k for at least one query")
+    // payload-in-index: the filtered serve adds NO exchange over sim5's
+    val planOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.executedPlan.toString
+    val ex = "Exchange".r
+    val nSim5 = ex.findAllIn(planOf(
+      Similarity.ivfAnnLearned(spark, sf001))).size
+    val nSim19 = ex.findAllIn(planOf(
+      Similarity.filteredAnnLearned(spark, sf001))).size
+    assert(nSim19 <= nSim5,
+      s"filtered serve must not add exchanges: sim19=$nSim19 sim5=$nSim5")
+  }
 }
