@@ -42,10 +42,14 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * exchange) diffs loudly between rounds even when timings are noisy.
   * `tools/benchdiff.py` compares two records.
   *
-  * FINGERPRINT SCHEME 4 (fp_scheme in the record; 4 adds the
-  * session-counter scrubs — `_common_expr_<n>`/`lambda x_<n>` carry
-  * JVM-global counters, so scheme-3 hashes depended on how many
-  * common-subexpression rewrites ran earlier in the session): the md5
+  * FINGERPRINT SCHEME 5 (fp_scheme in the record; 5 adds the
+  * whole-stage-codegen stage-id scrub — `*(3)` numbering is assigned at
+  * subtree PREPARATION and independent subtrees prepare concurrently,
+  * so scheme-4 hashes flip-flopped run-to-run on identical code
+  * (q41/td11/td20 in r13); 4 added the session-counter scrubs —
+  * `_common_expr_<n>`/`lambda x_<n>` carry JVM-global counters, so
+  * scheme-3 hashes depended on how many common-subexpression rewrites
+  * ran earlier in the session): the md5
   * is taken over
   * the canonicalized FINAL adaptive plan of the DataFrame's OWN
   * QueryExecution, which is also the execution the clock times — the run
@@ -165,6 +169,14 @@ object Bench {
       // lambda-variable counter ("lambda x_17").
       .replaceAll("_common_expr_\\d+", "_common_expr_<n>")
       .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_<n>")
+      // Whole-stage-codegen stage ids ("*(3) HashAggregate"): numbering
+      // is assigned when a subtree is PREPARED, and independent subtrees
+      // (scalar subqueries, broadcast sides) prepare concurrently — the
+      // same plan flips ids run-to-run (caught in r13: q41/td11/td20
+      // flip-flopped between two fingerprints on identical code). The
+      // codegen-span STRUCTURE stays in the text (the "*(" markers and
+      // their nesting); only the order-dependent number goes.
+      .replaceAll("\\*\\(\\d+\\)", "*(<n>)")
   }
 
   def fingerprint(p: SparkPlan): String = {
@@ -315,7 +327,7 @@ object Bench {
     // capturer's tail window (round 7's official record lost every
     // per-query number that way); this file is the committable history.
     val recJson =
-      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":4,"env":$envJson,""" +
+      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":5,"env":$envJson,""" +
         s""""n_failed":${results.size - ok.size},""" +
         s""""total_warm":$warmTotal,"total_cold":$coldTotal,""" +
         s""""errors":$errs,"queries":{""" +

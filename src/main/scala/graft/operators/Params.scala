@@ -540,11 +540,14 @@ object Params {
     * — the distributed two-phase plan must reproduce it row-for-row. The
     * quality pieces are TextAnalysis's generated twins (single source),
     * the share arithmetic is sa5's spelling (√ then DECIMAL(38,6) sum,
-    * multiply-then-divide in the same operation order).
+    * multiply-then-divide in the same operation order). `from`
+    * parameterizes the corpus relation so pl2 can run the identical fill
+    * text over the gauntlet-admitted CTE.
     */
-  private[graft] def sa13OracleSql(budget: Long = Sa13Budget): String =
+  private[graft] def sa13OracleSql(
+      budget: Long = Sa13Budget, from: String = "documents"): String =
     s"""WITH t AS (SELECT doc_id, source, ${tokensSql("text")} AS toks
-       |           FROM documents),
+       |           FROM $from),
        |q AS (SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS w,
        |        ${TextAnalysis.qualityScoreSql(
                    "len(toks)", TextAnalysis.stopCountSql("toks"))} AS q
@@ -565,6 +568,42 @@ object Params {
        |  CAST(c.tokens_before AS BIGINT) AS tokens_before, b.src_budget,
        |  c.tokens_before < b.src_budget AS admitted
        |FROM c JOIN bud b USING (source) ORDER BY doc_id""".stripMargin
+
+
+  /** pl2 — the EPOCH MANIFEST: the COMPLETE data recipe as one DAG,
+    * ending where a training run actually starts. pl1's gauntlet decides
+    * WHO is admissible (URL dedup ∧ quality ∧ near-dup representative ∧
+    * decontamination — each stage the registry operator itself); sa13's
+    * budgeted fill then decides WHO TRAINS THIS EPOCH among the admitted
+    * — √n-share source budgets recomputed over the admitted corpus,
+    * quality-first whole-document fill. The output is the per-document
+    * manifest row (fill position, source budget, verdict) a dataloader
+    * consumes and an auditor replays: the two composition points a real
+    * pipeline persists between (admission manifest → epoch manifest).
+    *
+    * Scale: the gauntlet side is pl1's plan verbatim (at 100 TB its
+    * verdicts are the persisted stage manifests); the fill side joins on
+    * doc_id and reuses sa13's bucketed two-phase prefix sum — no new
+    * shuffle class appears in the composition, and the admitted join is
+    * doc_id-keyed on both sides.
+    */
+  def pl2EpochManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val admitted = Dedup.corpusGauntlet(spark, sfDir)
+      .filter(col("admitted")).select(col("doc_id"))
+    val docs = Tables.documents(spark, sfDir).join(admitted, Seq("doc_id"))
+    sa13BudgetEpoch(docs)
+  }
+
+  /** pl2's oracle: pl1's composed gauntlet text as a CTE, the admitted
+    * projection, then sa13's fill text VERBATIM over it (the sim15/pl1
+    * composition discipline — neither side can drift from the operators
+    * it composes).
+    */
+  private[graft] def pl2OracleSql(): String =
+    s"""WITH g AS (${Dedup.oracles("pl1_corpus_gauntlet")}),
+       |ad AS (SELECT d.doc_id, d.text, d.source FROM documents d
+       |       JOIN g USING (doc_id) WHERE g.admitted),
+       |${sa13OracleSql(from = "ad").stripPrefix("WITH ")}""".stripMargin
 
   /** sa7 — EXACT-N deterministic sample via bottom-k on a salted hash:
     * order every doc by its salted-md5 uniform draw and keep the k
@@ -841,6 +880,7 @@ object Params {
     "sa11_epoch_order" -> (sa11EpochOrderQ _),
     "sa12_leakage_safe_split" -> (sa12LeakageSafeSplitQ _),
     "sa13_budget_epoch" -> (sa13BudgetEpochQ _),
+    "pl2_epoch_manifest" -> (pl2EpochManifest _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
 
@@ -848,6 +888,8 @@ object Params {
     // the oracle is the naive per-source quality-ordered cumsum the
     // two-phase bucket plan must reproduce row-for-row
     "sa13_budget_epoch" -> sa13OracleSql(),
+    // pl1's gauntlet composed with sa13's fill — both texts verbatim
+    "pl2_epoch_manifest" -> pl2OracleSql(),
     // hashes the ORIGINAL parquet text for the staged prefix — a match
     // proves the JSON-escape + gzip + decompress + parse chain was
     // byte-exact
