@@ -430,4 +430,28 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     }.sortBy(t => (t._2, t._1)).take(k)
     assert(a.toSeq === expected.toSeq, "Spark bottom-k drifted from the md5 formula")
   }
+
+  test("pl2: manifest covers exactly the gauntlet-admitted set, budgets recompute at the admitted grain, and the composition equals a manual filter+fill") {
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val admitted = Dedup.corpusGauntlet(spark, sf001)
+      .filter(col("admitted")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.nonEmpty && admitted.size < 500,
+      "the gauntlet must actually reject someone for the composition to be tested")
+    val pl2 = Params.pl2EpochManifest(spark, sf001).collect()
+    assert(pl2.map(_.getLong(0)).toSet === admitted, "one manifest row per admitted doc")
+    // composition equality: identical to sa13 over a manually filtered corpus
+    val manual = Params.sa13BudgetEpoch(
+      Tables.documents(spark, sf001)
+        .filter(col("doc_id").isin(admitted.toSeq: _*))).collect()
+    assert(pl2.map(_.toString).sorted.toSeq === manual.map(_.toString).sorted.toSeq)
+    // budgets are the ADMITTED corpus's sqrt shares, not the raw corpus's:
+    // admission changes per-source counts unevenly, so at least one
+    // source's budget must differ from the whole-corpus sa13 run
+    val whole = Params.sa13BudgetEpoch(Tables.documents(spark, sf001)).collect()
+      .map(r => r.getString(1) -> r.getLong(5)).toMap
+    val pl2Budgets = pl2.map(r => r.getString(1) -> r.getLong(5)).toMap
+    assert(pl2Budgets.exists { case (src, b) => whole.get(src).exists(_ != b) },
+      "budgets must be recomputed at the admitted grain")
+  }
 }
