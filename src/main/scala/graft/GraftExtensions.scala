@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{BpeSymCount, DotProduct, ImageHeader, MatchCount, MinHashSig, Mp4Header, NpyHeader, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash60, StopCounts, TarMembers, WavHeader, WordShingles}
+import graft.functions.{BpeSymCount, JsonFirstLong, DotProduct, ImageHeader, MatchCount, MinHashSig, Mp4Header, NpyHeader, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash60, StopCounts, TarMembers, WavHeader, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -79,6 +79,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"match_count pattern must be a string literal, got $other")
         }
         MatchCount(args.head, pattern)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("json_first_long"),
+      new ExpressionInfo(classOf[JsonFirstLong].getName, "json_first_long"),
+      (args: Seq[Expression]) => {
+        val key = args(1) match {
+          case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) => p.toString
+          case other => throw new IllegalArgumentException(
+            s"json_first_long key must be a string literal, got $other")
+        }
+        JsonFirstLong(args.head, key)
       }))
     ext.injectFunction((
       FunctionIdentifier("bpe_sym_count"),

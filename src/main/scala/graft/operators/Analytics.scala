@@ -469,9 +469,13 @@ object Analytics {
   def q24JsonExtract(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("event_type"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
-          .getField("k").as("k"))
+        // the strict-JSON first-key integer-token contract (see
+        // JsonFirstLong's scaladoc): the adversarial-events replay showed
+        // every builtin diverging from DuckDB on garbage props —
+        // from_json is lenient (single quotes) and LAST-duplicate-key,
+        // get_json_object unquotes string values; the native expression
+        // pins one auditable rule and the oracle computes its exact twin
+        call_function("json_first_long", col("props"), lit("k")).as("k"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -618,7 +622,12 @@ object Analytics {
     * recompute the whole lineage for the build side.
     */
   def q50RetentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    // cohorts are per-USER: an anonymous (NULL-user) event belongs to no
+    // cohort. SQL's equi-join naturally drops it; the groupBy formulation
+    // would keep a phantom NULL-user member (one cohort off by one on the
+    // adversarial-events corpus), so the screen is explicit here.
     val wk = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
     val perUser = wk.groupBy(col("user_id"))
       .agg(sort_array(collect_set(col("week"))).as("weeks"))
@@ -1410,7 +1419,7 @@ object Analytics {
         |SELECT user_id, event_type, valid_from, valid_to,
         |  valid_to IS NULL AS is_current
         |FROM v
-        |ORDER BY user_id, valid_from, event_type, valid_to NULLS FIRST""".stripMargin,
+        |ORDER BY user_id NULLS FIRST, valid_from, event_type, valid_to NULLS FIRST""".stripMargin,
     // by-name union with null fill — the oracle spells the generations'
     // projections and the missing-column nulls explicitly
     "q39_union_evolve" ->
@@ -1489,7 +1498,8 @@ object Analytics {
     "q07_pct_of_total" ->
       """SELECT event_type, count(*) AS n,
         |round(count(*) * 100.0 / SUM(count(*)) OVER (), 6) AS percentage
-        |FROM events GROUP BY event_type ORDER BY percentage DESC, event_type""".stripMargin,
+        |FROM events GROUP BY event_type
+        |ORDER BY percentage DESC, event_type NULLS FIRST""".stripMargin,
     "q08_cond_avg_weekday" ->
       s"""SELECT dayname(l_shipdate) AS ship_dow,
          |round(CAST(SUM(CAST(CASE WHEN l_quantity > 0 THEN l_discount END AS DECIMAL(38,6))) AS DOUBLE)
@@ -1530,7 +1540,7 @@ object Analytics {
         .mkString("SELECT ", ", ", " FROM lineitem"),
     "q15_value_counts" ->
       """SELECT event_type, count(*) AS n FROM events
-        |GROUP BY event_type ORDER BY n DESC, event_type""".stripMargin,
+        |GROUP BY event_type ORDER BY n DESC, event_type NULLS FIRST""".stripMargin,
     "q16_projection" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01'
@@ -1680,14 +1690,21 @@ object Analytics {
         |FROM d
         |WINDOW w AS (PARTITION BY event_type ORDER BY day
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_type, day""".stripMargin,
+        |ORDER BY event_type NULLS FIRST, day""".stripMargin,
+    // the strict-JSON twin of json_first_long (see its scaladoc): yyjson
+    // validity + the raw-rendering integer regex (strings stay quoted,
+    // decimals keep their point) + TRY_CAST's NULL on long overflow
     "q24_json_extract" ->
       """WITH e AS (SELECT event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |  CASE WHEN json_valid(props)
+        |       AND regexp_matches(CAST(json_extract(props, '$.k') AS VARCHAR),
+        |                          '^-?[0-9]+$')
+        |    THEN TRY_CAST(CAST(json_extract(props, '$.k') AS VARCHAR) AS BIGINT)
+        |  END AS k FROM events)
         |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
         |  round(CAST(sum(k) AS DOUBLE) / count(k) * 1e6) / 1e6 AS avg_k
-        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM e GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
     "q30_bucketed_join" ->
       s"""SELECT o_orderpriority, count(*) AS n_items,
          |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
@@ -1706,7 +1723,7 @@ object Analytics {
         |  round(CAST(sum(ts_sec - prev_sec) AS DOUBLE)
         |    / count(ts_sec - prev_sec) * 1e6) / 1e6 AS avg_gap_sec,
         |  max(ts_sec - prev_sec) AS max_gap_sec
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM g GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
     "q31_event_gaps" ->
       """WITH g AS (SELECT user_id,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
@@ -1718,7 +1735,7 @@ object Analytics {
         |  round(CAST(sum(ts_sec - prev_sec) AS DOUBLE)
         |    / count(ts_sec - prev_sec) * 1e6) / 1e6 AS avg_gap_sec,
         |  max(ts_sec - prev_sec) AS max_gap_sec
-        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM g GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
     "q32_moment_stats" -> {
       val dsum = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
       s"""WITH s AS (SELECT l_returnflag, count(*) AS n,
@@ -1752,13 +1769,13 @@ object Analytics {
         |      FROM events GROUP BY 1, 2)
         |SELECT g.event_type, g.day, coalesce(d.n, 0) AS n
         |FROM grid g LEFT JOIN d ON g.event_type = d.event_type AND g.day = d.day
-        |ORDER BY g.event_type, g.day""".stripMargin,
+        |ORDER BY g.event_type NULLS FIRST, g.day""".stripMargin,
     "q35_latest_per_key" ->
       """WITH r AS (SELECT user_id, ts, event_type, value, event_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
         |  FROM events)
         |SELECT user_id, ts, event_type, value, event_id
-        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+        |FROM r WHERE rk = 1 ORDER BY user_id NULLS FIRST""".stripMargin,
     "q19_percentiles" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(quantile_cont(l_quantity, 0.25) * 1e6) / 1e6 AS p25,

@@ -33,11 +33,16 @@ object CleanStore {
 
   /** Critical-column null drop for the events stream (V4 over telemetry):
     * a row with no timestamp, user, type, or value is unusable by every
-    * downstream aggregate.
+    * downstream aggregate. The column list is shared with pf3's oracle
+    * text (the adversarial-events replay proved the drop is LOAD-BEARING:
+    * a NULL-value purchase row made the clean-served count diverge from
+    * a raw-table oracle by one).
     */
+  val EventCriticalCols: Seq[String] = Seq("ts", "user_id", "event_type", "value")
+
   def cleanEvents(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
-      .filter(Cleaning.notNull(Seq("ts", "user_id", "event_type", "value")))
+      .filter(Cleaning.notNull(EventCriticalCols))
 
   /** The derive stage over an already-CLEANED lineitem frame — one source
     * of truth for the synthetic receipt date and the time-feature bundle

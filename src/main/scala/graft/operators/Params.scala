@@ -139,14 +139,16 @@ object Params {
     */
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
 
-  def oracleSqlFor(p: EventParams): String =
+  def oracleSqlFor(p: EventParams, extraWhere: Seq[String] = Nil): String =
     s"""SELECT event_type, count(*) AS n,
        |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) * 1e6) / 1e6 AS avg_value
        |FROM events
        |WHERE ts BETWEEN TIMESTAMP ${sqlLit(p.tsLo)} AND TIMESTAMP ${sqlLit(p.tsHi)}
        |  AND hour(ts) BETWEEN ${p.hourLo} AND ${p.hourHi}
        |  AND event_type IN (${p.types.map(sqlLit).mkString(", ")})
+       |${extraWhere.map(w => s"  AND $w").mkString("\n")}
        |GROUP BY event_type ORDER BY event_type""".stripMargin
+      .replaceAll("(?m)^\\s*$\\n", "")
 
   // ------------------------------------------------------------- sample
 
@@ -899,10 +901,12 @@ object Params {
          |ORDER BY doc_id""".stripMargin,
     "pf1_param_filter" -> oracleSqlFor(defaultParams),
     "pf2_param_filter_alt" -> oracleSqlFor(altParams),
-    // pf3 serves from the clean staging, whose rows equal the raw events
-    // (the null drop removes nothing on this corpus) — the oracle runs the
-    // same parameter bundle over the raw table
-    "pf3_param_filter_clean" -> oracleSqlFor(defaultParams),
+    // pf3 serves from the CLEAN staging, so its oracle carries the same
+    // critical-column null drop the staging applies (shared column list —
+    // the adversarial-events replay caught the raw-table version counting
+    // a NULL-value row the clean store had dropped)
+    "pf3_param_filter_clean" -> oracleSqlFor(defaultParams,
+      extraWhere = CleanStore.EventCriticalCols.map(c => s"$c IS NOT NULL")),
     "cs1_csv_dim_join" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -66,7 +66,8 @@ object Sql {
     "sql3_pct_of_total" ->
       """SELECT event_type, count(*) AS n,
         |round(CAST(count(*) * 100.0 / SUM(count(*)) OVER () AS DOUBLE) * 1e6) / 1e6 AS percentage
-        |FROM events GROUP BY event_type ORDER BY percentage DESC, event_type""".stripMargin,
+        |FROM events GROUP BY event_type
+        |ORDER BY percentage DESC, event_type NULLS FIRST""".stripMargin,
     "sql4_cond_avg_weekday" ->
       s"""SELECT date_format(l_shipdate, 'EEEE') AS ship_dow,
          |round(CAST(SUM(CAST(CASE WHEN l_quantity > 0 THEN l_discount END AS DECIMAL(38,6))) AS DOUBLE)

