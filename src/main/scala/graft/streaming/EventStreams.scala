@@ -72,6 +72,30 @@ object EventStreams {
     else s"WITH $cte\n$swapped"
   }
 
+  /** st26 — the validity screen's REPORTING TWIN (the sim18 pattern):
+    * classify every RAW event against the [[EventTimeLo]]/[[EventTimeHi]]
+    * window — `valid`, `too_old`, `too_new`, `null_ts` — with per-class
+    * counts and the class's observed time range. This is the monitor an
+    * ops owner reads when the stream goes quiet: the screen silently
+    * (and correctly) drops clock-skew garbage at the source, and this
+    * batch audit over the same raw table is the one place the dropped
+    * rows stay visible, quantified and bounded (4 rows out, one
+    * map-side-combined aggregate over the scan — no shuffle beyond it).
+    */
+  def st26EventTimeAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val cls = when(col("ts").isNull, lit("null_ts"))
+      .when(col("ts") < lit(EventTimeLo).cast("timestamp"), lit("too_old"))
+      .when(col("ts") >= lit(EventTimeHi).cast("timestamp"), lit("too_new"))
+      .otherwise(lit("valid"))
+    Tables.events(spark, sfDir)
+      .select(cls.as("class"), col("ts"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"),
+        min(col("ts")).cast("timestamp_ntz").as("first_ts"),
+        max(col("ts")).cast("timestamp_ntz").as("last_ts"))
+      .orderBy(col("class"))
+  }
+
   def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.eventsRaw(spark, sfDir) // asserts the nanos conf, raw schema
     val p = Tables.path(sfDir, "events")
@@ -619,7 +643,8 @@ object EventStreams {
     "st15_stream_interval_join" -> (st15StreamIntervalJoin _),
     "st12_stream_window_users" -> (st12StreamWindowUsers _),
     "st8_stream_ingest" ->
-      ((s: SparkSession, d: String) => st8StreamIngest(s, d)))
+      ((s: SparkSession, d: String) => st8StreamIngest(s, d)),
+    "st26_event_time_audit" -> (st26EventTimeAudit _))
 
   /** Bench-only override: drop st8's verify-only global sort (the
     * Analytics.benchOverrides pattern for row-level outputs).
@@ -643,6 +668,19 @@ object EventStreams {
 
   // lazy: referenced by `oracles` above in object-init order
   private lazy val baseOracles: Map[String, String] = Map(
+    // the audit reads RAW by definition (it reports what the screen
+    // drops), so it is NOT in StreamingOracleKeys; the class literals
+    // interpolate the shared window constants
+    "st26_event_time_audit" ->
+      s"""WITH c AS (SELECT CASE
+         |    WHEN ts IS NULL THEN 'null_ts'
+         |    WHEN ts < TIMESTAMP '$EventTimeLo' THEN 'too_old'
+         |    WHEN ts >= TIMESTAMP '$EventTimeHi' THEN 'too_new'
+         |    ELSE 'valid' END AS class, ts
+         |  FROM events)
+         |SELECT class, count(*) AS n,
+         |  min(ts) AS first_ts, max(ts) AS last_ts
+         |FROM c GROUP BY class ORDER BY class""".stripMargin,
     "st1_windowed_agg" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n,
         |round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value
