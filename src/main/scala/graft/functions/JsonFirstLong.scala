@@ -78,8 +78,26 @@ case class JsonFirstLong(child: Expression, key: String)
 
 object JsonFirstLong {
   // Factory DEFAULTS = RFC 8259 strict (Spark's readers opt IN to the
-  // leniency features; we opt into none). Shared, thread-safe.
-  private val factory = new JsonFactory()
+  // leniency features; we opt into none). Shared, thread-safe. One
+  // constraint is RAISED rather than defaulted: Jackson 2.15 caps
+  // nesting depth at 1000 while yyjson (the oracle's validator) has no
+  // such cap — a 1001-deep document would read invalid here and valid
+  // there. 100k nesting levels of garbage still parse in microseconds,
+  // so the wide limit costs nothing and keeps the twins aligned.
+  //
+  // KNOWN residual divergence (documented, unexercised): a LONE
+  // SURROGATE escape ("\ud800" unpaired) is accepted by Jackson and
+  // rejected by yyjson's validator — a document that is only invalid by
+  // that rule reads NULL oracle-side and parses engine-side. Detecting
+  // it engine-side needs a second raw-text scan; deferred until a fuzz
+  // round plants one.
+  private val factory: JsonFactory = {
+    val f = new JsonFactory()
+    f.setStreamReadConstraints(
+      com.fasterxml.jackson.core.StreamReadConstraints.builder()
+        .maxNestingDepth(100000).build())
+    f
+  }
 
   /** Boxed so codegen/eval can see the NULL verdict. */
   def compute(s: UTF8String, key: String): java.lang.Long = {

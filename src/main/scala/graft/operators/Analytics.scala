@@ -1381,7 +1381,7 @@ object Analytics {
       """SELECT dayname(ts) AS dow, event_type, count(*) AS n
         |FROM events
         |GROUP BY CUBE (dayname(ts), event_type)
-        |ORDER BY dow NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+        |ORDER BY dow NULLS FIRST, event_type NULLS FIRST, n""".stripMargin,
     // value-defined RANGE frame: tied order values share one frame in
     // both engines, so no tie-break column is needed for determinism
     "q44_trailing_rate" ->

@@ -786,27 +786,41 @@ object Similarity {
     * × probe) key set against the indexed corpus — partition pruning
     * skips unprobed cells on a partitioned scan — exact-cosine verify on
     * the candidates. The serving half of sim5, reused verbatim by sim7
-    * over its base ∪ delta maintained index.
+    * over its base ∪ delta maintained index; with `sameLabel` the probe
+    * set also carries the query's label and the candidate filter gains
+    * the map-side label predicate — sim19's filtered serve, ONE text for
+    * both so the probe tie-break/score/cast can never drift between the
+    * filtered and unfiltered paths.
     */
   private[graft] def serveIvf(
       corpus: DataFrame, centroidsDf: DataFrame, emb: DataFrame,
-      nQueries: Int, k: Int, nProbe: Int): DataFrame = {
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("qx"))
+      nQueries: Int, k: Int, nProbe: Int,
+      sameLabel: Boolean = false): DataFrame = {
+    val qCols = Seq(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qx")) ++
+      (if (sameLabel) Seq(col("label").as("q_label")) else Nil)
+    val q = emb.filter(col("vec_id") < nQueries).select(qCols: _*)
     val score = dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col("qx"), col("cvec"))
     val pw = Window.partitionBy(col("query_id")).orderBy(col("ps"), col("cid"))
+    val probeCols = Seq(col("query_id")) ++
+      (if (sameLabel) Seq(col("q_label")) else Nil) ++
+      Seq(col("cid").cast(corpus.schema("cell").dataType).as("cell"))
     val probes = q.crossJoin(broadcast(centroidsDf))
-      .select(col("query_id"), col("cid"), score.as("ps"))
+      .select((Seq(col("query_id")) ++
+        (if (sameLabel) Seq(col("q_label")) else Nil) ++
+        Seq(col("cid"), score.as("ps"))): _*)
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"),
-        col("cid").cast(corpus.schema("cell").dataType).as("cell"))
+      .select(probeCols: _*)
     val qEmb = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val candFilter =
+      if (sameLabel)
+        col("neighbor_id") =!= col("query_id") && col("label") === col("q_label")
+      else col("neighbor_id") =!= col("query_id")
     val cands = corpus
       .join(broadcast(probes), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(candFilter)
       .select(col("query_id"), col("neighbor_id"), col("c_emb"))
     verifyAndRank(cands, qEmb, k)
   }
@@ -881,28 +895,7 @@ object Similarity {
     val corpus = spark.read.parquet(s"$path/cells")
     val centroidsDf = spark.read.parquet(s"$path/centroids")
       .select(col("cid"), col("cvec").cast("array<double>").as("cvec"))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("qx"),
-        col("label").as("q_label"))
-    val score = dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col("qx"), col("cvec"))
-    val pw = Window.partitionBy(col("query_id")).orderBy(col("ps"), col("cid"))
-    // probes carry the query's label so the candidate filter needs no
-    // further lookup — the (query × probe, label) key set stays tiny
-    val probes = q.crossJoin(broadcast(centroidsDf))
-      .select(col("query_id"), col("q_label"), col("cid"), score.as("ps"))
-      .withColumn("pr", row_number().over(pw))
-      .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_label"),
-        col("cid").cast(corpus.schema("cell").dataType).as("cell"))
-    val qEmb = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val cands = corpus
-      .join(broadcast(probes), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id") &&
-        col("label") === col("q_label"))
-      .select(col("query_id"), col("neighbor_id"), col("c_emb"))
-    verifyAndRank(cands, qEmb, k)
+    serveIvf(corpus, centroidsDf, emb, nQueries, k, nProbe, sameLabel = true)
   }
 
   /** dd16 — SEMANTIC DEDUPLICATION (the SemDeDup shape, Abbas et al.
@@ -2342,8 +2335,28 @@ object Similarity {
   /** The probe-and-serve tail shared by the sim5 and sim7 oracles —
     * [[serveIvf]]'s SQL twin over the [[lloydCellsSql]] prefix.
     */
+  /** With `sameLabel` the candidate set gains the label-equality joins —
+    * sim19's filtered serve; the probes CTE is ONE text for both paths
+    * (the engine-side serveIvf mirror).
+    */
   private def ivfServeSql(
-      iters: Int, nQueries: Int, nProbe: Int): String =
+      iters: Int, nQueries: Int, nProbe: Int,
+      sameLabel: Boolean = false): String = {
+    val cand =
+      if (sameLabel)
+        s"""cand AS (
+           |  SELECT pb.query_id, af.vec_id AS neighbor_id
+           |  FROM a${iters + 1} af
+           |  JOIN probes pb ON af.cell = pb.cell
+           |  JOIN lab nl ON nl.vec_id = af.vec_id
+           |  JOIN lab ql ON ql.vec_id = pb.query_id
+           |  WHERE af.vec_id <> pb.query_id AND nl.label = ql.label)""".stripMargin
+      else
+        s"""cand AS (
+           |  SELECT pb.query_id, af.vec_id AS neighbor_id
+           |  FROM a${iters + 1} af JOIN probes pb ON af.cell = pb.cell
+           |  WHERE af.vec_id <> pb.query_id)""".stripMargin
+    val lab = if (sameLabel) "lab AS (SELECT vec_id, label FROM embeddings),\n" else ""
     s"""probes AS (
        |  SELECT query_id, cid AS cell FROM (
        |    SELECT q.vec_id AS query_id, c.cid,
@@ -2352,11 +2365,9 @@ object Similarity {
        |        c.cid) AS pr
        |    FROM (SELECT vec_id, v FROM e WHERE vec_id < $nQueries) q
        |    CROSS JOIN c$iters c) WHERE pr <= $nProbe),
-       |cand AS (
-       |  SELECT pb.query_id, af.vec_id AS neighbor_id
-       |  FROM a${iters + 1} af JOIN probes pb ON af.cell = pb.cell
-       |  WHERE af.vec_id <> pb.query_id),
+       |$lab$cand,
        |$verifyRankSql""".stripMargin
+  }
 
   private def learnedIvfSql(
       kCells: Int = 0, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
@@ -2364,32 +2375,16 @@ object Similarity {
     s"""${lloydCellsSql(kCells, iters, dim, trainWhere)},
        |${ivfServeSql(iters, nQueries, nProbe)}""".stripMargin
 
-  /** sim19's oracle: [[learnedIvfSql]]'s Lloyd's prefix with a
-    * label-constrained candidate CTE in place of the unfiltered serve —
-    * the filter participates in candidate generation, exactly as the
-    * engine's map-side index predicate does, then the shared verify tail.
+  /** sim19's oracle: the shared Lloyd's prefix + the shared serve text
+    * with the label-constrained candidate set — the filter participates
+    * in candidate generation, exactly as the engine's map-side index
+    * predicate does.
     */
   private def filteredIvfSql(
       kCells: Int = 0, iters: Int = 5, dim: Int = 64, nQueries: Int = 20,
       nProbe: Int = FilteredNProbe): String =
     s"""${lloydCellsSql(kCells, iters, dim, "")},
-       |probes AS (
-       |  SELECT query_id, cid AS cell FROM (
-       |    SELECT q.vec_id AS query_id, c.cid,
-       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-       |        list_dot_product(c.c, c.c) - 2 * list_dot_product(q.v, c.c),
-       |        c.cid) AS pr
-       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < $nQueries) q
-       |    CROSS JOIN c$iters c) WHERE pr <= $nProbe),
-       |lab AS (SELECT vec_id, label FROM embeddings),
-       |cand AS (
-       |  SELECT pb.query_id, af.vec_id AS neighbor_id
-       |  FROM a${iters + 1} af
-       |  JOIN probes pb ON af.cell = pb.cell
-       |  JOIN lab nl ON nl.vec_id = af.vec_id
-       |  JOIN lab ql ON ql.vec_id = pb.query_id
-       |  WHERE af.vec_id <> pb.query_id AND nl.label = ql.label),
-       |$verifyRankSql""".stripMargin
+       |${ivfServeSql(iters, nQueries, nProbe, sameLabel = true)}""".stripMargin
 
   /** sim7's oracle: identical Lloyd's + serve text, but the training
     * subset is the BASE HALF of the corpus (`vec_id < n/2`, the split the

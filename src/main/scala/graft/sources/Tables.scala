@@ -335,7 +335,7 @@ object Tables {
     val stampFile = new java.io.File(s"$wdDir/_graft_source")
     val stamp = Staging.sourceStamp(Seq(source)) +
       s":n=$nSamples:drop=$Mm11ClsDropMod/$Mm11ClsDropRem," +
-      s"$Mm11JsonDropMod/$Mm11JsonDropRem:wd-v1"
+      s"$Mm11JsonDropMod/$Mm11JsonDropRem:wd-v2"
     if (!marker.exists() || !stampFile.exists() ||
         new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
       new java.io.File(wdDir).mkdirs()
@@ -345,19 +345,31 @@ object Tables {
       val utf8 = java.nio.charset.StandardCharsets.UTF_8
       // bounded collect: nSamples fixture rows (the os2 posture — at
       // 100 TB the sample store already exists, only the scan runs)
+      // JSON-escape the interpolated string and null-coalesce every
+      // text field: an adversarial dimension corpus plants quotes,
+      // backslashes and NULLs in exactly these columns, and a staging
+      // writer that NPEs mid-loop leaves a markerless half-written store
+      def jsonStr(v: String): String =
+        "\"" + v.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
       documents(spark, sfDir).filter(col("doc_id") < nSamples)
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .collect().foreach { r =>
           val id = r.getLong(0)
+          def str(i: Int): String = Option(r.getString(i)).getOrElse("")
           def put(ext: String, bytes: Array[Byte]): Unit =
             java.nio.file.Files.write(
               java.nio.file.Paths.get(f"$wdDir/sample_$id%05d.$ext"), bytes)
-          put("txt", r.getString(1).getBytes(utf8))
+          put("txt", str(1).getBytes(utf8))
           if (id % Mm11ClsDropMod != Mm11ClsDropRem)
-            put("cls", r.getString(2).getBytes(utf8))
+            put("cls", str(2).getBytes(utf8))
           if (id % Mm11JsonDropMod != Mm11JsonDropRem)
             put("json",
-              s"""{"doc_id":$id,"source":"${r.getString(3)}"}""".getBytes(utf8))
+              s"""{"doc_id":$id,"source":${jsonStr(str(3))}}""".getBytes(utf8))
         }
       java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
       java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)

@@ -577,14 +577,18 @@ object EventStreams {
     * closed windows' exact distinct counts (oracle-gated).
     */
   def st12StreamWindowUsers(spark: SparkSession, sfDir: String): DataFrame = {
-    // KEY COMPLETENESS at the door (the st13 posture): a per-window USER
-    // count cannot attribute a NULL user — the stateful dedup would keep
-    // one NULL row per window and count a phantom user where the
-    // oracle's count(DISTINCT user_id) counts none (caught by the
-    // adversarial-events replay).
+    // KEY COMPLETENESS (the st13 posture): a per-window USER count
+    // cannot attribute a NULL user — the stateful dedup would keep one
+    // NULL row per window and count a phantom user where the oracle's
+    // count(DISTINCT user_id) counts none (caught by the
+    // adversarial-events replay). Screened AFTER withWatermark: the
+    // watermark must advance on every time-valid arrival — were the key
+    // screen upstream of it, a corpus whose latest event is NULL-keyed
+    // would leave the engine's watermark behind the oracle's
+    // max(ts)-derived closed-window bound.
     val deduped = eventStream(spark, sfDir)
-      .filter(col("user_id").isNotNull)
       .withWatermark("ts", "1 hour")
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"),
         date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
         col("ts"))

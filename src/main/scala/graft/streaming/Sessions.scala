@@ -233,10 +233,15 @@ object Sessions {
       "st7_sink")
     val gapUs = gapMinutes * 60L * 1000000L
     val delayUs = delayMinutes * 60L * 1000000L
-    // the deterministic-subset bound must be the SCREENED max — the
-    // stream's watermark only ever saw screened rows, so a raw max
-    // (poisonable by one far-future timestamp) would disagree with it
+    // the deterministic-subset bound must be the max over EXACTLY the
+    // stream's input — the same event-time window AND the same
+    // key/payload screens — because the stream's final watermark is
+    // derived from that input: a bound over a looser row set (say, the
+    // time screen only, when the latest time-valid event has a NULL
+    // user) would admit sessions the stream never flushed
     val maxTs = EventStreams.validEventTime(Tables.events(spark, sfDir))
+      .filter(col("user_id").isNotNull && col("value").isNotNull &&
+        abs(col("value")) <= MaxAbsEventValue)
       .agg(max(unix_micros(col("ts"))).as("max_us"))
     result
       .crossJoin(broadcast(maxTs)) // 1-row scalar bound, broadcast probe
@@ -320,7 +325,9 @@ object Sessions {
         |    min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
         |    round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total_value
         |  FROM s GROUP BY 1, 2),
-        |m AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+        |m AS (SELECT max(epoch_us(ts)) AS max_us FROM events
+        |      WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |        AND abs(value) <= $MaxAbsEventValue)
         |SELECT b.* FROM b, m
         |WHERE epoch_us(session_end) + 1800000000 + 2000000 < max_us - 1800000000
         |ORDER BY user_id, session_id""".stripMargin))

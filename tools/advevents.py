@@ -42,7 +42,7 @@ Replay:
     python3 tools/diffcheck.py /tmp/advevents /tmp/v_advev <events queries>
 
 Round-13 catch record (each fixed + pinned the same day; closing
-replay 49/49 hash-exact):
+replay 50/50 hash-exact incl. st26):
   - WATERMARK POISONING (st2/st5/st10/st12/st23 lost 1-3 rows each):
     ONE far-future (2262) event advanced the global watermark past the
     present and later-arriving well-timed rows were dropped as late.
@@ -77,6 +77,10 @@ replay 49/49 hash-exact):
     top-level key, INTEGER TOKEN only, NULL on long overflow - with
     an exact DuckDB twin (json_valid + raw-rendering integer regex +
     TRY_CAST).
+  - q45 CUBE collision: a DATA-NULL event_type group renders
+    identically to the CUBE margin row (NULL, NULL), so (dow,
+    event_type) is not a total order over the output and the tie order
+    diverged between engines -> n joined the sort keys on both sides.
   - pf3 clean-vs-raw: the clean store's critical-column null drop is
     LOAD-BEARING (a NULL-value purchase made the raw-table oracle
     count one extra row); pf3's oracle now carries the shared
@@ -107,10 +111,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 NS = 1_000_000_000
 
 
+_con = duckdb.connect()
+
+
 def ts(s, ns_extra=0):
     """epoch ns of a naive UTC wall-clock string plus an ns offset."""
-    con = duckdb.connect()
-    us = con.execute(
+    us = _con.execute(
         f"SELECT epoch_us(TIMESTAMP '{s}')").fetchone()[0]
     return us * 1000 + ns_extra
 
@@ -143,9 +149,9 @@ add(ts("2024-01-20 00:00:00", 1), 1, "view", 30.0, '{"k": 3}')          # 1 ns a
 add(ts("2024-01-20 00:00:00", 999), 1, "view", 40.0, '{"k": 4}')        # 999 ns after
 add(ts("2024-01-19 23:59:59") + 999_999_999, 1, "view", 50.0, '{"k": 5}')  # .999999999
 # hour-range boundary (F2: hour between 6 and 18)
-add(ts("2024-01-10 05:59:59", 999_999), 2, "view", 1.0, '{"k": 6}')
+add(ts("2024-01-10 05:59:59", 999_999_000), 2, "view", 1.0, '{"k": 6}')
 add(ts("2024-01-10 06:00:00"), 2, "view", 2.0, '{"k": 7}')
-add(ts("2024-01-10 18:59:59", 999_999), 2, "view", 3.0, '{"k": 8}')
+add(ts("2024-01-10 18:59:59", 999_999_000), 2, "view", 3.0, '{"k": 8}')
 add(ts("2024-01-10 19:00:00"), 2, "view", 4.0, '{"k": 9}')
 
 # ---- us-equal pair: same user, ts differing ONLY in ns -> identical
