@@ -84,6 +84,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("json_first_long"),
       new ExpressionInfo(classOf[JsonFirstLong].getName, "json_first_long"),
       (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"json_first_long expects (json, key) — got ${args.length} argument(s)")
         val key = args(1) match {
           case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) => p.toString
           case other => throw new IllegalArgumentException(
@@ -95,6 +97,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bpe_sym_count"),
       new ExpressionInfo(classOf[BpeSymCount].getName, "bpe_sym_count"),
       (args: Seq[Expression]) => {
+        if (args.length != 2) throw new IllegalArgumentException(
+          s"bpe_sym_count expects (text, merge_spec) — got ${args.length} argument(s)")
         val spec = args(1) match {
           case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) => p.toString
           case other => throw new IllegalArgumentException(

@@ -560,7 +560,12 @@ object Analytics {
       .select(weekdayName(col("ts")).as("dow"), col("event_type"))
       .cube(col("dow"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("dow").asc_nulls_first, col("event_type").asc_nulls_first)
+      // n as the third key: with NULL-keyed data rows planted (adversarial
+      // events), CUBE ties on (dow, event_type) — the per-dow marginal vs
+      // the real NULL-type group — and the driver compares rows IN ORDER,
+      // so the tie-break must be total and match the oracle's
+      .orderBy(col("dow").asc_nulls_first,
+        col("event_type").asc_nulls_first, col("n"))
 
   // ---------------------------------------------------------------- q49
   /** Robust outlier profile per group: MEDIAN + MAD (median absolute

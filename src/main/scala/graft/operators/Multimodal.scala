@@ -101,7 +101,11 @@ object Multimodal {
       payloadCol: String = "text"): Dataset[AssetMeta] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // a NULL payload has nothing to decode — the decode stage skips it
+    // (upstream null-routing is V4's job, and the typed AssetMeta row is
+    // all-primitive); the oracle carries the same IS NOT NULL predicate
     docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .filter(col(payloadCol).isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // Codec init once per partition: no ImageIO disk-cache tmp files
@@ -361,12 +365,13 @@ object Multimodal {
     * detection) reads ONLY the 512-byte headers, skipping every
     * payload. Map-only, codegen'd, no shuffle.
     *
-    * Over the text corpus the `ustar` magic at byte offset 257 never
-    * occurs (verified; the mm6 LIKE-guard convention below makes a
-    * future occurrence a LOUD mismatch rather than a silent pass); the
-    * real walk — octal sizes, 512-block rounding, typeflags, zero-block
-    * termination, corrupt-header stop — is exercised on crafted tar
-    * bytes in MultimodalSpec.
+    * Over the benign corpus the `ustar` magic at byte offset 257 never
+    * occurs; the real walk — octal sizes, 512-block rounding,
+    * typeflags, zero-block termination, corrupt-header stop — is
+    * exercised on crafted tar bytes in MultimodalSpec AND (r14)
+    * differentially against the oracle's recursive-CTE mirror of the
+    * same walk on the adversarial asset corpus's planted all-ASCII
+    * tars (valid, bad-octal, and payload-overrun members).
     */
   def tarMembers(docs: DataFrame): DataFrame = {
     val payload = col("text").cast("binary")
@@ -398,10 +403,12 @@ object Multimodal {
     * manifest join. Scale: the scan side projects only (path, length) —
     * the binaryFile source prunes `content`, so no payload bytes are
     * read; both sides are file-count-scale metadata and the join keys
-    * are unique per side. The staged fixture is non-empty by
-    * construction, so the registry query's oracle is the all-`ok`
-    * projection of the documents prefix; the degenerate classes are
-    * exercised on planted fixtures in `MultimodalSpec`.
+    * are unique per side. The registry oracle re-derives the verdict
+    * from the source corpus under the pinned listing-drop contract
+    * (empty/NULL text ⇒ `missing_from_scan`, else `ok`), so a hostile
+    * corpus with empty docs hash-VERIFIES the catch; the orphan and
+    * size-drift classes are exercised on planted fixtures in
+    * `MultimodalSpec` and by tools/advassets.py tamper replays.
     */
   def assetReconcile(manifest: DataFrame, scan: DataFrame): DataFrame = {
     val scanMeta = scan.select(
@@ -495,27 +502,74 @@ object Multimodal {
       resizePlan(Tables.documents(s, d))))
 
   val oracles: Map[String, String] = Map(
-    // the mm6 convention: the guard mirrors the engine's classification
-    // (512-byte minimum + `ustar` magic at byte offset 257, inside an
-    // ASCII-verified prefix so char positions ARE byte positions); the
-    // corpus never triggers it, and if a future doc does, the member
-    // FIELDS mismatch loudly and the side to extend is THIS oracle (the
-    // header walk is outside SQL's domain, exercised in the spec)
+    // the mm6 convention, EXTENDED (r14, forced by the adversarial
+    // asset corpus planting real all-ASCII tars): the guard mirrors the
+    // engine's classification (512-byte minimum + `ustar` magic at byte
+    // offset 257, inside an ASCII-verified prefix so char positions ARE
+    // byte positions), and for a classified archive whose WHOLE text is
+    // ASCII (octet_length = length, so every offset the walk touches is
+    // a byte offset) the member walk itself is mirrored as a recursive
+    // CTE — the same stop rules as TarMembers.compute: zero lead byte
+    // ends the archive, a non-ustar or bad-octal header stops with
+    // counts kept, a member whose payload overruns EOF is still
+    // counted. The octal field regexp is the engine's parse (leading
+    // space/NUL skipped, digits, first space/NUL after digits
+    // terminates, any other byte invalidates). A tar-classified doc
+    // with non-ASCII bytes beyond the prefix keeps NULL fields and
+    // mismatches LOUDLY — that remains the extend-this-oracle class.
     "mm9_tar_members" ->
-      """WITH m AS (SELECT doc_id, text,
+      """WITH RECURSIVE m AS (SELECT doc_id, text,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  octet_length(encode(text)) >= 512
         |    AND length(text) >= 262
         |    AND octet_length(encode(substring(text, 1, 262))) = 262
-        |    AND substring(text, 258, 5) = 'ustar' AS is_tar
-        |  FROM documents)
-        |SELECT doc_id, byte_len,
-        |  CASE WHEN is_tar THEN 'tar' ELSE 'unknown' END AS format,
-        |  CAST(NULL AS INTEGER) AS n_members,
-        |  CAST(NULL AS INTEGER) AS n_files,
-        |  CAST(NULL AS BIGINT) AS total_payload,
-        |  CAST(NULL AS VARCHAR) AS first_name
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |    AND substring(text, 258, 5) = 'ustar' AS is_tar,
+        |  octet_length(encode(text)) = length(text) AS is_ascii
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |    CAST(0 AS BIGINT) AS off, 0 AS members, 0 AS files,
+        |    CAST(0 AS BIGINT) AS payload,
+        |    CAST(NULL AS VARCHAR) AS first_name, false AS done
+        |  FROM m WHERE is_tar AND is_ascii
+        |  UNION ALL
+        |  SELECT doc_id, text, n,
+        |    CASE WHEN hdr_ok AND step <= n - off THEN off + step ELSE off END,
+        |    members + CASE WHEN hdr_ok THEN 1 ELSE 0 END,
+        |    files + CASE WHEN hdr_ok AND is_file THEN 1 ELSE 0 END,
+        |    payload + CASE WHEN hdr_ok AND is_file THEN sz ELSE 0 END,
+        |    CASE WHEN hdr_ok AND first_name IS NULL THEN nm ELSE first_name END,
+        |    NOT coalesce(hdr_ok AND step <= n - off, false) AS done
+        |  FROM (
+        |    SELECT *, (magic_ok AND sz IS NOT NULL) AS hdr_ok,
+        |      CASE WHEN sz IS NOT NULL
+        |        THEN 512 + 512 * ((sz + 511) // 512) END AS step
+        |    FROM (
+        |      SELECT *,
+        |        (off + 512 <= n AND substring(text, off + 1, 1) != chr(0)
+        |          AND off + 263 <= n
+        |          AND substring(text, off + 258, 5) = 'ustar') AS magic_ok,
+        |        CASE WHEN regexp_extract(substring(text, off + 125, 12),
+        |               '^[ ' || chr(0) || ']*([0-7]+)($|[ ' || chr(0) || '].*)', 1) = ''
+        |          THEN NULL
+        |          ELSE list_reduce(list_transform(string_split(
+        |            regexp_extract(substring(text, off + 125, 12),
+        |              '^[ ' || chr(0) || ']*([0-7]+)($|[ ' || chr(0) || '].*)', 1), ''),
+        |            x -> CAST(x AS BIGINT)), (a, b) -> a * 8 + b) END AS sz,
+        |        substring(text, off + 157, 1) IN ('0', chr(0)) AS is_file,
+        |        regexp_extract(substring(text, off + 1, 100),
+        |          '^[^' || chr(0) || ']*') AS nm
+        |      FROM w WHERE NOT done) a) b),
+        |r AS (SELECT doc_id, members, files, payload, first_name
+        |      FROM w WHERE done)
+        |SELECT m.doc_id, m.byte_len,
+        |  CASE WHEN m.text IS NULL THEN CAST(NULL AS VARCHAR)
+        |       WHEN m.is_tar THEN 'tar' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN m.is_tar THEN r.members END AS INTEGER) AS n_members,
+        |  CAST(CASE WHEN m.is_tar THEN r.files END AS INTEGER) AS n_files,
+        |  CAST(CASE WHEN m.is_tar THEN r.payload END AS BIGINT) AS total_payload,
+        |  CASE WHEN m.is_tar THEN r.first_name END AS first_name
+        |FROM m LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
     // the NPY magic byte 0x93 is a UTF-8 CONTINUATION byte — no valid
     // string starts with it, so over a VARCHAR corpus only the unknown
     // branch is reachable in principle (the mm2/mm5 PNG argument; no
@@ -524,7 +578,8 @@ object Multimodal {
     "mm8_npy_headers" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  'unknown' AS format,
+        |  CASE WHEN text IS NULL THEN CAST(NULL AS VARCHAR)
+        |       ELSE 'unknown' END AS format,
         |  CAST(NULL AS VARCHAR) AS version,
         |  CAST(NULL AS VARCHAR) AS dtype,
         |  CAST(NULL AS BOOLEAN) AS fortran_order,
@@ -532,12 +587,16 @@ object Multimodal {
         |  CAST(NULL AS BIGINT) AS n_elems
         |FROM documents ORDER BY doc_id""".stripMargin,
     // hashes the ORIGINAL parquet text for the staged id prefix — a
-    // match proves the file export + binaryFile scan were byte-exact
+    // match proves the file export + binaryFile scan were byte-exact.
+    // The non-empty predicate mirrors Spark's pinned listing-drop
+    // contract: a zero-byte asset never reaches the scan (mm10 is
+    // where it surfaces), so the oracle must not expect its row
     "os2_binary_assets" ->
       s"""SELECT doc_id,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          |  md5(text) AS content_md5
          |FROM documents WHERE doc_id < ${Tables.Os2AssetCount}
+         |  AND coalesce(octet_length(encode(text)), 0) > 0
          |ORDER BY doc_id""".stripMargin,
     // the staged fixture is non-empty by construction, so the truthful
     // reconciliation is all-'ok' with manifest == scan == UTF-8 byte
@@ -556,8 +615,10 @@ object Multimodal {
          |parts AS (
          |  SELECT doc_id, 'txt' AS ext, md5(text) AS m,
          |    octet_length(encode(text)) AS b FROM d
+         |    WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
          |  UNION ALL SELECT doc_id, 'cls', CAST(NULL AS VARCHAR), NULL
          |    FROM d WHERE doc_id % ${Tables.Mm11ClsDropMod} != ${Tables.Mm11ClsDropRem}
+         |      AND lang IS NOT NULL AND octet_length(encode(lang)) > 0
          |  UNION ALL SELECT doc_id, 'json', CAST(NULL AS VARCHAR), NULL
          |    FROM d WHERE doc_id % ${Tables.Mm11JsonDropMod} != ${Tables.Mm11JsonDropRem})
          |SELECT doc_id AS sample_id, count(*) AS n_parts,
@@ -566,11 +627,20 @@ object Multimodal {
          |  (max(CASE WHEN ext = 'txt' THEN 1 ELSE 0 END) = 1
          |    AND max(CASE WHEN ext = 'json' THEN 1 ELSE 0 END) = 1) AS complete
          |FROM parts GROUP BY doc_id ORDER BY sample_id""".stripMargin,
+    // re-derives the full-outer verdict from the source corpus: every
+    // staged doc has a manifest row (NULL text stages as 0 bytes); a
+    // scan row exists iff the asset has bytes (the pinned listing-drop
+    // contract) — so on a hostile corpus with empty docs the oracle
+    // VERIFIES the reconcile catches exactly the dropped class
     "mm10_asset_reconcile" ->
       s"""SELECT printf('doc_%05d.bin', doc_id) AS file_name,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS manifest_bytes,
-         |  CAST(octet_length(encode(text)) AS BIGINT) AS scan_bytes,
-         |  'ok' AS status
+         |  CAST(coalesce(octet_length(encode(text)), 0) AS BIGINT)
+         |    AS manifest_bytes,
+         |  CASE WHEN coalesce(octet_length(encode(text)), 0) > 0
+         |    THEN CAST(octet_length(encode(text)) AS BIGINT) END
+         |    AS scan_bytes,
+         |  CASE WHEN coalesce(octet_length(encode(text)), 0) > 0
+         |    THEN 'ok' ELSE 'missing_from_scan' END AS status
          |FROM documents WHERE doc_id < ${Tables.Os2AssetCount}
          |ORDER BY file_name""".stripMargin,
     // the mm5/mm6 convention: the guard mirrors the engine's FULL
@@ -590,7 +660,8 @@ object Multimodal {
         |    AND substring(text, 5, 4) = 'ftyp' AS is_mp4
         |  FROM documents)
         |SELECT doc_id, byte_len,
-        |  CASE WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END AS format,
+        |  CASE WHEN text IS NULL THEN CAST(NULL AS VARCHAR)
+        |       WHEN is_mp4 THEN 'mp4' ELSE 'unknown' END AS format,
         |  CASE WHEN is_mp4
         |      AND ascii(substring(text, 9, 1)) BETWEEN 32 AND 126
         |      AND ascii(substring(text, 10, 1)) BETWEEN 32 AND 126
@@ -613,24 +684,92 @@ object Multimodal {
     // oracle's expressible domain (the engine reads its UTF-8 encoding
     // bytes; the driver corpus is all-ASCII and cannot produce it).
     // PNG/JPEG parsing is spec-verified on real bytes in MultimodalSpec.
-    // all-lowercase corpus ⇒ only the unknown branch is reachable; the
-    // guard mirrors the engine's FULL 12-byte magic (RIFF....WAVE — a doc
-    // starting 'RIFF' without 'WAVE' at offset 9 is 'unknown' in BOTH
-    // engines), so a future wav-magic doc is a loud mismatch only on the
-    // header FIELDS (the chunk walk is outside SQL's domain, exercised in
-    // the spec) — and on such a mismatch the side to extend is THIS
-    // oracle, not the engine
+    // the guard mirrors the engine's FULL 12-byte magic (RIFF....WAVE
+    // inside an ASCII-verified prefix so char positions ARE byte
+    // positions), and — r14, forced by the adversarial asset corpus
+    // planting a real all-ASCII PCM header — the fmt/data CHUNK WALK is
+    // mirrored as a recursive CTE for all-ASCII payloads: the same
+    // rules as WavHeader.compute (little-endian fields via ascii(),
+    // chunk word-alignment pad, overrun-chunk stop, walk ends once both
+    // fmt and data are seen, sample_rate > INT32_MAX degrades to NULL,
+    // duration = data_bytes·1000 / byte_rate integer division). A
+    // wav-classified doc with non-ASCII bytes keeps NULL fields and
+    // mismatches loudly — the extend-this-oracle class
     "mm6_wav_headers" ->
-      """SELECT doc_id,
+      """WITH RECURSIVE m AS (SELECT doc_id, text,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |  CASE WHEN text LIKE 'RIFF%' AND substring(text, 9, 4) = 'WAVE'
-        |       THEN 'wav' ELSE 'unknown' END AS format,
-        |  CAST(NULL AS INTEGER) AS channels,
-        |  CAST(NULL AS INTEGER) AS sample_rate,
-        |  CAST(NULL AS INTEGER) AS bits_per_sample,
-        |  CAST(NULL AS BIGINT) AS data_bytes,
-        |  CAST(NULL AS BIGINT) AS duration_ms
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  length(text) >= 12
+        |    AND octet_length(encode(substring(text, 1, 12))) = 12
+        |    AND substring(text, 1, 4) = 'RIFF'
+        |    AND substring(text, 9, 4) = 'WAVE' AS is_wav,
+        |  octet_length(encode(text)) = length(text) AS is_ascii
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+        |    CAST(12 AS BIGINT) AS i,
+        |    CAST(NULL AS INTEGER) AS channels,
+        |    CAST(NULL AS INTEGER) AS sample_rate,
+        |    CAST(NULL AS INTEGER) AS bits, CAST(0 AS BIGINT) AS byte_rate,
+        |    CAST(NULL AS BIGINT) AS data_bytes, false AS done
+        |  FROM m WHERE is_wav AND is_ascii
+        |  UNION ALL
+        |  SELECT doc_id, text, n,
+        |    CASE WHEN can_read THEN
+        |      CASE WHEN sz + (sz % 2) > n - i - 8 THEN n
+        |           ELSE i + 8 + sz + (sz % 2) END
+        |      ELSE i END,
+        |    CASE WHEN can_read AND is_fmt
+        |      THEN CAST(ascii(substring(text, i + 11, 1))
+        |        + 256 * ascii(substring(text, i + 12, 1)) AS INTEGER)
+        |      ELSE channels END,
+        |    CASE WHEN can_read AND is_fmt THEN
+        |      CASE WHEN sr <= 2147483647 THEN CAST(sr AS INTEGER) END
+        |      ELSE sample_rate END,
+        |    CASE WHEN can_read AND is_fmt
+        |      THEN CAST(ascii(substring(text, i + 23, 1))
+        |        + 256 * ascii(substring(text, i + 24, 1)) AS INTEGER)
+        |      ELSE bits END,
+        |    CASE WHEN can_read AND is_fmt THEN br ELSE byte_rate END,
+        |    CASE WHEN can_read AND substring(text, i + 1, 4) = 'data'
+        |      THEN sz ELSE data_bytes END,
+        |    NOT can_read AS done
+        |  FROM (
+        |    SELECT *,
+        |      substring(text, i + 1, 4) = 'fmt '
+        |        AND sz >= 16 AND i + 24 <= n AS is_fmt,
+        |      ascii(substring(text, i + 13, 1))
+        |        + 256 * ascii(substring(text, i + 14, 1))
+        |        + 65536 * ascii(substring(text, i + 15, 1))
+        |        + 16777216 * ascii(substring(text, i + 16, 1)) AS sr,
+        |      ascii(substring(text, i + 17, 1))
+        |        + 256 * ascii(substring(text, i + 18, 1))
+        |        + 65536 * ascii(substring(text, i + 19, 1))
+        |        + 16777216 * ascii(substring(text, i + 20, 1)) AS br
+        |    FROM (
+        |      SELECT *,
+        |        i + 8 <= n AND (channels IS NULL OR data_bytes IS NULL)
+        |          AS can_read,
+        |        ascii(substring(text, i + 5, 1))
+        |          + 256 * ascii(substring(text, i + 6, 1))
+        |          + 65536 * ascii(substring(text, i + 7, 1))
+        |          + 16777216 * ascii(substring(text, i + 8, 1)) AS sz
+        |      FROM w WHERE NOT done) a) b),
+        |r AS (SELECT doc_id, channels, sample_rate, bits, byte_rate,
+        |        data_bytes
+        |      FROM w WHERE done)
+        |SELECT m.doc_id, m.byte_len,
+        |  CASE WHEN m.text IS NULL THEN CAST(NULL AS VARCHAR)
+        |       WHEN m.is_wav THEN 'wav' ELSE 'unknown' END AS format,
+        |  CASE WHEN m.is_wav THEN r.channels END AS channels,
+        |  CASE WHEN m.is_wav THEN r.sample_rate END AS sample_rate,
+        |  CASE WHEN m.is_wav THEN r.bits END AS bits_per_sample,
+        |  CAST(CASE WHEN m.is_wav THEN r.data_bytes END AS BIGINT)
+        |    AS data_bytes,
+        |  CAST(CASE WHEN m.is_wav AND r.data_bytes IS NOT NULL
+        |         AND r.byte_rate > 0
+        |       THEN r.data_bytes * 1000 // r.byte_rate END AS BIGINT)
+        |    AS duration_ms
+        |FROM m LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
     "mm5_image_headers" ->
       """WITH m AS (SELECT doc_id, text,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -639,7 +778,8 @@ object Multimodal {
         |    AND (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%') AS is_gif
         |  FROM documents)
         |SELECT doc_id, byte_len,
-        |  CASE WHEN is_gif THEN 'gif' ELSE 'unknown' END AS format,
+        |  CASE WHEN text IS NULL THEN CAST(NULL AS VARCHAR)
+        |       WHEN is_gif THEN 'gif' ELSE 'unknown' END AS format,
         |  CASE WHEN is_gif THEN CAST(ascii(substring(text, 7, 1))
         |         + 256 * ascii(substring(text, 8, 1)) AS INTEGER)
         |       ELSE CAST(NULL AS INTEGER) END AS width,
@@ -655,14 +795,18 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS stub_width,
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS BIGINT) AS stub_height
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // the corpus is UTF-8 prose: neither PNG's 0x89 nor JPEG's 0xFF
-    // lead byte can occur, and the printable GIF magic needs uppercase
-    // (the corpus is all-lowercase, the mm6 proof), so every row takes
-    // the stub branch. The `decoded` flag mirrors the engine's GIF-magic
-    // test (the mm6 LIKE-guard convention): constant false today, and a
-    // corpus that ever grows a GIF-magic doc mismatches LOUDLY instead
-    // of silently passing. The real ImageIO PNG/JPEG/GIF branches are
-    // golden-pixel-tested in MultimodalSpec.
+    // decoded = FALSE for every row: neither PNG's 0x89 nor JPEG's
+    // 0xFF lead byte can occur in UTF-8, and a GIF-MAGIC doc (plantable
+    // in prose — the adversarial asset corpus does) still cannot carry
+    // a decodable image, because the logical-screen's color-table flag
+    // byte needs bit 7 set, unreachable at that byte offset from any
+    // ASCII header ImageIO would accept — every magic-bearing prose doc
+    // fails ImageIO and lands in the stub branch (decoded false),
+    // verified differentially on the planted GIF headers. A payload
+    // that ever DOES decode mismatches LOUDLY here, and that is the
+    // signal to extend this oracle. The real ImageIO PNG/JPEG/GIF
+    // branches are golden-pixel-tested in MultimodalSpec. NULL payloads
+    // are skipped by the decode stage on both sides.
     "mm2_decode_assets" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
@@ -670,9 +814,9 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) % 64 + 16 AS INTEGER) AS width,
         |  CAST(octet_length(encode(text)) // 7 % 64 + 16 AS INTEGER) AS height,
         |  CAST(3 AS INTEGER) AS channels,
-        |  (text LIKE 'GIF87a%' OR text LIKE 'GIF89a%') AS decoded,
+        |  false AS decoded,
         |  CAST(NULL AS VARCHAR) AS pixel_md5
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin,
     "mm4_resize_plan" ->
       """WITH m AS (SELECT doc_id,
         |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS stub_width,

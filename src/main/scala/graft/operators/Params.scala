@@ -467,7 +467,7 @@ object Params {
     * bites mid-source at every staged scale factor.
     */
   val Sa13Budget: Long = 14000L
-  val Sa13QBuckets: Int = 20
+  val Sa13IdBuckets: Int = 64
 
   /** sa13 — BUDGETED EPOCH ASSEMBLY: the manifest a pretraining run
     * builds when it has a global token budget and a target source
@@ -485,17 +485,27 @@ object Params {
     *
     * Scale: the NAIVE formulation is a per-source quality-ordered
     * cumsum — a window whose partitions are corpus/|sources|, i.e. a
-    * handful of near-global sorts at 100 TB. This plan is sa6's
-    * distributed two-phase prefix sum keyed on (source, quality BUCKET)
-    * instead: quality lives on the r6 grid in [0,1], so `floor(q·20)`
-    * gives 21 buckets whose order REFINES quality order (monotone ⇒
-    * bucket boundaries never contradict the ranking); phase 1 computes
-    * per-(source, bucket) token sums (map-side combined, the only
-    * data-scaled aggregation), phase 2 runs the exclusive offset window
-    * over the BOUNDED (source × bucket) grid, phase 3 cumsums WITHIN
-    * each bucket. Identical output to the naive window — the oracle IS
-    * the naive formulation — and no window partition ever holds more
-    * than one bucket of one source. Budgets and offsets broadcast.
+    * handful of near-global sorts at 100 TB. This plan is a THREE-LEVEL
+    * distributed prefix sum whose every window partition is bounded
+    * INDEPENDENTLY of the quality distribution (a coarse quality-bucket
+    * key alone is not: a template-spam source concentrates its whole
+    * mass in one r6 value, i.e. one bucket — the naive sort back again).
+    * The partition keys compose the EXACT r6 quality value `qr` with
+    * sa6's distribution-independent doc_id span `sp`:
+    * (1) per-(source, qr, sp) token sums — the only data-scaled
+    * aggregation, map-side combined; (2) the exclusive
+    * higher-quality offset, a window over the per-(source, qr) sums —
+    * grid-bounded (one row per DISTINCT r6 value, ≤ 1e6+1 by the grid,
+    * never by the data); (3) the exclusive lower-span offset WITHIN one
+    * quality value — ≤ [[Sa13IdBuckets]] rows per partition; (4) the
+    * intra cumsum partitioned by (source, qr, sp) and ordered by doc_id
+    * alone (qr is constant inside the partition, and sp is monotone in
+    * doc_id, so span boundaries can never contradict the
+    * (quality desc, doc_id) ranking) — partition mass ≤ one doc_id
+    * span, a bound NO quality distribution can move. Identical output
+    * to the naive window — the oracle IS the naive formulation. Budgets
+    * broadcast; the offset grid joins on exactly the intra window's
+    * partition keys, so its exchange is the one the window needs anyway.
     */
   def sa13BudgetEpoch(
       docs: DataFrame, budget: Long = Sa13Budget): DataFrame = {
@@ -515,18 +525,43 @@ object Params {
       .select(col("source"),
         floor(lit(budget.toDouble) * sqrt(col("nl"))
           / col("sw").cast("double")).cast("long").as("src_budget"))
-    val bucketed = base
-      .withColumn("qb", floor(col("qr") * Sa13QBuckets).cast("int"))
-    val offW = Window.partitionBy(col("source")).orderBy(col("qb").desc)
+    // sa6's distribution-independent sub-key: doc_ids are unique, so a
+    // span holds at most (max_id / Sa13IdBuckets + 1) docs no matter
+    // where the quality mass sits
+    val span = base.agg((floor(max(col("doc_id")) / Sa13IdBuckets) + 1)
+      .cast("long").as("span"))
+    val keyed = base.crossJoin(broadcast(span))
+      .withColumn("sp", expr("doc_id div span"))
+    // (1) per-(source, qr, sp) token sums — the only data-scaled
+    // aggregation, map-side combined
+    val g = keyed.groupBy(col("source"), col("qr"), col("sp"))
+      .agg(sum(col("w")).as("gw"))
+    // (2) exclusive offset of the strictly-higher quality values: a
+    // window over the per-(source, qr) sums — one row per DISTINCT r6
+    // value, bounded by the grid, never by the data
+    val qrW = Window.partitionBy(col("source")).orderBy(col("qr").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy(col("source"), col("qb"))
-      .agg(sum(col("w")).as("bw"))
-      .withColumn("off", coalesce(sum(col("bw")).over(offW), lit(0L)))
-      .select(col("source"), col("qb"), col("off"))
-    val intra = Window.partitionBy(col("source"), col("qb"))
-      .orderBy(col("qr").desc, col("doc_id"))
+    val qrOff = g.groupBy(col("source"), col("qr"))
+      .agg(sum(col("gw")).as("qw"))
+      .withColumn("qr_off", coalesce(sum(col("qw")).over(qrW), lit(0L)))
+      .select(col("source"), col("qr"), col("qr_off"))
+    // (3) exclusive offset of the lower doc_id spans inside one quality
+    // value — ≤ Sa13IdBuckets rows per partition
+    val spW = Window.partitionBy(col("source"), col("qr")).orderBy(col("sp"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offsets), Seq("source", "qb"))
+    val offsets = g
+      .withColumn("sp_off", coalesce(sum(col("gw")).over(spW), lit(0L)))
+      .join(qrOff, Seq("source", "qr"))
+      .select(col("source"), col("qr"), col("sp"),
+        (col("qr_off") + col("sp_off")).as("off"))
+    // (4) intra cumsum: qr is constant inside the partition and sp is
+    // monotone in doc_id, so doc_id alone completes the
+    // (quality desc, doc_id) ranking; partition mass ≤ one doc_id span.
+    // The join keys ARE the window partition keys — one shared exchange.
+    val intra = Window.partitionBy(col("source"), col("qr"), col("sp"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    keyed.join(offsets, Seq("source", "qr", "sp"))
       .join(broadcast(budgets), Seq("source"))
       .withColumn("excl", col("off") + coalesce(sum(col("w")).over(intra), lit(0L)))
       .select(col("doc_id"), col("source"), col("w"), col("q"),

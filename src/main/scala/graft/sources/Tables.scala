@@ -242,10 +242,13 @@ object Tables {
     * Spark's file listing DROPS zero-byte files, so an empty asset
     * (empty documents exist in every web dump) silently vanishes from a
     * `binaryFile` scan rather than surfacing as a zero-length payload
-    * row. A pipeline that must account for every asset (os2's posture)
-    * should reconcile scan count against manifest count — the staged
-    * fixture here guarantees non-empty payloads, so the gate's
-    * count-exactness holds by construction.
+    * row. The listing drop is a PINNED contract (r14): the os2/mm10
+    * oracles mirror it — an empty/NULL-text asset is absent from os2's
+    * scan rows and reported `missing_from_scan` by mm10's reconcile —
+    * so a hostile corpus with empty docs stays hash-exact instead of
+    * reading as a mystery count gap. The zero-byte FILE and its
+    * manifest row are still written: the manifest is the only artifact
+    * that keeps the dropped asset visible to the reconciliation.
     */
   def binaryAssets(spark: SparkSession, sfDir: String,
       nAssets: Int = Os2AssetCount): DataFrame = {
@@ -256,7 +259,7 @@ object Tables {
     val stampFile = new java.io.File(s"$binDir/_graft_source")
     // the count is part of the stamp: a call with a different nAssets
     // must restage, not silently serve the previously staged prefix
-    val stamp = Staging.sourceStamp(Seq(source)) + s":n=$nAssets"
+    val stamp = Staging.sourceStamp(Seq(source)) + s":n=$nAssets:bin-v2"
     val manifestFile = new java.io.File(s"$binDir/graft_manifest.tsv")
     if (!marker.exists() || !stampFile.exists() || !manifestFile.exists() ||
         new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
@@ -271,7 +274,11 @@ object Tables {
       documents(spark, sfDir).filter(col("doc_id") < nAssets)
         .select(col("doc_id"), col("text")).collect().foreach { r =>
           val name = f"doc_${r.getLong(0)}%05d.bin"
-          val bytes = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // NULL text stages as an empty asset (a web dump's deleted
+          // page): the writer must not NPE mid-loop and leave a
+          // markerless half-written store
+          val bytes = Option(r.getString(1)).getOrElse("")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           java.nio.file.Files.write(
             java.nio.file.Paths.get(s"$binDir/$name"), bytes)
           // the manifest records what the WRITER believes it staged —
@@ -322,9 +329,11 @@ object Tables {
     * samples mm11's assembly must surface. Marker-and-stamp idempotence
     * (the [[binaryAssets]] scheme, count + contract version in the
     * stamp; stale-file sweep so a shrunk count leaves no orphans).
-    * Non-empty payloads by the os2 fixture contract — a zero-byte
-    * modality file would vanish from the listing (the documented
-    * zero-byte caveat) and read as missing.
+    * Zero-byte payloads are never WRITTEN: Spark's binaryFile listing
+    * silently drops empty files (the documented os2 caveat), so the
+    * staging contract is "no bytes ⇒ no file" — an empty modality is
+    * an absent part mm11 reports as incomplete, on both engine and
+    * oracle sides, never a silent listing gap.
     */
   def wdSamples(spark: SparkSession, sfDir: String,
       nSamples: Int = Mm11SampleCount): DataFrame = {
@@ -335,7 +344,7 @@ object Tables {
     val stampFile = new java.io.File(s"$wdDir/_graft_source")
     val stamp = Staging.sourceStamp(Seq(source)) +
       s":n=$nSamples:drop=$Mm11ClsDropMod/$Mm11ClsDropRem," +
-      s"$Mm11JsonDropMod/$Mm11JsonDropRem:wd-v2"
+      s"$Mm11JsonDropMod/$Mm11JsonDropRem:wd-v3"
     if (!marker.exists() || !stampFile.exists() ||
         new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
       new java.io.File(wdDir).mkdirs()
@@ -361,9 +370,18 @@ object Tables {
         .collect().foreach { r =>
           val id = r.getLong(0)
           def str(i: Int): String = Option(r.getString(i)).getOrElse("")
+          // Spark's binaryFile LISTING silently drops zero-byte files, so
+          // a store holding one would hash-mismatch the oracle with no
+          // pointer to the cause (the documented os2 caveat, observed on
+          // the adversarial dimension corpus). The staging CONTRACT is
+          // therefore "a modality with no bytes has no file": empty
+          // payloads are skipped here and the oracle's parts CTE applies
+          // the same non-empty rule — an absent modality is a reported
+          // incomplete sample on both sides, never a silent listing gap.
           def put(ext: String, bytes: Array[Byte]): Unit =
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(f"$wdDir/sample_$id%05d.$ext"), bytes)
+            if (bytes.nonEmpty)
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(f"$wdDir/sample_$id%05d.$ext"), bytes)
           put("txt", str(1).getBytes(utf8))
           if (id % Mm11ClsDropMod != Mm11ClsDropRem)
             put("cls", str(2).getBytes(utf8))

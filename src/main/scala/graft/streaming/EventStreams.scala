@@ -776,10 +776,17 @@ object EventStreams {
     // exact distinct users per closed window — the chained dedup+count
     // pipeline must equal the batch COUNT(DISTINCT) on the same subset
     // st2's append mode emits (window end ≤ final watermark)
+    // WHERE mirrors the engine's post-watermark key screen: a closed
+    // window whose events are ALL NULL-user emits no row from the
+    // chained dedup+count (nothing survives the screen), while a bare
+    // GROUP BY would keep that group with n_users = 0 (count(DISTINCT)
+    // ignores NULLs but the group survives). The closed-window bound's
+    // max(ts) subquery stays over ALL time-valid rows — the engine's
+    // watermark advances on every time-valid arrival, keyed or not.
     "st12_stream_window_users" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1
+        |FROM events WHERE user_id IS NOT NULL GROUP BY 1
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
         |ORDER BY 1""".stripMargin,
     // stateless exactly-once append ⇒ the ingested partitioned table IS the

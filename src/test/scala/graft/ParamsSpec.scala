@@ -316,6 +316,44 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.count(_._7) > 0 && rows.count(!_._7) > 0)
   }
 
+  test("sa13: a quality-concentrated source (one r6 value carries ALL its mass) still fills exactly") {
+    // template spam: every doc of source a is the SAME text, so the
+    // whole source lands on ONE r6 quality value — the case that
+    // collapses a coarse quality-bucket partition key into the naive
+    // per-source sort. The span sub-key must keep the fill exact here.
+    val spam = (0L until 200L).map(i => (i, "a", "the same template body " * 3))
+    val mixed = (200L until 300L).map(i =>
+      (i, "b", ("word " * (1 + (i % 37).toInt)).trim))
+    val docs = (spam ++ mixed).toDF("doc_id", "source", "text")
+    val rows = Params.sa13BudgetEpoch(docs, budget = 900L).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("w")),
+        if (r.isNullAt(r.fieldIndex("q"))) 0.0
+        else r.getDouble(r.fieldIndex("q")),
+        r.getLong(r.fieldIndex("tokens_before")),
+        r.getLong(r.fieldIndex("src_budget")),
+        r.getBoolean(r.fieldIndex("admitted"))))
+    assert(rows.length === 300)
+    // the naive per-source (quality desc, doc_id) exclusive cumsum,
+    // replayed driver-side, must match row-for-row
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val ordered = rs.sortBy(t => (-t._4, t._1))
+      var cum = 0L
+      ordered.foreach { case (id, _, w, _, before, budget, admitted) =>
+        assert(before === cum, s"$src doc $id: tokens_before $before != $cum")
+        assert(admitted === (cum < budget), s"$src doc $id verdict")
+        cum += w
+      }
+    }
+    // the concentrated source genuinely ties on quality (the hazard is real)
+    val aQs = rows.filter(_._2 == "a").map(_._4).distinct
+    assert(aQs.length === 1, s"source a must carry one quality value, got $aQs")
+    // and its gate bites mid-source (budget line crossed inside the tie)
+    val aAdmit = rows.filter(_._2 == "a").count(_._7)
+    assert(aAdmit > 0 && aAdmit < 200, s"source a admit count $aAdmit")
+  }
+
   test("sa4: weighted sample is deterministic, near-target-sized, and weight-monotone") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val a = Params.sa4WeightedSample(docs).collect()

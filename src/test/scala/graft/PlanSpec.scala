@@ -451,21 +451,28 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("sa13: budget fill is bucket-distributed — no per-source window ever sees unbucketed fact rows") {
+  test("sa13: no fill-window partition's mass depends on the quality distribution") {
     val p = plan(Params.sa13BudgetEpoch(Tables.documents(spark, sf001)))
-    // the intra-bucket cumsum is partitioned by (source, quality bucket)
-    assert("hashpartitioning\\(source#\\d+, qb#\\d+".r.findFirstIn(p).isDefined,
-      s"intra window not partitioned by (source, qb):\n$p")
-    // the only source-grain window (the bucket-offset prefix) runs over
-    // the aggregated (source, qb) grid, never the raw document stream:
-    // every source-only hash exchange must be fed by a HashAggregate
+    // the intra cumsum — the only window over FACT rows — is partitioned
+    // by (source, qr, sp): sp is the doc_id span, so the partition's mass
+    // is span-bounded no matter where the quality mass concentrates
+    assert("hashpartitioning\\(source#\\d+, qr#\\d+, sp#\\d+"
+        .r.findFirstIn(p).isDefined,
+      s"intra window not partitioned by (source, qr, sp):\n$p")
+    // every quality-keyed exchange WITHOUT the span key carries
+    // aggregated grid rows (per-(source, qr) sums), never the raw
+    // document stream — and likewise every source-only exchange
     val numbered = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1).toInt)
     numbered.foreach { k =>
       val detail = p.substring(p.indexOf(s"($k) Exchange"))
         .linesIterator.take(4).mkString("\n")
-      if ("hashpartitioning\\(source#\\d+, 32\\)".r.findFirstIn(detail).isDefined)
+      val qualityKeyedNoSpan =
+        "hashpartitioning\\(source#\\d+, qr#\\d+, 32\\)".r.findFirstIn(detail).isDefined
+      val sourceOnly =
+        "hashpartitioning\\(source#\\d+, 32\\)".r.findFirstIn(detail).isDefined
+      if (qualityKeyedNoSpan || sourceOnly)
         assert(p.contains(s"(${k - 1}) HashAggregate"),
-          s"source-grain exchange ($k) not fed by the bucket aggregate:\n$p")
+          s"distribution-dependent exchange ($k) not fed by a grid aggregate:\n$p")
     }
   }
 
