@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{BpeSymCount, JsonFirstLong, DotProduct, ImageHeader, MatchCount, MinHashSig, Mp4Header, NpyHeader, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash60, StopCounts, TarMembers, WavHeader, WordShingles}
+import graft.functions.{BpeSymCount, JsonFirstLong, DotProduct, ImageHeader, MatchCount, MinHashSig, Mp4Header, NpyHeader, PairCombs, RhpBuckets, RhpProbes, ScriptCounts, SimHash60, StopCounts, TarMembers, TarSamples, WavHeader, WordShingles}
 
 /** Session extensions registering graft's native Catalyst expressions so
   * they are callable from SQL and `expr(...)` — the public
@@ -57,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("tar_members"),
       new ExpressionInfo(classOf[TarMembers].getName, "tar_members"),
       (args: Seq[Expression]) => TarMembers(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("tar_samples"),
+      new ExpressionInfo(classOf[TarSamples].getName, "tar_samples"),
+      (args: Seq[Expression]) => TarSamples(args.head)))
     ext.injectFunction((
       FunctionIdentifier("npy_header"),
       new ExpressionInfo(classOf[NpyHeader].getName, "npy_header"),

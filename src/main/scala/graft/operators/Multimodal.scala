@@ -474,9 +474,38 @@ object Multimodal {
   def sampleAssemblyQ(spark: SparkSession, sfDir: String): DataFrame =
     sampleAssembly(Tables.wdSamples(spark, sfDir))
 
+  /** mm12 — the TAR-PATH twin of [[sampleAssembly]]: the same per-sample
+    * completeness verdict computed from the tarred WebDataset SHARD
+    * ([[Tables.wdTarShard]] — the same fixtures mm11 assembles from the
+    * un-tarred store) via the `tar_samples` expression, which walks the
+    * shard's USTAR members and assembles stems IN PLACE. This closes
+    * mm11's honest 100 TB loop: mm11's scaladoc notes the
+    * file-per-modality layout pays a stem-group SHUFFLE and that
+    * WebDataset tars shards so parts sit adjacent — this operator
+    * proves the tar path really can replace that shuffle: a map-only
+    * `binaryFile` scan (parallelism = shard count), zero exchanges
+    * before the output sort, and the SAME oracle text as mm11
+    * (hash-gated equivalence of the two paths, including the `.txt`
+    * payload md5s — the bytes survived staging, tarring, scanning and
+    * the in-expression walk unchanged). The completeness POLICY
+    * (txt ∧ json) stays here in the query; the expression only reports
+    * the inventory.
+    */
+  def tarAssemblyQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.wdTarShard(spark, sfDir)
+      .select(explode(call_function("tar_samples", col("content"))).as("s"))
+      .select(
+        regexp_extract(col("s.stem"), "sample_(\\d+)$", 1)
+          .cast("long").as("sample_id"),
+        col("s.n_parts"), col("s.exts"), col("s.txt_md5"), col("s.txt_bytes"),
+        (array_contains(split(col("s.exts"), ","), "txt") &&
+          array_contains(split(col("s.exts"), ","), "json")).as("complete"))
+      .orderBy(col("sample_id"))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm12_tar_assembly" -> (tarAssemblyQ _),
     "mm11_sample_assembly" -> (sampleAssemblyQ _),
     "mm10_asset_reconcile" -> (assetReconcileQ _),
     "mm9_tar_members" -> ((s: SparkSession, d: String) =>
@@ -500,6 +529,33 @@ object Multimodal {
       frameSample(Tables.documents(s, d))),
     "mm4_resize_plan" -> ((s: SparkSession, d: String) =>
       resizePlan(Tables.documents(s, d))))
+
+  /** The ONE per-sample verdict oracle both assembly paths must match:
+    * re-derives every sample's part inventory from the source corpus
+    * under the shared staging constants and skip rules (drop mods; the
+    * no-bytes-no-file contract), so mm11 (un-tarred store, stem-group
+    * aggregation) and mm12 (tarred shard, in-expression walk) are
+    * hash-gated against the SAME text — the two physical paths cannot
+    * drift from each other without one of them failing verify.
+    */
+  private val SampleVerdictSql: String =
+    s"""WITH d AS (SELECT doc_id, text, lang FROM documents
+       |           WHERE doc_id < ${Tables.Mm11SampleCount}),
+       |parts AS (
+       |  SELECT doc_id, 'txt' AS ext, md5(text) AS m,
+       |    octet_length(encode(text)) AS b FROM d
+       |    WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+       |  UNION ALL SELECT doc_id, 'cls', CAST(NULL AS VARCHAR), NULL
+       |    FROM d WHERE doc_id % ${Tables.Mm11ClsDropMod} != ${Tables.Mm11ClsDropRem}
+       |      AND lang IS NOT NULL AND octet_length(encode(lang)) > 0
+       |  UNION ALL SELECT doc_id, 'json', CAST(NULL AS VARCHAR), NULL
+       |    FROM d WHERE doc_id % ${Tables.Mm11JsonDropMod} != ${Tables.Mm11JsonDropRem})
+       |SELECT doc_id AS sample_id, count(*) AS n_parts,
+       |  array_to_string(list_sort(list(ext)), ',') AS exts,
+       |  max(m) AS txt_md5, CAST(max(b) AS BIGINT) AS txt_bytes,
+       |  (max(CASE WHEN ext = 'txt' THEN 1 ELSE 0 END) = 1
+       |    AND max(CASE WHEN ext = 'json' THEN 1 ELSE 0 END) = 1) AS complete
+       |FROM parts GROUP BY doc_id ORDER BY sample_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // the mm6 convention, EXTENDED (r14, forced by the adversarial
@@ -609,24 +665,11 @@ object Multimodal {
     // shared drop rules, so the oracle re-derives each sample's part
     // list from the same constants; md5(varchar) hashes the UTF-8
     // rendering, matching the engine's md5 over the staged bytes
-    "mm11_sample_assembly" ->
-      s"""WITH d AS (SELECT doc_id, text, lang FROM documents
-         |           WHERE doc_id < ${Tables.Mm11SampleCount}),
-         |parts AS (
-         |  SELECT doc_id, 'txt' AS ext, md5(text) AS m,
-         |    octet_length(encode(text)) AS b FROM d
-         |    WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
-         |  UNION ALL SELECT doc_id, 'cls', CAST(NULL AS VARCHAR), NULL
-         |    FROM d WHERE doc_id % ${Tables.Mm11ClsDropMod} != ${Tables.Mm11ClsDropRem}
-         |      AND lang IS NOT NULL AND octet_length(encode(lang)) > 0
-         |  UNION ALL SELECT doc_id, 'json', CAST(NULL AS VARCHAR), NULL
-         |    FROM d WHERE doc_id % ${Tables.Mm11JsonDropMod} != ${Tables.Mm11JsonDropRem})
-         |SELECT doc_id AS sample_id, count(*) AS n_parts,
-         |  array_to_string(list_sort(list(ext)), ',') AS exts,
-         |  max(m) AS txt_md5, CAST(max(b) AS BIGINT) AS txt_bytes,
-         |  (max(CASE WHEN ext = 'txt' THEN 1 ELSE 0 END) = 1
-         |    AND max(CASE WHEN ext = 'json' THEN 1 ELSE 0 END) = 1) AS complete
-         |FROM parts GROUP BY doc_id ORDER BY sample_id""".stripMargin,
+    "mm11_sample_assembly" -> SampleVerdictSql,
+    // the SAME text, verbatim: mm12 is the tar-path twin of mm11 over
+    // the same fixtures — sharing one oracle string IS the hash-gated
+    // equivalence claim (neither path can drift from the other)
+    "mm12_tar_assembly" -> SampleVerdictSql,
     // re-derives the full-outer verdict from the source corpus: every
     // staged doc has a manifest row (NULL text stages as 0 bytes); a
     // scan row exists iff the asset has bytes (the pinned listing-drop

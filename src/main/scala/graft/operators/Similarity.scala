@@ -1592,6 +1592,182 @@ object Similarity {
        |    AS imbalance
        |FROM kk""".stripMargin
 
+  /** sim20 split-phase iteration count — single source for the engine
+    * AND the generated oracle text (the sim17 pattern).
+    */
+  val Sim20SplitIters: Int = 3
+
+  /** Core of the sim20 hot-cell split, factored over a plain
+    * (vec_id, x, cell) assignment so the skew drill in SimilaritySpec
+    * can drive it on a staged-hot corpus: cells holding more than 1.25×
+    * the mean mass (the exact integer test `4·k·n > 5·N` — no doubles,
+    * engine-portable) get a per-cell 2-MEANS over their own members
+    * (init = the two lowest vec_ids, the lowest-ids convention;
+    * assignment ties break to the lower sub id, the ties=cid
+    * convention; means on the same qfloor-1e12 grid as
+    * [[kmeansCentroids]], so every arithmetic step is the trainer's).
+    * Returns the post-split assignment (vec_id, cell, sub) of the hot
+    * cells' members only — reassignment touches NOTHING outside the
+    * hot cells, which is the point: at 100 TB this is a
+    * partition-local rewrite of exactly the oversized partitions, not
+    * a full retrain.
+    */
+  private[graft] def splitHotCells(
+      cells: DataFrame, splitIters: Int = Sim20SplitIters): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val t = counts.agg(sum(col("n")), count(lit(1))).head
+    val (nn, kk) = (t.getLong(0), t.getLong(1))
+    val hot = counts.filter(col("n") * lit(4L) * lit(kk) > lit(5L) * lit(nn))
+    val members = cells.join(broadcast(hot.select(col("cell"))), Seq("cell"))
+    val iw = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    var cent = members
+      .withColumn("rn", row_number().over(iw)).filter(col("rn") <= 2)
+      .select(col("cell"), (col("rn") - lit(1)).cast("int").as("sub"),
+        col("x").as("cvec"))
+    def assigned(c: DataFrame): DataFrame = {
+      val score =
+        dot(col("cvec"), col("cvec")) - lit(2.0) * dot(col("x"), col("cvec"))
+      members.join(broadcast(c), Seq("cell"))
+        .withColumn("arn", row_number().over(
+          Window.partitionBy(col("cell"), col("vec_id"))
+            .orderBy(score, col("sub"))))
+        .filter(col("arn") === 1)
+        .select(col("cell"), col("sub"), col("vec_id"), col("x"))
+    }
+    var it = 0
+    while (it < splitIters) {
+      // the kmeansCentroids update verbatim, keyed by (cell, sub):
+      // component sums on the 1e-12 integer grid, floor-division mean,
+      // one double division by the exact constant — the oracle runs the
+      // same two steps, so the doubles agree bit-for-bit
+      val sums = assigned(cent)
+        .select(col("cell"), col("sub"),
+          posexplode(col("x")).as(Seq("pos", "comp")))
+        .groupBy(col("cell"), col("sub"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(qround(col("comp") * lit(1e12))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+      // bounded collect: (hot cells × 2 × dim) centroid components — the
+      // kmeansCentroids posture (the distributed work is the aggregate)
+      val next = cent.collect().map { r =>
+        val key = (r.getInt(0), r.getInt(1))
+        sums.get(key) match {
+          case Some(rows) =>
+            val byPos = rows.map { g =>
+              val q = g.getDecimal(4)
+                .divide(new java.math.BigDecimal(g.getLong(3)), 0,
+                  java.math.RoundingMode.FLOOR)
+                .doubleValue()
+              g.getInt(2) -> q / 1e12
+            }.toMap
+            (key._1, key._2, r.getSeq[Double](2).indices.map(p => byPos(p)))
+          case None => (key._1, key._2, r.getSeq[Double](2))
+        }
+      }.toSeq
+      cent = next.toDF("cell", "sub", "cvec")
+      it += 1
+    }
+    assigned(cent).select(col("cell"), col("sub"), col("vec_id"))
+  }
+
+  /** sim20 — HOT-CELL SPLIT, the maintenance job sim17's alarm names:
+    * when the imbalance monitor (or [[ensureLearnedIvf]]'s
+    * oversized-cell guard) flags mass concentration, the remedy is NOT
+    * a full retrain — it is a 2-means over exactly the hot cells'
+    * members, leaving every healthy cell (and therefore the serving
+    * hashes of every query that never probes a split cell) untouched.
+    * This registry query is the split PLAN + verdict report: one row
+    * per hot cell with its mass and the two post-split sub-cell sizes —
+    * what an index operator reviews before committing the
+    * partition-local rewrite. The threshold here is deliberately LOW
+    * (1.25× mean mass) so the machinery is exercised and hash-gated on
+    * every staged corpus; the production guard (4× target cell size)
+    * and the health-restoration claim — a skew-staged corpus trips
+    * [[HealthImbalanceMax]], the split restores it below threshold —
+    * are drilled in SimilaritySpec over the same [[splitHotCells]]
+    * core.
+    *
+    * Scale: member reassignment is per-hot-cell local (the broadcast
+    * side is 2 centroids per hot cell); the only corpus-scale work is
+    * the partition-pruned scan of the hot cells themselves.
+    */
+  def hotCellSplit(
+      spark: SparkSession, sfDir: String, kCells: Int = 0,
+      iters: Int = 5, splitIters: Int = Sim20SplitIters): DataFrame = {
+    val path = ensureLearnedIvf(spark, sfDir, kCells, iters)
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("neighbor_id").as("vec_id"),
+        col("c_emb").cast("array<double>").as("x"),
+        col("cell").cast("int").as("cell"))
+    splitHotCells(cells, splitIters)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("sub") === 0, 1L).otherwise(0L)).as("n_sub0"),
+        sum(when(col("sub") === 1, 1L).otherwise(0L)).as("n_sub1"))
+      .orderBy(col("cell"))
+  }
+
+  /** sim20's oracle: the shared unrolled-Lloyd chain re-derives the
+    * full-corpus assignment, the same exact integer hot test, then the
+    * per-cell 2-means unrolled with the trainer's conventions
+    * (lowest-ids init, (dist, sub) ties, qfloor-grid means) and the
+    * final per-cell sub sizes.
+    */
+  private def hotCellSplitSql(
+      iters: Int = 5, dim: Int = 64,
+      splitIters: Int = Sim20SplitIters): String = {
+    def qr(e: String) =
+      s"sign($e * 1000000000000.0) * floor(abs($e * 1000000000000.0) + 0.5)"
+    val steps = (1 to (splitIters + 1)).map { j =>
+      // MATERIALIZED: each level is referenced by both the next assign
+      // and the next update — inlined CTEs would re-evaluate the whole
+      // Lloyd prefix once per reference (exponential in splitIters)
+      val assign =
+        s"""t$j AS MATERIALIZED (
+           |  SELECT cell, vec_id, v, sub FROM (
+           |    SELECT h.cell, h.vec_id, h.v, s.sub,
+           |      row_number() OVER (PARTITION BY h.cell, h.vec_id ORDER BY
+           |        list_dot_product(s.c, s.c) - 2 * list_dot_product(h.v, s.c),
+           |        s.sub) AS rn
+           |    FROM hm h JOIN s${j - 1} s ON s.cell = h.cell) WHERE rn = 1)""".stripMargin
+      if (j > splitIters) assign
+      else
+        s"""$assign,
+           |u$j AS (
+           |  SELECT cell, sub, p, count(*) AS n,
+           |    sum(CAST(${qr("v[p]")} AS HUGEINT)) AS s
+           |  FROM t$j, range(1, ${dim + 1}) r(p) GROUP BY cell, sub, p),
+           |s$j AS MATERIALIZED (
+           |  SELECT pc.cell, pc.sub, coalesce(nc.c, pc.c) AS c
+           |  FROM s${j - 1} pc LEFT JOIN (
+           |    SELECT cell, sub, list(comp ORDER BY p) AS c FROM (
+           |      SELECT cell, sub, p,
+           |        CAST((s - ((s % n) + n) % n) // n AS DOUBLE)
+           |          / 1000000000000.0 AS comp
+           |      FROM u$j) GROUP BY cell, sub) nc
+           |    ON nc.cell = pc.cell AND nc.sub = pc.sub)""".stripMargin
+    }.mkString(",\n")
+    s"""${lloydCellsSql(0, iters, dim, "")},
+       |cz AS (SELECT cell, count(*) AS n FROM a${iters + 1} GROUP BY cell),
+       |tz AS (SELECT sum(n) AS nn, count(*) AS kk FROM cz),
+       |hz AS (SELECT cz.cell FROM cz, tz WHERE cz.n * 4 * tz.kk > 5 * tz.nn),
+       |hm AS MATERIALIZED (SELECT a.vec_id, a.v, a.cell
+       |       FROM a${iters + 1} a JOIN hz ON a.cell = hz.cell),
+       |s0 AS MATERIALIZED (SELECT cell, CAST(rn - 1 AS INT) AS sub, v AS c FROM (
+       |    SELECT cell, vec_id, v,
+       |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |    FROM hm) WHERE rn <= 2),
+       |$steps
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_before,
+       |  CAST(sum(CASE WHEN sub = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sub0,
+       |  CAST(sum(CASE WHEN sub = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sub1
+       |FROM t${splitIters + 1} GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   // --------------------------------------------------------------- sim10
 
   /** Canonical location of the IVFPQ index artifact: residual codebooks
@@ -1921,6 +2097,8 @@ object Similarity {
       ((s: SparkSession, d: String) => pqDistortion(s, d)),
     "sim17_cell_imbalance" ->
       ((s: SparkSession, d: String) => cellImbalance(s, d)),
+    "sim20_hot_cell_split" ->
+      ((s: SparkSession, d: String) => hotCellSplit(s, d)),
     "sim10_ivfpq_topk" -> ((s: SparkSession, d: String) => ivfpqTopk(s, d)),
     "sim6_quantized_topk" -> ((s: SparkSession, d: String) =>
       quantizedTopk(adm(s, d))),
@@ -2100,6 +2278,7 @@ object Similarity {
     // the shared Lloyd chain re-derives the assignment; integer counts,
     // one r6 division with the engine's parenthesization
     "sim17_cell_imbalance" -> cellImbalanceSql(),
+    "sim20_hot_cell_split" -> hotCellSplitSql(),
     // coarse chain + residual-PQ chain + probed-cell integer ADC — see
     // ivfPqTopkSql
     "sim10_ivfpq_topk" -> ivfPqTopkSql(),

@@ -397,6 +397,71 @@ object Tables {
       .load(wdDir)
   }
 
+  /** mm12 staging: the [[wdSamples]] store tarred into ONE WebDataset
+    * shard — the wire layout multimodal training sets actually ship
+    * (a shard is a plain `.tar` whose same-stem members form one
+    * sample, adjacent in the stream). Written by a deterministic
+    * pure-JVM USTAR writer (POSIX.1-1988 fields the [[graft.functions.TarSamples]]
+    * walk reads back: mode 0644, uid/gid 0, mtime 0, computed
+    * checksum, NUL-terminated `ustar` magic + version `00`, 512-block padding, two zero
+    * blocks at the end; members sorted by name) so the shard's BYTES —
+    * not just its member list — are stable across re-stages and the
+    * md5-bearing verdict rows stay hash-gateable. Marker-and-stamp
+    * idempotence chained onto the wdSamples stamp: any change to the
+    * underlying sample store re-tars.
+    */
+  def wdTarShard(spark: SparkSession, sfDir: String,
+      nSamples: Int = Mm11SampleCount): DataFrame = {
+    wdSamples(spark, sfDir, nSamples) // ensure the sample store exists
+    val sfName = new java.io.File(sfDir).getName
+    val wdDir = s"${sys.props("user.dir")}/target/wdsamples/$sfName/shard0"
+    val tarDir = s"${sys.props("user.dir")}/target/wdtar/$sfName"
+    val marker = new java.io.File(s"$tarDir/_SUCCESS")
+    val stampFile = new java.io.File(s"$tarDir/_graft_source")
+    val srcStamp = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(s"$wdDir/_graft_source").toPath))
+    val stamp = srcStamp + ":tar-v1"
+    if (!marker.exists() || !stampFile.exists() ||
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+      new java.io.File(tarDir).mkdirs()
+      val files = Option(new java.io.File(wdDir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("sample_")).sortBy(_.getName)
+      val out = new java.io.ByteArrayOutputStream()
+      files.foreach { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val hdr = new Array[Byte](512)
+        def put(off: Int, s: String): Unit = {
+          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          System.arraycopy(b, 0, hdr, off, b.length)
+        }
+        put(0, f.getName)                                   // name
+        put(100, "0000644\u0000")                           // mode
+        put(108, "0000000\u0000")                           // uid
+        put(116, "0000000\u0000")                           // gid
+        put(124, f"${bytes.length}%011o\u0000")             // size
+        put(136, "00000000000\u0000")                       // mtime
+        put(148, "        ")                                // chksum: spaces while summing
+        hdr(156) = '0'                                      // typeflag: regular file
+        put(257, "ustar\u000000")                           // magic + version
+        val sum = hdr.foldLeft(0L)((a, b) => a + (b & 0xFF))
+        put(148, f"$sum%06o\u0000 ")
+        out.write(hdr)
+        out.write(bytes)
+        val pad = (512 - bytes.length % 512) % 512
+        out.write(new Array[Byte](pad))
+      }
+      out.write(new Array[Byte](1024)) // two zero blocks: end of archive
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tarDir/shard0.tar"), out.toByteArray)
+      java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
+      java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .load(tarDir)
+  }
+
   /** os3 staging: a bounded document prefix exported once as GZIP
     * JSON-LINES — the wire format web-crawl corpora actually ship in
     * (WET extracts, CC dumps, vendor deliveries are `.jsonl.gz`) — then

@@ -582,4 +582,75 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(got(0L) === (("json", false)), "orphan metadata: incomplete, no txt")
     assert(got(1L) === (("txt", false)), "payload without metadata: incomplete")
   }
+
+  test("mm12: tar-path assembly equals the un-tarred path row-for-row and is map-only before the sort") {
+    import graft.sources.Tables
+    val viaStore = graft.operators.Multimodal.sampleAssemblyQ(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val viaTar = graft.operators.Multimodal.tarAssemblyQ(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(viaTar === viaStore,
+      "the tarred shard must assemble to the identical verdict table")
+    // the 100 TB claim: the tar path replaces mm11's stem-group shuffle —
+    // no exchange before the output sort (explode + expression are narrow)
+    val p = graft.operators.Multimodal.tarAssemblyQ(spark, sf001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchanges = p.linesIterator.count(_.contains(") Exchange"))
+    assert(exchanges <= 1 && !p.contains("hashpartitioning"),
+      s"tar assembly must be map-only pre-sort (no hash exchange):\n$p")
+    // tamper: a duplicate stem with a CONFLICTING extra part inside the
+    // tar must surface in the inventory, never silently dedup — built on
+    // a scratch shard via the same staging writer rules
+    val dir = java.nio.file.Files.createTempDirectory("mm12dup").toFile
+    def hdr(name: String, size: Int): Array[Byte] = {
+      val h = new Array[Byte](512)
+      def put(off: Int, s: String): Unit = {
+        val b = s.getBytes("UTF-8"); System.arraycopy(b, 0, h, off, b.length)
+      }
+      put(0, name); put(100, "0000644 "); put(108, "0000000 ")
+      put(116, "0000000 "); put(124, f"$size%011o ")
+      put(136, "00000000000 "); put(148, "        ")
+      h(156) = '0'; put(257, "ustar 00")
+      val sum = h.foldLeft(0L)((a, b) => a + (b & 0xFF))
+      put(148, f"$sum%06o  ")
+      h
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def member(name: String, payload: String): Unit = {
+      val b = payload.getBytes("UTF-8")
+      out.write(hdr(name, b.length)); out.write(b)
+      out.write(new Array[Byte]((512 - b.length % 512) % 512))
+    }
+    member("sample_00000.txt", "first payload")
+    member("sample_00000.json", "{}")
+    member("sample_00000.txt", "second conflicting payload")  // dup stem+ext
+    out.write(new Array[Byte](1024))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/shard0.tar"), out.toByteArray)
+    val scratch = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar").load(dir.getAbsolutePath)
+    val rows = scratch.selectExpr("explode(tar_samples(content)) AS s")
+      .selectExpr("s.stem", "s.n_parts", "s.exts", "s.txt_md5", "s.txt_bytes")
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(1) === 3L, "the conflicting duplicate part must COUNT")
+    assert(r.getString(2) === "json,txt", "inventory is the distinct ext set")
+    // max-tie rule mirrors the un-tarred aggregation's max(when(...))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def m5(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(3) === Seq(m5("first payload"),
+      m5("second conflicting payload")).max, "txt_md5 keeps the max")
+    assert(r.getLong(4) === "second conflicting payload".length.toLong)
+    graft.sources.Staging.deleteRecursively(dir)
+    // the staged registry shard stays stamp-guarded: a second call must
+    // not re-tar (byte-stable staging)
+    val tarFile = new java.io.File(
+      s"${sys.props("user.dir")}/target/wdtar/sf0.001/shard0.tar")
+    val mtime = tarFile.lastModified()
+    Tables.wdTarShard(spark, sf001).count()
+    assert(tarFile.lastModified() === mtime, "stamp-guarded tar staging re-wrote")
+  }
 }

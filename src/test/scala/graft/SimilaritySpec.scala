@@ -719,6 +719,55 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
       "the refreshed quantizer must collapse the absolute residual")
   }
 
+  test("sim20 hot-cell split: a skew-staged corpus trips HealthImbalanceMax, splitHotCells restores it, and nothing outside the hot cell moves") {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    // 4 tight healthy cells (25 members each) + ONE hot cell of 300
+    // members made of two separable sub-blobs INTERLEAVED by id (so the
+    // lowest-two-ids init lands one seed in each blob)
+    val healthy = (0 until 100).map { i =>
+      val c = i % 4
+      (i.toLong, unit(dim) { case `c` => 10.0 + ((i / 4) % 5 - 2) * 0.1 })
+    }
+    val hotBlob = (100 until 400).map { i =>
+      if (i % 2 == 0)
+        (i.toLong, unit(dim) { case 5 => 40.0 + (i % 10) * 0.05 })
+      else
+        (i.toLong, unit(dim) { case 6 => 40.0 + (i % 10) * 0.05 })
+    }
+    val corpus = vecFrame(healthy ++ hotBlob)
+      .select(col("vec_id"), col("embedding").as("x"))
+    val cells = corpus.withColumn("cell",
+      when(col("vec_id") < 100, (col("vec_id") % 4).cast("int"))
+        .otherwise(lit(4)))
+    val before = imbalanceOf(cells, 5)
+    assert(before > Similarity.HealthImbalanceMax,
+      s"the staged skew must trip the imbalance threshold: $before")
+    val split = Similarity.splitHotCells(cells).collect()
+    // only the hot cell's members were touched
+    assert(split.forall(_.getInt(0) == 4),
+      "reassignment must be partition-local to the hot cell")
+    assert(split.length === 300, "every hot member gets a sub verdict")
+    // the 2-means actually separates the two sub-blobs
+    val bySub = split.groupBy(_.getInt(1)).view.mapValues(_.length).toMap
+    assert(bySub(0) === 150 && bySub(1) === 150,
+      s"interleaved sub-blobs must split evenly: $bySub")
+    split.foreach { r =>
+      val id = r.getLong(2)
+      assert(r.getInt(1) === (id % 2).toInt,
+        s"vec $id landed in the wrong sub-blob")
+    }
+    // composing the split back restores the health metric: healthy cells
+    // unchanged, the hot cell becomes two — k goes 5 -> 6
+    val sp = spark; import sp.implicits._
+    val subDf = split.map(r => (r.getLong(2), r.getInt(1))).toSeq
+      .toDF("vec_id", "sub")
+    val after = cells.join(subDf, Seq("vec_id"), "left")
+      .select((col("cell") * 2 + coalesce(col("sub"), lit(0))).as("cell"))
+    assert(imbalanceOf(after, 6) < Similarity.HealthImbalanceMax,
+      "the split must restore imbalance below the threshold")
+  }
+
   test("index-health triad, SCATTER drift: stale cell boundaries cut every neighborhood (recall trips, imbalance blind), retraining on the drifted regime restores recall") {
     import org.apache.spark.sql.functions._
     val dim = 64
