@@ -307,8 +307,17 @@ object Bench {
     // load_avg_start = the post-drain value the gate judged (what the
     // run actually started under); the pre-drain reading is kept so a
     // drained record is visibly a drained record
+    // TAKE ID stamped inside the record AND the headline line: r13's
+    // NOTES quoted a different take than the committed JSON (107.3 vs
+    // 120.3 s) with nothing tying text to record — any prose quoting a
+    // number must now quote the take_id beside it, so notes and records
+    // agree by construction.
+    val takeId = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now()) + "-p" + ProcessHandle.current().pid()
     val envJson =
-      s"""{"load_avg_start":$loadNow,"load_avg_pre_drain":$loadAvgStart,""" +
+      s"""{"take_id":"$takeId",""" +
+        s""""load_avg_start":$loadNow,"load_avg_pre_drain":$loadAvgStart,""" +
         s""""load_avg_end":$loadAvgEnd,""" +
         s""""available_processors":$nProcs,""" +
         s""""max_load":$maxLoad,"contended":$contended}"""
@@ -343,7 +352,8 @@ object Bench {
     println(
       s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
         s""""cold_total":$coldTotal,"n_queries":${ok.size},""" +
-        s""""n_failed":${results.size - ok.size},"sf":"$sfDir","record":"$outPath"}""")
+        s""""n_failed":${results.size - ok.size},"sf":"$sfDir",""" +
+        s""""take_id":"$takeId","record":"$outPath"}""")
     spark.stop()
   }
 }
