@@ -455,10 +455,17 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = plan(Params.sa13BudgetEpoch(Tables.documents(spark, sf001)))
     // the intra cumsum — the only window over FACT rows — is partitioned
     // by (source, qr, sp): sp is the doc_id span, so the partition's mass
-    // is span-bounded no matter where the quality mass concentrates
+    // is span-bounded no matter where the quality mass concentrates.
+    // Assert the WINDOW NODE's own partition spec (at staged scale the
+    // single-partition scan satisfies the distribution without a
+    // physical exchange, so exchange text alone would vacuously pass)
+    assert("windowspecdefinition\\(source#\\d+, qr#\\d+, sp#\\d+L, doc_id#\\d+L ASC"
+        .r.findFirstIn(p).isDefined,
+      s"intra window not partitioned by (source, qr, sp) ordered by doc_id:\n$p")
+    // and the offset-grid exchanges carry the same keys
     assert("hashpartitioning\\(source#\\d+, qr#\\d+, sp#\\d+"
         .r.findFirstIn(p).isDefined,
-      s"intra window not partitioned by (source, qr, sp):\n$p")
+      s"offset grid not keyed by (source, qr, sp):\n$p")
     // every quality-keyed exchange WITHOUT the span key carries
     // aggregated grid rows (per-(source, qr) sums), never the raw
     // document stream — and likewise every source-only exchange
