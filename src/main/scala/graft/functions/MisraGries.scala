@@ -34,7 +34,14 @@ class MisraGries(k: Int) extends Aggregator[String, Map[String, Long], Map[Strin
   def zero: Map[String, Long] = Map.empty
 
   def reduce(b: Map[String, Long], term: String): Map[String, Long] =
-    b.get(term) match {
+    // a NULL term is unattributable and, worse, un-ENCODABLE: Catalyst's
+    // map encoder rejects null keys, so one null reaching the buffer
+    // kills the whole aggregation (caught by the adversarial events
+    // replay via st14). The sketch skips it; screening nulls at the
+    // SOURCE remains the caller's contract (the st13 key-completeness
+    // posture) — this is the never-throw backstop
+    if (term == null) b
+    else b.get(term) match {
       case Some(c) => b.updated(term, c + 1)
       case None if b.size < k => b.updated(term, 1L)
       case None =>

@@ -548,7 +548,11 @@ object EventStreams {
     try eventStream(spark, sfDir)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val sketch = b.select(col("user_id").cast("string").as("t"))
+        // key completeness (the st13 posture): a heavy-hitters report
+        // cannot attribute a NULL user, and a NULL key would poison the
+        // sketch buffer's map encoding (adversarial-events catch)
+        val sketch = b.filter(col("user_id").isNotNull)
+          .select(col("user_id").cast("string").as("t"))
           .agg(mg(col("t")).as("mg"))
           .collect()(0).getAs[Map[String, Long]]("mg")
         upsertSketch(stateF, id, sketch, k)

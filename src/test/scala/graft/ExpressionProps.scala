@@ -273,6 +273,21 @@ object ExpressionProps extends Properties("NativeExpressions") {
         }
         sizeOk && noFalseNegatives && estimatesBounded
     }
+
+  /** NULL terms are un-attributable AND un-encodable (Catalyst map
+    * buffers reject null keys — the adversarial-events st14 catch): the
+    * sketch must IGNORE them, yielding exactly the null-free result.
+    */
+  property("MisraGries ignores null terms: result equals the null-free stream's") =
+    Prop.forAll(mgStream, Gen.choose(2, 6), Gen.long) { (stream, k, seed) =>
+      val mg = new graft.functions.MisraGries(k)
+      val rnd = new scala.util.Random(seed)
+      val withNulls: List[String] =
+        stream.flatMap(t => if (rnd.nextInt(4) == 0) List(null, t) else List(t))
+      val a = withNulls.foldLeft(mg.zero)(mg.reduce)
+      val b = stream.foldLeft(mg.zero)(mg.reduce)
+      a == b && !a.contains(null)
+    }
   // bpe_sym_count vs the rendered replace-chain model it replaced (the
   // td26/st25 formulation the DuckDB oracles still run): render chars as
   // |c||h|..., one literal replace per merge in order, count = surviving

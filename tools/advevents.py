@@ -85,6 +85,15 @@ replay 50/50 hash-exact incl. st26):
     LOAD-BEARING (a NULL-value purchase made the raw-table oracle
     count one extra row); pf3's oracle now carries the shared
     EventCriticalCols predicate.
+Round-14 extension: the replay now covers the FULL registry (every
+other table copied benign), not just the 50 events-backed queries —
+188/188 oracle queries hash-exact on this corpus, one new catch:
+  - st14 DIED (EXPRESSION_ENCODING_FAILED): a NULL user_id reached
+    the Misra-Gries buffer and Catalyst's map encoder rejects null
+    keys — one null killed the whole sketch aggregation. Fix at both
+    layers: the sketch's reduce skips null terms (never-throw
+    backstop, property-tested), and st14 screens user_id IS NOT NULL
+    before the sketch (the st13 key-completeness posture).
 Verified-identical (no fix needed): ns->us truncation at the F1
 closed-bound midnight quirk and the hour boundaries (engine's
 `ts div 1000` == DuckDB's parquet ns read, incl. pre-epoch rows in
