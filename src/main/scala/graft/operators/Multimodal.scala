@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -66,12 +67,15 @@ object Multimodal {
       bytes(2) == 0xFF.toByte
 
   /** GIF87a/GIF89a. Unlike the PNG/JPEG magics this is printable ASCII
-    * and COULD open a prose document, so the mm2 oracle can't treat the
-    * branch as dead by UTF-8 argument alone — it leans on the driver
-    * corpus being all-lowercase (the mm6 proof) and guards the `decoded`
-    * flag with the same LIKE, so a corpus change surfaces as a loud
-    * mismatch, never a silent pass. A prose doc that merely starts with
-    * the magic fails ImageIO and lands in the stub branch regardless.
+    * and COULD open a prose document (the adversarial asset corpus
+    * plants several), so the mm2 oracle can't treat the branch as dead
+    * by UTF-8 argument alone. What IS dead from a VARCHAR corpus is a
+    * successful DECODE: the logical screen's color-table flag byte
+    * needs bit 7 set, unreachable at that offset from any ASCII header
+    * ImageIO would accept — every magic-bearing prose doc fails ImageIO
+    * and lands in the stub branch, verified differentially on the
+    * planted headers (decoded=false pinned in the oracle; a payload
+    * that ever truly decodes mismatches loudly).
     */
   private def isGif(bytes: Array[Byte]): Boolean =
     bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
@@ -502,9 +506,61 @@ object Multimodal {
           array_contains(split(col("s.exts"), ","), "json")).as("complete"))
       .orderBy(col("sample_id"))
 
+  /** mm13 shard byte budget — single source for the engine default AND
+    * the generated oracle literal (the Mm11SampleCount pattern). Sized
+    * so the staged fixture packs into a handful of shards; production
+    * values are the usual 100 MB–1 GB.
+    */
+  val Mm13ShardBudget: Long = 4096L
+
+  /** mm13 — WebDataset RE-SHARD planner: assign every sample of a
+    * file-per-modality store to a byte-budgeted shard — the plan the
+    * tar writer ([[Tables.wdTarShard]]'s production form) consumes, and
+    * the missing step between mm11 (audit the un-tarred store) and mm12
+    * (scan the tarred shard): shard = exclusive running byte total ÷
+    * budget over samples in id order, whole-sample semantics (a sample
+    * never splits across shards — sa9's posture for training docs).
+    *
+    * Scale: per-sample byte totals are mm11's aggregation grain; the
+    * running total is sa6's DISTRIBUTED two-phase prefix sum keyed on a
+    * sample-id span (per-span sums map-side combined; the offset window
+    * sees only the bounded span grid; the intra cumsum partitions by
+    * span) — never a global-window sort over the catalog. The oracle IS
+    * the naive global cumsum.
+    */
+  def shardPlan(scan: DataFrame, budgetBytes: Long = Mm13ShardBudget,
+      buckets: Int = 64): DataFrame = {
+    val sizes = scan.select(
+        regexp_extract(col("path"), "sample_(\\d+)\\.[a-z]+$", 1)
+          .cast("long").as("sample_id"),
+        col("length").as("b"))
+      .groupBy(col("sample_id")).agg(sum(col("b")).as("n_bytes"))
+    val span = sizes.agg((floor(max(col("sample_id")) / buckets) + 1)
+      .cast("long").as("span"))
+    val bucketed = sizes.crossJoin(broadcast(span))
+      .withColumn("bk", expr("sample_id div span"))
+    val offW = Window.orderBy(col("bk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bk")).agg(sum(col("n_bytes")).as("bw"))
+      .withColumn("off", coalesce(sum(col("bw")).over(offW), lit(0L)))
+      .select(col("bk"), col("off"))
+    val intra = Window.partitionBy(col("bk")).orderBy(col("sample_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("bk"))
+      .withColumn("excl",
+        col("off") + coalesce(sum(col("n_bytes")).over(intra), lit(0L)))
+      .select(col("sample_id"), col("n_bytes"),
+        expr(s"excl div $budgetBytes").as("shard_id"))
+      .orderBy(col("sample_id"))
+  }
+
+  def shardPlanQ(spark: SparkSession, sfDir: String): DataFrame =
+    shardPlan(Tables.wdSamples(spark, sfDir))
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm13_shard_plan" -> (shardPlanQ _),
     "mm12_tar_assembly" -> (tarAssemblyQ _),
     "mm11_sample_assembly" -> (sampleAssemblyQ _),
     "mm10_asset_reconcile" -> (assetReconcileQ _),
@@ -666,6 +722,41 @@ object Multimodal {
     // list from the same constants; md5(varchar) hashes the UTF-8
     // rendering, matching the engine's md5 over the staged bytes
     "mm11_sample_assembly" -> SampleVerdictSql,
+    // re-derives each STAGED file's byte size from the source corpus
+    // under the shared drop/skip rules — including the .json payload's
+    // rendered length (escape arithmetic: +1 byte per quote/backslash,
+    // +5 per control char the writer renders as a 6-byte \uXXXX) — then
+    // the NAIVE global exclusive cumsum the distributed two-phase plan
+    // must reproduce (prototyped byte-exact against the real staged
+    // store before wiring)
+    "mm13_shard_plan" ->
+      s"""WITH d AS (SELECT doc_id, text, lang, source FROM documents
+         |           WHERE doc_id < ${Tables.Mm11SampleCount}),
+         |parts AS (
+         |  SELECT doc_id, octet_length(encode(text)) AS b FROM d
+         |    WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+         |  UNION ALL SELECT doc_id, octet_length(encode(lang))
+         |    FROM d WHERE doc_id % ${Tables.Mm11ClsDropMod} != ${Tables.Mm11ClsDropRem}
+         |      AND lang IS NOT NULL AND octet_length(encode(lang)) > 0
+         |  UNION ALL SELECT doc_id,
+         |    octet_length(encode('{"doc_id":' || CAST(doc_id AS VARCHAR)
+         |      || ',"source":""}'))
+         |    + octet_length(encode(coalesce(source, '')))
+         |    + (length(coalesce(source, ''))
+         |       - length(replace(coalesce(source, ''), '"', '')))
+         |    + (length(coalesce(source, ''))
+         |       - length(replace(coalesce(source, ''), '\\', '')))
+         |    + 5 * (length(coalesce(source, ''))
+         |       - length(regexp_replace(coalesce(source, ''),
+         |           '[\\x00-\\x1f]', '', 'g')))
+         |    FROM d WHERE doc_id % ${Tables.Mm11JsonDropMod} != ${Tables.Mm11JsonDropRem}),
+         |sz AS (SELECT doc_id AS sample_id, CAST(sum(b) AS BIGINT) AS n_bytes
+         |       FROM parts GROUP BY doc_id)
+         |SELECT sample_id, n_bytes,
+         |  CAST(coalesce(SUM(n_bytes) OVER (ORDER BY sample_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    // ${Mm13ShardBudget} AS BIGINT) AS shard_id
+         |FROM sz ORDER BY sample_id""".stripMargin,
     // the SAME text, verbatim: mm12 is the tar-path twin of mm11 over
     // the same fixtures — sharing one oracle string IS the hash-gated
     // equivalence claim (neither path can drift from the other)

@@ -653,4 +653,31 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     Tables.wdTarShard(spark, sf001).count()
     assert(tarFile.lastModified() === mtime, "stamp-guarded tar staging re-wrote")
   }
+
+  test("mm13: shard plan equals the naive cumsum, packs whole samples, and byte totals match the real staged files") {
+    import graft.sources.Tables
+    val rows = graft.operators.Multimodal.shardPlanQ(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === Tables.Mm11SampleCount)
+    // n_bytes is the REAL staged store's per-sample file-size sum
+    val dir = new java.io.File(
+      s"${sys.props("user.dir")}/target/wdsamples/sf0.001/shard0")
+    val real = dir.listFiles().filter(_.getName.startsWith("sample_"))
+      .groupBy(f => f.getName.split("\\.")(0).split("_")(1).toLong)
+      .view.mapValues(_.map(_.length).sum).toMap
+    rows.foreach { case (id, b, _) =>
+      assert(b === real(id), s"sample $id staged bytes")
+    }
+    // the naive replay: exclusive cumsum in id order, div budget
+    var cum = 0L
+    rows.sortBy(_._1).foreach { case (id, b, shard) =>
+      assert(shard === cum / graft.operators.Multimodal.Mm13ShardBudget,
+        s"sample $id shard assignment")
+      cum += b
+    }
+    // whole-sample packing: shard ids are non-decreasing and contiguous
+    val shards = rows.sortBy(_._1).map(_._3)
+    assert(shards.zip(shards.tail).forall { case (a, b) => b == a || b == a + 1 },
+      "shard ids must be non-decreasing and gap-free in sample order")
+  }
 }

@@ -451,6 +451,24 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("mm13: shard plan is a distributed prefix sum — the only unpartitioned window sees span sums, never sample rows") {
+    val p = plan(graft.operators.Multimodal.shardPlan(
+      graft.sources.Tables.wdSamples(spark, sf001)))
+    // the intra cumsum partitions by the sample-id span
+    assert("windowspecdefinition\\(bk#\\d+L, sample_id#\\d+L ASC"
+        .r.findFirstIn(p).isDefined,
+      s"intra window not partitioned by span bucket:\n$p")
+    // any SinglePartition exchange must carry aggregated span sums
+    val numbered = "\\((\\d+)\\) Exchange".r.findAllMatchIn(p).map(_.group(1).toInt)
+    numbered.foreach { k =>
+      val detail = p.substring(p.indexOf(s"($k) Exchange"))
+        .linesIterator.take(4).mkString("\n")
+      if (detail.contains("SinglePartition"))
+        assert(p.contains(s"(${k - 1}) HashAggregate"),
+          s"SinglePartition exchange ($k) not fed by the span aggregate:\n$p")
+    }
+  }
+
   test("sa13: no fill-window partition's mass depends on the quality distribution") {
     val p = plan(Params.sa13BudgetEpoch(Tables.documents(spark, sf001)))
     // the intra cumsum — the only window over FACT rows — is partitioned
