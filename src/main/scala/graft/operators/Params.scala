@@ -607,6 +607,63 @@ object Params {
        |FROM c JOIN bud b USING (source) ORDER BY doc_id""".stripMargin
 
 
+  /** sa14 — CURRICULUM MIXTURE SCHEDULE: the per-epoch, per-source
+    * token-budget table a multi-epoch pretraining run consumes when its
+    * source mix ANNEALS from natural sampling toward a rebalanced mix
+    * (temperature-based sampling, Arivazhagan et al. 2019; the XLM-R
+    * recipe) — epoch 0 weights sources by n (natural), the final epoch
+    * by √n (sa5's rebalance), the middle epoch by n^(3/4). Each epoch
+    * spends the same global token budget; only the mix moves. Beside
+    * the budget, every row reports the source's AVAILABLE token mass
+    * and the granted/shortfall split — the "small source can't fill
+    * its share" fact an epoch planner must surface (whole-document
+    * admission against these budgets is sa13's fill, per epoch — the
+    * pl2 composition).
+    *
+    * Exactness (the reason the schedule is {1, 3/4, 1/2} and not a
+    * free temperature knob): IEEE-754 requires sqrt CORRECTLY ROUNDED,
+    * so sqrt(n), sqrt(sqrt(n)) and their product are bit-identical in
+    * both engines, while pow(n, 0.75) is NOT correctly rounded and may
+    * differ by an ULP between libm implementations — n^(3/4) is
+    * therefore spelled sqrt(n)·sqrt(sqrt(n)) in BOTH texts. Share
+    * arithmetic is sa5's spelling (raw-double numerator, DECIMAL(38,6)
+    * weight sum, floor to an integer budget).
+    *
+    * Scale: one map-side-combined pass over the corpus (per-source doc
+    * and token counts); everything after is |sources|×3 rows.
+    */
+  def sa14CurriculumBudgets(
+      docs: DataFrame, budget: Long = Sa13Budget): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("source"), size(toks).cast("long").as("w"))
+    val ns = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("nl"), sum(col("w")).as("avail"))
+    val epochs = Seq(
+      (0, col("nl").cast("double")),
+      (1, sqrt(col("nl")) * sqrt(sqrt(col("nl")))),
+      (2, sqrt(col("nl"))))
+    val w = epochs.map { case (e, wt) =>
+      ns.select(lit(e).as("epoch"), col("source"), col("nl"),
+        col("avail"), wt.as("wt"))
+    }.reduce(_.unionAll(_))
+    val sw = w.groupBy(col("epoch"))
+      .agg(sum(col("wt").cast("decimal(38,6)")).as("sw"))
+    w.join(broadcast(sw), Seq("epoch"))
+      .select(col("epoch"), col("source"),
+        col("nl").cast("long").as("n_docs"),
+        col("avail").cast("long").as("available_tokens"),
+        floor(lit(budget.toDouble) * col("wt") / col("sw").cast("double"))
+          .cast("long").as("src_budget"))
+      .withColumn("granted",
+        least(col("src_budget"), col("available_tokens")))
+      .withColumn("shortfall",
+        greatest(lit(0L), col("src_budget") - col("available_tokens")))
+      .orderBy(col("epoch"), col("source"))
+  }
+
+  def sa14CurriculumBudgetsQ(spark: SparkSession, sfDir: String): DataFrame =
+    sa14CurriculumBudgets(Tables.documents(spark, sfDir))
+
   /** pl2 — the EPOCH MANIFEST: the COMPLETE data recipe as one DAG,
     * ending where a training run actually starts. pl1's gauntlet decides
     * WHO is admissible (URL dedup ∧ quality ∧ near-dup representative ∧
@@ -917,6 +974,7 @@ object Params {
     "sa11_epoch_order" -> (sa11EpochOrderQ _),
     "sa12_leakage_safe_split" -> (sa12LeakageSafeSplitQ _),
     "sa13_budget_epoch" -> (sa13BudgetEpochQ _),
+    "sa14_curriculum_budgets" -> (sa14CurriculumBudgetsQ _),
     "pl2_epoch_manifest" -> (pl2EpochManifest _),
     "cs1_csv_dim_join" -> (cs1CsvDimJoin _),
     "js1_json_dim_join" -> (js1JsonDimJoin _))
@@ -1025,6 +1083,31 @@ object Params {
          |  FROM t, s)
          |SELECT doc_id, CAST(w AS BIGINT) AS w, round(p * 1e6) / 1e6 AS p_inc
          |FROM b WHERE u < p ORDER BY doc_id""".stripMargin,
+    // the {1, 3/4, 1/2} exponents spelled as sqrt chains in BOTH texts:
+    // IEEE sqrt is correctly rounded (bit-identical cross-engine) where
+    // pow(n, 0.75) is not — see the engine scaladoc
+    "sa14_curriculum_budgets" ->
+      s"""WITH t AS (SELECT source,
+         |    CAST(len(${tokensSql("text")}) AS BIGINT) AS w FROM documents),
+         |ns AS (SELECT source, count(*) AS nl, sum(w) AS avail
+         |       FROM t GROUP BY source),
+         |w AS (
+         |  SELECT 0 AS epoch, source, nl, avail, CAST(nl AS DOUBLE) AS wt FROM ns
+         |  UNION ALL SELECT 1, source, nl, avail, sqrt(nl) * sqrt(sqrt(nl)) FROM ns
+         |  UNION ALL SELECT 2, source, nl, avail, sqrt(nl) FROM ns),
+         |sw AS (SELECT epoch, sum(CAST(wt AS DECIMAL(38,6))) AS sw
+         |       FROM w GROUP BY epoch),
+         |b AS (SELECT w.epoch, w.source,
+         |    CAST(w.nl AS BIGINT) AS n_docs,
+         |    CAST(w.avail AS BIGINT) AS available_tokens,
+         |    CAST(floor(${Sa13Budget}.0 * w.wt / CAST(sw.sw AS DOUBLE))
+         |      AS BIGINT) AS src_budget
+         |  FROM w JOIN sw ON w.epoch = sw.epoch)
+         |SELECT epoch, source, n_docs, available_tokens, src_budget,
+         |  least(src_budget, available_tokens) AS granted,
+         |  greatest(CAST(0 AS BIGINT), src_budget - available_tokens)
+         |    AS shortfall
+         |FROM b ORDER BY epoch, source""".stripMargin,
     "sa5_mixture_sample" ->
       s"""WITH l AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
          |w AS (SELECT sum(CAST(sqrt(nl) AS DECIMAL(38,6))) AS sw FROM l),

@@ -354,6 +354,51 @@ class ParamsSpec extends AnyFunSuite with SparkFixture {
     assert(aAdmit > 0 && aAdmit < 200, s"source a admit count $aAdmit")
   }
 
+  test("sa14: annealed budgets move from natural toward sqrt shares; shortfall fires when a source can't fill its grant") {
+    // a whale (900 docs), a mid source (90), and a starving one (10 docs
+    // of 2 tokens each — its available mass is far under any fair share)
+    val docs = ((0L until 900L).map(i => (i, "whale", "tok " * 10)) ++
+      (900L until 990L).map(i => (i, "mid", "tok " * 10)) ++
+      (990L until 1000L).map(i => (i, "tiny", "a b"))).toDF("doc_id", "source", "text")
+    val rows = Params.sa14CurriculumBudgets(docs, budget = 9000L).collect()
+      .map(r => ((r.getInt(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(rows.size === 9, "3 sources x 3 epochs")
+    def budget(e: Int, s: String): Long = rows((e, s))._3
+    // epoch 0 is natural: whale gets ~n-share; epoch 2 is sqrt-share —
+    // strictly flatter; epoch 1 (n^3/4) sits strictly between
+    assert(budget(0, "whale") > budget(1, "whale"),
+      "annealing must shrink the whale's share epoch over epoch")
+    assert(budget(1, "whale") > budget(2, "whale"))
+    assert(budget(0, "tiny") < budget(1, "tiny"))
+    assert(budget(1, "tiny") < budget(2, "tiny"),
+      "annealing must grow the small source's share")
+    // exact share arithmetic at the endpoints (sa5's spelling)
+    val n = Map("whale" -> 900.0, "mid" -> 90.0, "tiny" -> 10.0)
+    def share(alpha: Double => Double): Map[String, Long] = {
+      val w = n.view.mapValues(alpha).toMap
+      val sw = w.values.map(v =>
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      w.map { case (s, v) => s -> math.floor(9000.0 * v / sw.toDouble).toLong }
+    }
+    val nat = share(identity)
+    val sq = share(math.sqrt)
+    n.keys.foreach { s =>
+      assert(budget(0, s) === nat(s), s"epoch-0 natural share for $s")
+      assert(budget(2, s) === sq(s), s"epoch-2 sqrt share for $s")
+    }
+    // shortfall: tiny has 10 docs x 2 tokens = 20 available; every epoch
+    // grants more than that, so granted caps at 20 and shortfall > 0
+    (0 to 2).foreach { e =>
+      val (_, avail, b, granted, shortfall) = rows((e, "tiny"))
+      assert(avail === 20L)
+      assert(granted === math.min(b, avail) && shortfall === b - granted)
+      assert(shortfall > 0, s"epoch $e: the starving source must report a shortfall")
+    }
+    // the whale always fills from its own mass: no shortfall
+    (0 to 2).foreach(e => assert(rows((e, "whale"))._5 === 0L))
+  }
+
   test("sa4: weighted sample is deterministic, near-target-sized, and weight-monotone") {
     val docs = graft.sources.Tables.documents(spark, sf001)
     val a = Params.sa4WeightedSample(docs).collect()
