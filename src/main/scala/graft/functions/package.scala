@@ -86,17 +86,26 @@ package object functions {
     * was there for — a `+`-quantified split leaves at most one leading
     * and one trailing empty, both removed. A whitespace-only document
     * therefore has ZERO tokens — callers dividing by the token count
-    * guard with `nullif`. Matches [[tokensSql]] exactly.
+    * guard with `nullif`. A NULL document (a web dump's deleted page)
+    * ALSO tokenizes to zero tokens (r14, forced by the adversarial
+    * asset corpus — the first corpus planting NULL text): without the
+    * coalesce, tokens(NULL) is NULL and every downstream consumer
+    * invents its own NULL story — a typed packer died on a NULL token
+    * count (sa9), a NULL simhash grouped a doc with ITSELF through the
+    * band keys while its signature read as garbage 0 from a
+    * non-nullable struct slot (dd5), and td26 emitted NULL where its
+    * contract says a word-free doc reports zeros. One contract, one
+    * place, both twins. Matches [[tokensSql]] exactly.
     */
   def tokens(text: Column): Column =
-    array_remove(split(text, WsClass + "+"), "")
+    array_remove(split(coalesce(text, lit("")), WsClass + "+"), "")
 
   /** The DuckDB twin of [[tokens]], generated from the same [[WsClass]]
     * (DuckDB standard string literals pass the backslashes through to RE2
     * unprocessed, so the pattern text is byte-identical).
     */
   def tokensSql(textExpr: String): String =
-    s"list_filter(regexp_split_to_array($textExpr, '$WsClass+'), x -> x != '')"
+    s"list_filter(regexp_split_to_array(coalesce($textExpr, ''), '$WsClass+'), x -> x != '')"
 
   /** ASCII-only case fold for HASH-BEARING paths (fingerprints, dedup
     * keys, URL hosts): `translate` over the 26 ASCII letters, identical

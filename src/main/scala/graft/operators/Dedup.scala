@@ -1416,9 +1416,14 @@ object Dedup {
          |  CAST(len(kept) AS BIGINT) AS n_kept,
          |  coalesce(array_to_string(kept, ' '), '') AS clean_text
          |FROM kp ORDER BY doc_id""".stripMargin,
+    // NULLS FIRST: md5(NULL) keeps a NULL-hash group in BOTH engines —
+    // the content-missing census row, NOT a merge instruction (dedup of
+    // unknown content is V4's null-routing, never dd1's) — and Spark
+    // sorts it first where DuckDB sorts it last (the advevents ORDER BY
+    // class, reached here by the first NULL-text corpus)
     "dd1_exact_dups" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM documents GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "dd2_fingerprint_dups" ->
       // coalesce: DuckDB's array_to_string([]) is NULL where Spark's
       // concat_ws is '' — zero-token docs must fingerprint identically

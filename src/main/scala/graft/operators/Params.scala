@@ -1107,7 +1107,7 @@ object Params {
          |  least(src_budget, available_tokens) AS granted,
          |  greatest(CAST(0 AS BIGINT), src_budget - available_tokens)
          |    AS shortfall
-         |FROM b ORDER BY epoch, source""".stripMargin,
+         |FROM b ORDER BY epoch, source NULLS FIRST""".stripMargin,
     "sa5_mixture_sample" ->
       s"""WITH l AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
          |w AS (SELECT sum(CAST(sqrt(nl) AS DECIMAL(38,6))) AS sw FROM l),

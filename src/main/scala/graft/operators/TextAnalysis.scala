@@ -1804,7 +1804,7 @@ object TextAnalysis {
          |  CAST(sum(n) AS BIGINT) AS total_tokens,
          |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
          |  round(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(q) * 1e6) / 1e6 AS avg_quality
-         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
+         |FROM s GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
     "td8_ngram_freq" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,

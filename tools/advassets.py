@@ -71,6 +71,19 @@ replay 13/13 hash-exact, benign sf0.01 replay unchanged):
     oracle contracts): empty and NULL text assets verify hash-exact as
     absent scan rows / missing_from_scan / incomplete samples instead
     of reading as count-gap noise.
+Second wave (the FULL-registry replay over this corpus — the first
+corpus ever to plant NULL text — closing 190/190 hash-exact):
+  - sa9 DIED (NOT_NULL_ASSERT_VIOLATION): tokens(NULL) was NULL and a
+    NULL token count reached a typed Tuple3 long. Root fix: the ONE
+    shared tokenizer (functions.tokens / tokensSql) now pins "NULL
+    document => zero tokens" in both twins — which also fixed dd5
+    (a NULL simhash grouped a doc with ITSELF through NULL band keys
+    while its signature read back as garbage 0 from a non-nullable
+    struct slot) and td26 (NULL where the word-free contract says 0).
+  - NULL ORDER BY placement, round 2 (dd1 text_hash, td7 lang, sa14
+    source): Spark sorts group-key NULLs first, DuckDB last — every
+    nullable ASC sort key in a documents oracle now pins NULLS FIRST
+    (the advevents events-oracle rule, extended to this family).
 
 Usage:
     python3 tools/advassets.py /tmp/advassets
