@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// The round driver captures `sbt "runMain graft.Bench"` stdout and
+// json-parses the LAST line. Two sbt behaviors have broken that parse
+// every round (BENCH_r12–r14 all read `"parsed": null`): the forked
+// process's output is re-logged with an "[info] " prefix, and sbt
+// prints its own "[success] Total time…" banner AFTER the program's
+// final line. Pass forked output through verbatim and drop the banner
+// so the Bench headline JSON is the literal last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command loop, not a task — lint can't see it
+Global / excludeLintKeys += showSuccess

@@ -22,11 +22,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"argument $i must be an integer literal, got $other")
   }
 
+  /** Arity guard for the one-argument builders: `args.head` on an empty
+    * list throws a bare NoSuchElementException from SQL — the same
+    * contract-error class the json_first_long/bpe_sym_count builders
+    * name explicitly. Every unary registration goes through here.
+    */
+  private def unary(args: Seq[Expression], name: String): Expression = {
+    if (args.length != 1) throw new IllegalArgumentException(
+      s"$name expects exactly 1 argument — got ${args.length}")
+    args.head
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      (args: Seq[Expression]) => SimHash60(args.head)))
+      (args: Seq[Expression]) => SimHash60(unary(args, "simhash60"))))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
@@ -44,35 +55,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("stop_counts"),
       new ExpressionInfo(classOf[StopCounts].getName, "stop_counts"),
-      (args: Seq[Expression]) => StopCounts(args.head)))
+      (args: Seq[Expression]) => StopCounts(unary(args, "stop_counts"))))
     ext.injectFunction((
       FunctionIdentifier("image_header"),
       new ExpressionInfo(classOf[ImageHeader].getName, "image_header"),
-      (args: Seq[Expression]) => ImageHeader(args.head)))
+      (args: Seq[Expression]) => ImageHeader(unary(args, "image_header"))))
     ext.injectFunction((
       FunctionIdentifier("wav_header"),
       new ExpressionInfo(classOf[WavHeader].getName, "wav_header"),
-      (args: Seq[Expression]) => WavHeader(args.head)))
+      (args: Seq[Expression]) => WavHeader(unary(args, "wav_header"))))
     ext.injectFunction((
       FunctionIdentifier("tar_members"),
       new ExpressionInfo(classOf[TarMembers].getName, "tar_members"),
-      (args: Seq[Expression]) => TarMembers(args.head)))
+      (args: Seq[Expression]) => TarMembers(unary(args, "tar_members"))))
     ext.injectFunction((
       FunctionIdentifier("tar_samples"),
       new ExpressionInfo(classOf[TarSamples].getName, "tar_samples"),
-      (args: Seq[Expression]) => TarSamples(args.head)))
+      (args: Seq[Expression]) => TarSamples(unary(args, "tar_samples"))))
     ext.injectFunction((
       FunctionIdentifier("npy_header"),
       new ExpressionInfo(classOf[NpyHeader].getName, "npy_header"),
-      (args: Seq[Expression]) => NpyHeader(args.head)))
+      (args: Seq[Expression]) => NpyHeader(unary(args, "npy_header"))))
     ext.injectFunction((
       FunctionIdentifier("mp4_header"),
       new ExpressionInfo(classOf[Mp4Header].getName, "mp4_header"),
-      (args: Seq[Expression]) => Mp4Header(args.head)))
+      (args: Seq[Expression]) => Mp4Header(unary(args, "mp4_header"))))
     ext.injectFunction((
       FunctionIdentifier("script_counts"),
       new ExpressionInfo(classOf[ScriptCounts].getName, "script_counts"),
-      (args: Seq[Expression]) => ScriptCounts(args.head)))
+      (args: Seq[Expression]) => ScriptCounts(unary(args, "script_counts"))))
     ext.injectFunction((
       FunctionIdentifier("match_count"),
       new ExpressionInfo(classOf[MatchCount].getName, "match_count"),

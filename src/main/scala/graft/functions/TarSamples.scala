@@ -27,6 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * Member payloads are digested in place; a member whose declared
   * payload overruns the shard ends the walk un-emitted (its bytes
   * cannot be hashed), matching the parser's corrupt-stop posture.
+  *
+  * SCOPE: POSIX.1-1988 USTAR members only — the format graft's own
+  * shard writer emits. A PAX extended header (typeflag 'x'/'g',
+  * Python tarfile's default since 3.8) or GNU long-name member
+  * ('L'/'K') can carry a name longer than the 100-byte USTAR name
+  * field, so assembling the REMAINING members against their truncated
+  * header names could silently mis-group stems. The walk therefore
+  * STOPS at the first such member, un-emitted — a PAX shard fails
+  * loudly (assembles nothing past the stop) instead of emitting
+  * plausible-but-truncated stems. [[TarMembers]] keeps walking because
+  * it REPORTS typeflags rather than grouping by name.
   * Duplicate txt parts in one stem keep the max (md5, bytes) — the
   * same tie rule as the un-tarred aggregation's max(when(...)).
   */
@@ -105,6 +116,11 @@ object TarSamples {
             val step = 512L + blocks * 512L
             val typeflag = b(off + 156)
             if (step > n - off) done = true // payload overruns: un-hashable
+            // PAX ('x'/'g') / GNU longname ('L'/'K') members can carry
+            // names wider than the 100-byte USTAR field — stop rather
+            // than mis-group truncated stems (see scaladoc SCOPE)
+            else if (typeflag == 'x' || typeflag == 'g' ||
+                     typeflag == 'L' || typeflag == 'K') done = true
             else {
               if (typeflag == '0' || typeflag == 0) {
                 var end = off

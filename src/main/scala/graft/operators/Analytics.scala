@@ -562,8 +562,12 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
       // n as the third key: with NULL-keyed data rows planted (adversarial
       // events), CUBE ties on (dow, event_type) — the per-dow marginal vs
-      // the real NULL-type group — and the driver compares rows IN ORDER,
-      // so the tie-break must be total and match the oracle's
+      // the real NULL-type group. (dow, event_type, n) is still not a
+      // strictly total order — when EVERY event in a dow has NULL type,
+      // the marginal and the real NULL group tie on all three keys — but
+      // those residual-tied rows are value-IDENTICAL, so any interleaving
+      // hash-verifies; grouping_id() as a fourth key would make the order
+      // genuinely total at the cost of threading it through the oracle
       .orderBy(col("dow").asc_nulls_first,
         col("event_type").asc_nulls_first, col("n"))
 

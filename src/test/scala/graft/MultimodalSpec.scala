@@ -654,6 +654,41 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(tarFile.lastModified() === mtime, "stamp-guarded tar staging re-wrote")
   }
 
+  test("tar_samples stops at PAX/GNU-longname members instead of mis-grouping truncated stems") {
+    // A PAX extended header ('x') carries the REAL (possibly >100-char)
+    // name of the member after it; assembling that member under its
+    // truncated USTAR header name could silently mis-group stems. The
+    // walk must stop AT the PAX member: samples before it are emitted
+    // (the corrupt-stop posture), nothing after it is.
+    val pax = tarHeader("ok.txt", 5L, '0') ++ tarPadded("hello".getBytes) ++
+      tarHeader("PaxHeaders.0/long", 30L, 'x') ++ tarPadded(new Array[Byte](30)) ++
+      tarHeader("truncated-name.txt", 4L, '0') ++ tarPadded("oops".getBytes) ++
+      new Array[Byte](1024)
+    val arr = graft.functions.TarSamples.compute(pax)
+    assert(arr.numElements() === 1, "walk stops AT the PAX member")
+    // every name-carrying extension typeflag stops the walk up front
+    Seq('x', 'g', 'L', 'K').foreach { tf =>
+      val shard = tarHeader("ext-member", 0L, tf) ++
+        tarHeader("b.txt", 1L, '0') ++ tarPadded("x".getBytes) ++
+        new Array[Byte](1024)
+      assert(graft.functions.TarSamples.compute(shard).numElements() === 0,
+        s"typeflag '$tf' must stop the walk un-emitted")
+    }
+    // plain non-file members ('5' dir, '2' symlink) still SKIP, not stop
+    val withDir = tarHeader("samples/", 0L, '5') ++
+      tarHeader("c.txt", 2L, '0') ++ tarPadded("cc".getBytes) ++
+      new Array[Byte](1024)
+    assert(graft.functions.TarSamples.compute(withDir).numElements() === 1)
+  }
+
+  test("tar_samples zero-arg SQL call is a named contract error, not a bare NoSuchElement") {
+    val e = intercept[Throwable](spark.sql("SELECT tar_samples()").collect())
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString(" | ")
+    assert(chain.contains("tar_samples expects exactly 1 argument"), chain)
+    assert(!chain.contains("NoSuchElementException"), chain)
+  }
+
   test("mm13: shard plan equals the naive cumsum, packs whole samples, and byte totals match the real staged files") {
     import graft.sources.Tables
     val rows = graft.operators.Multimodal.shardPlanQ(spark, sf001).collect()
