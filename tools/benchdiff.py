@@ -9,6 +9,12 @@ Exit 1 if any shared query's plan fingerprint changed (a plan regression
 is a correctness-of-intent signal, not noise); timing deltas are report
 only — wall time in a shared JVM is noisy by nature.
 
+Queries listed in bench/variance_whitelist.json are the ADJUDICATED
+same-code variance classes (AQE run-order/build-side, engine RNG):
+their fingerprint changes print as VARFP and do not trip the exit-1
+gate, so residual PLAN flags are only genuinely new plan changes.
+GRAFT_VARIANCE_WHITELIST overrides the path ('' disables).
+
 Exit 2 if the two records use different fingerprint schemes and
 --allow-scheme-change was not passed: a scheme transition makes every
 plan_fp incomparable, so a real plan regression landing in the same
@@ -34,10 +40,25 @@ Records with different schemes have incomparable fingerprints — plan
 diffs are suppressed with a banner, and the run exits 2 unless
 --allow-scheme-change acknowledges the transition.
 """
-import sys, json
+import sys, json, os
 
 argv = [a for a in sys.argv[1:] if a != "--allow-scheme-change"]
 allow_scheme_change = "--allow-scheme-change" in sys.argv[1:]
+
+# Adjudicated same-code variance classes (bench/variance_whitelist.json,
+# beside this script's repo): a plan_fp change on a listed query is
+# reported as VARFP with its documented class and does NOT trip the
+# exit-1 plan gate — residual PLAN flags are genuinely new plan changes.
+# Override the path with GRAFT_VARIANCE_WHITELIST; set it empty to
+# disable (e.g. to re-audit the whitelist itself).
+_wl_path = os.environ.get(
+    "GRAFT_VARIANCE_WHITELIST",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "..", "bench", "variance_whitelist.json"))
+try:
+    whitelist = json.load(open(_wl_path))["queries"] if _wl_path else {}
+except FileNotFoundError:
+    whitelist = {}
 old_rec = json.load(open(argv[0]))
 new_rec = json.load(open(argv[1]))
 old, new = old_rec["queries"], new_rec["queries"]
@@ -73,11 +94,18 @@ if ol is not None and nl is not None:
         print("=" * 66)
 
 plan_changed = []
+var_flagged = []
 for name in sorted(set(old) & set(new)):
     o, n = old[name], new[name]
     if fp_comparable and o.get("plan_fp") != n.get("plan_fp"):
-        plan_changed.append(name)
-        print(f"PLAN  {name}: {o.get('plan_fp')} -> {n.get('plan_fp')}")
+        if name in whitelist:
+            var_flagged.append(name)
+            w = whitelist[name]
+            print(f"VARFP {name}: {o.get('plan_fp')} -> {n.get('plan_fp')} "
+                  f"[{w.get('class')}, whitelisted since {w.get('since')}]")
+        else:
+            plan_changed.append(name)
+            print(f"PLAN  {name}: {o.get('plan_fp')} -> {n.get('plan_fp')}")
     dw = (n["warm"] - o["warm"]) / max(o["warm"], 1e-9) * 100
     if abs(dw) >= thr:
         gc = ""
@@ -89,6 +117,7 @@ for name in sorted(set(new) - set(old)):
 for name in sorted(set(old) - set(new)):
     print(f"GONE  {name}")
 print(f"-- {len(set(old) & set(new))} shared, {len(plan_changed)} plan changes"
+      + (f", {len(var_flagged)} whitelisted-variance" if var_flagged else "")
       + ("" if fp_comparable else " (fp schemes differ — plan diff suppressed)"))
 if not fp_comparable and not allow_scheme_change:
     print("!! exiting 2: pass --allow-scheme-change to acknowledge the "
