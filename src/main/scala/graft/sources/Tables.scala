@@ -400,13 +400,13 @@ object Tables {
   /** mm12 staging: the [[wdSamples]] store tarred into ONE WebDataset
     * shard — the wire layout multimodal training sets actually ship
     * (a shard is a plain `.tar` whose same-stem members form one
-    * sample, adjacent in the stream). Written by a deterministic
-    * pure-JVM USTAR writer (POSIX.1-1988 fields the [[graft.functions.TarSamples]]
-    * walk reads back: mode 0644, uid/gid 0, mtime 0, computed
-    * checksum, NUL-terminated `ustar` magic + version `00`, 512-block padding, two zero
-    * blocks at the end; members sorted by name) so the shard's BYTES —
-    * not just its member list — are stable across re-stages and the
-    * md5-bearing verdict rows stay hash-gateable. Marker-and-stamp
+    * sample, adjacent in the stream). Written by [[UstarWriter]] (the
+    * deterministic pure-JVM POSIX.1-1988 writer whose output the
+    * [[graft.functions.TarSamples]] walk reads back; representation
+    * guards fail loudly on >100-byte names and ≥8 GiB members), members
+    * sorted by name, so the shard's BYTES — not just its member list —
+    * are stable across re-stages and the md5-bearing verdict rows stay
+    * hash-gateable. Marker-and-stamp
     * idempotence chained onto the wdSamples stamp: any change to the
     * underlying sample store re-tars.
     */
@@ -429,29 +429,10 @@ object Tables {
         .filter(_.getName.startsWith("sample_")).sortBy(_.getName)
       val out = new java.io.ByteArrayOutputStream()
       files.foreach { f =>
-        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-        val hdr = new Array[Byte](512)
-        def put(off: Int, s: String): Unit = {
-          val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          System.arraycopy(b, 0, hdr, off, b.length)
-        }
-        put(0, f.getName)                                   // name
-        put(100, "0000644\u0000")                           // mode
-        put(108, "0000000\u0000")                           // uid
-        put(116, "0000000\u0000")                           // gid
-        put(124, f"${bytes.length}%011o\u0000")             // size
-        put(136, "00000000000\u0000")                       // mtime
-        put(148, "        ")                                // chksum: spaces while summing
-        hdr(156) = '0'                                      // typeflag: regular file
-        put(257, "ustar\u000000")                           // magic + version
-        val sum = hdr.foldLeft(0L)((a, b) => a + (b & 0xFF))
-        put(148, f"$sum%06o\u0000 ")
-        out.write(hdr)
-        out.write(bytes)
-        val pad = (512 - bytes.length % 512) % 512
-        out.write(new Array[Byte](pad))
+        UstarWriter.writeMember(out, f.getName,
+          java.nio.file.Files.readAllBytes(f.toPath))
       }
-      out.write(new Array[Byte](1024)) // two zero blocks: end of archive
+      UstarWriter.terminate(out)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$tarDir/shard0.tar"), out.toByteArray)
       java.nio.file.Files.write(marker.toPath, Array.empty[Byte])
