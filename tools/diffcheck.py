@@ -1,13 +1,23 @@
 #!/usr/bin/env python3
 """Local twin of the driver's DuckDB oracle compare.
 
-Usage: diffcheck.py <sfDir> <verifyOutDir> [query1,query2,...]
+Usage: diffcheck.py <sfDir> <verifyOutDir> [query1,query2,...] [--record out.json]
+
+--record writes the machine-readable cycle record (the
+bench/verify_sf*_r*.json shape: failed[], n_compared, n_failed,
+n_hash_exact, queries{name: rows}).
 """
 import sys, json, glob, os
 import duckdb
 
-sf, out = sys.argv[1], sys.argv[2]
-only = set(sys.argv[3].split(',')) if len(sys.argv) > 3 else None
+args = sys.argv[1:]
+record_path = None
+if "--record" in args:
+    i = args.index("--record")
+    record_path = args[i + 1]
+    del args[i:i + 2]
+sf, out = args[0], args[1]
+only = set(args[2].split(',')) if len(args) > 2 else None
 
 oracles = json.load(open(os.path.join(out, 'oracle_sql.json')))
 con = duckdb.connect()
@@ -18,6 +28,8 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 fail = 0
+rec = {"failed": [], "n_compared": 0, "n_failed": 0, "n_hash_exact": 0,
+       "queries": {}}
 for name in sorted(oracles):
     if only and name not in only: continue
     d = os.path.join(out, name)
@@ -42,10 +54,19 @@ for name in sorted(oracles):
                     print(f"  first diff row {i}: spark={a} oracle={b}")
                     break
     status = "OK" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+    rec["n_compared"] += 1
+    rec["queries"][name] = len(s)
     if status == "FAIL":
         fail += 1
+        rec["n_failed"] += 1
+        rec["failed"].append(name)
         print(f"{name}: {status} rows(spark={len(s)},oracle={len(o)}) "
               f"schema(spark={list(s.columns)},oracle={list(o.columns)})")
     else:
+        rec["n_hash_exact"] += 1
         print(f"{name}: OK ({len(s)} rows)")
+if record_path:
+    with open(record_path, "w") as f:
+        json.dump(rec, f, indent=1, sort_keys=True)
+    print(f"record -> {record_path}")
 sys.exit(1 if fail else 0)
