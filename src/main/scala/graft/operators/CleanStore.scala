@@ -218,6 +218,29 @@ object CleanStore {
     ensure(spark, sfDir, "events", "events", "ts", "event_date")(
       cleanEvents(spark, sfDir))
 
+  /** The manifest-pointer twin of [[events]]: identical clean content,
+    * served through [[graft.sources.ManifestStore]]'s pointer-swap
+    * snapshots instead of in-place overwrite — readers never lock and
+    * never hit the refresh-abort window ServeUnderRefreshSpec documents
+    * for the in-place store (the previous snapshot outlives its pointer
+    * until GC). Same spec discipline: build-logic planSpec + source
+    * stamp; any change publishes a NEW snapshot and swaps the pointer.
+    * The trade vs [[events]]: a spec/source change republishes the whole
+    * table (snapshots are immutable), where the in-place store's
+    * fingerprint diff rewrites only changed dates — at 100 TB the
+    * transactional formats this models give both (per-partition file
+    * replacement inside one new manifest).
+    */
+  def eventsManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = new java.io.File(
+      s"${sys.props("user.dir")}/target/cleanm/${new java.io.File(sfDir).getName}/events")
+    val source = new java.io.File(Tables.path(sfDir, "events"))
+    val built = cleanEvents(spark, sfDir)
+    val spec = graft.sources.Staging.planSpec(built) + "\n" +
+      graft.sources.Staging.sourceStamp(Seq(source))
+    graft.sources.ManifestStore.serve(spark, root, spec)(writeEvents(built, _))
+  }
+
   /** The clean derived lineitem table, materialized once per scale dir. */
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =
     ensure(spark, sfDir, "lineitem", "lineitem", "l_shipdate", "ship_date")(

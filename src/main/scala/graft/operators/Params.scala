@@ -126,6 +126,24 @@ object Params {
     typeSummary(pruned, p)
   }
 
+  /** pf4 — pf3's refresh served through the MANIFEST-POINTER store
+    * ([[CleanStore.eventsManifest]]): identical clean content and the
+    * same partition-pruned scan, but the staging is pointer-swap
+    * snapshots — the transactional-table posture of ARTIFACTS.md rules
+    * 5–6. Readers never take the staging lock and never hit the
+    * refresh-abort window the in-place store carries
+    * (ManifestStoreSpec's soak proves zero aborts under publish).
+    * Same oracle as pf3: the serving layer must be invisible to the
+    * result.
+    */
+  def pf4ParamFilterManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = CleanStore.eventsManifest(spark, sfDir)
+    val p = defaultParams
+    val pruned = clean.filter(col("event_date").between(
+      to_date(lit(p.tsLo).cast("timestamp")), to_date(lit(p.tsHi).cast("timestamp"))))
+    typeSummary(pruned, p)
+  }
+
   /** The SQL twin of [[typeSummary]] for arbitrary parameters — one
     * source of truth for pf1/pf2's DuckDB oracles AND the ParamsSpec
     * Spark-SQL twin (the text is valid in both engines; the avg goes
@@ -961,6 +979,7 @@ object Params {
     "pf1_param_filter" -> (pf1ParamFilter _),
     "pf2_param_filter_alt" -> (pf2ParamFilterAlt _),
     "pf3_param_filter_clean" -> (pf3ParamFilterClean _),
+    "pf4_manifest_serve" -> (pf4ParamFilterManifest _),
     "sa1_seeded_sample" -> (sa1SeededSample _),
     "sa2_stratified_sample" -> (sa2StratifiedSample _),
     "sa3_hash_split" -> (sa3HashSplitQ _),
@@ -999,6 +1018,11 @@ object Params {
     // the adversarial-events replay caught the raw-table version counting
     // a NULL-value row the clean store had dropped)
     "pf3_param_filter_clean" -> oracleSqlFor(defaultParams,
+      extraWhere = CleanStore.EventCriticalCols.map(c => s"$c IS NOT NULL")),
+    // pf4 serves the SAME clean content through the manifest store — the
+    // serving layer must be invisible to the result, so the oracle is
+    // pf3's verbatim
+    "pf4_manifest_serve" -> oracleSqlFor(defaultParams,
       extraWhere = CleanStore.EventCriticalCols.map(c => s"$c IS NOT NULL")),
     "cs1_csv_dim_join" ->
       """SELECT n_name, count(*) AS n_customers
