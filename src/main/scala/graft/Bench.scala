@@ -42,7 +42,12 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * exchange) diffs loudly between rounds even when timings are noisy.
   * `tools/benchdiff.py` compares two records.
   *
-  * FINGERPRINT SCHEME 5 (fp_scheme in the record; 5 adds the
+  * FINGERPRINT SCHEME 6 (fp_scheme in the record; 6 normalizes the
+  * width-truncated FileScan `Location: InMemoryFileIndex(…)[…]` metadata
+  * to its path-list head — Spark truncates that string at
+  * maxMetadataStringLength BEFORE scrubbing, and session-global exprId
+  * digit counts shift the cut point, so the chopped tail flip-flopped
+  * same-code fingerprints (r15: st7); 5 adds the
   * whole-stage-codegen stage-id scrub — `*(3)` numbering is assigned at
   * subtree PREPARATION and independent subtrees prepare concurrently,
   * so scheme-4 hashes flip-flopped run-to-run on identical code
@@ -169,6 +174,17 @@ object Bench {
       // lambda-variable counter ("lambda x_17").
       .replaceAll("_common_expr_\\d+", "_common_expr_<n>")
       .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_<n>")
+      // FileScan Location metadata ("InMemoryFileIndex(1 paths)[file:…,
+      // isnotnull(ts#x), isnotnu…") is WIDTH-TRUNCATED by Spark's
+      // maxMetadataStringLength BEFORE any scrub runs, and the raw text
+      // carries session-global exprIds whose digit COUNT shifts the
+      // truncation point — so the chopped tail differed between
+      // same-code runs (caught in r15: st7 flip-flopped two
+      // fingerprints, plan text identical except the cut position of
+      // the run-on metadata). The plan-shape content is the path list
+      // head + count; the truncated tail is noise — drop it. (scheme 6)
+      .replaceAll("InMemoryFileIndex\\((\\d+) paths?\\)\\[([^\\],]*)[^\\]]*\\]",
+        "InMemoryFileIndex($1 paths)[$2]")
       // Whole-stage-codegen stage ids ("*(3) HashAggregate"): numbering
       // is assigned when a subtree is PREPARED, and independent subtrees
       // (scalar subqueries, broadcast sides) prepare concurrently — the
@@ -336,7 +352,7 @@ object Bench {
     // capturer's tail window (round 7's official record lost every
     // per-query number that way); this file is the committable history.
     val recJson =
-      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":5,"env":$envJson,""" +
+      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":6,"env":$envJson,""" +
         s""""n_failed":${results.size - ok.size},""" +
         s""""total_warm":$warmTotal,"total_cold":$coldTotal,""" +
         s""""errors":$errs,"queries":{""" +
