@@ -123,6 +123,26 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"ts bounds not pushed: ${scan.metadata("PushedFilters")}")
   }
 
+  test("pf4: the manifest-served scan prunes partitions and pushes ts bounds like pf3") {
+    val df = Params.pf4ParamFilterManifest(spark, sf001)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PartitionFilters").contains("event_date"),
+      s"F1 not a partition filter on the snapshot scan: ${scan.metadata("PartitionFilters")}")
+    val root = new java.io.File(
+      s"${sys.props("user.dir")}/target/cleanm/sf0.001/events")
+    val snap = graft.sources.ManifestStore.currentPointer(root)
+      .map(p => graft.sources.ManifestStore.snapDir(root, p._1))
+      .getOrElse(fail("no manifest pointer after serve"))
+    val total = snap.listFiles().count(_.getName.startsWith("event_date="))
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected < total,
+      s"partition pruning ineffective on the snapshot: $selected of $total")
+    assert(scan.metadata("PushedFilters").contains("ts"),
+      s"ts bounds not pushed: ${scan.metadata("PushedFilters")}")
+  }
+
   test("sim4: probes the persisted cell index via broadcast with dynamic partition pruning") {
     val df = Similarity.ivfAnnIndexed(spark, sf001)
     df.collect() // finalize the AQE plan
