@@ -26,6 +26,18 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
     p = f"{sf}/{t}.parquet"
     if os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if t == "events":
+            # synthetic scale dirs (tools/scaleup.py) carry ts as a raw
+            # BIGINT of epoch NANOS (matching the real testdata's physical
+            # int64); the engine normalizes via timestamp_micros(ts div
+            # 1000) — mirror that exactly so the oracle sees TIMESTAMP
+            ts_type = con.execute(
+                "SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]
+            if ts_type == "BIGINT":
+                con.execute(
+                    f"CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) "
+                    f"FROM read_parquet('{p}')")
 
 fail = 0
 rec = {"failed": [], "n_compared": 0, "n_failed": 0, "n_hash_exact": 0,
