@@ -263,6 +263,17 @@ object Sessions {
     "st7_stream_sessions" ->
       ((s: SparkSession, d: String) => st7StreamSessions(s, d)))
 
+  // Oracle cumsum frames are RANGE, not ROWS (r15, caught by the
+  // sf1synth duplicate-ts corpus): DuckDB evaluates the lag-flag CTE and
+  // the cumulative-sum CTE as SEPARATE window operators, each sorting
+  // (user_id, ts) independently, and under tied timestamps their peer
+  // orders can disagree — a ROWS frame then splits a tie group across
+  // two sessions (the flag=1 peer lands mid-group in the second sort).
+  // RANGE makes every peer include the whole tie group's flags, which is
+  // order-independent: exactly one row per tie group carries the
+  // distinct-prev flag under ANY total order. The ENGINE is immune by
+  // construction — lag and sum share one window spec, one sort, one
+  // pass — so this is oracle-text-only; unique-ts corpora hash the same.
   val oracles: Map[String, String] = Map(
     "st3_sessionize" ->
       """WITH o AS (
@@ -274,7 +285,7 @@ object Sessions {
         |s AS (
         |  SELECT user_id, ts, value,
         |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      RANGE UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM o)
         |SELECT user_id, session_id,
         |  min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events,
@@ -296,7 +307,7 @@ object Sessions {
         |s AS (
         |  SELECT user_id, ts, value,
         |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        |      RANGE UNBOUNDED PRECEDING) AS BIGINT) AS sid
         |  FROM o)
         |SELECT user_id,
         |  min(ts) AS session_start,
@@ -318,7 +329,7 @@ object Sessions {
         |s AS (
         |  SELECT user_id, ts, value,
         |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      RANGE UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM o),
         |b AS (
         |  SELECT user_id, session_id,
