@@ -122,6 +122,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BpeSymCount(args.head, spec)
       }))
     ext.injectFunction((
+      FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(classOf[graft.functions.ZOrderKey].getName, "zorder_key"),
+      (args: Seq[Expression]) => {
+        if (args.length != 3) throw new IllegalArgumentException(
+          s"zorder_key expects (x, y, bits) — got ${args.length} argument(s)")
+        graft.functions.ZOrderKey(args.head, args(1), litInt(args, 2))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args.head, litInt(args, 1))))

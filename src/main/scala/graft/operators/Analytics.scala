@@ -1271,9 +1271,55 @@ object Analytics {
       .orderBy(col("s_name"))
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Z-ORDER layout statistics — the data-clustering move lakehouse
+    * formats expose as OPTIMIZE ZORDER BY, verified as data: map the
+    * event stream onto a (user bucket, hour-of-epoch bucket) grid, key
+    * each row by the codegen'd Morton interleave
+    * ([[graft.functions.ZOrderKey]]), and aggregate per aligned
+    * 4^8-key tile. The mathematics the oracle hash-verifies is the
+    * whole point of z-ordering: every tile's extent is ≤ 2^8 in BOTH
+    * dimensions (an aligned z-range of size 4^k is a 2^k × 2^k
+    * quadtree cell), so a table written
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)` gives
+    * file-level min/max skipping on user AND time predicates
+    * simultaneously — a single-column sort bounds one and leaves the
+    * other spanning the domain. One map pass + one tile-grain
+    * aggregate; at 100 TB the stats table is the layout-health feed a
+    * nightly OPTIMIZE job reads.
+    *
+    * Engine↔oracle portability: pmod twins `((a % m) + m) % m`, the
+    * epoch-hour division restricted to ts ≥ epoch (truncation ==
+    * floor), and the interleave expanded to 32 shift-or terms in the
+    * oracle text — bit-exact in both engines.
+    */
+  def q54ZOrderStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .filter(col("ts") >= lit("1970-01-01").cast("timestamp"))
+      .select(
+        pmod(col("user_id"), lit(65536L)).as("x"),
+        pmod(expr("unix_micros(ts) div 3600000000"), lit(65536L)).as("y"))
+    e.select(col("x"), col("y"), expr("zorder_key(x, y, 16)").as("zkey"))
+      .groupBy(expr("zkey div 65536").as("tile")) // 65536 = 4^8: 256x256 tiles
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy(col("tile").asc_nulls_first)
+  }
+
+  /** The oracle's 32-term expansion of [[graft.functions.ZOrderKey]]'s
+    * 16-bit interleave — generated from the same constants so a bits
+    * retune regenerates both engines.
+    */
+  private[graft] def zorderOracleExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_zorder_stats" -> (q54ZOrderStats _),
     "q53_salted_join" -> ((s: SparkSession, d: String) => q53SaltedJoin(s, d)),
     "q52_period_over_period" -> (q52PeriodOverPeriod _),
     "q51_type_transitions" -> (q51TypeTransitions _),
@@ -1348,6 +1394,15 @@ object Analytics {
       s"WHEN 'Thursday' THEN 4 WHEN 'Friday' THEN 5 WHEN 'Saturday' THEN 6 WHEN 'Sunday' THEN 7 END"
 
   val oracles: Map[String, String] = Map(
+    "q54_zorder_stats" ->
+      s"""WITH base AS (
+         |  SELECT ((user_id % 65536) + 65536) % 65536 AS x,
+         |    (((epoch_us(ts) // 3600000000) % 65536) + 65536) % 65536 AS y
+         |  FROM events WHERE ts >= TIMESTAMP '1970-01-01'),
+         |z AS (SELECT x, y, ${zorderOracleExpr("x", "y", 16)} AS zkey FROM base)
+         |SELECT zkey // 65536 AS tile, count(*) AS n,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     // the PLAIN join: the salt is an engine-side spreading device that
     // cancels in the aggregate, so salted and unsalted results must
     // hash-match — which is exactly what this oracle checks

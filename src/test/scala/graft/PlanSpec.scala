@@ -302,6 +302,37 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(exchanges === 2, s"expected exactly 2 exchanges, got $exchanges:\n$p")
   }
 
+  test("q54: z-order tiles bound BOTH dimensions; interleave matches the bit model; plan is one map + one aggregate") {
+    // the quadtree-tile guarantee the operator exists to state: every
+    // aligned 4^8-key tile spans ≤ 2^8 in x AND y — the property that
+    // makes zkey-range file layout skip on either predicate
+    val rows = graft.operators.Analytics.q54ZOrderStats(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 255L,
+        s"tile ${r.get(0)}: x extent ${r.getLong(3) - r.getLong(2)} > 255")
+      assert(r.getLong(5) - r.getLong(4) <= 255L,
+        s"tile ${r.get(0)}: y extent ${r.getLong(5) - r.getLong(4)} > 255")
+    }
+    // expression vs plain-Scala bit model, incl. the bits-16 mask edge
+    val probe = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 0L), (0L, 65535L),
+      (65535L, 65535L), (12345L, 54321L), (65536L, 1L) /* bit 16 masked */)
+    def model(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((r, i) =>
+        r | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    probe.foreach { case (x, y) =>
+      assert(graft.functions.ZOrderKey.interleave(x, y, 16) === model(x, y))
+    }
+    import spark.implicits._
+    val viaSql = probe.toDF("x", "y")
+      .selectExpr("zorder_key(x, y, 16) AS z").collect().map(_.getLong(0))
+    assert(viaSql.toSeq === probe.map { case (x, y) => model(x, y) }.toSeq)
+    // one scan, one aggregate exchange — no join, no window
+    val p = plan(graft.operators.Analytics.q54ZOrderStats(spark, sf001))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q54 must be map + aggregate only:\n$p")
+  }
+
   test("q53: the salted join carries the salt in its keys and replicates the dim via Generate") {
     val p = plan(Analytics.q53SaltedJoin(spark, sf001))
     // the dim side replicates through an explode (Generate), and the
