@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Self-tests for the gate-bearing tools — benchdiff's exit codes and
+whitelist handling now ADJUDICATE rounds (a wrong exit 0 hides a plan
+regression; a wrong exit 1 burns a judging session), so they get the
+same regression protection as the engine.
+
+Run: python3 tools/test_tools.py   (exit 0 = all pass)
+"""
+import json, os, subprocess, sys, tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+FAILS = []
+
+
+def check(name, cond, detail=""):
+    print(("PASS " if cond else "FAIL ") + name + (f" — {detail}" if detail and not cond else ""))
+    if not cond:
+        FAILS.append(name)
+
+
+def rec(queries, fp_scheme=6, load=0.5):
+    return {
+        "fp_scheme": fp_scheme,
+        "env": {"load_avg_start": load, "load_avg_end": load,
+                "available_processors": 32},
+        "queries": {q: {"warm": w, "plan_fp": fp} for q, (w, fp) in queries.items()},
+    }
+
+
+def run_benchdiff(old, new, extra=None, whitelist_path=None):
+    with tempfile.TemporaryDirectory() as d:
+        a, b = os.path.join(d, "a.json"), os.path.join(d, "b.json")
+        json.dump(old, open(a, "w")); json.dump(new, open(b, "w"))
+        env = dict(os.environ)
+        env["GRAFT_VARIANCE_WHITELIST"] = whitelist_path or ""
+        p = subprocess.run(
+            [sys.executable, os.path.join(HERE, "benchdiff.py"), a, b] + (extra or []),
+            capture_output=True, text=True, env=env)
+        return p.returncode, p.stdout
+
+
+def wl(queries):
+    f = tempfile.NamedTemporaryFile("w", suffix=".json", delete=False)
+    json.dump({"queries": {q: {"class": "aqe-build-side", "since": "rX",
+                               "evidence": "test"} for q in queries}}, f)
+    f.close()
+    return f.name
+
+
+# 1. identical records → exit 0, no flags
+r0 = rec({"q1": (1.0, "aaa"), "q2": (2.0, "bbb")})
+code, out = run_benchdiff(r0, r0)
+check("identical records exit 0", code == 0 and "PLAN" not in out, out)
+
+# 2. a plan change on an unlisted query → exit 1 with a PLAN line
+r1 = rec({"q1": (1.0, "aaa"), "q2": (2.0, "ccc")})
+code, out = run_benchdiff(r0, r1)
+check("unlisted plan change exits 1", code == 1 and "PLAN  q2" in out, out)
+
+# 3. the same change whitelisted → VARFP, exit 0
+w = wl(["q2"])
+code, out = run_benchdiff(r0, r1, whitelist_path=w)
+check("whitelisted change exits 0 as VARFP",
+      code == 0 and "VARFP q2" in out and "PLAN  q2" not in out, out)
+os.unlink(w)
+
+# 4. whitelist must NOT mask a change on an unlisted query
+w = wl(["q1"])
+code, out = run_benchdiff(r0, r1, whitelist_path=w)
+check("whitelist does not mask other queries", code == 1 and "PLAN  q2" in out, out)
+os.unlink(w)
+
+# 5. scheme transition without the flag → exit 2 and plan diff suppressed
+r5 = rec({"q1": (1.0, "zzz"), "q2": (2.0, "yyy")}, fp_scheme=5)
+code, out = run_benchdiff(r5, r0)
+check("scheme change exits 2 without flag", code == 2 and "SCHEMES DIFFER" in out, out)
+code, out = run_benchdiff(r5, r0, extra=["--allow-scheme-change"])
+check("--allow-scheme-change exits 0 and suppresses plan diff",
+      code == 0 and not any(l.startswith("PLAN  ") for l in out.splitlines()), out)
+
+# 6. environment banner on >2x load difference
+r6 = rec({"q1": (1.0, "aaa"), "q2": (2.0, "bbb")}, load=8.0)
+code, out = run_benchdiff(r0, r6)
+check("load-differs banner prints", "ENVIRONMENT DIFFERS" in out, out)
+
+# 7. checked-in whitelist is well-formed and every entry carries evidence
+wl_path = os.path.join(HERE, "..", "bench", "variance_whitelist.json")
+d = json.load(open(wl_path))
+check("checked-in whitelist entries carry class+evidence+since",
+      all({"class", "evidence", "since"} <= set(v) for v in d["queries"].values()),
+      str({k: sorted(v) for k, v in d["queries"].items()}))
+
+# 8. verifycycle aggregation: OK / FAIL / timeout land in the right buckets
+with tempfile.TemporaryDirectory() as res:
+    cases = {"ok_q": (0, "ok_q: OK (7 rows)"),
+             "bad_q": (1, "bad_q: FAIL rows(spark=1,oracle=2)"),
+             "slow_q": (124, "")}
+    for q, (rc, log) in cases.items():
+        open(os.path.join(res, q + ".rc"), "w").write(str(rc))
+        open(os.path.join(res, q + ".log"), "w").write(log + "\n")
+    # run only the aggregation heredoc by invoking the python snippet the
+    # same way verifycycle.sh does
+    agg = subprocess.run([sys.executable, "-c", open(os.path.join(
+        HERE, "verifycycle.sh")).read().split("<<'EOF'\n", 1)[1].rsplit("EOF", 1)[0],
+        res], capture_output=True, text=True)
+    out = json.load(open(os.path.join(res, "record.json")))
+    check("verifycycle aggregation buckets",
+          out["n_hash_exact"] == 1 and out["queries"].get("ok_q") == 7 and
+          out["failed"] == ["bad_q"] and out["oracle_timeout"] == ["slow_q"] and
+          out["n_compared"] == 2, json.dumps(out))
+
+print(("ALL PASS" if not FAILS else f"FAILED: {FAILS}"))
+sys.exit(1 if FAILS else 0)
