@@ -678,14 +678,28 @@ object Analytics {
     * is the exact-semantics member of that family.
     */
   def q48WindowRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    // NULLS FIRST pinned INSIDE the window: Spark's ascending default
+    // ranks NULL order values first, DuckDB's ranks them LAST — with
+    // NULL prices planted (adversarial orders) the rank VALUES diverge
+    // unless both engines are pinned to one position (r15 advorders
+    // catch). The output sort is total over every output column so
+    // duplicate-key rows (also planted) hash deterministically.
     val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .orderBy(col("o_totalprice").asc_nulls_first, col("o_orderkey").asc_nulls_first)
     Tables.orders(spark, sfDir)
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      // + 0.0 canonicalizes the zero SIGN (os1's NormalizeFloatingNumbers
+      // twin): a planted -0.0 row fully tied with a 0.0 row is otherwise
+      // placed arbitrarily by each engine's sort (they compare equal)
+      // and the differing sign breaks the hash
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (col("o_totalprice") + lit(0.0)).as("o_totalprice"),
         ntile(10).over(w).cast("long").as("decile"),
         r6(percent_rank().over(w)).as("pct_rank"),
         r6(cume_dist().over(w)).as("cum_dist"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first,
+        col("o_totalprice").asc_nulls_first,
+        col("decile"), col("pct_rank"), col("cum_dist"))
   }
 
   // ---------------------------------------------------------------- q47
@@ -1120,6 +1134,13 @@ object Analytics {
   def q43AsofEnrich(
       spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
     val o = Tables.orders(spark, sfDir)
+      // an order with an unknown customer or an unknown time CANNOT be
+      // an as-of anchor — ASOF-join semantics (the oracle's `e.user_id
+      // = o.user_id AND e.ts >= o.ots` never matches a NULL). Without
+      // this filter the union+window formulation groups NULL users into
+      // one window partition and sorts NULL order dates FIRST, silently
+      // anchoring every event on a date-less order (r15 advorders catch)
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
       .groupBy(col("o_custkey").as("user_id"),
         col("o_orderdate").cast("timestamp").as("ts"))
       .agg(max(col("o_orderkey")).as("anchor_order"))
@@ -1546,7 +1567,8 @@ object Analytics {
         |  THEN l_quantity / ((epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0)
         |  ELSE 0.0 END, 6) AS qty_per_day
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |ORDER BY l_orderkey, l_linenumber, ship_delay_days, qty_per_day""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber,
+        |  ship_delay_days NULLS FIRST, qty_per_day NULLS FIRST""".stripMargin,
     "q04_label_map" ->
       """SELECT CASE l_returnflag WHEN 'A' THEN 'Accepted' WHEN 'N' THEN 'None'
         |  WHEN 'R' THEN 'Returned' END AS returnflag_label, count(*) AS n
@@ -1689,14 +1711,15 @@ object Analytics {
         |FROM s
         |ORDER BY cohort_week, week_offset""".stripMargin,
     "q48_window_ranks" ->
-      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      """SELECT o_orderkey, o_orderpriority, o_totalprice + 0.0 AS o_totalprice,
         |  CAST(ntile(10) OVER w AS BIGINT) AS decile,
         |  round(percent_rank() OVER w * 1e6) / 1e6 AS pct_rank,
         |  round(cume_dist() OVER w * 1e6) / 1e6 AS cum_dist
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority
-        |  ORDER BY o_totalprice, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
+        |  ORDER BY o_totalprice NULLS FIRST, o_orderkey NULLS FIRST)
+        |ORDER BY o_orderkey NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  o_totalprice NULLS FIRST, decile, pct_rank, cum_dist""".stripMargin,
     "q47_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus, count(*) AS n_items,
          |${dsumSql("l_quantity")} AS sum_qty
@@ -1715,7 +1738,7 @@ object Analytics {
       """SELECT o_custkey AS custkey FROM orders
         |EXCEPT
         |SELECT user_id AS custkey FROM events
-        |ORDER BY custkey""".stripMargin,
+        |ORDER BY custkey NULLS FIRST""".stripMargin,
     "q21_top_per_group" ->
       s"""WITH r AS (SELECT n_name, s_name,
          |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
@@ -1773,7 +1796,7 @@ object Analytics {
       s"""SELECT o_orderpriority, count(*) AS n_items,
          |${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
     // identical rows to q31 — the bucketed staging changes the PLAN, not
     // the result
     "q37_bucketed_gaps" ->
@@ -1821,7 +1844,7 @@ object Analytics {
       """SELECT o_custkey AS custkey FROM orders
         |INTERSECT
         |SELECT user_id AS custkey FROM events
-        |ORDER BY custkey""".stripMargin,
+        |ORDER BY custkey NULLS FIRST""".stripMargin,
     "q34_date_spine_fill" ->
       """WITH b AS (SELECT min(CAST(ts AS DATE)) AS dmin, max(CAST(ts AS DATE)) AS dmax
         |           FROM events),

@@ -94,14 +94,27 @@ object Sql {
     // boundary; products and sums of DECIMAL(38,6) are exact in both
     // engines, so the surviving set is identical. ONE string runs
     // verbatim in Spark and DuckDB (it is its own oracle).
+    //
+    // `o_custkey IS NOT NULL` is a defensive DOMAIN pin (r15
+    // advorders): under standard SQL a NULL correlation key makes the
+    // count subquery 0 and the sum subquery NULL, so the predicate is
+    // UNKNOWN and the row drops — both engines agreed on the planted
+    // corpus, but each reaches that answer through its own
+    // decorrelation rewrite (Spark handles the COUNT-bug edge with a
+    // null-tolerant join); pinning the domain keeps the text off that
+    // engine-internal edge and the intent visible. The ORDER BY pins
+    // NULL orderkeys FIRST with value tie-breaks — duplicate and
+    // NULL-keyed rows are in-domain inputs (the r15 catch class was
+    // exactly this ordering divergence: DuckDB defaults NULLS LAST).
     "sql6_correlated_whale_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
-        |WHERE CAST(o_totalprice AS DECIMAL(38,6))
+        |WHERE o.o_custkey IS NOT NULL
+        |  AND CAST(o_totalprice AS DECIMAL(38,6))
         |      * (SELECT count(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |    > 2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(38,6)))
         |           FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin,
+        |ORDER BY o_orderkey NULLS FIRST, o_custkey, o_totalprice NULLS FIRST""".stripMargin,
     // sql7 — IN-subquery membership, the companion to sql6's scalar
     // subqueries: Catalyst plans the IN as a LEFT SEMI join (existence
     // probe, no row duplication however many qualifying orders a
@@ -153,7 +166,8 @@ object Sql {
       .filter(col("o_totalprice").cast("decimal(38,6)") * col("n") >
         lit(2) * col("total"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .orderBy(col("o_orderkey"))
+      .orderBy(col("o_orderkey").asc_nulls_first, col("o_custkey"),
+        col("o_totalprice").asc_nulls_first)
   }
 
   /** The DataFrame twin of each SQL query, for the twin-equality test. */
