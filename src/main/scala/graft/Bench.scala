@@ -42,7 +42,20 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * exchange) diffs loudly between rounds even when timings are noisy.
   * `tools/benchdiff.py` compares two records.
   *
-  * FINGERPRINT SCHEME 6 (fp_scheme in the record; 6 normalizes the
+  * FINGERPRINT SCHEME 7 (fp_scheme in the record; 7 fixes the scheme-6
+  * scrub's blind spot found by the r15 advisor: the scheme-6 regex tail
+  * `[^\]]*\]` required a closing `]`, but a width-TRUNCATED Location
+  * value — the exact case the scrub targeted — has none, so the match
+  * ran through the first `]` of the NEXT metadata entry and deleted the
+  * whole `PartitionFilters: [...]` list from the fingerprinted text,
+  * leaving the plan-regression gate blind to partition-filter changes
+  * on any truncated-Location FileScan. Two-layer fix: the session now
+  * sets spark.sql.maxMetadataStringLength high (GraftSession — metadata
+  * is never truncated, so the scrub is purely structural), and the
+  * regex tail is bounded to the Location value itself (lazy, stopping
+  * at the abbreviation ellipsis or the closing bracket) as defense in
+  * depth. Fingerprints of formerly-truncated plans change ⇒ scheme
+  * bump; 6 normalized the
   * width-truncated FileScan `Location: InMemoryFileIndex(…)[…]` metadata
   * to its path-list head — Spark truncates that string at
   * maxMetadataStringLength BEFORE scrubbing, and session-global exprId
@@ -175,15 +188,21 @@ object Bench {
       .replaceAll("_common_expr_\\d+", "_common_expr_<n>")
       .replaceAll("\\blambda ([A-Za-z]+)_\\d+", "lambda $1_<n>")
       // FileScan Location metadata ("InMemoryFileIndex(1 paths)[file:…,
-      // isnotnull(ts#x), isnotnu…") is WIDTH-TRUNCATED by Spark's
-      // maxMetadataStringLength BEFORE any scrub runs, and the raw text
+      // isnotnull(ts#x), isnotnu…") was WIDTH-TRUNCATED by Spark's
+      // maxMetadataStringLength BEFORE any scrub ran, and the raw text
       // carries session-global exprIds whose digit COUNT shifts the
       // truncation point — so the chopped tail differed between
       // same-code runs (caught in r15: st7 flip-flopped two
-      // fingerprints, plan text identical except the cut position of
-      // the run-on metadata). The plan-shape content is the path list
-      // head + count; the truncated tail is noise — drop it. (scheme 6)
-      .replaceAll("InMemoryFileIndex\\((\\d+) paths?\\)\\[([^\\],]*)[^\\]]*\\]",
+      // fingerprints). The plan-shape content is the path list head +
+      // count; the rest of the value is noise — drop it. GraftSession
+      // now sets maxMetadataStringLength high so truncation never
+      // happens; the tail match is still BOUNDED to the Location value
+      // (lazy, ending at the abbreviation "..." or the value's own "]")
+      // because the scheme-6 greedy tail `[^\]]*\]` ran through a
+      // truncated (bracketless) value into the NEXT metadata entry and
+      // deleted the PartitionFilters list from the hashed text — the
+      // r15 advisor's blind-gate finding. (scheme 7)
+      .replaceAll("InMemoryFileIndex\\((\\d+) paths?\\)\\[([^\\],]*)[^\\]]*?(?:\\.\\.\\.|\\])",
         "InMemoryFileIndex($1 paths)[$2]")
       // Whole-stage-codegen stage ids ("*(3) HashAggregate"): numbering
       // is assigned when a subtree is PREPARED, and independent subtrees
@@ -352,7 +371,7 @@ object Bench {
     // capturer's tail window (round 7's official record lost every
     // per-query number that way); this file is the committable history.
     val recJson =
-      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":6,"env":$envJson,""" +
+      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":7,"env":$envJson,""" +
         s""""n_failed":${results.size - ok.size},""" +
         s""""total_warm":$warmTotal,"total_cold":$coldTotal,""" +
         s""""errors":$errs,"queries":{""" +

@@ -17,6 +17,15 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
+      // Plan-text metadata (FileScan Location/PushedFilters/ReadSchema)
+      // is WIDTH-TRUNCATED at this length BEFORE Bench's fingerprint
+      // scrubs run, and the default 100 chops mid-value at a position
+      // that depends on session-global exprId digit counts — the direct
+      // cause of the r15 st7 same-code fingerprint flap, and (r15
+      // advisor, medium) the truncated tail blinded the scrub regex to
+      // PartitionFilters changes. Untruncated metadata makes the scrub
+      // purely structural. Display-only conf: no plan/behavior change.
+      .config("spark.sql.maxMetadataStringLength", "100000")
     // Streaming keyed state defaults to the HDFS-backed IN-MEMORY store —
     // executor-heap-bound, which at 100 TB keyed state (sessionization,
     // stream-stream joins, MV maintenance) is the wrong bound. The

@@ -33,11 +33,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * Python tarfile's default since 3.8) or GNU long-name member
   * ('L'/'K') can carry a name longer than the 100-byte USTAR name
   * field, so assembling the REMAINING members against their truncated
-  * header names could silently mis-group stems. The walk therefore
-  * STOPS at the first such member, un-emitted — a PAX shard fails
-  * loudly (assembles nothing past the stop) instead of emitting
-  * plausible-but-truncated stems. [[TarMembers]] keeps walking because
-  * it REPORTS typeflags rather than grouping by name.
+  * header names could silently mis-group stems. A shard containing
+  * such a member is OUT OF SCOPE as a whole and the result is NULL —
+  * not the samples walked before the stop, which r15's posture
+  * emitted and the r15 advisor correctly called a plausible partial
+  * set nothing marked as partial. NULL is the explicit signal; the
+  * mm12 consumer turns it into a raise_error naming the shard, so an
+  * out-of-scope shard can never pass as an assembled one.
+  * [[TarMembers]] keeps walking because it REPORTS typeflags rather
+  * than grouping by name. (Corrupt bytes — bad magic/octal, payload
+  * overrun — keep the partial-stop posture shared with TarMembers:
+  * that is byte damage mid-shard, where the walked prefix is the
+  * recoverable content; format out-of-scope is a property of the
+  * WHOLE shard.)
   * Duplicate txt parts in one stem keep the max (md5, bytes) — the
   * same tie rule as the un-tarred aggregation's max(when(...)).
   */
@@ -58,11 +66,18 @@ case class TarSamples(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "tar_samples"
 
+  // NULL marks an out-of-scope (PAX/GNU) shard even when the input
+  // bytes are non-null — see the SCOPE scaladoc.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     TarSamples.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TarSamples.compute($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TarSamples.compute($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): TarSamples =
     copy(child = newChild)
@@ -117,10 +132,12 @@ object TarSamples {
             val typeflag = b(off + 156)
             if (step > n - off) done = true // payload overruns: un-hashable
             // PAX ('x'/'g') / GNU longname ('L'/'K') members can carry
-            // names wider than the 100-byte USTAR field — stop rather
-            // than mis-group truncated stems (see scaladoc SCOPE)
+            // names wider than the 100-byte USTAR field — the WHOLE
+            // shard is out of this assembler's scope: return NULL, the
+            // explicit signal, never a plausible partial sample set
+            // (see scaladoc SCOPE)
             else if (typeflag == 'x' || typeflag == 'g' ||
-                     typeflag == 'L' || typeflag == 'K') done = true
+                     typeflag == 'L' || typeflag == 'K') return null
             else {
               if (typeflag == '0' || typeflag == 0) {
                 var end = off

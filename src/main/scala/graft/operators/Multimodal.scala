@@ -497,7 +497,14 @@ object Multimodal {
     */
   def tarAssemblyQ(spark: SparkSession, sfDir: String): DataFrame =
     Tables.wdTarShard(spark, sfDir)
-      .select(explode(call_function("tar_samples", col("content"))).as("s"))
+      // tar_samples returns NULL for an out-of-scope (PAX/GNU) shard;
+      // exploding a NULL would silently drop the whole shard from the
+      // assembly, so coalesce it into a raise_error naming the shard —
+      // out-of-scope input fails the query, never thins its output.
+      .select(explode(coalesce(
+        call_function("tar_samples", col("content")),
+        raise_error(concat(lit("tar_samples: out-of-scope PAX/GNU shard "),
+          col("path"))))).as("s"))
       .select(
         regexp_extract(col("s.stem"), "sample_(\\d+)$", 1)
           .cast("long").as("sample_id"),

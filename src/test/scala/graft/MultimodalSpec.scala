@@ -297,9 +297,9 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
   private def tarHeader(name: String, size: Long, typeflag: Char): Array[Byte] = {
     val h = new Array[Byte](512)
     name.getBytes("ISO-8859-1").copyToArray(h, 0)
-    ("%011o".format(size) + " ").getBytes.copyToArray(h, 124)
+    ("%011o".format(size) + "\u0000").getBytes.copyToArray(h, 124)
     h(156) = typeflag.toByte
-    "ustar 00".getBytes("ISO-8859-1").copyToArray(h, 257)
+    "ustar\u000000".getBytes("ISO-8859-1").copyToArray(h, 257)
     h
   }
   private def tarPadded(content: Array[Byte]): Array[Byte] =
@@ -608,12 +608,12 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
       def put(off: Int, s: String): Unit = {
         val b = s.getBytes("UTF-8"); System.arraycopy(b, 0, h, off, b.length)
       }
-      put(0, name); put(100, "0000644 "); put(108, "0000000 ")
-      put(116, "0000000 "); put(124, f"$size%011o ")
-      put(136, "00000000000 "); put(148, "        ")
-      h(156) = '0'; put(257, "ustar 00")
+      put(0, name); put(100, "0000644\u0000"); put(108, "0000000\u0000")
+      put(116, "0000000\u0000"); put(124, f"$size%011o\u0000")
+      put(136, "00000000000\u0000"); put(148, "        ")
+      h(156) = '0'; put(257, "ustar\u000000")
       val sum = h.foldLeft(0L)((a, b) => a + (b & 0xFF))
-      put(148, f"$sum%06o  ")
+      put(148, f"$sum%06o\u0000 ")
       h
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -654,31 +654,53 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(tarFile.lastModified() === mtime, "stamp-guarded tar staging re-wrote")
   }
 
-  test("tar_samples stops at PAX/GNU-longname members instead of mis-grouping truncated stems") {
+  test("tar_samples returns NULL for PAX/GNU-longname shards instead of a plausible partial set") {
     // A PAX extended header ('x') carries the REAL (possibly >100-char)
-    // name of the member after it; assembling that member under its
-    // truncated USTAR header name could silently mis-group stems. The
-    // walk must stop AT the PAX member: samples before it are emitted
-    // (the corrupt-stop posture), nothing after it is.
+    // name of the member after it; assembling members against truncated
+    // USTAR header names could silently mis-group stems. r15 stopped the
+    // walk and emitted the samples BEFORE the stop — a plausible partial
+    // set nothing marked as partial (r15 advisor). The whole shard is
+    // out of scope: the result is NULL, the explicit out-of-scope
+    // signal the mm12 consumer converts to raise_error.
     val pax = tarHeader("ok.txt", 5L, '0') ++ tarPadded("hello".getBytes) ++
       tarHeader("PaxHeaders.0/long", 30L, 'x') ++ tarPadded(new Array[Byte](30)) ++
       tarHeader("truncated-name.txt", 4L, '0') ++ tarPadded("oops".getBytes) ++
       new Array[Byte](1024)
-    val arr = graft.functions.TarSamples.compute(pax)
-    assert(arr.numElements() === 1, "walk stops AT the PAX member")
-    // every name-carrying extension typeflag stops the walk up front
+    assert(graft.functions.TarSamples.compute(pax) === null,
+      "a shard with a PAX member is NULL as a whole — even the pre-stop samples")
+    // every name-carrying extension typeflag marks the shard out-of-scope
     Seq('x', 'g', 'L', 'K').foreach { tf =>
       val shard = tarHeader("ext-member", 0L, tf) ++
         tarHeader("b.txt", 1L, '0') ++ tarPadded("x".getBytes) ++
         new Array[Byte](1024)
-      assert(graft.functions.TarSamples.compute(shard).numElements() === 0,
-        s"typeflag '$tf' must stop the walk un-emitted")
+      assert(graft.functions.TarSamples.compute(shard) === null,
+        s"typeflag '$tf' must make the whole shard NULL")
     }
     // plain non-file members ('5' dir, '2' symlink) still SKIP, not stop
     val withDir = tarHeader("samples/", 0L, '5') ++
       tarHeader("c.txt", 2L, '0') ++ tarPadded("cc".getBytes) ++
       new Array[Byte](1024)
     assert(graft.functions.TarSamples.compute(withDir).numElements() === 1)
+    // and the QUERY-level posture: a PAX shard in the scan fails the mm12
+    // assembly loudly (raise_error naming the shard), never thins output
+    val dir = java.nio.file.Files.createTempDirectory("paxshard").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "bad.tar").toPath, pax)
+      val df = spark.read.format("binaryFile").option("pathGlobFilter", "*.tar")
+        .load(dir.getAbsolutePath)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.call_function("tar_samples",
+              org.apache.spark.sql.functions.col("content")),
+            org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.concat(
+                org.apache.spark.sql.functions.lit("tar_samples: out-of-scope PAX/GNU shard "),
+                org.apache.spark.sql.functions.col("path"))))))
+      val e = intercept[Throwable](df.collect())
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("out-of-scope PAX/GNU shard"), chain)
+    } finally graft.sources.Staging.deleteRecursively(dir)
   }
 
   test("tar_samples zero-arg SQL call is a named contract error, not a bare NoSuchElement") {
