@@ -143,6 +143,63 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"ts bounds not pushed: ${scan.metadata("PushedFilters")}")
   }
 
+  test("pf5: the z-ordered layout pushes BOTH box predicates and reads strictly fewer rows than the date layout") {
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    // sf0.01, not the usual sf0.001: the audit needs the user box to be a
+    // genuine minority of the user domain (3..9 of 0..149 here vs half of
+    // 0..14 at sf0.001, where ANY layout must read most files)
+    val sfA = "/root/testdata/sf0.01"
+    val p = Params.defaultParams
+    // the (user ∧ time) box, applied identically to both layouts
+    def box(df: org.apache.spark.sql.DataFrame) = df.filter(
+      col("user_id").between(Params.Pf5UserLo, Params.Pf5UserHi) &&
+        col("ts").between(lit(p.tsLo).cast("timestamp"), lit(p.tsHi).cast("timestamp")))
+    // rows the scan DELIVERS after parquet row-group/file stats skipping —
+    // executed metric, not a plan string (the whole audit: fewer rows out
+    // of the scan node means row groups were actually skipped)
+    def scannedRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    val zScan = box(CleanStore.eventsZOrdered(spark, sfA))
+    // the date layout gets its BEST case: partition pruning on F1 applied,
+    // exactly as pf3 serves it
+    val dScan = box(CleanStore.events(spark, sfA)
+        .filter(col("event_date").between(
+          to_date(lit(p.tsLo).cast("timestamp")),
+          to_date(lit(p.tsHi).cast("timestamp")))))
+      .drop("event_date")
+    // both predicates reach the z-store's parquet scan as pushed filters
+    val zMeta = zScan.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head.metadata("PushedFilters")
+    assert(zMeta.contains("user_id") && zMeta.contains("ts"),
+      s"box predicates not pushed to the z-store scan: $zMeta")
+    // identical content from both layouts (order-insensitive)
+    val zRows = zScan.collect().map(_.toString).sorted.toSeq
+    val dRows = dScan.collect().map(_.toString).sorted.toSeq
+    assert(zRows === dRows, "layouts must serve identical clean content")
+    // THE claim: the z-layout's two-dimensional clustering skips what the
+    // one-dimensional date layout must read — strictly fewer rows leave
+    // the scan for the same predicate and the same result
+    val zRead = scannedRows(box(CleanStore.eventsZOrdered(spark, sfA)))
+    val dRead = scannedRows(box(CleanStore.events(spark, sfA)
+      .filter(col("event_date").between(
+        to_date(lit(p.tsLo).cast("timestamp")),
+        to_date(lit(p.tsHi).cast("timestamp"))))))
+    assert(zRead < dRead,
+      s"z-order skipping ineffective: z-layout read $zRead rows, " +
+        s"date layout read $dRead under the same (user ∧ time) box")
+    // and the skipping is real, not just relative: the z-scan delivers
+    // well under the store's full row count
+    val total = CleanStore.eventsZOrdered(spark, sfA).count()
+    assert(zRead < total / 2,
+      s"z-scan read $zRead of $total rows — stats skipping not engaged")
+  }
+
   test("sim4: probes the persisted cell index via broadcast with dynamic partition pruning") {
     val df = Similarity.ivfAnnIndexed(spark, sf001)
     df.collect() // finalize the AQE plan
