@@ -1287,6 +1287,48 @@ object Dedup {
     */
   private val toksSql = tokensSql("text")
 
+  /** Relax+compress rounds in the unrolled connected-components oracle
+    * text ([[ccSql]]). Each round at least doubles the hop distance a
+    * component's min label has traveled (measured: 17 rounds converge a
+    * 100,000-node path), so 20 covers diameters past 10^6 — absurdly
+    * beyond any shingle-overlap dup cluster (near-cliques, diameter
+    * single digits). An UNCONVERGED label would differ from the
+    * engine's fixpoint and fail the hash gate loudly, so the bound can
+    * never pass silently-wrong; the cost is linear — `rounds` hash
+    * joins over the edge list.
+    */
+  val CcRounds = 20
+
+  /** BOUNDED connected-components oracle text: unrolled pointer-doubling
+    * min-label propagation over an `edges` CTE (src, dst — both
+    * directions present), replacing the `WITH RECURSIVE reach` closure
+    * the r15 sf1 cycle timed out on. The recursive text enumerated every
+    * (node, reachable-label) pair — O(Σ cluster²) rows deduplicated by
+    * UNION per step (dd11 burned 80+ CPU-minutes and ~50 GB at sf1) —
+    * where the engine's pointer-doubling CC (`dupClusters`) is
+    * O(E · log diameter). This text is the SAME algorithm as the engine,
+    * declaratively: round k relaxes one hop (min over neighbors' labels)
+    * then compresses (label := label's label), and every CTE is
+    * MATERIALIZED so a round is evaluated once (DuckDB re-inlines
+    * multiply-referenced CTEs otherwise, which would re-evaluate the
+    * whole chain per reference). Emits CTEs prefixed `<p>_` plus the
+    * final `<p>` with (id, lbl) — one row per node appearing in edges,
+    * lbl = min doc_id of its component, exactly the recursive text's
+    * `SELECT id, min(lbl) … GROUP BY id`.
+    */
+  private[graft] def ccSql(edges: String, p: String): String = {
+    val init = s"${p}_c0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM $edges)"
+    val rounds = (1 to CcRounds).flatMap { k =>
+      val prev = s"${p}_c${k - 1}"
+      Seq(
+        s"""${p}_r$k AS MATERIALIZED (SELECT l.id, least(l.lbl, coalesce(n.m, l.lbl)) AS lbl
+           |  FROM $prev l LEFT JOIN (SELECT e.src AS id, min(l2.lbl) AS m
+           |    FROM $edges e JOIN $prev l2 ON l2.id = e.dst GROUP BY e.src) n USING (id))""".stripMargin,
+        s"${p}_c$k AS MATERIALIZED (SELECT l.id, q.lbl FROM ${p}_r$k l JOIN ${p}_r$k q ON q.id = l.lbl)")
+    }
+    (init +: rounds :+ s"$p AS (SELECT id, lbl FROM ${p}_c$CcRounds)").mkString(",\n")
+  }
+
   val oracles: Map[String, String] = baseOracles +
     // pl1's oracle wraps the four STAGE oracle texts as CTEs (the sim15
     // discipline — the composition can never drift from the stages) and
@@ -1482,11 +1524,12 @@ object Dedup {
         |FROM j
         |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash
         |ORDER BY doc_id""".stripMargin,
-    // dd3's pair pipeline verbatim as CTEs, then transitive closure by
-    // recursive min-label reachability — the declarative twin of the
-    // iterative propagation
+    // dd3's pair pipeline verbatim as CTEs, then connected components by
+    // the BOUNDED unrolled propagation ([[ccSql]]) — the declarative twin
+    // of the engine's pointer-doubling, replacing the recursive closure
+    // whose reach-set blowup timed out the r15 sf1 cycle
     "dd8_dup_clusters" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -1500,16 +1543,13 @@ object Dedup {
         |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(id, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-        |SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id
+        |${ccSql("edges", "cc")}
+        |SELECT id AS doc_id, lbl AS rep_id FROM cc
         |ORDER BY doc_id""".stripMargin,
-    // dd8's transitive closure + cluster sizes + a LEFT join back onto
+    // dd8's bounded components + cluster sizes + a LEFT join back onto
     // the full corpus — singletons coalesce to themselves at weight 1
     "dd22_soft_dedup_weights" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -1523,11 +1563,8 @@ object Dedup {
         |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(id, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        |lab AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id),
+        |${ccSql("edges", "cc")},
+        |lab AS (SELECT id AS doc_id, lbl AS rep_id FROM cc),
         |csz AS (SELECT rep_id, count(*) AS cluster_size FROM lab GROUP BY rep_id)
         |SELECT d.doc_id, coalesce(lab.rep_id, d.doc_id) AS rep_id,
         |  coalesce(csz.cluster_size, 1) AS cluster_size,
@@ -1539,7 +1576,7 @@ object Dedup {
     // dd8's transitive closure + the NOT IN drop of non-representative
     // cluster members — the declarative twin of dedupCorpus
     "dd9_dedup_corpus" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -1553,11 +1590,8 @@ object Dedup {
         |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(id, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        |reps AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id)
+        |${ccSql("edges", "cc")},
+        |reps AS (SELECT id AS doc_id, lbl AS rep_id FROM cc)
         |SELECT d.doc_id, md5(d.text) AS text_hash FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM reps WHERE doc_id != rep_id)
         |ORDER BY doc_id""".stripMargin,
@@ -1567,7 +1601,7 @@ object Dedup {
     // mapped to their representatives, transitive closure over the
     // batch-sized mini graph only.
     "dd11_incremental_dedup" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |nf AS (SELECT $ArrivalOffsetSql AS v FROM documents),
          |sh AS (SELECT doc_id,
          |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
@@ -1583,11 +1617,8 @@ object Dedup {
          |  WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
          |old_edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs_old
          |  UNION ALL SELECT doc_b, doc_a FROM pairs_old),
-         |old_reach(id, lbl) AS (
-         |  SELECT DISTINCT src, src FROM old_edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM old_reach r JOIN old_edges e ON e.src = r.id),
-         |old_reps AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM old_reach GROUP BY id),
+         |${ccSql("old_edges", "occ")},
+         |old_reps AS (SELECT id AS doc_id, lbl AS rep_id FROM occ),
          |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
          |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
@@ -1600,11 +1631,8 @@ object Dedup {
          |edges0 AS (SELECT coalesce(r.rep_id, p.doc_a) AS src, p.doc_b AS dst
          |  FROM pairs_new p LEFT JOIN old_reps r ON p.doc_a = r.doc_id),
          |mini_edges AS (SELECT src, dst FROM edges0 UNION ALL SELECT dst, src FROM edges0),
-         |mini_reach(id, lbl) AS (
-         |  SELECT DISTINCT src, src FROM mini_edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM mini_reach r JOIN mini_edges e ON e.src = r.id),
-         |mini_reps AS (SELECT id, min(lbl) AS rep FROM mini_reach GROUP BY id)
+         |${ccSql("mini_edges", "mcc")},
+         |mini_reps AS (SELECT id, lbl AS rep FROM mcc)
          |SELECT d.doc_id, coalesce(m.rep, d.doc_id) AS rep_id
          |FROM documents d LEFT JOIN mini_reps m ON d.doc_id = m.id
          |WHERE d.doc_id >= (SELECT v FROM nf)
@@ -1613,7 +1641,7 @@ object Dedup {
     // spelled as row_number over (n_tokens DESC, doc_id) — equivalent to
     // the engine's max(struct(n_tokens, -doc_id)) including ties
     "dd14_best_representative" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
         |sh AS (SELECT doc_id,
         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -1627,11 +1655,8 @@ object Dedup {
         |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |reach(id, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        |reps AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id),
+        |${ccSql("edges", "cc")},
+        |reps AS (SELECT id AS doc_id, lbl AS rep_id FROM cc),
         |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
         |j AS (SELECT r.rep_id, r.doc_id, l.n_tokens
         |      FROM reps r JOIN lens l USING (doc_id)),

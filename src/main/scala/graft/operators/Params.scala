@@ -144,6 +144,35 @@ object Params {
     typeSummary(pruned, p)
   }
 
+  /** pf5's user-range widget bounds — one source of truth for the engine
+    * predicate AND the generated oracle literal (the HeadVocabSize
+    * pattern). Sized to be nonempty at every
+    * staged sf (user_id tops out at ~15·(sf/0.001), so the range must sit
+    * inside the smallest fixture's domain) while selecting a small user
+    * minority at bench scale (7 of 1500 users at sf0.1).
+    */
+  val Pf5UserLo = 3L
+  val Pf5UserHi = 9L
+
+  /** pf5 — a (user ∧ time)-predicated refresh served from the Z-ORDERED
+    * clean store ([[CleanStore.eventsZOrdered]]). pf3/pf4's date layout
+    * answers F1 with partition pruning but reads every selected date's
+    * files FULLY no matter how selective the user predicate is — a
+    * single-dimension sort bounds one axis and leaves the other spanning
+    * the domain (the q54 scaladoc's claim). The z-ordered layout clusters
+    * on the Morton interleave of (user, hour), so BOTH predicates become
+    * tight file/row-group min-max bounds and the scan skips everything
+    * outside the (user × time) box — PlanSpec's audit compares rows read
+    * by the two layouts under this exact predicate. Same aggregate, same
+    * clean content, oracle = pf3's text plus the user range: the layout
+    * must be invisible to the result.
+    */
+  def pf5ZOrderServe(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = CleanStore.eventsZOrdered(spark, sfDir)
+    typeSummary(
+      z.filter(col("user_id").between(Pf5UserLo, Pf5UserHi)), defaultParams)
+  }
+
   /** The SQL twin of [[typeSummary]] for arbitrary parameters — one
     * source of truth for pf1/pf2's DuckDB oracles AND the ParamsSpec
     * Spark-SQL twin (the text is valid in both engines; the avg goes
@@ -980,6 +1009,7 @@ object Params {
     "pf2_param_filter_alt" -> (pf2ParamFilterAlt _),
     "pf3_param_filter_clean" -> (pf3ParamFilterClean _),
     "pf4_manifest_serve" -> (pf4ParamFilterManifest _),
+    "pf5_zorder_serve" -> (pf5ZOrderServe _),
     "sa1_seeded_sample" -> (sa1SeededSample _),
     "sa2_stratified_sample" -> (sa2StratifiedSample _),
     "sa3_hash_split" -> (sa3HashSplitQ _),
@@ -1024,6 +1054,12 @@ object Params {
     // pf3's verbatim
     "pf4_manifest_serve" -> oracleSqlFor(defaultParams,
       extraWhere = CleanStore.EventCriticalCols.map(c => s"$c IS NOT NULL")),
+    // pf5 serves the SAME clean content from the z-ordered layout — the
+    // layout must be invisible to the result, so the oracle is pf3's
+    // text plus the user-range literal generated from the shared bounds
+    "pf5_zorder_serve" -> oracleSqlFor(defaultParams,
+      extraWhere = CleanStore.EventCriticalCols.map(c => s"$c IS NOT NULL") :+
+        s"user_id BETWEEN $Pf5UserLo AND $Pf5UserHi"),
     "cs1_csv_dim_join" ->
       """SELECT n_name, count(*) AS n_customers
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -1066,11 +1102,11 @@ object Params {
          |    AS shuffle_rank
          |FROM u ORDER BY epoch, doc_id""".stripMargin,
     // the dd8/dd9 connected-component derivation verbatim (same
-    // shingling, DF cap, jaccard threshold, min-label closure), then
+    // shingling, DF cap, jaccard threshold, bounded unrolled CC), then
     // sa3's exact integer bucket arithmetic keyed on the GROUP id —
     // literals from the shared (GroupSplitHoldoutPct, GroupSplitSalt)
     "sa12_leakage_safe_split" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+      s"""WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id,
          |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
          |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -1084,11 +1120,8 @@ object Params {
          |          WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2),
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
          |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-         |reps AS (SELECT id AS doc_id, min(lbl) AS rep_id FROM reach GROUP BY id),
+         |${Dedup.ccSql("edges", "cc")},
+         |reps AS (SELECT id AS doc_id, lbl AS rep_id FROM cc),
          |g AS (SELECT d.doc_id, coalesce(r.rep_id, d.doc_id) AS group_id
          |      FROM documents d LEFT JOIN reps r ON d.doc_id = r.doc_id),
          |b AS (SELECT doc_id, group_id,
