@@ -330,6 +330,7 @@ object CleanStore {
     val spec = graft.sources.Staging.planSpec(built) +
       s"\nzorder-v2 files=$ZOrderFiles bits=$ZOrderBits ts=micros\n" +
       graft.sources.Staging.sourceStamp(Seq(source))
-    graft.sources.ManifestStore.serve(spark, root, spec)(writeZOrdered(built, _))
+    graft.sources.ManifestStore.serve(spark, root, spec,
+      graft.sources.ManifestStore.IndexReaderGraceMs)(writeZOrdered(built, _))
   }
 }

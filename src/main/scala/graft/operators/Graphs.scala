@@ -67,21 +67,16 @@ object Graphs {
       s"${sys.props("user.dir")}/target/graph_edges/${new java.io.File(sfDir).getName}"
     val sources = Seq("lineitem", "orders", "customer", "supplier", "nation")
       .map(t => new java.io.File(graft.sources.Tables.path(sfDir, t)))
-    graft.sources.Staging.withExclusiveLock(new java.io.File(path).getParentFile) {
-      val marker = new java.io.File(s"$path/_SUCCESS")
-      val specFile = new java.io.File(s"$path/_graft_spec")
-      val spec = graft.sources.Staging.planSpec(nationEdges(spark, sfDir)) +
-        "\n" + graft.sources.Staging.sourceStamp(sources)
-      val fresh = marker.exists() && specFile.exists() &&
-        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
-      if (!fresh) {
-        nationEdges(spark, sfDir).coalesce(1)
-          .write.mode("overwrite").parquet(path)
-        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
-        ()
-      }
-      spark.read.parquet(path)
-    }
+    // pointer-swap snapshots (r16): an edge-list refresh publishes a new
+    // immutable snapshot and swaps — an iterative consumer (PageRank,
+    // triangles) whose loop is mid-flight keeps reading the generation it
+    // started on instead of aborting on deleted files
+    val spec = graft.sources.Staging.planSpec(nationEdges(spark, sfDir)) +
+      "\n" + graft.sources.Staging.sourceStamp(sources)
+    graft.sources.ManifestStore.serve(spark, new java.io.File(path), spec,
+      graft.sources.ManifestStore.IndexReaderGraceMs)(
+      snapPath => nationEdges(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(snapPath))
   }
 
   /** Scaled-integer PageRank over an edge list; returns (v, rank).

@@ -741,8 +741,8 @@ object Params {
     * it composes).
     */
   private[graft] def pl2OracleSql(): String =
-    s"""WITH g AS (${Dedup.oracles("pl1_corpus_gauntlet")}),
-       |ad AS (SELECT d.doc_id, d.text, d.source FROM documents d
+    s"""WITH g AS MATERIALIZED (${Dedup.oracles("pl1_corpus_gauntlet")}),
+       |ad AS MATERIALIZED (SELECT d.doc_id, d.text, d.source FROM documents d
        |       JOIN g USING (doc_id) WHERE g.admitted),
        |${sa13OracleSql(from = "ad").stripPrefix("WITH ")}""".stripMargin
 

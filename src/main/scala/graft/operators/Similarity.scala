@@ -144,26 +144,19 @@ object Similarity {
     */
   def adm(spark: SparkSession, sfDir: String): DataFrame = {
     val dir = admPath(sfDir)
-    graft.sources.Staging.withExclusiveLock(new java.io.File(dir).getParentFile) {
-      val marker = new java.io.File(s"$dir/_SUCCESS")
-      val specFile = new java.io.File(s"$dir/_graft_spec")
-      val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-      lazy val built = admissible(Tables.embeddings(spark, sfDir))
-      val spec = AdmStoreContract + "\n" +
-        graft.sources.Staging.planSpec(built) + "\n" +
-        graft.sources.Staging.sourceStamp(Seq(source))
-      val fresh = marker.exists() && specFile.exists() &&
-        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
-      if (!fresh) {
-        // overwrite deletes the dir (stale spec included) before the new
-        // data lands; the spec is written only after a complete write, so
-        // a crash mid-write leaves a specless dir that restages
-        built.repartition(spark.sparkContext.defaultParallelism)
-          .write.mode("overwrite").parquet(dir)
-        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
-      }
-      spark.read.parquet(dir)
-    }
+    val source = new java.io.File(Tables.path(sfDir, "embeddings"))
+    val built = admissible(Tables.embeddings(spark, sfDir))
+    val spec = AdmStoreContract + "\n" +
+      graft.sources.Staging.planSpec(built) + "\n" +
+      graft.sources.Staging.sourceStamp(Seq(source))
+    // pointer-swap snapshots (r16): the adm store is the READ PATH of the
+    // whole vector family, so a restage racing an in-flight probe scan is
+    // the family's most likely abort — a probe pinned to the previous
+    // snapshot now completes instead (ServeUnderRefreshSpec's index soak)
+    graft.sources.ManifestStore.serve(spark, new java.io.File(dir), spec,
+      graft.sources.ManifestStore.IndexReaderGraceMs)(
+      p => built.repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(p))
   }
 
   /** The admission predicate as a DuckDB view body over the raw table —
@@ -513,30 +506,20 @@ object Similarity {
     val emb = adm(spark, sfDir)
     val path = ivfIndexPath(sfDir, nPlanes, dim, seed)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
-    // check-and-build under the cross-process staging lock (double-checked:
-    // a concurrent builder's finished marker makes the re-check skip the
-    // write) — two JVMs sharing target/ must not interleave here; the
-    // build-logic spec invalidates an index staged under an older bucket
-    // formula even when the embeddings file did not move
-    val corpus = graft.sources.Staging.withExclusiveLock(
-        new java.io.File(path).getParentFile) {
-      val marker = new java.io.File(s"$path/_SUCCESS")
-      val specFile = new java.io.File(s"$path/_graft_spec")
-      // the plane FORMULA version rides along: the canonicalized plan
-      // prints rhp_buckets(...) identically across derivation changes, so
-      // without the stamp a formula change would serve stale cells
-      val spec = graft.sources.Staging.planSpec(
-        ivfIndexFrame(emb, nPlanes, dim, seed)) +
-        "|" + graft.functions.RhpBuckets.FormulaVersion +
-        "\n" + graft.sources.Staging.sourceStamp(Seq(source))
-      val fresh = marker.exists() && specFile.exists() &&
-        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
-      if (!fresh) {
-        buildIvfIndex(emb, path, nPlanes, dim, seed)
-        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
-      }
-      spark.read.parquet(path)
-    }
+    // pointer-swap snapshots (r16, replacing the in-place overwrite +
+    // lock-captured listing): probes racing a rebuild read the previous
+    // immutable snapshot — zero aborts under refresh. The plane FORMULA
+    // version rides in the spec: the canonicalized plan prints
+    // rhp_buckets(...) identically across derivation changes, so without
+    // it a formula change would serve stale cells.
+    val spec = graft.sources.Staging.planSpec(
+      ivfIndexFrame(emb, nPlanes, dim, seed)) +
+      "|" + graft.functions.RhpBuckets.FormulaVersion +
+      "\n" + graft.sources.Staging.sourceStamp(Seq(source))
+    val corpus = graft.sources.ManifestStore.serve(
+      spark, new java.io.File(path), spec,
+      graft.sources.ManifestStore.IndexReaderGraceMs)(
+      snapPath => buildIvfIndex(emb, snapPath, nPlanes, dim, seed))
     val probes = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"),
         explode(call_function("rhp_probes",
@@ -738,47 +721,43 @@ object Similarity {
     val spec = "kmeans-lloyd-v4 adm=finite-1e4-nonzero init=lowest-ids ties=cid means=qfloor-1e12 payload=label" +
       baseSplit.map(s => s" base<$s").getOrElse("") +
       "\n" + graft.sources.Staging.sourceStamp(Seq(source))
-    graft.sources.Staging.withExclusiveLock(
-        new java.io.File(path).getParentFile) {
-      val marker = new java.io.File(s"$path/_marker")
-      val specFile = new java.io.File(s"$path/_graft_spec")
-      val fresh = marker.exists() && specFile.exists() &&
-        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
-      if (!fresh) {
-        import spark.implicits._
-        val centroids = kmeansCentroids(emb, k, iters)
-        centroids.toDF("cid", "cvec")
-          .write.mode("overwrite").parquet(s"$path/centroids")
-        assignCells(
-            emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x")),
-            centroids)
-          // payload attach (one build-time shuffle, never a query-time
-          // one): label rides in the index row so filtered serving is a
-          // map-side predicate on the probe scan (sim19)
-          .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
-          .select(col("vec_id").as("neighbor_id"), col("x").as("c_emb"),
-            col("label"), col("cell"))
-          .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-        // oversized-cell guard: derived k bounds the MEAN cell at
-        // targetCellSize, but a degenerate corpus (all vectors alike) can
-        // still concentrate mass in one cell. Surface it loudly — the
-        // remedy at scale is retraining with a larger k or splitting the
-        // hot cell, both batch jobs over this same entry point. One
-        // centroid-scale aggregate over the just-written index.
-        val maxCell = spark.read.parquet(s"$path/cells")
-          .groupBy(col("cell")).count()
-          .agg(max(col("count"))).head.getLong(0)
-        if (kCells <= 0 && maxCell > 4 * targetCellSize)
-          org.slf4j.LoggerFactory.getLogger(getClass).warn(
-            s"[graft] learned IVF $path: largest cell $maxCell > " +
-              s"4x targetCellSize $targetCellSize — corpus is skewed; " +
-              "retrain with larger k or split the hot cell")
-        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
-        if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
-      }
-    }
-    path
+    // pointer-swap snapshots (r16): the in-place overwrite this replaces
+    // kept ServeUnderRefreshSpec's documented abort window — a probe's
+    // file listing racing a rebuild's delete. Snapshots are immutable and
+    // GC keeps {current, previous}, so probes running through a retrain
+    // never abort (the vector family's retrain-under-traffic posture).
+    graft.sources.ManifestStore.ensureSnapshot(new java.io.File(path), spec,
+        graft.sources.ManifestStore.IndexReaderGraceMs) { snap =>
+      import spark.implicits._
+      val centroids = kmeansCentroids(emb, k, iters)
+      centroids.toDF("cid", "cvec")
+        .write.mode("overwrite").parquet(s"$snap/centroids")
+      assignCells(
+          emb.select(col("vec_id"), col("embedding").cast("array<double>").as("x")),
+          centroids)
+        // payload attach (one build-time shuffle, never a query-time
+        // one): label rides in the index row so filtered serving is a
+        // map-side predicate on the probe scan (sim19)
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("vec_id").as("neighbor_id"), col("x").as("c_emb"),
+          col("label"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$snap/cells")
+      // oversized-cell guard: derived k bounds the MEAN cell at
+      // targetCellSize, but a degenerate corpus (all vectors alike) can
+      // still concentrate mass in one cell. Surface it loudly — the
+      // remedy at scale is retraining with a larger k or splitting the
+      // hot cell, both batch jobs over this same entry point. One
+      // centroid-scale aggregate over the just-written index.
+      val maxCell = spark.read.parquet(s"$snap/cells")
+        .groupBy(col("cell")).count()
+        .agg(max(col("count"))).head.getLong(0)
+      if (kCells <= 0 && maxCell > 4 * targetCellSize)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[graft] learned IVF $snap: largest cell $maxCell > " +
+            s"4x targetCellSize $targetCellSize — corpus is skewed; " +
+            "retrain with larger k or split the hot cell")
+    }.getAbsolutePath
   }
 
   /** Shared probe-and-serve tail over a cell-indexed corpus: nProbe
@@ -1220,10 +1199,20 @@ object Similarity {
     lshBucketLists(emb, nBands, nPlanes, dim)
       .agg(coalesce(max(size(col("ds"))), lit(0))).head.getInt(0).toLong
 
+  /** dd7's bucket cap — ONE source for the engine default AND the
+    * generated oracle literal (the HeadVocabSize pattern): above it a
+    * bucket emits the hub-and-spoke star, and since r16 the oracle text
+    * replicates that semantics instead of assuming every oracle-gated
+    * scale sits under the cap (sf1 does not: ~50k vectors over 16
+    * buckets/band put EVERY typical bucket past 1024, which is also
+    * exactly what made the naive all-pairs oracle quadratic there).
+    */
+  val Dd7MaxBucket = 1024
+
   def embedNearDupsLsh(
       emb: DataFrame, minCosine: Double = 0.4,
       nBands: Int = 24, nPlanes: Int = 4, dim: Int = 64,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = Dd7MaxBucket): DataFrame = {
     // Same linear shape as the dd3/dd4/dd5 candidate generators: bucket
     // posting lists (one shuffle) + map-side pair_combs emission — a
     // banded self-join would compute the signature subtree twice and
@@ -1233,12 +1222,13 @@ object Similarity {
     // than maxBucket — millions of identical vectors all hashing to one
     // (band, bucket) — emits a hub-and-spoke star over its minimum
     // vec_id instead of all B²/2 combinations, so one adversarial bucket
-    // can neither OOM an executor nor emit quadratic candidates. Below
-    // the cap output is identical and the oracle hash is unaffected —
-    // which holds ONLY below the cap (the oracle computes the full
-    // combination set), so SimilaritySpec's cap-headroom gate PROVES
-    // every oracle-gated scale sits under it (max bucket ≈ 200 at
-    // sf0.1); the cluster stays connected through the hub for
+    // can neither OOM an executor nor emit quadratic candidates. Since
+    // r16 the ORACLE text replicates the same cap semantics (star over
+    // min vec_id above Dd7MaxBucket), so the hash gate holds at every
+    // scale — sf1's typical bucket is ~3k and the old below-cap-only
+    // oracle was both wrong there and quadratic (the r15 timeout);
+    // SimilaritySpec's cap-headroom gate remains as the record of which
+    // scales exercise which path; the cluster stays connected through the hub for
     // downstream collapse.
     val pairs = lists
       .select(explode(call_function("pair_combs", col("ds"), lit(maxBucket))).as("p"))
@@ -1331,23 +1321,20 @@ object Similarity {
     val spec = s"pq-codebooks-v2 adm=finite-1e4-nonzero m=$m ks=$ks sub=$sub " +
       "init=lowest-ids ties=cid means=qfloor-1e12\n" +
       graft.sources.Staging.sourceStamp(Seq(source))
-    graft.sources.Staging.withExclusiveLock(new java.io.File(path)) {
-      val marker = new java.io.File(s"$path/_marker")
-      val specFile = new java.io.File(s"$path/_graft_spec")
-      val fresh = marker.exists() && specFile.exists() &&
-        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
-      if (!fresh) {
-        import spark.implicits._
-        val x = adm(spark, sfDir)
-          .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-        trainPqCodebooks(x, m, ks, iters, sub)
-          .toDF("j", "code", "cvec")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
-        if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
-      }
+    // pointer-swap snapshots (r16): retrain publishes a NEW codebook dir
+    // and swaps — a serve loading codebooks mid-retrain reads one intact
+    // generation, never a torn or deleted one
+    val snap = graft.sources.ManifestStore.ensureSnapshot(
+        new java.io.File(path), spec,
+        graft.sources.ManifestStore.IndexReaderGraceMs) { p =>
+      import spark.implicits._
+      val x = adm(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+      trainPqCodebooks(x, m, ks, iters, sub)
+        .toDF("j", "code", "cvec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/codebooks")
     }
-    loadPqCodebooks(spark, s"$path/codebooks", m)
+    loadPqCodebooks(spark, s"$snap/codebooks", m)
   }
 
   /** m independent runs of the portable Lloyd's, one per `sub`-component
@@ -1800,15 +1787,19 @@ object Similarity {
       targetCellSize = targetCellSize)
     val path = ivfPqIndexPath(sfDir, iters, m, ks, pqIters)
     val source = new java.io.File(Tables.path(sfDir, "embeddings"))
+    // coarse=$coarsePath now carries the coarse SNAPSHOT id — a coarse
+    // retrain (new snapshot, new path) invalidates this artifact by spec,
+    // the dependency the old constant-path spec only caught via the stamp
     val spec = s"ivfpq-v2 adm=finite-1e4-nonzero m=$m ks=$ks sub=$sub pqIters=$pqIters " +
       s"coarse=$coarsePath init=lowest-ids ties=cid means=qfloor-1e12\n" +
       graft.sources.Staging.sourceStamp(Seq(source))
-    graft.sources.Staging.withExclusiveLock(new java.io.File(path)) {
-      val marker = new java.io.File(s"$path/_marker")
-      val specFile = new java.io.File(s"$path/_graft_spec")
-      val fresh = marker.exists() && specFile.exists() &&
-        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
-      if (!fresh) {
+    // pointer-swap snapshots (r16): same retrain-under-traffic posture as
+    // the coarse artifact — probes pinned to the previous generation
+    // complete; the swap is atomic
+    val snap = graft.sources.ManifestStore.ensureSnapshot(
+        new java.io.File(path), spec,
+        graft.sources.ManifestStore.IndexReaderGraceMs) { snapPath =>
+      {
         import spark.implicits._
         val centroids = broadcast(spark.read.parquet(s"$coarsePath/centroids")
           .select(col("cid").as("cell"),
@@ -1825,19 +1816,18 @@ object Similarity {
         trainPqCodebooks(resid.select(col("vec_id"), col("x")),
             m, ks, pqIters, sub)
           .toDF("j", "code", "cvec")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-        val cbs = loadPqCodebooks(spark, s"$path/codebooks", m)
+          .coalesce(1).write.mode("overwrite").parquet(s"$snapPath/codebooks")
+        val cbs = loadPqCodebooks(spark, s"$snapPath/codebooks", m)
         resid.select(col("vec_id").as("neighbor_id"), col("cell"),
             array((0 until m).map(j =>
               pqCodeExpr(col("x"), cbs, j, sub)): _*).as("codes"))
           .repartition(col("cell"))
-          .write.mode("overwrite").partitionBy("cell").parquet(s"$path/enc")
+          .write.mode("overwrite").partitionBy("cell").parquet(s"$snapPath/enc")
         resid.unpersist()
-        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
-        if (!marker.exists()) { java.nio.file.Files.createFile(marker.toPath); () }
+        ()
       }
     }
-    (loadPqCodebooks(spark, s"$path/codebooks", m), path)
+    (loadPqCodebooks(spark, s"$snap/codebooks", m), snap.getAbsolutePath)
   }
 
   /** sim10 — IVF + PQ (the FAISS `IVFPQ` index, the configuration that
@@ -2046,7 +2036,7 @@ object Similarity {
   private[graft] def mmrOracleSql(
       nQueries: Int = 10, m: Int = 12, k: Int = 5): String = {
     val steps = (2 to k).map { i =>
-      s"""p$i AS (SELECT c.query_id, c.neighbor_id, c.simq, max(pp.simc) AS pen
+      s"""p$i AS MATERIALIZED (SELECT c.query_id, c.neighbor_id, c.simq, max(pp.simc) AS pen
          |  FROM cand c
          |  JOIN sel${i - 1} s ON s.query_id = c.query_id
          |  JOIN pr pp ON pp.query_id = c.query_id
@@ -2062,19 +2052,19 @@ object Similarity {
          |        ORDER BY $MmrLambda * simq - $MmrOneMinusLambda * pen DESC,
          |          neighbor_id) AS pk
          |    FROM p$i) WHERE pk = 1),
-         |sel$i AS (SELECT query_id, neighbor_id FROM sel${i - 1}
+         |sel$i AS MATERIALIZED (SELECT query_id, neighbor_id FROM sel${i - 1}
          |  UNION ALL SELECT query_id, neighbor_id FROM s$i)""".stripMargin
     }.mkString(",\n")
     val unionAll = (1 to k).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
-       |cs AS (SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv,
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < $nQueries),
+       |cs AS MATERIALIZED (SELECT q.query_id, c.vec_id AS neighbor_id, c.v AS cv,
        |    list_cosine_similarity(c.v, q.qv) AS simq,
        |    row_number() OVER (PARTITION BY q.query_id
        |      ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id) AS rn
        |  FROM e c JOIN q ON c.vec_id <> q.query_id),
-       |cand AS (SELECT query_id, neighbor_id, cv, simq FROM cs WHERE rn <= $m),
-       |pr AS (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+       |cand AS MATERIALIZED (SELECT query_id, neighbor_id, cv, simq FROM cs WHERE rn <= $m),
+       |pr AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
        |    list_cosine_similarity(a.cv, b.cv) AS simc
        |  FROM cand a JOIN cand b
        |    ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id),
@@ -2234,9 +2224,9 @@ object Similarity {
     // pair dedup, exact-cosine verify — the candidate SET hash-matches,
     // not just a recall floor
     "sim2_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |pl AS (${planesSql(24, 4, 64, 42L)}),
-         |bk AS (SELECT e.vec_id, pl.band,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pl AS MATERIALIZED (${planesSql(24, 4, 64, 42L)}),
+         |bk AS MATERIALIZED (SELECT e.vec_id, pl.band,
          |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.w) >= 0
          |             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.band),
@@ -2249,16 +2239,26 @@ object Similarity {
     // dd7's multi-band near-dup pairs: sim2's bucketing at the same
     // parameters, pair dedup, then dd6's unit-vector dot and threshold
     "dd7_embed_neardup_lsh" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |pl AS (${planesSql(24, 4, 64, 42L)}),
-         |bk AS (SELECT e.vec_id, pl.band,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pl AS MATERIALIZED (${planesSql(24, 4, 64, 42L)}),
+         |bk AS MATERIALIZED (SELECT e.vec_id, pl.band,
          |    CAST(sum(CASE WHEN list_dot_product(e.v, pl.w) >= 0
          |             THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
          |  FROM e CROSS JOIN pl GROUP BY e.vec_id, pl.band),
-         |pairs AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |grp AS MATERIALIZED (SELECT band, bucket, count(*) AS n, min(vec_id) AS hub
+         |  FROM bk GROUP BY band, bucket HAVING count(*) > 1),
+         |pairs AS MATERIALIZED (SELECT DISTINCT vec_a, vec_b FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
          |  FROM bk a JOIN bk b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |u AS (SELECT vec_id,
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN grp g ON g.band = a.band AND g.bucket = a.bucket
+         |  WHERE g.n <= $Dd7MaxBucket
+         |  UNION ALL
+         |  SELECT g.hub, b.vec_id
+         |  FROM grp g JOIN bk b
+         |    ON b.band = g.band AND b.bucket = g.bucket AND b.vec_id > g.hub
+         |  WHERE g.n > $Dd7MaxBucket)),
+         |u AS MATERIALIZED (SELECT vec_id,
          |  list_transform(CAST(embedding AS DOUBLE[]),
          |    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
          |                                   CAST(embedding AS DOUBLE[])))) AS unit
@@ -2471,10 +2471,15 @@ object Similarity {
       else
         s"(SELECT greatest($minK, (count(*) + ${targetCellSize - 1}) // " +
           s"$targetCellSize) FROM et)"
+    // every chain CTE is MATERIALIZED: DuckDB re-inlines a CTE per
+    // reference, and each Lloyd level references the previous one twice
+    // (the assignment cross join and the centroid carry-forward), so the
+    // un-materialized chain re-evaluated the whole prefix 2^iters times —
+    // the dominant term of the r15 sf1 oracle timeouts for this family
     val base =
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |et AS (SELECT vec_id, v FROM e $trainWhere),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+      s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |et AS MATERIALIZED (SELECT vec_id, v FROM e $trainWhere),
+         |c0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
          |    v AS c
          |  FROM (SELECT vec_id, v,
          |      row_number() OVER (ORDER BY vec_id) AS krn FROM et)
@@ -2485,7 +2490,7 @@ object Similarity {
     val steps = (1 to (iters + 1)).map { i =>
       val src = if (i > iters) "e" else "et"
       val assign =
-        s"""a$i AS (
+        s"""a$i AS MATERIALIZED (
            |  SELECT vec_id, v, cid AS cell FROM (
            |    SELECT e.vec_id, e.v, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -2495,11 +2500,11 @@ object Similarity {
       if (i > iters) assign
       else
         s"""$assign,
-           |m$i AS (
+           |m$i AS MATERIALIZED (
            |  SELECT cell, p, count(*) AS n,
            |    sum(CAST(${qr("v[p]")} AS HUGEINT)) AS s
            |  FROM a$i, range(1, ${dim + 1}) t(p) GROUP BY cell, p),
-           |c$i AS (
+           |c$i AS MATERIALIZED (
            |  SELECT pc.cid, coalesce(nc.c, pc.c) AS c
            |  FROM c${i - 1} pc LEFT JOIN (
            |    SELECT cell, list(comp ORDER BY p) AS c FROM (

@@ -54,44 +54,62 @@ object BucketStore {
   def tableName(sfDir: String, table: String, key: String): String =
     s"graft_${sfKey(sfDir)}_${table}_by_$key"
 
-  /** Serve the bucketed table, building or re-registering only as needed:
-    * full (re)build on first use or when the source/bucket-spec changed;
-    * catalog re-registration (no data movement) when the files are fresh
-    * but this session's in-memory catalog hasn't seen them.
+  /** Serve the bucketed table from a pointer-swap SNAPSHOT (r16,
+    * replacing the in-place delete-and-rewrite that kept the documented
+    * refresh-abort window): a re-stage builds a NEW immutable
+    * `snap=<id>` directory and swaps the manifest pointer, so a
+    * co-located join scanning the previous generation completes against
+    * intact files. Bucket metadata lives in the catalog, not in parquet,
+    * and a catalog table pins ONE location — so each snapshot gets its
+    * own table name (`…_s<id>`): registration is idempotent per
+    * snapshot, readers holding the previous generation's table keep a
+    * valid catalog entry until its snapshot ages out of the
+    * {current, previous} horizon, and a stale-table query past that
+    * fails LOUD on missing files, never torn. The build writes through a
+    * transient `…_build` name (bucketBy requires saveAsTable) dropped
+    * immediately — external tables keep their files.
     */
   private def ensure(
       spark: SparkSession, sfDir: String, table: String, key: String): DataFrame = {
     val dir = dataDir(sfDir, table)
     val name = tableName(sfDir, table, key)
-    Staging.withExclusiveLock(new File(dir).getParentFile) {
-      val marker = new File(s"$dir/_SUCCESS")
-      val source = new File(Tables.path(sfDir, table))
-      val specFile = new File(s"$dir/_graft_spec")
-      val src = Tables(spark, sfDir, table)
-      val spec = s"buckets=$NumBuckets key=$key\n" + Staging.planSpec(src) +
-        "\n" + Staging.sourceStamp(Seq(source))
-      val fresh = marker.exists() && specFile.exists() &&
-        new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
-      if (!fresh) {
-        spark.sql(s"DROP TABLE IF EXISTS $name")
-        Staging.deleteRecursively(new File(dir))
-        src.repartition(NumBuckets, col(key))
-          .write.format("parquet")
-          .bucketBy(NumBuckets, key)
-          .sortBy(key)
-          .option("path", dir)
-          .mode("overwrite")
-          .saveAsTable(name)
-        java.nio.file.Files.write(specFile.toPath, spec.getBytes)
-      } else if (!spark.catalog.tableExists(name)) {
+    val source = new File(Tables.path(sfDir, table))
+    val src = Tables(spark, sfDir, table)
+    val spec = s"buckets=$NumBuckets key=$key\n" + Staging.planSpec(src) +
+      "\n" + Staging.sourceStamp(Seq(source))
+    val snap = ManifestStore.ensureSnapshot(new File(dir), spec,
+        ManifestStore.IndexReaderGraceMs) { snapPath =>
+      val buildName = s"${name}_build"
+      spark.sql(s"DROP TABLE IF EXISTS $buildName")
+      src.repartition(NumBuckets, col(key))
+        .write.format("parquet")
+        .bucketBy(NumBuckets, key)
+        .sortBy(key)
+        .option("path", snapPath)
+        .mode("overwrite")
+        .saveAsTable(buildName)
+      spark.sql(s"DROP TABLE IF EXISTS $buildName") // external: files stay
+      ()
+    }
+    val snapName = s"${name}_s${snap.getName.stripPrefix("snap=")}"
+    // catalog registration is session-local — serialize same-process
+    // callers; cross-process needs none (each session registers its own)
+    this.synchronized {
+      if (!spark.catalog.tableExists(snapName))
         spark.sql(
-          s"""CREATE TABLE $name (${src.schema.toDDL})
+          s"""CREATE TABLE $snapName (${src.schema.toDDL})
              |USING PARQUET
              |CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
-             |LOCATION '$dir'""".stripMargin)
-      }
-      spark.table(name)
+             |LOCATION '${snap.getAbsolutePath}'""".stripMargin)
+      else
+        // ids are never reused (ManifestStore claims pre-sweep), so an
+        // existing entry always names THIS snapshot's location — but its
+        // cached file listing may predate a concurrent publisher in
+        // another session having GC'd and re-listed; refresh is
+        // metadata-only and keeps the serve loud-proof
+        spark.sql(s"REFRESH TABLE $snapName")
     }
+    spark.table(snapName)
   }
 
   def lineitemByOrderkey(spark: SparkSession, sfDir: String): DataFrame =

@@ -39,6 +39,58 @@ object Compaction {
   final case class Report(
       partitionsCompacted: Int, filesBefore: Int, filesAfter: Int)
 
+  /** Layout statistics of a partitioned table dir — the metadata-scale
+    * health signal the maintenance POLICY reads (one directory listing,
+    * never a data scan; at 100 TB this is a catalog/manifest query). The
+    * skew component (`maxFilesPerPartition`) matters independently of
+    * the total: one hot date/cell fragmenting 100× slows every scan that
+    * prunes TO it even when the table-wide mean looks healthy — the same
+    * tail argument as sim17's cell-imbalance monitor.
+    */
+  final case class Layout(
+      partitions: Int, dataFiles: Int, maxFilesPerPartition: Int)
+
+  def layout(tableDir: String): Layout = {
+    val parts = partitionDirs(new File(tableDir))
+    val counts = parts.map(p =>
+      Option(p.listFiles).getOrElse(Array.empty).count(isDataFile))
+    Layout(parts.length, counts.sum, if (counts.isEmpty) 0 else counts.max)
+  }
+
+  /** Policy threshold: a partition holding this many data files is due.
+    * Each incremental refresh / upsert / micro-batch leaves ~1 extra file
+    * per touched partition, so the threshold is "how many refreshes may
+    * accumulate before the sweep" — small here so the spec drill trips
+    * it in a handful of installments; production tunes it to the refresh
+    * cadence (e.g. 24 hourly upserts → nightly sweep).
+    */
+  val DueFilesPerPartition = 3
+
+  /** The maintenance DECISION — r16, closing the "sim8 compacts on
+    * demand; nothing decides when" gap: compaction is due when any
+    * partition's fragment count reaches the threshold. Pure function of
+    * [[layout]] so the spec drill and any scheduler read the same rule.
+    */
+  def compactionDue(l: Layout,
+      maxFilesPerPartition: Int = DueFilesPerPartition): Boolean =
+    l.maxFilesPerPartition >= maxFilesPerPartition
+
+  /** One maintenance TICK: measure → decide → (maybe) compact — the loop
+    * body a nightly maintenance job runs per staged table (the sim20
+    * pattern: the monitor's alarm drives its own remedy). Returns the
+    * observed layout and the compaction report when the policy fired;
+    * a healthy table costs exactly one directory listing.
+    */
+  def maintenanceTick(
+      spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L << 20,
+      maxFilesPerPartition: Int = DueFilesPerPartition): (Layout, Option[Report]) = {
+    val l = layout(tableDir)
+    if (compactionDue(l, maxFilesPerPartition))
+      (l, Some(compact(spark, tableDir, targetBytes, minFiles = 2)))
+    else (l, None)
+  }
+
   private def isDataFile(f: File): Boolean =
     f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
 

@@ -46,9 +46,23 @@ object ManifestStore {
   /** Snapshots retained after a publish: the current one plus the
     * previous (the in-flight-reader horizon). At 100 TB this becomes a
     * time- or reader-lease-based horizon; the two-slot rule is its
-    * minimal local twin.
+    * minimal local twin — and `graceMs` below IS the time-based half,
+    * for stores whose readers outlive a publish cycle.
     */
   val KeepSnapshots = 2
+
+  /** Reader grace for the INDEX artifacts (adm/IVF/PQ/buckets/z-store):
+    * their probes run retrain-length queries, so a burst of publishes
+    * can lap the two-slot horizon while a probe is still scanning
+    * generation N (caught by the r16 index soak: adm snap=3 was GC'd
+    * under a live sim5 probe two publishes later). A snapshot beyond the
+    * keep-2 window is deleted only once it has been SUPERSEDED for at
+    * least this long — the supersession instant is recorded in a
+    * `.superseded_<id>` tombstone at the publish that outdated it
+    * (crash-safe: a missing tombstone is re-stamped at the next publish,
+    * which can only DELAY deletion, never cause an early one).
+    */
+  val IndexReaderGraceMs: Long = 10 * 60 * 1000L
 
   private def manifestFile(root: File) = new File(root, "_manifest")
 
@@ -71,30 +85,40 @@ object ManifestStore {
       .flatMap(d => scala.util.Try(d.getName.stripPrefix("snap=").toLong).toOption)
       .toSeq.sorted
 
-  /** Serve the store under `spec`, publishing a new snapshot only when
-    * the pointer is missing or its spec differs. `write(path)` must
-    * materialize the full snapshot at `path` (it runs only on publish).
-    * The returned frame's file listing is pinned to an immutable
-    * snapshot directory — concurrent publishes cannot disturb it.
+  /** Resolve (publishing if needed) the snapshot directory for `spec` —
+    * the pointer/publish/GC core shared by [[serve]] (plain parquet
+    * stores) and the artifact stagings whose read path is not a flat
+    * parquet dir (bucketed catalog tables, multi-subdir index artifacts:
+    * centroids/cells, codebooks/enc). `write(path)` must materialize the
+    * FULL snapshot at `path` (it runs only on publish). The returned
+    * directory is immutable — concurrent publishes cannot disturb a
+    * reader pinned to it (GC keeps {current, previous}).
     */
-  def serve(spark: SparkSession, root: File, spec: String)
-      (write: String => Unit): DataFrame = {
+  def ensureSnapshot(root: File, spec: String,
+      graceMs: Long = 0L)(write: String => Unit): File = {
     // lock-free fast path: a valid pointer with the right spec serves
     // immediately (the whole point — readers don't serialize on writers)
     val fast = currentPointer(root)
-    val dir = fast match {
+    fast match {
       case Some((id, s)) if s == spec => snapDir(root, id)
       case _ =>
         Staging.withExclusiveLock(root) {
           currentPointer(root) match {
             case Some((id, s)) if s == spec => snapDir(root, id) // lost race, winner built
             case stale =>
+              // the new id is claimed from the PRE-sweep state (max of
+              // everything on disk or pointed), so a generation number is
+              // NEVER reused even when a lost pointer forces a total
+              // sweep — id reuse would let a consumer keyed on the id
+              // (BucketStore's per-snapshot catalog tables) collide a
+              // fresh generation with a stale cached one (caught in r16:
+              // the rebuilt snap=1 served a dead file listing)
+              val pointed = stale.map(_._1)
+              val id = (snapIds(root) ++ pointed).maxOption.getOrElse(0L) + 1
               // sweep orphans: snapshots newer than the pointer are the
               // debris of publishers killed before their swap
-              val pointed = stale.map(_._1)
-              snapIds(root).filter(id => pointed.forall(_ < id))
-                .foreach(id => Staging.deleteRecursively(snapDir(root, id)))
-              val id = snapIds(root).lastOption.getOrElse(0L) + 1
+              snapIds(root).filter(i => pointed.forall(_ < i))
+                .foreach(i => Staging.deleteRecursively(snapDir(root, i)))
               val dest = snapDir(root, id)
               write(dest.getAbsolutePath)
               // atomic pointer swap: old or new, never torn
@@ -102,15 +126,41 @@ object ManifestStore {
               Files.write(tmp.toPath, s"$id\t$spec".getBytes)
               Files.move(tmp.toPath, manifestFile(root).toPath,
                 StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-              // GC: keep {current, previous}; everything older is past
-              // the reader horizon
+              // tombstone every snapshot this publish superseded — the
+              // supersession instant anchors the time-based horizon
+              val now = System.currentTimeMillis()
+              snapIds(root).filter(_ != id).foreach { old =>
+                val t = new File(root, s".superseded_$old")
+                if (!t.exists()) Files.write(t.toPath, now.toString.getBytes)
+              }
+              // GC: keep {current, previous}; anything older is past the
+              // slot horizon AND (for grace-bearing stores) must have
+              // been superseded for at least graceMs — an in-flight
+              // reader pinned generations back keeps intact files
               val keep = snapIds(root).takeRight(KeepSnapshots).toSet
-              snapIds(root).filterNot(keep)
-                .foreach(old => Staging.deleteRecursively(snapDir(root, old)))
+              snapIds(root).filterNot(keep).foreach { old =>
+                val t = new File(root, s".superseded_$old")
+                val supersededAt =
+                  if (t.exists())
+                    scala.util.Try(new String(Files.readAllBytes(t.toPath)).trim.toLong)
+                      .getOrElse(now)
+                  else now
+                if (now - supersededAt >= graceMs) {
+                  Staging.deleteRecursively(snapDir(root, old))
+                  t.delete(); ()
+                }
+              }
               dest
           }
         }
     }
-    spark.read.parquet(dir.getAbsolutePath)
   }
+
+  /** Serve the store under `spec` as a parquet read of the resolved
+    * snapshot — see [[ensureSnapshot]] for the pointer semantics.
+    */
+  def serve(spark: SparkSession, root: File, spec: String,
+      graceMs: Long = 0L)(write: String => Unit): DataFrame =
+    spark.read.parquet(
+      ensureSnapshot(root, spec, graceMs)(write).getAbsolutePath)
 }

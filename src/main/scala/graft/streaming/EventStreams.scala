@@ -96,17 +96,22 @@ object EventStreams {
       .orderBy(col("class"))
   }
 
-  def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+  def eventStream(spark: SparkSession, sfDir: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     val raw = Tables.eventsRaw(spark, sfDir) // asserts the nanos conf, raw schema
     val p = Tables.path(sfDir, "events")
     // The streaming file source wants a directory or a glob. At scale the
     // events table IS a directory; the driver's testdata is a single file —
     // glob the last character so the source resolves it as a pattern.
+    // `sourceOptions` lets the restart drill bound admission
+    // (maxFilesPerTrigger) so a backlog splits into interruptible
+    // micro-batches; registry queries pass none.
     val streamPath =
       if (new java.io.File(p).isFile) s"${p.dropRight(1)}[${p.last}]" else p
     validEventTime(Tables.normalizeTs(
       spark.readStream
         .schema(raw.schema)
+        .options(sourceOptions)
         .parquet(streamPath)))
   }
 
@@ -294,17 +299,21 @@ object EventStreams {
     * watermark + delay could re-emit — the documented within-watermark
     * contract of the operator).
     */
-  def st5StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val deduped = eventStream(spark, sfDir)
+  /** st5's transform over an arbitrary validated event stream — shared
+    * by the registry query and the restart drill (one body, two sources).
+    */
+  private[graft] def st5Frame(events: DataFrame): DataFrame =
+    events
       .withWatermark("ts", "1 hour")
       .select(col("user_id"), col("event_type"),
         date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hour_start"),
         col("ts"))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "hour_start")
       .select(col("user_id"), col("event_type"), col("hour_start"))
-    runToParquet(deduped, "st5_sink")
+
+  def st5StreamDedup(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquet(st5Frame(eventStream(spark, sfDir)), "st5_sink")
       .orderBy(col("user_id"), col("event_type"), col("hour_start"))
-  }
 
   /** The attribution horizon shared by the batch twin, the streaming
     * variant and the DuckDB oracle — one source of truth.
@@ -351,25 +360,29 @@ object EventStreams {
     * snapshots per micro-batch), not data volume — on a long-running real
     * stream that setup cost amortizes to nothing.
     */
-  def st6StreamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+  /** st6's transform over an arbitrary validated event stream — shared
+    * by the registry query and the restart drill.
+    */
+  private[graft] def st6Frame(s: DataFrame): DataFrame = {
     val horizon = AttributionHorizonMinutes
-    val s = eventStream(spark, sfDir)
     val v = s.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
     val p = s.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", "1 hour")
-    val joined = v.join(p,
+    v.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("view_ts") &&
           col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon MINUTES"))
       .select(col("user_id"),
         col("view_ts").cast("timestamp_ntz").as("view_ts"),
         col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
-    runToParquet(joined, "st6_sink")
-      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
+
+  def st6StreamAttribution(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquet(st6Frame(eventStream(spark, sfDir)), "st6_sink")
+      .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
 
   /** st10 — LEFT-OUTER stream-stream interval join: st6's attribution
     * pairs PLUS one null-extended row per view that never converted
@@ -617,10 +630,15 @@ object EventStreams {
     * source and the partition layout keeps dashboard F1 pruning working
     * on data seconds old.
     */
+  /** st8's transform (stateless date-stamping) — shared by the registry
+    * query and the restart drill.
+    */
+  private[graft] def st8Frame(events: DataFrame): DataFrame =
+    events.withColumn("event_date", to_date(col("ts")))
+
   def st8StreamIngest(
       spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
-    val ingested = eventStream(spark, sfDir)
-      .withColumn("event_date", to_date(col("ts")))
+    val ingested = st8Frame(eventStream(spark, sfDir))
     val result =
       runToParquet(ingested, "st8_sink", partitionCols = Seq("event_date"))
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),

@@ -3,13 +3,30 @@ package graft
 import java.io.File
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.sources.{BucketStore, Tables}
+import graft.sources.{BucketStore, ManifestStore, Tables}
 
-/** The bucketed staging's lifecycle: build once, re-register (not rebuild)
-  * when a fresh session's in-memory catalog hasn't seen existing files,
-  * rebuild when the staging is stale.
+/** The bucketed staging's lifecycle under the r16 pointer-swap manifest:
+  * build once into an immutable `snap=<id>` dir, re-register (not
+  * rebuild) when a fresh session's in-memory catalog hasn't seen the
+  * pointed snapshot, republish a NEW snapshot when the staging is stale
+  * — a reader pinned to the previous generation completes against
+  * intact files instead of hitting the in-place store's abort window.
   */
 class BucketStoreSpec extends AnyFunSuite with SparkFixture {
+
+  private def root(table: String) = new File(BucketStore.dataDir(sf001, table))
+
+  private def snapDir(table: String): File = {
+    val r = root(table)
+    ManifestStore.currentPointer(r)
+      .map(p => ManifestStore.snapDir(r, p._1))
+      .getOrElse(fail(s"no manifest pointer under $r"))
+  }
+
+  private def snapTable(table: String, key: String): String = {
+    val id = snapDir(table).getName.stripPrefix("snap=")
+    s"${BucketStore.tableName(sf001, table, key)}_s$id"
+  }
 
   private def dataFiles(dir: File): Map[String, Long] =
     Option(dir.listFiles).getOrElse(Array.empty)
@@ -21,12 +38,12 @@ class BucketStoreSpec extends AnyFunSuite with SparkFixture {
     val first = BucketStore.lineitemByOrderkey(spark, sf001)
     val expected = Tables.lineitem(spark, sf001).count()
     assert(first.count() === expected)
-    val dir = new File(BucketStore.dataDir(sf001, "lineitem"))
+    val dir = snapDir("lineitem")
     val before = dataFiles(dir)
     assert(before.nonEmpty, "staging produced no bucket files")
-    // a new JVM's in-memory catalog is empty — model it by dropping the table
-    spark.sql(
-      s"DROP TABLE IF EXISTS ${BucketStore.tableName(sf001, "lineitem", "l_orderkey")}")
+    // a new JVM's in-memory catalog is empty — model it by dropping the
+    // snapshot's registered table
+    spark.sql(s"DROP TABLE IF EXISTS ${snapTable("lineitem", "l_orderkey")}")
     val again = BucketStore.lineitemByOrderkey(spark, sf001)
     assert(again.count() === expected)
     assert(dataFiles(dir) === before,
@@ -36,7 +53,7 @@ class BucketStoreSpec extends AnyFunSuite with SparkFixture {
   test("the registered table is bucketed (8 buckets on the join key)") {
     BucketStore.ordersByOrderkey(spark, sf001)
     val desc = spark.sql(
-      s"DESCRIBE EXTENDED ${BucketStore.tableName(sf001, "orders", "o_orderkey")}")
+      s"DESCRIBE EXTENDED ${snapTable("orders", "o_orderkey")}")
       .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
     assert(desc.contains("Num Buckets=8"), s"table not bucketed:\n$desc")
     assert(desc.contains("o_orderkey"), s"bucket key missing:\n$desc")
@@ -44,52 +61,48 @@ class BucketStoreSpec extends AnyFunSuite with SparkFixture {
 
   test("one file per bucket — the repartition aligns with the bucket hash") {
     BucketStore.lineitemByOrderkey(spark, sf001)
-    val dir = new File(BucketStore.dataDir(sf001, "lineitem"))
-    assert(dataFiles(dir).size === BucketStore.NumBuckets,
+    assert(dataFiles(snapDir("lineitem")).size === BucketStore.NumBuckets,
       s"expected exactly ${BucketStore.NumBuckets} bucket files")
   }
 
-  test("a changed source stamp forces a rebuild") {
+  test("a changed source stamp republishes a NEW snapshot; the previous generation's files survive the horizon") {
     BucketStore.ordersByOrderkey(spark, sf001)
-    val dir = new File(BucketStore.dataDir(sf001, "orders"))
-    val before = dataFiles(dir)
+    val r = root("orders")
+    val (genBefore, spec) = ManifestStore.currentPointer(r).get
+    val beforeDir = ManifestStore.snapDir(r, genBefore)
+    val before = dataFiles(beforeDir)
     // the source parquet is read-only here, so simulate its rewrite by
-    // perturbing the (mtime, length) tuple recorded in the spec — the
-    // exact comparison a real source change flips (marker mtimes no
-    // longer participate: a same-second rewrite would not move them)
-    val specFile = new File(dir, "_graft_spec")
-    val spec = new String(java.nio.file.Files.readAllBytes(specFile.toPath))
-    java.nio.file.Files.write(specFile.toPath,
-      spec.replaceFirst("src\\[", "src[stale-").getBytes)
+    // perturbing the (mtime, length) tuple recorded in the pointer's
+    // spec — the exact comparison a real source change flips
+    java.nio.file.Files.write(new File(r, "_manifest").toPath,
+      s"$genBefore\t${spec.replaceFirst("src\\[", "src[stale-")}".getBytes)
     val again = BucketStore.ordersByOrderkey(spark, sf001)
     assert(again.count() === Tables.orders(spark, sf001).count())
-    val after = dataFiles(dir)
-    assert(after.nonEmpty)
-    // a rebuild writes fresh files (new names or newer mtimes)
-    assert(after !== before, "stale staging was not rebuilt")
+    val genAfter = ManifestStore.currentPointer(r).get._1
+    assert(genAfter > genBefore, "stale staging was not republished")
+    // pointer-swap contract: the superseded generation is still on disk
+    // (the {current, previous} reader horizon) and byte-untouched
+    assert(dataFiles(beforeDir) === before,
+      "republish disturbed the previous generation's files")
   }
 
-  test("a torn first build (crash before marker/spec) is repaired by the next builder") {
+  test("a torn first build (crash before the pointer swap) is repaired by the next builder") {
     BucketStore.ordersByOrderkey(spark, sf001)
-    val dir = new File(BucketStore.dataDir(sf001, "orders"))
-    // simulate a builder killed mid-write: data files partially present
-    // (one real bucket deleted, a torn temp file left behind), and the
-    // completion evidence (_SUCCESS marker, _graft_spec) never written
-    val victim = Option(dir.listFiles).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("part-")).minBy(_.getName)
-    assert(victim.delete(), "could not remove a bucket file")
-    java.nio.file.Files.write(new File(dir, "part-99999-torn.snappy.parquet.tmp").toPath,
+    val r = root("orders")
+    // simulate a builder killed mid-write: a half-written orphan snapshot
+    // (torn temp debris) and the pointer never swapped
+    val orphan = new File(r, "snap=99")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      new File(orphan, "part-99999-torn.snappy.parquet.tmp").toPath,
       Array.fill[Byte](64)(0x42))
-    assert(new File(dir, "_SUCCESS").delete())
-    assert(new File(dir, "_graft_spec").delete())
-    // next serve must detect the torn state (no marker/spec), rebuild from
-    // the source, and serve the full table — never the partial files
+    assert(new File(r, "_manifest").delete())
+    // next serve must sweep the orphan, rebuild from the source, and
+    // publish a proven snapshot — never serve the partial files
     val served = BucketStore.ordersByOrderkey(spark, sf001)
     assert(served.count() === Tables.orders(spark, sf001).count())
-    assert(new File(dir, "_SUCCESS").exists() && new File(dir, "_graft_spec").exists())
-    assert(!new File(dir, "part-99999-torn.snappy.parquet.tmp").exists(),
-      "torn temp file survived the repair rebuild")
-    assert(dataFiles(dir).size === BucketStore.NumBuckets,
+    assert(!orphan.exists(), "torn orphan snapshot survived the repair")
+    assert(dataFiles(snapDir("orders")).size === BucketStore.NumBuckets,
       "repair did not restore one file per bucket")
   }
 }

@@ -101,4 +101,48 @@ class CompactionSpec extends AnyFunSuite with SparkFixture {
       .readServing(spark, dir.getAbsolutePath).collect().map(_.toString).toSeq
     assert(servedAfter === servedBefore)
   }
+
+  test("compaction POLICY loop: installments fragment a cell segment until the threshold trips; the tick compacts; serve hash unchanged, layout restored") {
+    // The r15 residual: sim8 compacts on demand, nothing decided WHEN.
+    // The loop under drill: streaming installments append ~1 file per
+    // touched cell per micro-batch; Compaction.layout is the metadata-
+    // scale monitor, compactionDue the decision, maintenanceTick the
+    // remedy — the sim20 pattern (the monitor drives its own fix).
+    import spark.implicits._
+    val dir = freshDir("policy")
+    def serveHash(): Seq[String] =
+      spark.read.parquet(dir.getAbsolutePath)
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        .collect().map(_.toString).sorted.toSeq
+    // ingest installments: each append writes one file into each of 2 cells
+    var tripped = -1
+    var preTripHash: Seq[String] = null
+    (1 to Compaction.DueFilesPerPartition).foreach { i =>
+      (1 to 50).map(j => (j % 2, i.toLong * 1000 + j, j * 0.5))
+        .toDF("cell", "k", "v")
+        .repartition(1)
+        .write.mode("append").partitionBy("cell").parquet(dir.getAbsolutePath)
+      val l = Compaction.layout(dir.getAbsolutePath)
+      assert(l.maxFilesPerPartition === i, s"installment $i: $l")
+      if (Compaction.compactionDue(l) && tripped < 0) {
+        tripped = i
+        preTripHash = serveHash()
+      } else if (tripped < 0)
+        assert(!Compaction.compactionDue(l),
+          s"policy fired early at installment $i: $l")
+    }
+    assert(tripped === Compaction.DueFilesPerPartition,
+      "the policy must trip exactly at the documented threshold")
+    // the tick runs the remedy
+    val (lDue, report) = Compaction.maintenanceTick(spark, dir.getAbsolutePath)
+    assert(report.isDefined, s"tick must compact when due: $lDue")
+    assert(serveHash() === preTripHash,
+      "compaction changed the served content")
+    val after = Compaction.layout(dir.getAbsolutePath)
+    assert(after.maxFilesPerPartition === 1 && after.dataFiles === 2,
+      s"layout not restored to one file per cell: $after")
+    // a healthy table's next tick is a no-op listing
+    val (lOk, none) = Compaction.maintenanceTick(spark, dir.getAbsolutePath)
+    assert(none.isEmpty && !Compaction.compactionDue(lOk))
+  }
 }

@@ -25,12 +25,15 @@ import graft.sources.{BucketStore, Tables}
   *    part files + `_temporary` and NO _SUCCESS (Spark commits the
   *    marker last); later kills leave data with a missing suffix of the
   *    marker files.
-  *  - BucketStore.ensure: [drop+delete] → [data+_SUCCESS via
-  *    saveAsTable] → [_graft_spec].
-  *  - Similarity.ensureLearnedIvf: [centroids/] → [cells/] →
-  *    [_graft_spec] → [_marker].
-  *  - Similarity.ensurePqCodebooks: [codebooks/] → [_graft_spec] →
-  *    [_marker].
+  *  - BucketStore / Similarity.ensureLearnedIvf /
+  *    Similarity.ensurePqCodebooks (r16: pointer-swap ManifestStore):
+  *    [snap=<id> fully written] → [ATOMIC_MOVE pointer swap] → [GC].
+  *    A kill mid-write leaves an UNPOINTED orphan snapshot — readers
+  *    never see it (the pointer still names the previous generation) and
+  *    the next publisher sweeps it; a kill during the swap is impossible
+  *    by ATOMIC_MOVE; a kill after the swap leaves extra snapshots the
+  *    next publish GCs. A garbage pointer (disk corruption, not a crash)
+  *    must rebuild loud.
   *
   * NOT in scope: a state with ALL completion markers intact but torn
   * data — no single kill can produce it (markers are written strictly
@@ -139,103 +142,114 @@ class CrashRecoverySpec extends AnyFunSuite with SparkFixture {
 
   // ------------------------------------------------------- BucketStore
 
-  test("BucketStore: killed after the bucketed write but before the spec ⇒ next builder rebuilds") {
-    // complements BucketStoreSpec's torn-first-build (no _SUCCESS at
-    // all): here the saveAsTable job COMMITTED (data + _SUCCESS) and the
-    // kill landed in the window before _graft_spec — without the spec
-    // there is no proof of which logic/bucket layout wrote the files,
-    // so the next builder must rebuild, not trust them
+  test("BucketStore: a publisher killed before the pointer swap ⇒ orphan swept, rebuilt, swapped") {
+    // r16 manifest model: the bucketed write COMMITTED its snapshot dir
+    // but the kill landed before the ATOMIC_MOVE of the pointer — the
+    // snapshot is an orphan nothing references. The next builder must
+    // sweep it and publish a proven generation; a garbage pointer must
+    // likewise rebuild rather than serve unproven files.
     BucketStore.ordersByOrderkey(spark, sf001)
-    val dir = new File(BucketStore.dataDir(sf001, "orders"))
-    assert(new File(dir, "_SUCCESS").exists())
-    val sigBefore = dataSig(dir)
-    assert(new File(dir, "_graft_spec").delete())
+    val root = new File(BucketStore.dataDir(sf001, "orders"))
+    val ptr = new File(root, "_manifest")
+    assert(ptr.exists())
+    val pointed = graft.sources.ManifestStore.currentPointer(root).get._1
+    // kill window: pointer gone, committed snapshot left as an orphan
+    assert(ptr.delete())
     val served = BucketStore.ordersByOrderkey(spark, sf001)
     assert(served.count() === Tables.orders(spark, sf001).count())
-    assert(new File(dir, "_graft_spec").exists(), "spec not rewritten")
-    assert(dataSig(dir) !== sigBefore,
-      "unproven bucket files were served without a rebuild")
-    assert(dataSig(dir).size === BucketStore.NumBuckets)
+    val repub = graft.sources.ManifestStore.currentPointer(root)
+      .getOrElse(fail("no pointer republished"))
+    assert(repub._1 > pointed, "orphan generation must not be re-pointed")
+    assert(!graft.sources.ManifestStore.snapDir(root, pointed).exists(),
+      "orphan snapshot not swept")
+    val snap = graft.sources.ManifestStore.snapDir(root, repub._1)
+    assert(dataSig(snap).size === BucketStore.NumBuckets)
+    // garbage pointer = no pointer: rebuild, never serve unproven bytes
+    java.nio.file.Files.write(ptr.toPath, "not a pointer".getBytes)
+    assert(BucketStore.ordersByOrderkey(spark, sf001).count() ===
+      Tables.orders(spark, sf001).count())
+    assert(graft.sources.ManifestStore.currentPointer(root).exists(_._1 > repub._1))
   }
 
   // ----------------------------------------------------- learned IVF
 
   test("learned IVF index: kill windows rebuild; an intact artifact is reused byte-stable") {
     // unique (k, iters) ⇒ a private artifact path, no interference with
-    // the registry's derived-k index
+    // the registry's derived-k index. r16 manifest model: the only kill
+    // windows are orphan-snapshot (publisher died mid-write, before the
+    // pointer swap — even a half-written centroids-without-cells snapshot
+    // is INVISIBLE to readers because nothing points at it) and a torn/
+    // garbage pointer, which the ATOMIC_MOVE makes impossible to produce
+    // by crash but must still rebuild loud if disk corruption fakes one.
     val kCells = 2
-    val path = new File(Similarity.learnedIvfPath(sf001, kCells, 1))
-    rm(path) // start from the never-built state
+    val root = new File(Similarity.learnedIvfPath(sf001, kCells, 1))
+    rm(root) // start from the never-built state
     try {
-      Similarity.ensureLearnedIvf(spark, sf001, kCells, 1)
-      val centroids = new File(path, "centroids")
-      val cells = new File(path, "cells")
       val admN = Similarity.adm(spark, sf001).count()
-      def assertWhole(label: String): Unit = {
-        val c = spark.read.parquet(centroids.getAbsolutePath)
+      def assertWhole(path: String, label: String): Unit = {
+        val c = spark.read.parquet(s"$path/centroids")
         assert(c.count() === kCells.toLong, s"$label: centroid count")
-        val idx = spark.read.parquet(cells.getAbsolutePath)
+        val idx = spark.read.parquet(s"$path/cells")
         assert(idx.count() === admN, s"$label: index must hold every admitted vector")
-        assert(new File(path, "_marker").exists() &&
-          new File(path, "_graft_spec").exists(), s"$label: markers missing")
       }
-      assertWhole("fresh build")
+      val snap1 = Similarity.ensureLearnedIvf(spark, sf001, kCells, 1)
+      assertWhole(snap1, "fresh build")
 
-      // kill state A — centroids written, cells never started (no
-      // spec/marker): rebuild both
-      rm(cells)
-      new File(path, "_marker").delete()
-      new File(path, "_graft_spec").delete()
-      Similarity.ensureLearnedIvf(spark, sf001, kCells, 1)
-      assertWhole("A: centroids-without-cells kill")
+      // kill state A — a publisher died mid-write: centroids written,
+      // cells never started, pointer never swapped. Readers keep serving
+      // the pointed generation; the next publish sweeps the orphan.
+      val orphan = new File(root, "snap=99")
+      new File(orphan, "centroids").mkdirs() // half-written debris, no cells
+      java.nio.file.Files.write(
+        new File(orphan, "centroids/part-junk.parquet").toPath, "torn".getBytes)
+      val servedPath = Similarity.ensureLearnedIvf(spark, sf001, kCells, 1)
+      assert(servedPath === snap1, "A: intact pointed generation must serve as-is")
+      assertWhole(servedPath, "A: orphan beside a valid pointer")
 
-      // kill state B — spec written, marker missing (the last write
-      // window): marker is the completion bit, so REBUILD — a spec
-      // without its marker proves nothing about the data beside it
-      val sigA = dataSig(path)
-      assert(new File(path, "_marker").delete())
-      Similarity.ensureLearnedIvf(spark, sf001, kCells, 1)
-      assertWhole("B: spec-before-marker kill")
-      assert(dataSig(path) !== sigA, "B: unproven index served without rebuild")
+      // kill state B — garbage pointer: no proof of any generation ⇒
+      // sweep everything unpointed, rebuild, swap a fresh pointer
+      java.nio.file.Files.write(
+        new File(root, "_manifest").toPath, "garbage".getBytes)
+      val snap2 = Similarity.ensureLearnedIvf(spark, sf001, kCells, 1)
+      assertWhole(snap2, "B: garbage-pointer rebuild")
+      assert(!orphan.exists(), "B: orphan snapshot not swept")
 
       // intact artifact — serve must NOT rewrite anything
-      val sigB = dataSig(path)
-      Similarity.ensureLearnedIvf(spark, sf001, kCells, 1)
-      assert(dataSig(path) === sigB, "intact index was rebuilt")
-    } finally rm(path)
+      val sigB = dataSig(root)
+      val snap3 = Similarity.ensureLearnedIvf(spark, sf001, kCells, 1)
+      assert(snap3 === snap2 && dataSig(root) === sigB, "intact index was rebuilt")
+    } finally rm(root)
   }
 
   // ---------------------------------------------------- PQ codebooks
 
   test("PQ codebooks: kill windows rebuild to the SAME codebooks; intact artifact reused") {
-    // unique (m, ks, iters) ⇒ private artifact path
+    // unique (m, ks, iters) ⇒ private artifact path. r16 manifest model:
+    // a publisher killed before the swap leaves an unpointed orphan; a
+    // lost/garbage pointer proves nothing about any snapshot ⇒ rebuild.
+    // Training is deterministic (init=lowest-ids, ties=cid, quantized
+    // means), so every recovery must land on the IDENTICAL codebooks —
+    // the strongest possible recovery statement for a train-class artifact.
     val (m, ks, iters, dim) = (2, 4, 1, 64)
-    val path = new File(Similarity.pqCodebookPath(sf001, m, ks, iters))
-    rm(path)
+    val root = new File(Similarity.pqCodebookPath(sf001, m, ks, iters))
+    rm(root)
     try {
       val ref = Similarity.ensurePqCodebooks(spark, sf001, m, ks, iters, dim)
       assert(ref.length === m && ref.forall(_.nonEmpty))
+      val gen1 = graft.sources.ManifestStore.currentPointer(root).get._1
 
-      // kill state A — codebooks written, spec never written
-      assert(new File(path, "_graft_spec").delete())
-      new File(path, "_marker").delete()
+      // kill window — pointer lost (publisher died before any swap could
+      // be observed): rebuild, republish, identical codebooks
+      assert(new File(root, "_manifest").delete())
       val afterA = Similarity.ensurePqCodebooks(spark, sf001, m, ks, iters, dim)
-      // training is deterministic (init=lowest-ids, ties=cid, quantized
-      // means), so recovery must land on the IDENTICAL codebooks — the
-      // strongest possible recovery statement for a `train`-class artifact
       assert(afterA === ref, "A: retrained codebooks diverged from pre-crash")
-
-      // kill state B — spec written, marker missing
-      val sigA = dataSig(path)
-      assert(new File(path, "_marker").delete())
-      val afterB = Similarity.ensurePqCodebooks(spark, sf001, m, ks, iters, dim)
-      assert(afterB === ref, "B: retrained codebooks diverged")
-      assert(dataSig(path) !== sigA, "B: unproven codebooks served without rebuild")
+      val gen2 = graft.sources.ManifestStore.currentPointer(root).get._1
+      assert(gen2 > gen1, "A: recovery must publish a NEW proven generation")
 
       // intact — reuse without rewrite
-      val sigB = dataSig(path)
+      val sigB = dataSig(root)
       val again = Similarity.ensurePqCodebooks(spark, sf001, m, ks, iters, dim)
-      assert(again === ref && dataSig(path) === sigB, "intact codebooks were rebuilt")
-    } finally rm(path)
+      assert(again === ref && dataSig(root) === sigB, "intact codebooks were rebuilt")
+    } finally rm(root)
   }
 }

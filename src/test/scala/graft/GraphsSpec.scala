@@ -53,13 +53,14 @@ class GraphsSpec extends AnyFunSuite with SparkFixture {
 
   test("edgesArtifact builds once, serves the same edges, and is reused when fresh") {
     val a = Graphs.edgesArtifact(spark, sf001)
-    val marker = new java.io.File(
-      s"target/graph_edges/${new java.io.File(sf001).getName}/_SUCCESS")
-    assert(marker.exists())
-    val built = marker.lastModified()
-    // second call: fresh artifact ⇒ served from disk, no rebuild
+    val root = new java.io.File(
+      s"target/graph_edges/${new java.io.File(sf001).getName}")
+    val gen = graft.sources.ManifestStore.currentPointer(root)
+      .getOrElse(fail("no manifest pointer after build"))._1
+    // second call: fresh artifact ⇒ served from the pointed snapshot, no republish
     val b = Graphs.edgesArtifact(spark, sf001)
-    assert(marker.lastModified() === built, "fresh artifact was rebuilt")
+    assert(graft.sources.ManifestStore.currentPointer(root).map(_._1) ===
+      Some(gen), "fresh artifact was republished")
     val direct = Graphs.nationEdges(spark, sf001).collect()
       .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
     assert(a.collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq === direct)

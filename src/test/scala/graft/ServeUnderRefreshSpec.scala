@@ -156,4 +156,131 @@ class ServeUnderRefreshSpec extends AnyFunSuite with SparkFixture {
       info(s"soak outcomes: ${outcomes.groupBy(identity).view.mapValues(_.length).toMap}")
     } finally { rm(tmpSf); rm(stageDir) }
   }
+
+  test("index-artifact probes under forced republish — ZERO aborts (r16 pointer-swap contract for adm/IVF/PQ/buckets)") {
+    // The r15 residual this test retires: BucketStore, the learned-IVF /
+    // PQ index artifacts and the adm store rewrote in place, so a probe's
+    // in-flight scan racing a rebuild could abort loudly. All of them now
+    // publish immutable snapshots behind a manifest pointer — a probe
+    // pinned to the previous generation COMPLETES. Unlike the pf3 soak
+    // above (in-place store, aborts legal-but-loud), the assertion here
+    // is zero aborts.
+    import graft.operators.Similarity
+    import graft.sources.{BucketStore, Tables}
+    val tmpSf = Files.createTempDirectory("graft_idx_soak").toFile
+    val sfName = tmpSf.getName
+    val stageRoots = Seq("adm", "ivf", "pq", "buckets")
+      .map(a => new File(s"${sys.props("user.dir")}/target/$a/$sfName"))
+    try {
+      // testdata tables are single parquet FILES — copy file to file
+      Files.copy(new File(Tables.path(sf001, "orders")).toPath,
+        new File(tmpSf, "orders.parquet").toPath)
+      val embSrc = new File(tmpSf, "embeddings.parquet")
+      val v1 = new File(tmpSf, "emb_v1"); val v2 = new File(tmpSf, "emb_v2")
+      val base = spark.read.parquet(Tables.path(sf001, "embeddings"))
+      base.coalesce(1).write.parquet(v1.getAbsolutePath)
+      def installEmb(from: File, tick: Long): Unit = {
+        val tmp = new File(tmpSf, s"embswap_$tick"); tmp.mkdirs()
+        Option(from.listFiles).getOrElse(Array.empty).foreach(c =>
+          Files.copy(c.toPath, new File(tmp, c.getName).toPath))
+        rm(embSrc)
+        assert(tmp.renameTo(embSrc), "embeddings swap failed")
+        Option(embSrc.listFiles).getOrElse(Array.empty)
+          .foreach(f => f.setLastModified(1700000000000L + tick * 1000))
+        embSrc.setLastModified(1700000000000L + tick * 1000); ()
+      }
+      installEmb(v1, 0)
+
+      // the probe set the verdict names: sim4 (indexed IVF), sim5
+      // (learned IVF), sim9 (PQ), and the bucketed-read substrate of q30
+      val probes: Map[String, () => String] = Map(
+        "sim4" -> (() => Similarity.ivfAnnIndexed(spark.newSession(), tmpSf.getAbsolutePath)
+          .collect().map(_.toString).mkString("|")),
+        "sim5" -> (() => Similarity.ivfAnnLearned(spark.newSession(), tmpSf.getAbsolutePath)
+          .collect().map(_.toString).mkString("|")),
+        "sim9" -> (() => Similarity.pqTopk(spark.newSession(), tmpSf.getAbsolutePath)
+          .collect().map(_.toString).mkString("|")),
+        "q30b" -> (() => BucketStore.ordersByOrderkey(spark.newSession(), tmpSf.getAbsolutePath)
+          .groupBy(col("o_orderstatus")).count()
+          .collect().sortBy(_.getString(0)).map(_.toString).mkString("|")))
+
+      // the two legal result sets per probe, established serially. v2
+      // drops the vector sim4's FIRST v1 hit returns, so the flip
+      // provably changes probe output (dropping an arbitrary id changed
+      // nothing on the first cut of this soak — it was in no top-5)
+      val legalV1 = probes.map { case (k, f) => k -> f() }
+      val droppedId = legalV1("sim4").split("\\|").head
+        .stripPrefix("[").split(",")(1).toLong
+      base.filter(col("vec_id") =!= droppedId).coalesce(1)
+        .write.parquet(v2.getAbsolutePath)
+      installEmb(v2, 1)
+      val legalV2 = probes.map { case (k, f) => k -> f() }
+      assert(legalV1("sim4") !== legalV2("sim4"),
+        "source flip must change probe output or the soak proves nothing")
+
+      val stop = new AtomicBoolean(false)
+      val torn = new ConcurrentLinkedQueue[String]()
+      val aborts = new ConcurrentLinkedQueue[String]()
+      val sourceRace = new ConcurrentLinkedQueue[String]()
+      val hardErrs = new ConcurrentLinkedQueue[Throwable]()
+      val seen = new ConcurrentLinkedQueue[String]()
+      def missingFileMsg(t: Throwable): Option[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).collectFirst {
+          case c if c.isInstanceOf[java.io.FileNotFoundException] ||
+            Option(c.getMessage).exists(m =>
+              m.contains("FILE_NOT_EXIST") || m.contains("PATH_NOT_FOUND")) =>
+            Option(c.getMessage).getOrElse("missing file")
+        }
+      val readers = probes.toSeq.map { case (name, f) =>
+        new Thread(() => {
+          while (!stop.get()) {
+            try {
+              val got = f()
+              if (got == legalV1(name)) { seen.add(s"$name:v1"); () }
+              else if (got == legalV2(name)) { seen.add(s"$name:v2"); () }
+              else { torn.add(s"$name -> $got"); () }
+            } catch {
+              case t: Throwable =>
+                missingFileMsg(t) match {
+                  // the raw SOURCE under tmpSf is swapped by this
+                  // harness via rm+rename — a rebuild scanning the old
+                  // source mid-swap is a fixture artifact (a real corpus
+                  // restage is append-only or itself pointer-swapped),
+                  // NOT the serving layer under test. Only a missing
+                  // file inside a target/ snapshot indicts the contract.
+                  case Some(m) if m.contains(tmpSf.getName) =>
+                    sourceRace.add(s"$name: $m"); ()
+                  case Some(m) => aborts.add(s"$name: $m"); ()
+                  case None => hardErrs.add(t); ()
+                }
+            }
+          }
+        })
+      }
+      readers.foreach(_.start())
+      try {
+        (2 to 4).foreach { i =>
+          installEmb(if (i % 2 == 0) v1 else v2, i.toLong)
+          // drive one republish promptly (readers would too; this bounds
+          // the soak's wall time) — any probe suffices, they share adm
+          Similarity.ivfAnnIndexed(spark.newSession(), tmpSf.getAbsolutePath).collect()
+          Thread.sleep(200)
+        }
+      } finally {
+        stop.set(true)
+        readers.foreach(_.join(180000))
+      }
+      assert(hardErrs.isEmpty,
+        s"probe failed hard: ${Option(hardErrs.peek()).map(_.toString)}")
+      assert(aborts.isEmpty,
+        s"pointer-swap contract violated — probe ABORTED under republish: ${aborts.toArray.mkString("; ")}")
+      assert(torn.isEmpty,
+        s"TORN probe result(s): ${torn.toArray.take(2).mkString("; ")}")
+      val outcomes = seen.toArray(Array.empty[String])
+      assert(outcomes.length >= 8,
+        s"soak too thin: ${outcomes.groupBy(identity).view.mapValues(_.length).toMap}")
+      info(s"index soak outcomes: ${outcomes.groupBy(identity).view.mapValues(_.length).toMap}" +
+        s" sourceRaces=${sourceRace.size}")
+    } finally { rm(tmpSf); stageRoots.foreach(rm) }
+  }
 }

@@ -8,6 +8,16 @@ import graft.sources.Tables
 /** The recall claim sim2 makes (rows-only in the driver harness). */
 class SimilaritySpec extends AnyFunSuite with SparkFixture {
 
+  /** Resolve the current manifest snapshot of a pointer-swap artifact
+    * root (r16: the index artifacts publish immutable snap= dirs).
+    */
+  private def snapOf(root: String): String = {
+    val r = new java.io.File(root)
+    graft.sources.ManifestStore.currentPointer(r)
+      .map(pt => graft.sources.ManifestStore.snapDir(r, pt._1).getAbsolutePath)
+      .getOrElse(fail(s"no manifest pointer at $root"))
+  }
+
   test("sim2 LSH ANN: recall >= 0.9 of sim1's exact top-5, and cosines are exact") {
     val emb = Tables.embeddings(spark, sf001)
     val exact = Similarity.topkExact(emb).collect()
@@ -282,7 +292,7 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val rows = Similarity.ivfAnnLearned(spark, sf001, targetCellSize = 20)
       .collect()
     val centroids = spark.read.parquet(
-      s"${Similarity.learnedIvfPath(sf001, k, 5)}/centroids")
+      s"${snapOf(Similarity.learnedIvfPath(sf001, k, 5))}/centroids")
     assert(centroids.count() === k.toLong,
       s"artifact must hold the derived $k centroids")
     val again = Similarity.ivfAnnLearned(spark, sf001, targetCellSize = 20)
@@ -366,7 +376,7 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
     // the artifact holds m × ks codebook rows with codes in [0, ks)
     val cb = spark.read.parquet(
-      s"${Similarity.pqCodebookPath(sf001, 4, 16, 3)}/codebooks")
+      s"${snapOf(Similarity.pqCodebookPath(sf001, 4, 16, 3))}/codebooks")
     assert(cb.count() === 4L * 16)
     import org.apache.spark.sql.functions.{col, max, min}
     val codeRange = cb.agg(min(col("code")), max(col("code"))).head
@@ -398,7 +408,7 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     // indexed vector, m codes each, every code in [0, ks)
     import org.apache.spark.sql.functions.{col, explode, max, min}
     val enc = spark.read.parquet(
-      s"${Similarity.ivfPqIndexPath(sf001, 5, 4, 16, 3)}/enc")
+      s"${snapOf(Similarity.ivfPqIndexPath(sf001, 5, 4, 16, 3))}/enc")
     assert(enc.count() === emb.count())
     assert(!enc.columns.contains("c_emb"),
       "IVFPQ index must not carry full-precision vectors")
@@ -598,20 +608,22 @@ class SimilaritySpec extends AnyFunSuite with SparkFixture {
     val hygiene = Similarity.vecHygiene(
       graft.sources.Tables.embeddings(spark, sf001)).queryExecution.optimizedPlan.toString
     assert(hygiene.toLowerCase.contains("isnan"))
-    // 4. staleness: a poisoned spec forces a restage (CONTENT equality
-    //    re-proven), a fresh spec serves without rewriting
-    val specFile = new java.io.File(
-      s"${sys.props("user.dir")}/target/adm/sf0.001/embeddings/_graft_spec")
-    assert(specFile.exists())
-    val goodSpec = new String(java.nio.file.Files.readAllBytes(specFile.toPath))
-    java.nio.file.Files.write(specFile.toPath, "stale".getBytes)
+    // 4. staleness (r16 manifest model): a poisoned pointer spec forces a
+    //    REPUBLISH (new snapshot, content equality re-proven), a fresh
+    //    pointer serves without republishing
+    val admRoot = new java.io.File(
+      s"${sys.props("user.dir")}/target/adm/sf0.001/embeddings")
+    val (gen0, goodSpec) = graft.sources.ManifestStore.currentPointer(admRoot)
+      .getOrElse(fail("no adm manifest pointer"))
+    java.nio.file.Files.write(new java.io.File(admRoot, "_manifest").toPath,
+      s"$gen0\tstale".getBytes)
     val restaged = Similarity.adm(spark, sf001)
-    assert(new String(java.nio.file.Files.readAllBytes(specFile.toPath)) === goodSpec,
-      "poisoned spec must trigger a restage that rewrites the spec")
+    val (gen1, spec1) = graft.sources.ManifestStore.currentPointer(admRoot).get
+    assert(gen1 > gen0 && spec1 === goodSpec,
+      "poisoned pointer must trigger a republish under the true spec")
     assert(restaged.count() === inline.count())
-    val mtime = specFile.lastModified()
-    Similarity.adm(spark, sf001) // fresh ⇒ serve, no rewrite
-    assert(specFile.lastModified() === mtime)
+    Similarity.adm(spark, sf001) // fresh ⇒ serve, no republish
+    assert(graft.sources.ManifestStore.currentPointer(admRoot).get._1 === gen1)
   }
 
   // ---------------------------------------------------- index-health drift

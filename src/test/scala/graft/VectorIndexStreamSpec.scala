@@ -64,12 +64,15 @@ class VectorIndexStreamSpec extends AnyFunSuite with SparkFixture {
       .select(col("neighbor_id")).collect().map(_.getLong(0))
     assert(baseIds.length.toLong === split)
     assert(baseIds.forall(_ < split))
-    val spec = new String(java.nio.file.Files.readAllBytes(
-      new java.io.File(s"$path/_graft_spec").toPath))
+    // r16: the spec lives in the manifest pointer line of the artifact
+    // ROOT (the returned path is the immutable snapshot under it)
+    val root = new java.io.File(Similarity.learnedIvfPath(sf001, 16, 5, Some(split)))
+    val spec = graft.sources.ManifestStore.currentPointer(root)
+      .map(_._2).getOrElse(fail("no manifest pointer"))
     assert(spec.contains(s"base<$split"))
-    // and the FULL-corpus artifact (sim5/dd16's) is a different path —
+    // and the FULL-corpus artifact (sim5/dd16's) is a different root —
     // the two never clobber each other
-    assert(path !== Similarity.learnedIvfPath(sf001, 16, 5))
+    assert(root.getAbsolutePath !== Similarity.learnedIvfPath(sf001, 16, 5))
   }
 
   test("sim8: compacted segment is a build-once locked artifact — repeat serve is read-only, one file per cell, bit-identical to sim7") {
@@ -157,12 +160,12 @@ class VectorIndexStreamSpec extends AnyFunSuite with SparkFixture {
   }
 
   test("dd16 reuses sim5's learned-IVF artifact (one clustering serves ANN and dedup)") {
-    val path = Similarity.learnedIvfPath(sf001, 16, 5)
+    val root = new java.io.File(Similarity.learnedIvfPath(sf001, 16, 5))
     Similarity.semanticDedup(spark, sf001).collect()
-    val stampBefore = new java.io.File(s"$path/_graft_spec").lastModified()
-    // sim5's serve must find the artifact fresh and NOT rebuild it
+    val genBefore = graft.sources.ManifestStore.currentPointer(root).map(_._1)
+    // sim5's serve must find the artifact fresh and NOT republish it
     Similarity.ivfAnnLearned(spark, sf001).collect()
-    val stampAfter = new java.io.File(s"$path/_graft_spec").lastModified()
-    assert(stampBefore === stampAfter)
+    val genAfter = graft.sources.ManifestStore.currentPointer(root).map(_._1)
+    assert(genBefore.isDefined && genBefore === genAfter)
   }
 }
