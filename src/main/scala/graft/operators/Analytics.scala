@@ -1245,7 +1245,13 @@ object Analytics {
     val w = Window.orderBy(col("week"))
     weekly
       .withColumn("prev_n", lag(col("n_events"), 1).over(w))
-      .select(col("week"), col("n_events"),
+      // timestamp_ntz per the verify protocol — q52 was the ONE query
+      // dumping a tz-aware timestamp (every other timestamp output casts
+      // ntz), masked until r16 because INT96 dumps read back naive; the
+      // TIMESTAMP_MICROS writer surfaces the session zone and the
+      // driver's string compare sees "+00:00" where the oracle's
+      // date_trunc('week') is a DATE
+      .select(col("week").cast("timestamp_ntz").as("week"), col("n_events"),
         r6(col("tv").cast("double")).as("total_value"),
         col("prev_n"),
         (col("n_events") - col("prev_n")).as("delta_n"),
