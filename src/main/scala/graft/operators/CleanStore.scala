@@ -279,8 +279,21 @@ object CleanStore {
     */
   def zLayoutKey(uMin: Long, uMax: Long, hMin: Long, hMax: Long): Column = {
     val buckets = 1L << ZOrderBits
-    val xE = s"((user_id - $uMin) * $buckets) div ${uMax - uMin + 1}"
-    val yE = s"(((unix_micros(ts) div 3600000000) - $hMin) * $buckets) div ${hMax - hMin + 1}"
+    // DECIMAL(38,0) normalization, not raw long: the adversarial-events
+    // replay (r16) overflowed the first cut three ways at once on a
+    // corpus carrying user_id ∈ {negative, Long.MaxValue} — `user_id -
+    // uMin` and `Δ * buckets` threw ARITHMETIC_OVERFLOW under ANSI, and
+    // the Scala-side `uMax - uMin + 1` divisor wrapped SILENTLY to a
+    // negative literal. A layout key must be TOTAL over the column's
+    // whole domain (ingest garbage reaches the publish-time analyze
+    // pass before any screen can be retuned); decimal(38,0) holds
+    // 2^64·2^bits with 16 digits to spare, the BigInt range literals
+    // parse as exact decimals, and the cost lands only on the
+    // once-per-publish layout write, never a serve path.
+    val uRange = (BigInt(uMax) - BigInt(uMin) + 1).toString
+    val hRange = (BigInt(hMax) - BigInt(hMin) + 1).toString
+    val xE = s"((cast(user_id as decimal(38,0)) - ($uMin)) * $buckets) div $uRange"
+    val yE = s"((cast(unix_micros(ts) div 3600000000 as decimal(38,0)) - ($hMin)) * $buckets) div $hRange"
     expr(s"zorder_key($xE, $yE, $ZOrderBits)")
   }
 
@@ -308,6 +321,14 @@ object CleanStore {
       min(col("user_id")), max(col("user_id")),
       min(expr("unix_micros(ts) div 3600000000")),
       max(expr("unix_micros(ts) div 3600000000"))).head()
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // Empty build (or all-null layout dims): no bounds to normalize
+      // against — publish the rows as-is rather than divide by a
+      // degenerate range. The snapshot stays valid and a later non-empty
+      // republish lays out normally.
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val zkey = zLayoutKey(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     df.repartitionByRange(ZOrderFiles, zkey)
       .sortWithinPartitions(zkey)
@@ -328,7 +349,7 @@ object CleanStore {
     val source = new java.io.File(Tables.path(sfDir, "events"))
     val built = cleanEvents(spark, sfDir)
     val spec = graft.sources.Staging.planSpec(built) +
-      s"\nzorder-v2 files=$ZOrderFiles bits=$ZOrderBits ts=micros\n" +
+      s"\nzorder-v3 files=$ZOrderFiles bits=$ZOrderBits ts=micros norm=decimal\n" +
       graft.sources.Staging.sourceStamp(Seq(source))
     graft.sources.ManifestStore.serve(spark, root, spec,
       graft.sources.ManifestStore.IndexReaderGraceMs)(writeZOrdered(built, _))

@@ -200,6 +200,53 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"z-scan read $zRead of $total rows — stats skipping not engaged")
   }
 
+  test("pf5: the z-layout key is TOTAL over the full long domain (r16 adversarial-events regression)") {
+    // The r16 adversarial-events replay overflowed the first layout-key
+    // cut three ways on user_id ∈ {negative, Long.MaxValue}: the ANSI
+    // subtract/multiply threw, and the Scala-side range divisor wrapped
+    // silently negative. The publish-time analyze pass sees ingest
+    // garbage BEFORE any screen can be retuned, so the key must be
+    // total: every (user_id, ts) in the physical domain maps to a
+    // bucket, no exception, bucket in range.
+    import org.apache.spark.sql.functions.{col, expr}
+    val rows = for {
+      u <- Seq(Long.MinValue, -1L, 0L, 42L, Long.MaxValue)
+      us <- Seq(-1L, 0L, 9214646400000000L /* 2262, the int64-ns ceiling */)
+    } yield (u, us)
+    import spark.implicits._
+    val df = rows.toDF("user_id", "us")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"))
+    // direct key-domain check against the same bounds writeZOrdered derives
+    val b = df.agg(
+      org.apache.spark.sql.functions.min(col("user_id")),
+      org.apache.spark.sql.functions.max(col("user_id")),
+      org.apache.spark.sql.functions.min(expr("unix_micros(ts) div 3600000000")),
+      org.apache.spark.sql.functions.max(expr("unix_micros(ts) div 3600000000"))).head()
+    val keys = df.select(CleanStore.zLayoutKey(
+        b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3)).as("z"))
+      .collect().map(_.getLong(0))
+    val maxKey = (1L << (2 * CleanStore.ZOrderBits)) - 1
+    assert(keys.length === rows.length)
+    assert(keys.forall(k => k >= 0 && k <= maxKey),
+      s"layout key escaped [0, $maxKey]: ${keys.mkString(",")}")
+    // extremes land at opposite ends of the normalized grid, so the
+    // decimal bucketing is a real normalization, not a constant
+    assert(keys.distinct.length > 1, "all extremes collapsed to one key")
+    // and the full write path round-trips the content unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft_ztotal").toFile
+    try {
+      CleanStore.writeZOrdered(df, dir.getAbsolutePath)
+      val back = spark.read.parquet(dir.getAbsolutePath)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(back === rows.toSet)
+      // empty build: the guard publishes an empty store instead of
+      // dividing by a degenerate range
+      CleanStore.writeZOrdered(df.filter(col("user_id").isNull), dir.getAbsolutePath)
+      assert(spark.read.parquet(dir.getAbsolutePath).count() === 0L)
+    } finally graft.sources.Staging.deleteRecursively(dir)
+  }
+
   test("sim4: probes the persisted cell index via broadcast with dynamic partition pruning") {
     val df = Similarity.ivfAnnIndexed(spark, sf001)
     df.collect() // finalize the AQE plan
