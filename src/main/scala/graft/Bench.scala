@@ -42,7 +42,13 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * exchange) diffs loudly between rounds even when timings are noisy.
   * `tools/benchdiff.py` compares two records.
   *
-  * FINGERPRINT SCHEME 7 (fp_scheme in the record; 7 fixes the scheme-6
+  * FINGERPRINT SCHEME 8 (fp_scheme in the record; 8 scrubs ManifestStore
+  * snapshot counters — `snap=<n>` — from artifact paths: the counter is
+  * run-history state (a fresh checkout builds snap=1 where an
+  * incremented store reads snap=2), so any store republish flipped
+  * every snapshot-served query's fingerprint with zero plan change —
+  * caught in r16 when pf5's layout-version bump republished the z-store;
+  * 7 fixes the scheme-6
   * scrub's blind spot found by the r15 advisor: the scheme-6 regex tail
   * `[^\]]*\]` required a closing `]`, but a width-TRUNCATED Location
   * value — the exact case the scrub targeted — has none, so the match
@@ -204,6 +210,17 @@ object Bench {
       // r15 advisor's blind-gate finding. (scheme 7)
       .replaceAll("InMemoryFileIndex\\((\\d+) paths?\\)\\[([^\\],]*)[^\\]]*?(?:\\.\\.\\.|\\])",
         "InMemoryFileIndex($1 paths)[$2]")
+      // ManifestStore snapshot counters inside artifact paths
+      // ("…/events/snap=2"): the counter is RUN-HISTORY state — a fresh
+      // checkout builds snap=1 where an incremented store reads snap=2,
+      // same code, same plan shape. r16's pf5 layout-version bump
+      // republished the store and flipped pf5's fingerprint with zero
+      // plan change, exposing the class: any republish (new source
+      // data, spec bump) would churn every snapshot-served query's
+      // fingerprint and bury real plan diffs. The path HEAD (which
+      // store) stays in the text; only the generation number goes.
+      // (scheme 8)
+      .replaceAll("snap=\\d+", "snap=<n>")
       // Whole-stage-codegen stage ids ("*(3) HashAggregate"): numbering
       // is assigned when a subtree is PREPARED, and independent subtrees
       // (scalar subqueries, broadcast sides) prepare concurrently — the
@@ -371,7 +388,7 @@ object Bench {
     // capturer's tail window (round 7's official record lost every
     // per-query number that way); this file is the committable history.
     val recJson =
-      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":7,"env":$envJson,""" +
+      s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":8,"env":$envJson,""" +
         s""""n_failed":${results.size - ok.size},""" +
         s""""total_warm":$warmTotal,"total_cold":$coldTotal,""" +
         s""""errors":$errs,"queries":{""" +
