@@ -297,6 +297,55 @@ object CleanStore {
     expr(s"zorder_key($xE, $yE, $ZOrderBits)")
   }
 
+  /** EQUIDEPTH layout key — the skew-robust successor to the min-max
+    * [[zLayoutKey]] (kept above as the uniform-domain reference and the
+    * overflow-regression pin). The adversarial-events corpus exposed the
+    * min-max form's remaining 100 TB hazard AFTER the overflow fix: one
+    * sentinel outlier (a Long.MaxValue user_id) stretches the range so
+    * far that every REAL user lands in bucket 0 — total, no error, and
+    * the layout silently degenerates back to the plain time sort the
+    * normalization exists to prevent (zero user skipping). Rank
+    * normalization is immune by construction: bucket = how many of the
+    * 2^bits−1 QUANTILE boundaries the value exceeds, so each bucket
+    * holds ~1/2^bits of the DATA regardless of domain shape — exactly
+    * the sa6 equidepth move, applied to layout. Boundaries come from one
+    * publish-time approxQuantile pass (Greenwald–Khanna sketch, bounded
+    * memory at any scale); the per-row bucket is a 255-comparison
+    * `size(filter(...))` over a broadcast-literal array — publish-cost
+    * only, never a serve path. Total over the full domain: doubles
+    * compare with NULL/NaN-free finite boundaries, NULL input yields
+    * NULL key (sorted first), and a constant column yields one bucket.
+    */
+  private[graft] def rankBucketSql(valueSql: String, bounds: Array[Double]): String = {
+    val arr = bounds.map(b => s"${b}D").mkString("array(", ", ", ")")
+    // NULL must stay NULL (the zorder_key contract sorts the null group
+    // apart) — a bare filter() drops elements on a NULL lambda result,
+    // which would silently rank NULL as bucket 0 and collide it with
+    // tile 0.
+    s"case when ($valueSql) is null then cast(null as bigint) else " +
+      s"cast(least(size(filter($arr, b -> b <= cast(($valueSql) as double))), " +
+      s"${(1L << ZOrderBits) - 1}) as bigint) end"
+  }
+
+  def zLayoutKeyEquidepth(uBounds: Array[Double], hBounds: Array[Double]): Column =
+    expr(s"zorder_key(${rankBucketSql("user_id", uBounds)}, " +
+      s"${rankBucketSql("unix_micros(ts) div 3600000000", hBounds)}, $ZOrderBits)")
+
+  /** The publish-time analyze pass: 2^bits−1 interior quantile
+    * boundaries per layout dimension, one approxQuantile over both
+    * columns (relative error 1e-3 — boundary slack moves rows between
+    * ADJACENT buckets, which costs layout balance, never correctness;
+    * the key is derived state, recomputed fresh each publish).
+    */
+  private[graft] def layoutBounds(df: DataFrame): (Array[Double], Array[Double]) = {
+    val probs = (1 until (1 << ZOrderBits)).map(_.toDouble / (1 << ZOrderBits)).toArray
+    val q = df.select(
+        col("user_id").cast("double").as("u"),
+        expr("unix_micros(ts) div 3600000000").cast("double").as("h"))
+      .stat.approxQuantile(Array("u", "h"), probs, 0.001)
+    (q(0), q(1))
+  }
+
   /** OPTIMIZE ZORDER BY, materialized: lay the clean events out in
     * Morton order — `repartitionByRange(zkey)` makes each file an
     * interval of the z-curve, `sortWithinPartitions(zkey)` makes every
@@ -311,25 +360,21 @@ object CleanStore {
     * computed in flight and not persisted — it is derivable, and the
     * store's schema stays the clean events schema.
     *
-    * The bounds aggregate is the "analyze" half of OPTIMIZE: one
-    * metadata-scale pass at publish time (4 scalars), then the layout
+    * The [[layoutBounds]] quantile sketch is the "analyze" half of
+    * OPTIMIZE: one bounded-memory pass at publish time, then the layout
     * write. Bounds are derived state — a source change republishes via
     * the stamp and recomputes them.
     */
   def writeZOrdered(df: DataFrame, path: String): Unit = {
-    val b = df.agg(
-      min(col("user_id")), max(col("user_id")),
-      min(expr("unix_micros(ts) div 3600000000")),
-      max(expr("unix_micros(ts) div 3600000000"))).head()
-    if (b.isNullAt(0) || b.isNullAt(2)) {
-      // Empty build (or all-null layout dims): no bounds to normalize
-      // against — publish the rows as-is rather than divide by a
-      // degenerate range. The snapshot stays valid and a later non-empty
-      // republish lays out normally.
+    val (uB, hB) = layoutBounds(df)
+    if (uB.isEmpty || hB.isEmpty) {
+      // Empty build (or all-null layout dims): no boundaries to rank
+      // against — publish the rows as-is. The snapshot stays valid and a
+      // later non-empty republish lays out normally.
       df.write.mode("overwrite").parquet(path)
       return
     }
-    val zkey = zLayoutKey(b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val zkey = zLayoutKeyEquidepth(uB, hB)
     df.repartitionByRange(ZOrderFiles, zkey)
       .sortWithinPartitions(zkey)
       .write.mode("overwrite").parquet(path)
@@ -349,7 +394,7 @@ object CleanStore {
     val source = new java.io.File(Tables.path(sfDir, "events"))
     val built = cleanEvents(spark, sfDir)
     val spec = graft.sources.Staging.planSpec(built) +
-      s"\nzorder-v3 files=$ZOrderFiles bits=$ZOrderBits ts=micros norm=decimal\n" +
+      s"\nzorder-v4 files=$ZOrderFiles bits=$ZOrderBits ts=micros norm=equidepth\n" +
       graft.sources.Staging.sourceStamp(Seq(source))
     graft.sources.ManifestStore.serve(spark, root, spec,
       graft.sources.ManifestStore.IndexReaderGraceMs)(writeZOrdered(built, _))

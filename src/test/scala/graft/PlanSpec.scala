@@ -247,6 +247,48 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     } finally graft.sources.Staging.deleteRecursively(dir)
   }
 
+  test("pf5: equidepth layout normalization survives outlier skew where min-max collapses") {
+    // AFTER the overflow fix, min-max normalization kept one 100 TB
+    // hazard: a single sentinel outlier (Long.MaxValue user_id)
+    // stretches the range so far that every REAL user ranks into bucket
+    // 0 — total, no error, and the z-layout silently degenerates to a
+    // plain time sort (zero user skipping). Equidepth buckets by data
+    // rank, so the outlier costs one bucket, not the whole grid.
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val rows = (0 until 990).map(i =>
+      ((i % 99).toLong, 1704067200000000L + (i % 240) * 3600000000L)) :+
+      ((Long.MaxValue, 1704067200000000L))
+    val df = rows.toDF("user_id", "us")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"))
+    // the OLD min-max x-bucket (zLayoutKey's formula, isolated): collapses
+    val b = df.agg(
+      org.apache.spark.sql.functions.min(col("user_id")),
+      org.apache.spark.sql.functions.max(col("user_id"))).head()
+    val range = (BigInt(b.getLong(1)) - BigInt(b.getLong(0)) + 1).toString
+    val minmaxBuckets = df.selectExpr(
+        s"((cast(user_id as decimal(38,0)) - (${b.getLong(0)})) * 256) div $range as x")
+      .collect().map(_.getLong(0)).distinct
+    assert(minmaxBuckets.length <= 2,
+      s"expected min-max to collapse under the outlier, got ${minmaxBuckets.length} buckets")
+    // the equidepth x-bucket: the 99 real users spread across the grid
+    val (uB, _) = CleanStore.layoutBounds(df)
+    val eqBuckets = df.selectExpr(CleanStore.rankBucketSql("user_id", uB) + " as x")
+      .collect().map(_.getLong(0)).distinct
+    assert(eqBuckets.length >= 50,
+      s"equidepth should spread the 99 real users, got ${eqBuckets.length} buckets")
+    // NULL stays NULL (never colliding with tile 0)
+    val nullBucket = Seq((null.asInstanceOf[java.lang.Long], 0L)).toDF("user_id", "us")
+      .selectExpr(CleanStore.rankBucketSql("user_id", uB) + " as x").head()
+    assert(nullBucket.isNullAt(0), "NULL user must rank to NULL, not bucket 0")
+    // and the full equidepth write path round-trips with extremes present
+    val dir = java.nio.file.Files.createTempDirectory("graft_zeq").toFile
+    try {
+      CleanStore.writeZOrdered(df, dir.getAbsolutePath)
+      assert(spark.read.parquet(dir.getAbsolutePath).count() === rows.length.toLong)
+    } finally graft.sources.Staging.deleteRecursively(dir)
+  }
+
   test("sim4: probes the persisted cell index via broadcast with dynamic partition pruning") {
     val df = Similarity.ivfAnnIndexed(spark, sf001)
     df.collect() // finalize the AQE plan
