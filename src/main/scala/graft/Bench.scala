@@ -219,8 +219,16 @@ object Bench {
       // data, spec bump) would churn every snapshot-served query's
       // fingerprint and bury real plan diffs. The path HEAD (which
       // store) stays in the text; only the generation number goes.
+      // The scrub is ANCHORED to the path separator (r16 advisor): a
+      // bare `snap=\d+` would also normalize a genuine plan difference
+      // in a string literal or pushed filter that happens to contain
+      // "snap=<digits>", letting two different plans share a
+      // fingerprint. Snapshot directories are always a path SEGMENT
+      // ("…/events/snap=2"), so "/snap=" captures every store path and
+      // nothing else; current plans carry no bare snap= outside paths,
+      // so anchoring changes no existing hash — scheme stays 8.
       // (scheme 8)
-      .replaceAll("snap=\\d+", "snap=<n>")
+      .replaceAll("/snap=\\d+", "/snap=<n>")
       // Whole-stage-codegen stage ids ("*(3) HashAggregate"): numbering
       // is assigned when a subtree is PREPARED, and independent subtrees
       // (scalar subqueries, broadcast sides) prepare concurrently — the
@@ -236,6 +244,57 @@ object Bench {
     java.security.MessageDigest.getInstance("MD5")
       .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** HOST-SPEED CANARY (fixed-size, in-memory): the load gate measures
+    * CONTENTION, not absolute host speed — r16's record passed the gate
+    * on a boot whose same-code takes ran ~1.3–2× slower than r15's
+    * host, and the resulting +34% driver record cost a judging session
+    * to refute with within-boot evidence only. Two same-work yardsticks
+    * recorded per take make host speed a diffable fact:
+    * `canary_cpu_sec` (single-thread xorshift-mix loop — JVM + clock
+    * speed) and `canary_spark_sec` (fixed spark.range hash aggregate
+    * over all cores — scheduler + codegen + parallel throughput).
+    * benchdiff refuses wall-time comparison (fingerprints-only mode)
+    * when either canary differs >25% between records. Min-of-3 after a
+    * discarded JIT pass; the accumulator equality check is the
+    * dead-code sink AND a determinism assert.
+    */
+  private def canaryCpu(): Double = {
+    def pass(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
+      while (i < 200_000_000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; acc += x; i += 1
+      }
+      ((System.nanoTime() - t0) / 1e9, acc)
+    }
+    val rs = (0 until 4).map(_ => pass())
+    require(rs.map(_._2).distinct.size == 1, "canary loop nondeterministic")
+    rs.drop(1).map(_._1).min
+  }
+
+  private def canarySpark(spark: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions.{col, sum, xxhash64}
+    def pass(): Double = {
+      val t0 = System.nanoTime()
+      // decimal sum: a bigint sum of 64M xxhash64 values overflows, and
+      // the session runs ANSI (the fingerprint helper makes the same move)
+      val s = spark.range(0L, 64_000_000L, 1L, 32)
+        .select(sum(xxhash64(col("id"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head().getDecimal(0)
+      require(s != null && s.signum != 0, "canary aggregate sank to zero")
+      (System.nanoTime() - t0) / 1e9
+    }
+    // min-of-5 with settle gaps: the first take of this canary used
+    // min-of-3 back-to-back and still read 2.7x high when warmup GC /
+    // residual neighbor work overlapped all three passes (r17 take 2,
+    // same boot as the 0.43 s takes) — the parallel canary inherits
+    // scheduler noise in a way the single-thread one does not, so it
+    // earns more passes and a looser benchdiff threshold.
+    pass() // JIT/codegen warm, discarded
+    (0 until 5).map { _ => Thread.sleep(200); pass() }.min
   }
 
   private def gcMillis(): Long = {
@@ -304,6 +363,13 @@ object Bench {
     // Warm the JVM/codegen paths once so per-query numbers measure the
     // query, not first-call classloading.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Canaries run once, post-warmup, OUTSIDE every timed region —
+    // ~3 s of fixed work that stamps absolute host speed into the
+    // record (see canaryCpu scaladoc).
+    val cpuCanary = canaryCpu()
+    val sparkCanary = canarySpark(spark)
+    System.err.println(
+      f"[bench] host canary: cpu ${cpuCanary}%.3fs spark ${sparkCanary}%.3fs")
     val selected = registry.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
     val results = selected.map { case (name, fn) =>
@@ -372,6 +438,7 @@ object Bench {
         s""""load_avg_start":$loadNow,"load_avg_pre_drain":$loadAvgStart,""" +
         s""""load_avg_end":$loadAvgEnd,""" +
         s""""available_processors":$nProcs,""" +
+        s""""canary_cpu_sec":$cpuCanary,"canary_spark_sec":$sparkCanary,""" +
         s""""max_load":$maxLoad,"contended":$contended}"""
     if (contended)
       System.err.println(

@@ -43,10 +43,20 @@ object GraftSession {
     // store is faster at the micro-batch scales the bench measures).
     // StreamingSpec runs its suite under the flag to prove semantic
     // parity; on a real cluster this flag is the 100 TB default.
-    val s = (if (sys.env.get("SPARK_GRAFT_ROCKSDB_STATE").exists(_ == "1"))
+    val b2 = if (sys.env.get("SPARK_GRAFT_ROCKSDB_STATE").exists(_ == "1"))
       b.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    else b).getOrCreate()
+    else b
+    // SPARK_GRAFT_CONF: semicolon-separated k=v pairs applied last — the
+    // measurement-time tuning surface (e.g. state-store provider or
+    // changelog-checkpointing experiments inside a bench take, r16
+    // verdict item 2). Experiments only: anything that proves out moves
+    // into the explicit contract above, never lives in an env var.
+    val s = sys.env.get("SPARK_GRAFT_CONF").filter(_.nonEmpty)
+      .map(_.split(";").filter(_.contains("=")).foldLeft(b2) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2); bb.config(k.trim, v.trim)
+      }).getOrElse(b2)
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

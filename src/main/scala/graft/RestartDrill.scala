@@ -8,9 +8,10 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.streaming.EventStreams
 
-/** Streaming RESTART DRILL at magnitude (r15 verdict item 5): kill the
-  * st2/st5/st6/st8 queries MID-BACKLOG and resume them from their
-  * checkpoints, on BOTH state-store providers, and hash-compare the
+/** Streaming RESTART DRILL at magnitude (r15 verdict item 5; st10/st23
+  * two-sided outer-join state added per r16 item 7): kill the
+  * st2/st5/st6/st8/st10/st23 queries MID-BACKLOG and resume them from
+  * their checkpoints, on BOTH state-store providers, and hash-compare the
   * drained result against an uninterrupted run — the claim a checkpoint
   * exists to make ("exactly-once across restarts") proven at sf1-class
   * volume rather than assumed from unit scale.
@@ -122,16 +123,25 @@ object RestartDrill {
     val sfDir = args.headOption.getOrElse(
       s"${sys.props("user.dir")}/target/sf1synth")
     val outPath = sys.env.getOrElse(
-      "SPARK_GRAFT_RESTART_OUT", "bench/r16_restart_sf1.json")
+      "SPARK_GRAFT_RESTART_OUT", "bench/r17_restart_sf1.json")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val fakeSf = stageMultiFile(spark, sfDir)
     val src = () => EventStreams.eventStream(spark, fakeSf,
       Map("maxFilesPerTrigger" -> MaxFilesPerTrigger.toString))
+    // st10/st23 (r16 verdict item 7): the outer-join eviction state is
+    // the hardest restart surface — null-extended rows are emitted when
+    // watermark passage EVICTS join state, so a kill must neither lose an
+    // orphan (state dropped) nor double-emit one (eviction replayed
+    // non-idempotently). Identical admission bounds give the baseline and
+    // the resumed run the same watermark walk, so the comparison includes
+    // the orphan rows exactly.
     val frames: Seq[(String, () => DataFrame)] = Seq(
       "st2" -> (() => EventStreams.windowedStream(src())),
       "st5" -> (() => EventStreams.st5Frame(src())),
       "st6" -> (() => EventStreams.st6Frame(src())),
-      "st8" -> (() => EventStreams.st8Frame(src())))
+      "st8" -> (() => EventStreams.st8Frame(src())),
+      "st10" -> (() => EventStreams.st10Frame(src())),
+      "st23" -> (() => EventStreams.st23Frame(src())))
     val providers = Seq(
       "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
       "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -770,7 +770,13 @@ object Analytics {
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_p50"))
     val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
-    sketches.join(exact, Seq("l_returnflag"))
+    // Explicit build side: both join inputs are 3-row (per-flag)
+    // aggregates and the un-hinted build-side choice sat on the AQE
+    // stats borderline — r16's takes flipped it (the whitelist's q29
+    // entry). Broadcasting the exact-count side pins the plan the
+    // stable isolated runs always chose; free at any scale (#flags
+    // rows).
+    sketches.join(broadcast(exact), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n"), col("exact_parts"),
         col("approx_parts"), col("exact_p50"), col("approx_p50"))
       .orderBy(col("l_returnflag"))

@@ -315,6 +315,14 @@ object CleanStore {
     * only, never a serve path. Total over the full domain: doubles
     * compare with NULL/NaN-free finite boundaries, NULL input yields
     * NULL key (sorted first), and a constant column yields one bucket.
+    * Precision trade (deliberate): the comparison casts to double, so
+    * long values beyond 2^53 lose low bits and distinct huge user_ids
+    * adjacent to a quantile boundary can land in the same bucket. The
+    * key is derived layout state — never served, recomputed each
+    * publish — so the cost is a slightly unbalanced bucket, not a
+    * wrong row; approxQuantile itself returns doubles, so a
+    * decimal(38,0) compare would only move the same imprecision to the
+    * boundary side.
     */
   private[graft] def rankBucketSql(valueSql: String, bounds: Array[Double]): String = {
     val arr = bounds.map(b => s"${b}D").mkString("array(", ", ", ")")

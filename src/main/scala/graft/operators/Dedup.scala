@@ -337,10 +337,22 @@ object Dedup {
     * posting-list-combination-sized — the trade every MinHash deployment
     * makes.
     */
+  /** dd15b's candidate-bucket cap — ONE source for the engine literal
+    * AND the generated oracle text (the Dd7MaxBucket pattern; see
+    * [[Dd5MaxBucket]] for why it is far tighter than dd4's 1024): above
+    * it a band bucket contributes hub-and-spoke candidates only, so the
+    * candidate set — r16's 100× run measured it growing 106,000× on a
+    * 99%-dup corpus (dd15 exponent 1.01, intermediate-bound) — stays
+    * linear in corpus size, and so does the exact-Jaccard verify fed by
+    * it. Below the cap dd15b ≡ dd15.
+    */
+  val Dd15MaxBucket = 64
+
   def minhashVerifiedPairs(
       docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8,
-      threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
-    val cands = minhashCandidates(docs, k, n, bands)
+      threshold: Double = 0.2, maxDf: Int = 50,
+      maxBucket: Int = 1024): DataFrame = {
+    val cands = minhashCandidates(docs, k, n, bands, maxBucket)
       .select(col("doc_a"), col("doc_b"))
     val kept = cappedShingles(docs, n, maxDf)
     val inter = kept
@@ -382,6 +394,14 @@ object Dedup {
   private val blockPairs: Seq[(Int, Int)] =
     for { i <- 0 until 5; j <- (i + 1) until 5 } yield (i, j)
 
+  /** (band, offset_i, offset_j) VALUES rows for the dd5b oracle text —
+    * generated from the SAME block literals the engine bands with, so a
+    * scheme retune regenerates both sides (the shared-literal rule).
+    */
+  private val simhashBandsSql: String = blockPairs.zipWithIndex
+    .map { case ((i, j), b) => s"($b, ${blockOffsets(i)}, ${blockOffsets(j)})" }
+    .mkString(", ")
+
   /** SimHash near-dup candidates, exact for the default radius: band each
     * 60-bit signature into the 10 combinatorial (blockPair → 24-bit key)
     * buckets above, bucket-join, verify with `bit_count(a XOR b)`. The
@@ -394,6 +414,40 @@ object Dedup {
     * billions of docs buckets stay tiny, and the shuffle key is still the
     * bucket, never docs².
     */
+  /** The banded posting lists dd5/dd5b emit pairs from: (band id | two
+    * block contents) fused into ONE long key so the plan is a single
+    * linear lineage — explode keys → bucket posting lists (the structs
+    * carry the signature so the Hamming verify is map-side) — shared so
+    * the capped variant audits the exact pipeline dd5 runs. A banded
+    * self-join would compute the scan+signature subtree twice and
+    * shuffle both sides. (The 60-bit signature is always positive, so
+    * the arithmetic shifts never sign-extend; the masks alone isolate
+    * each block.)
+    */
+  private def simhashBucketLists(docs: DataFrame): DataFrame = {
+    val sigs = docs.select(col("doc_id"), simhashExpr("text").as("sig"))
+    val bandKeys = blockPairs.zipWithIndex.map { case ((i, j), b) =>
+      lit(b.toLong << 24) +
+        (shiftright(col("sig"), blockOffsets(i)).bitwiseAND(blockMasks(i)) * 4096) +
+        shiftright(col("sig"), blockOffsets(j)).bitwiseAND(blockMasks(j))
+    }
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(array(bandKeys: _*)).as("key"))
+    keyed.groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(col("ds"))
+  }
+
+  /** Largest simhash band bucket over `docs` — dd5b's cap-bite probe.
+    * Unlike dd4/dd7, an above-cap bucket never diverges dd5b from its
+    * oracle (the oracle replicates the cap); the probe only documents
+    * which side of the cap a corpus exercises (DedupSpec info lines).
+    */
+  private[graft] def maxSimhashBucket(docs: DataFrame): Long =
+    simhashBucketLists(docs)
+      .agg(coalesce(max(size(col("ds"))), lit(0))).head.getInt(0).toLong
+
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // The C(5,2) pair-banding is exhaustive ONLY for radius <= 3 (with 4
     // dirty blocks no clean PAIR is guaranteed). Fail loudly rather than
@@ -402,26 +456,53 @@ object Dedup {
     require(maxHamming <= 3,
       s"simhashCandidates: the 5-block pair banding is exact only for " +
         s"maxHamming <= 3, got $maxHamming")
-    val sigs = docs.select(col("doc_id"), simhashExpr("text").as("sig"))
-    // (band id | two block contents) fused into ONE long key so the plan
-    // is a single linear lineage: explode keys → bucket posting lists →
-    // map-side pair emission (pair_combs carries the signature as the
-    // second struct field) → Hamming verify. A banded self-join computed
-    // the scan+signature subtree twice and shuffled both sides. (The
-    // 60-bit signature is always positive, so the arithmetic shifts never
-    // sign-extend; the masks alone isolate each block.)
-    val bandKeys = blockPairs.zipWithIndex.map { case ((i, j), b) =>
-      lit(b.toLong << 24) +
-        (shiftright(col("sig"), blockOffsets(i)).bitwiseAND(blockMasks(i)) * 4096) +
-        shiftright(col("sig"), blockOffsets(j)).bitwiseAND(blockMasks(j))
-    }
-    val keyed = sigs.select(col("doc_id"), col("sig"),
-      explode(array(bandKeys: _*)).as("key"))
-    val lists = keyed.groupBy(col("key"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(col("ds"))
-    lists.select(explode(call_function("pair_combs", col("ds"))).as("p"))
+    simhashBucketLists(docs)
+      .select(explode(call_function("pair_combs", col("ds"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"),
+        bit_count(col("p.na").bitwiseXOR(col("p.nb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** dd5b's bucket cap — ONE source for the engine default AND the
+    * generated oracle literal (the Dd7MaxBucket pattern). Deliberately
+    * much tighter than dd4/dd7's 1024: the capped variants exist to
+    * BOUND the pair contract, and a 99%-dup corpus forms identical-doc
+    * groups in the hundreds, where the cap must bite for the output to
+    * stay linear.
+    */
+  val Dd5MaxBucket = 64
+
+  /** dd5b — dd5's near-dup pairs under a BOUNDED output contract: a
+    * band bucket larger than [[Dd5MaxBucket]] emits the hub-and-spoke
+    * star over its minimum doc_id instead of all B²/2 combinations (the
+    * dd4/dd7 skew-guard move, here as the PRIMARY contract). dd5's
+    * "all pairs within Hamming radius 3" promise is exact but UNBOUNDED:
+    * on a 99%-dup corpus the output itself grows k² per dup group
+    * (r16's 100× run measured 22.5M pairs from 512 — exponent 1.24,
+    * output-bound by the contract, not the plan), which at 100 TB is an
+    * unbounded sink no plan shape can fix. The capped contract keeps
+    * what downstream dedup actually needs: in the megacluster case the
+    * cap targets (a bucket of near-identical docs) every member is
+    * within radius of the hub, so the star preserves connectivity for
+    * cluster collapse (dd8) while emission stays linear. The recall
+    * trade is explicit: a spoke farther than the radius from the hub
+    * drops its pairs — acceptable for dedup (those docs keep their own
+    * buckets in the other 9 bands), fatal only for an exact-pair-set
+    * consumer, which should use dd5.
+    * Below the cap (every benign corpus) output is identical to dd5;
+    * the oracle replicates the cap semantics from the shared literal,
+    * so the hash gate holds at every scale on BOTH sides of the cap.
+    */
+  def simhashCandidatesCapped(
+      docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = Dd5MaxBucket): DataFrame = {
+    require(maxHamming <= 3,
+      s"simhashCandidatesCapped: the 5-block pair banding is exact only " +
+        s"for maxHamming <= 3, got $maxHamming")
+    simhashBucketLists(docs)
+      .select(explode(call_function("pair_combs", col("ds"), lit(maxBucket))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
         bit_count(col("p.na").bitwiseXOR(col("p.nb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -1263,7 +1344,11 @@ object Dedup {
     "dd18_snapshot_diff" -> (snapshotDiffQ _),
     "dd4_minhash_candidates" -> ((s: SparkSession, d: String) => minhashCandidates(Tables.documentsRebalanced(s, d))),
     "dd15_minhash_verified" -> ((s: SparkSession, d: String) => minhashVerifiedPairs(Tables.documentsRebalanced(s, d))),
+    "dd15b_minhash_capped" -> ((s: SparkSession, d: String) =>
+      minhashVerifiedPairs(Tables.documentsRebalanced(s, d), maxBucket = Dd15MaxBucket)),
     "dd5_simhash_candidates" -> ((s: SparkSession, d: String) => simhashCandidates(Tables.documents(s, d))),
+    "dd5b_simhash_capped" -> ((s: SparkSession, d: String) =>
+      simhashCandidatesCapped(Tables.documents(s, d))),
     "dd8_dup_clusters" -> ((s: SparkSession, d: String) =>
       dupClusters(ngramJaccardPairs(Tables.documentsRebalanced(s, d)))),
     "dd9_dedup_corpus" -> ((s: SparkSession, d: String) =>
@@ -1751,6 +1836,52 @@ object Dedup {
          |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
          |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // dd15 with the CAPPED candidate contract: the cand CTE replicates
+    // pair_combs' hub-and-spoke semantics from the shared Dd15MaxBucket
+    // literal (the dd7 r16 oracle pattern) — full combinations at or
+    // below the cap, star over the bucket's min doc_id above it
+    "dd15b_minhash_capped" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |msh AS (SELECT doc_id, unnest(list_distinct(
+         |    [array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)])) AS s
+         |  FROM t WHERE len(toks) >= 3),
+         |h AS (SELECT doc_id,
+         |  ('0x' || substring(md5(s), 1, 13))::BIGINT % 2147483647 AS h FROM msh),
+         |perm AS (SELECT i,
+         |  ('0x' || substring(md5('mh-a:' || i), 1, 13))::BIGINT % 2147483646 + 1 AS a,
+         |  ('0x' || substring(md5('mh-b:' || i), 1, 13))::BIGINT % 2147483647 AS b
+         |  FROM range(32) r(i)),
+         |sig AS (SELECT doc_id, i, min((a * h + b) % 2147483647) AS m
+         |  FROM h CROSS JOIN perm GROUP BY doc_id, i),
+         |band AS MATERIALIZED (SELECT doc_id, i // 4 AS band, list(m ORDER BY i) AS key
+         |  FROM sig GROUP BY doc_id, i // 4),
+         |grp AS MATERIALIZED (SELECT band, key, count(*) AS n, min(doc_id) AS hub
+         |  FROM band GROUP BY band, key HAVING count(*) > 1),
+         |cand AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  JOIN grp g ON g.band = a.band AND g.key = a.key
+         |  WHERE g.n <= $Dd15MaxBucket
+         |  UNION ALL
+         |  SELECT g.hub AS doc_a, b.doc_id AS doc_b
+         |  FROM grp g JOIN band b
+         |    ON b.band = g.band AND b.key = g.key AND b.doc_id > g.hub
+         |  WHERE g.n > $Dd15MaxBucket)),
+         |sh AS (SELECT doc_id,
+         |  list_distinct([array_to_string(toks[i+1:i+3], ' ') FOR i IN range(len(toks)-2)]) AS shingles FROM t),
+         |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |dfc AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+         |kept AS (SELECT ex.doc_id, ex.s FROM ex JOIN dfc USING (s)),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c JOIN kept a ON a.doc_id = c.doc_a
+         |              JOIN kept b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+         |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+         |WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // the engine's SimHash re-derived: per-token 60-bit md5 prefix,
     // majority vote per bit, then a BRUTE-FORCE Hamming-radius join — the
     // engine's pigeonhole banding is a pure execution strategy whose
@@ -1774,6 +1905,49 @@ object Dedup {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // dd5b: the same md5-derived signatures, but the BANDING is now part
+    // of the contract (not just an execution strategy as in dd5) — the
+    // bands CTE regenerates the engine's fused (band | block_i | block_j)
+    // keys from the shared block-offset literals, and pairs replicates
+    // pair_combs' hub-and-spoke cap from the shared Dd5MaxBucket literal:
+    // full per-bucket combinations at or below the cap, star over the
+    // bucket's min doc_id above it, Hamming-verified either way
+    "dd5b_simhash_capped" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |hh AS (SELECT doc_id,
+         |  ('0x' || substring(md5(w), 1, 15))::BIGINT AS h FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hh CROSS JOIN range(60) r(b) GROUP BY doc_id, b),
+         |sig0 AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM bits GROUP BY doc_id),
+         |sig AS MATERIALIZED (SELECT t.doc_id, coalesce(s.sig, 0) AS sig
+         |  FROM t LEFT JOIN sig0 s USING (doc_id)),
+         |bands(b, oi, oj) AS (VALUES $simhashBandsSql),
+         |bk AS MATERIALIZED (SELECT s.doc_id, s.sig,
+         |    CAST(b.b AS BIGINT) * 16777216
+         |      + ((s.sig >> b.oi) & 4095) * 4096
+         |      + ((s.sig >> b.oj) & 4095) AS key
+         |  FROM sig s CROSS JOIN bands b),
+         |grp AS MATERIALIZED (SELECT key, count(*) AS n, min(doc_id) AS hub
+         |  FROM bk GROUP BY key HAVING count(*) > 1),
+         |pairs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id
+         |  JOIN grp g ON g.key = a.key
+         |  WHERE g.n <= $Dd5MaxBucket
+         |  UNION ALL
+         |  SELECT g.hub AS doc_a, b.doc_id AS doc_b
+         |  FROM grp g JOIN bk b ON b.key = g.key AND b.doc_id > g.hub
+         |  WHERE g.n > $Dd5MaxBucket))
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+         |             JOIN sig b ON b.doc_id = p.doc_b
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dd10_decontaminate" ->

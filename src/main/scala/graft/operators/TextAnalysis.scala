@@ -1394,7 +1394,16 @@ object TextAnalysis {
     val head = ranked.filter(col("rk") <= headK)
       .groupBy(col("source")).agg(sum(col("c")).as("hc"))
     val tot = freq.groupBy(col("source")).agg(sum(col("c")).as("tc"))
-    fit.join(head, Seq("source")).join(tot, Seq("source"))
+    // Explicit build sides: all three join inputs are per-source
+    // aggregates (#sources rows — k-scale, all broadcastable), and with
+    // no hint AQE picked the build side from runtime stats that sat on
+    // the borderline — the fit⋈head side flipped BuildLeft↔BuildRight
+    // between same-code takes (r13–r17, the whitelist's
+    // aqe-order-variance entry). Pinning the two enrichment sides makes
+    // the plan deterministic and retires td27 from the variance
+    // whitelist; semantically free since either side fits in a
+    // broadcast at any corpus scale.
+    fit.join(broadcast(head), Seq("source")).join(broadcast(tot), Seq("source"))
       .select(col("source"), col("n_types"),
         r6((col("n_types") * col("sxy") - col("sx") * col("sy")).cast("double")
           / nullif((col("n_types") * col("sxx") - col("sx") * col("sx"))

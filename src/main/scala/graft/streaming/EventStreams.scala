@@ -154,7 +154,8 @@ object EventStreams {
     * start — a real deployment picks it ONCE per query, which is exactly
     * what this parameter models.
     */
-  val GateStatePartitions = 8
+  val GateStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_GATE_PARTITIONS").map(_.toInt).getOrElse(8)
 
   def runToParquet(
       df: DataFrame, name: String,
@@ -402,16 +403,15 @@ object EventStreams {
     * (younger unmatched views remain in state when the backlog drains —
     * exactly what a restart would resume with).
     */
-  def st10StreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def st10Frame(s: DataFrame): DataFrame = {
     val horizon = AttributionHorizonMinutes
-    val s = eventStream(spark, sfDir)
     val v = s.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
     val p = s.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", "1 hour")
-    val joined = v.join(p,
+    v.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("view_ts") &&
           col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon MINUTES"),
@@ -419,10 +419,12 @@ object EventStreams {
       .select(col("user_id"),
         col("view_ts").cast("timestamp_ntz").as("view_ts"),
         col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
-    runToParquet(joined, "st10_sink")
+  }
+
+  def st10StreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquet(st10Frame(eventStream(spark, sfDir)), "st10_sink")
       .orderBy(col("user_id").asc, col("view_ts").asc,
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
-  }
 
   /** st23 — FULL-OUTER stream-stream interval join, completing the
     * stream-join matrix (st6 inner, st10 left-outer): st6's attribution
@@ -443,16 +445,15 @@ object EventStreams {
     * their eviction bound stay in state, as a restart would resume
     * them.
     */
-  def st23StreamFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def st23Frame(s: DataFrame): DataFrame = {
     val horizon = AttributionHorizonMinutes
-    val s = eventStream(spark, sfDir)
     val v = s.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"))
       .withWatermark("view_ts", "1 hour")
     val p = s.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"), col("value"))
       .withWatermark("purchase_ts", "1 hour")
-    val joined = v.join(p,
+    v.join(p,
         col("user_id") === col("p_user") &&
           col("purchase_ts") >= col("view_ts") &&
           col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon MINUTES"),
@@ -460,10 +461,12 @@ object EventStreams {
       .select(coalesce(col("user_id"), col("p_user")).as("user_id"),
         col("view_ts").cast("timestamp_ntz").as("view_ts"),
         col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"), col("value"))
-    runToParquet(joined, "st23_sink")
+  }
+
+  def st23StreamFullOuter(spark: SparkSession, sfDir: String): DataFrame =
+    runToParquet(st23Frame(eventStream(spark, sfDir)), "st23_sink")
       .orderBy(col("user_id").asc, col("view_ts").asc_nulls_first,
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
-  }
 
   /** st15 — STREAM-STATIC interval join: the live stream tagged against
     * q38's campaign windows with the SAME day-binning rewrite — each

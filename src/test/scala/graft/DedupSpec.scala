@@ -189,6 +189,47 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
       s"missed=${(brute -- cand).size} extra=${(cand -- brute).size} of ${brute.size}")
   }
 
+  test("dd5b capped: star-bounded on a megacluster where dd5's contract is quadratic") {
+    import spark.implicits._
+    // 100 identical docs: one sig, so every one of the 10 band buckets
+    // holds all 100 — far past Dd5MaxBucket=64 — plus a distinct doc
+    // whose buckets stay singletons (never emitted)
+    val mega = ((0L until 100L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta")) :+
+      (200L, "totally different unrelated content with other words entirely"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashCandidatesCapped(mega).collect()
+    // hub-and-spoke over the minimum doc_id: 99 pairs, all anchored at 0,
+    // all Hamming 0 — linear where the exact contract emits C(100,2)
+    assert(capped.length === 99, s"expected the 99-spoke star, got ${capped.length}")
+    assert(capped.forall(r => r.getLong(0) == 0L && r.getLong(2) == 0L))
+    assert(Dedup.simhashCandidates(mega).count() === 100L * 99 / 2)
+  }
+
+  test("dd5b/dd15b cap-bite sides documented per oracle-gated scale") {
+    // The capped oracles replicate the hub-and-spoke semantics, so BOTH
+    // sides of the cap are hash-gated — this records which side each
+    // corpus exercises (and catches a silent drift of the corpus shape).
+    for (dir <- Seq(sf001, "/root/testdata/sf0.01")) {
+      val sh = Dedup.maxSimhashBucket(Tables.documents(spark, dir))
+      val mh = Dedup.maxBandBucket(Tables.documentsRebalanced(spark, dir))
+      info(s"$dir: max simhash bucket = $sh (dd5b cap ${Dedup.Dd5MaxBucket}), " +
+        s"max minhash bucket = $mh (dd15b cap ${Dedup.Dd15MaxBucket})")
+      assert(sh >= 0 && mh >= 0)
+    }
+  }
+
+  test("dd15b capped: candidate generation is linear on a megacluster, verify unaffected below the cap") {
+    import spark.implicits._
+    val mega = (0L until 100L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    // the tight cap stars the megacluster's candidates; dd15's 1024
+    // default does not bite at this size
+    assert(Dedup.minhashCandidates(mega,
+      maxBucket = Dedup.Dd15MaxBucket).count() === 99)
+    assert(Dedup.minhashCandidates(mega).count() === 100L * 99 / 2)
+  }
+
   test("simhash60 native expression is bit-identical to the column-level md5 formulation") {
     // the slow twin spells out the ORACLE's arithmetic with Spark
     // built-ins: 60-bit md5 prefix per token (conv of the first 15 hex

@@ -216,7 +216,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     import spark.implicits._
     val df = rows.toDF("user_id", "us")
       .select(col("user_id"), expr("timestamp_micros(us)").as("ts"))
-    // direct key-domain check against the same bounds writeZOrdered derives
+    // min-max bounds computed here exercise the RETAINED zLayoutKey
+    // path (the overflow-regression pin) — since the equidepth switch,
+    // writeZOrdered derives approxQuantile bounds via layoutBounds, not
+    // this min-max aggregate
     val b = df.agg(
       org.apache.spark.sql.functions.min(col("user_id")),
       org.apache.spark.sql.functions.max(col("user_id")),

@@ -80,6 +80,41 @@ def env_load(rec):
     return (max(loads) if loads else None), e.get("available_processors")
 
 
+# Host-speed canary guard (r16 verdict item 6): the load gate measures
+# contention, not absolute host speed — r16's record passed the gate on
+# a uniformly ~1.3-2x slower boot and read as a +34% code regression.
+# Records since r17 carry env.canary_cpu_sec / env.canary_spark_sec
+# (fixed-size in-memory microbenches). When either differs >25% between
+# the two records, wall-time comparison is REFUSED (TIME lines
+# suppressed, fingerprints-only mode); plan gates are unaffected.
+def canaries(rec):
+    e = rec.get("env") or {}
+    return {k: e[k] for k in ("canary_cpu_sec", "canary_spark_sec")
+            if isinstance(e.get(k), (int, float)) and e[k] > 0}
+
+
+# Per-canary thresholds: the single-thread cpu loop is tight across
+# same-boot takes (<3% spread measured), so 25% means a different host
+# class; the parallel spark canary inherits scheduler/GC noise (a 2.7x
+# flap was measured on one boot before it grew settle gaps) and gets a
+# looser bar — a genuinely slower host (the r16 class: uniformly ~2x)
+# moves both.
+CANARY_MAX_RATIO = {"canary_cpu_sec": 1.25, "canary_spark_sec": 1.8}
+oc, nc = canaries(old_rec), canaries(new_rec)
+shared_canaries = sorted(set(oc) & set(nc))
+host_differs = any(
+    max(oc[k], nc[k]) / min(oc[k], nc[k]) > CANARY_MAX_RATIO[k]
+    for k in shared_canaries)
+if host_differs:
+    print("=" * 66)
+    print("!! HOST SPEED DIFFERS (same-work canary): "
+          + ", ".join(f"{k} {oc[k]:.3f}s -> {nc[k]:.3f}s" for k in shared_canaries))
+    print("!! Wall-time comparison REFUSED — fingerprints-only mode.")
+    print("=" * 66)
+elif (oc or nc) and not shared_canaries:
+    print("-- canary present in only one record: timing deltas are "
+          "unguarded by the host-speed canary")
+
 ol, oprocs = env_load(old_rec)
 nl, nprocs = env_load(new_rec)
 if ol is not None and nl is not None:
@@ -107,7 +142,7 @@ for name in sorted(set(old) & set(new)):
             plan_changed.append(name)
             print(f"PLAN  {name}: {o.get('plan_fp')} -> {n.get('plan_fp')}")
     dw = (n["warm"] - o["warm"]) / max(o["warm"], 1e-9) * 100
-    if abs(dw) >= thr:
+    if abs(dw) >= thr and not host_differs:
         gc = ""
         if "gc_sec" in n or "gc_sec" in o:
             gc = f" [gc {o.get('gc_sec', 0):.2f}s -> {n.get('gc_sec', 0):.2f}s]"
@@ -118,7 +153,8 @@ for name in sorted(set(old) - set(new)):
     print(f"GONE  {name}")
 print(f"-- {len(set(old) & set(new))} shared, {len(plan_changed)} plan changes"
       + (f", {len(var_flagged)} whitelisted-variance" if var_flagged else "")
-      + ("" if fp_comparable else " (fp schemes differ — plan diff suppressed)"))
+      + ("" if fp_comparable else " (fp schemes differ — plan diff suppressed)")
+      + (" (host speed differs — TIME suppressed)" if host_differs else ""))
 if not fp_comparable and not allow_scheme_change:
     print("!! exiting 2: pass --allow-scheme-change to acknowledge the "
           "scheme transition")

@@ -18,11 +18,14 @@ def check(name, cond, detail=""):
         FAILS.append(name)
 
 
-def rec(queries, fp_scheme=6, load=0.5):
+def rec(queries, fp_scheme=6, load=0.5, canary=None):
+    env = {"load_avg_start": load, "load_avg_end": load,
+           "available_processors": 32}
+    if canary is not None:
+        env["canary_cpu_sec"], env["canary_spark_sec"] = canary
     return {
         "fp_scheme": fp_scheme,
-        "env": {"load_avg_start": load, "load_avg_end": load,
-                "available_processors": 32},
+        "env": env,
         "queries": {q: {"warm": w, "plan_fp": fp} for q, (w, fp) in queries.items()},
     }
 
@@ -82,6 +85,35 @@ check("--allow-scheme-change exits 0 and suppresses plan diff",
 r6 = rec({"q1": (1.0, "aaa"), "q2": (2.0, "bbb")}, load=8.0)
 code, out = run_benchdiff(r0, r6)
 check("load-differs banner prints", "ENVIRONMENT DIFFERS" in out, out)
+
+# 6b. host-speed canary guard (r16 verdict item 6): canaries differing
+# >25% refuse wall-time comparison (TIME suppressed, banner printed);
+# the plan gate is unaffected; matching canaries keep TIME lines; a
+# canary on only one side prints the unguarded note but keeps TIME.
+rc_old = rec({"q1": (1.0, "aaa"), "q2": (2.0, "bbb")}, canary=(0.40, 1.00))
+rc_slow = rec({"q1": (2.0, "aaa"), "q2": (4.0, "ccc")}, canary=(0.80, 1.00))
+code, out = run_benchdiff(rc_old, rc_slow)
+check("canary mismatch refuses wall-time comparison",
+      "HOST SPEED DIFFERS" in out and "TIME  " not in out, out)
+check("canary mismatch leaves the plan gate armed",
+      code == 1 and "PLAN  q2" in out, out)
+rc_same = rec({"q1": (2.0, "aaa"), "q2": (2.0, "bbb")}, canary=(0.42, 1.05))
+code, out = run_benchdiff(rc_old, rc_same)
+check("matching canaries keep TIME lines",
+      code == 0 and "TIME  q1" in out and "HOST SPEED DIFFERS" not in out, out)
+code, out = run_benchdiff(rc_old, rec({"q1": (2.0, "aaa"), "q2": (2.0, "bbb")}))
+check("one-sided canary prints unguarded note, keeps TIME",
+      "unguarded" in out and "TIME  q1" in out, out)
+# the parallel spark canary gets the LOOSER 1.8x bar (scheduler noise):
+# 1.5x spark spread alone keeps TIME; 2x spark spread alone refuses
+code, out = run_benchdiff(rc_old,
+                          rec({"q1": (2.0, "aaa"), "q2": (2.0, "bbb")}, canary=(0.41, 1.50)))
+check("spark canary within 1.8x keeps TIME",
+      "TIME  q1" in out and "HOST SPEED DIFFERS" not in out, out)
+code, out = run_benchdiff(rc_old,
+                          rec({"q1": (2.0, "aaa"), "q2": (2.0, "bbb")}, canary=(0.41, 2.00)))
+check("spark canary past 1.8x refuses TIME",
+      "HOST SPEED DIFFERS" in out and "TIME  " not in out, out)
 
 # 7. checked-in whitelist is well-formed and every entry carries evidence
 wl_path = os.path.join(HERE, "..", "bench", "variance_whitelist.json")
