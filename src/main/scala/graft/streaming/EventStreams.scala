@@ -157,6 +157,30 @@ object EventStreams {
   val GateStatePartitions: Int =
     sys.env.get("SPARK_GRAFT_GATE_PARTITIONS").map(_.toInt).getOrElse(8)
 
+  /** State parallelism for the STREAM-STREAM JOIN gates specifically
+    * (st10/st23), default 2 since r17: the r16 verdict's tuning pass
+    * measured the join-gate floor dominated by per-store COMMIT
+    * machinery, not compute — an outer interval join runs 4 state
+    * stores per partition, so 8 partitions = 32 store commits + fsyncs
+    * per micro-batch. Isolated matrix (st10 warm, sf0.1): 8 partitions
+    * 4.1–16.8 s (pathological variance under fs-sync storms),
+    * 2 partitions 3.1–3.3 s stable, 1 partition 3.0 s; RocksDB at 8 was
+    * 7.2 s plain / 5.8 s with changelog checkpointing — the disk-backed
+    * provider pays at micro-batch scale exactly as its opt-in note
+    * predicts. The sizing is PER GATE, not global, because the first
+    * cut dropped [[GateStatePartitions]] itself to 2 and the
+    * compute-bound gates paid for it (st7's per-user sessionization is
+    * CPU-parallel work — it went 2.0 → 14 s at 2 partitions): join
+    * gates are commit-dominated, sessionization/aggregation gates are
+    * compute-dominated, and each wants its own number — which is
+    * exactly the per-query sizing discipline the checkpoint-binding
+    * scaladoc above describes for 100 TB deployments. 2 keeps a real
+    * shuffle in the plan (the production shape);
+    * SPARK_GRAFT_JOIN_GATE_PARTITIONS overrides for experiments.
+    */
+  val JoinGateStatePartitions: Int =
+    sys.env.get("SPARK_GRAFT_JOIN_GATE_PARTITIONS").map(_.toInt).getOrElse(2)
+
   def runToParquet(
       df: DataFrame, name: String,
       statePartitions: Int = GateStatePartitions,
@@ -382,7 +406,8 @@ object EventStreams {
   }
 
   def st6StreamAttribution(spark: SparkSession, sfDir: String): DataFrame =
-    runToParquet(st6Frame(eventStream(spark, sfDir)), "st6_sink")
+    runToParquet(st6Frame(eventStream(spark, sfDir)), "st6_sink",
+        statePartitions = JoinGateStatePartitions)
       .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
 
   /** st10 — LEFT-OUTER stream-stream interval join: st6's attribution
@@ -422,7 +447,8 @@ object EventStreams {
   }
 
   def st10StreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame =
-    runToParquet(st10Frame(eventStream(spark, sfDir)), "st10_sink")
+    runToParquet(st10Frame(eventStream(spark, sfDir)), "st10_sink",
+        statePartitions = JoinGateStatePartitions)
       .orderBy(col("user_id").asc, col("view_ts").asc,
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
 
@@ -464,7 +490,8 @@ object EventStreams {
   }
 
   def st23StreamFullOuter(spark: SparkSession, sfDir: String): DataFrame =
-    runToParquet(st23Frame(eventStream(spark, sfDir)), "st23_sink")
+    runToParquet(st23Frame(eventStream(spark, sfDir)), "st23_sink",
+        statePartitions = JoinGateStatePartitions)
       .orderBy(col("user_id").asc, col("view_ts").asc_nulls_first,
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
 
