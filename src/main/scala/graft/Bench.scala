@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
@@ -120,7 +121,16 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * a harness that doesn't set REFUSE_LOAD (the round driver's doesn't)
   * self-heals through transient neighbors instead of recording a
   * useless contended run; `env.load_avg_pre_drain` keeps the original
-  * reading so a drained record is visibly drained.
+  * reading so a drained record is visibly drained. Since r18 the gate
+  * also runs PER QUERY (the r17 verdict's mid-run hole: two driver
+  * records in a row passed the start gate and were then inflated 2–3×
+  * by neighbors arriving mid-take): each query's post-run load sample
+  * is stamped into its record entry, a query sampling above the gate
+  * drains (take-global budget SPARK_GRAFT_BENCH_MIDRUN_DRAIN_SEC,
+  * default 300 s) and re-runs once, and one that stays contended is
+  * stamped `"contended":true` + listed in the root `contended_mid_run`
+  * array — benchdiff suppresses exactly those queries' TIME lines, so
+  * a take self-demotes per-query instead of lying or being discarded.
   *
   * Set SPARK_GRAFT_BENCH_PLAN_DIR to also dump each query's scrubbed
   * canonical plan text to `<dir>/<query>.plan.txt` — the supported way to
@@ -227,6 +237,12 @@ object Bench {
       // ("…/events/snap=2"), so "/snap=" captures every store path and
       // nothing else; current plans carry no bare snap= outside paths,
       // so anchoring changes no existing hash — scheme stays 8.
+      // VERIFIED r18 against the archived scheme-8 plan dumps (the r17
+      // advisor flagged the invariant as unverified): all six r17 takes
+      // (plans_t1–t5, tf — 200 plans each) plus the td27/pf5 dumps carry
+      // 356 "snap=" occurrences, every one path-anchored ("/snap="),
+      // zero bare in digit or scrubbed form — the anchored scrub hashes
+      // identically to the unanchored one on every archived plan.
       // (scheme 8)
       .replaceAll("/snap=\\d+", "/snap=<n>")
       // Whole-stage-codegen stage ids ("*(3) HashAggregate"): numbering
@@ -372,7 +388,33 @@ object Bench {
       f"[bench] host canary: cpu ${cpuCanary}%.3fs spark ${sparkCanary}%.3fs")
     val selected = registry.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.contains(name) }
-    val results = selected.map { case (name, fn) =>
+    // MID-RUN CONTENTION GATE (r17 verdict item 1): the start-of-take
+    // load gate cannot see contention that ARRIVES during the take —
+    // r16's and r17's driver records both passed the start gate and were
+    // then inflated 2–3× on every streaming query by neighbors landing
+    // mid-run (r17: load 1.75 at start → 12.9 at end). So the load
+    // average is now SAMPLED after every query: a query whose sample
+    // exceeds the gate drains (bounded by a take-global budget,
+    // SPARK_GRAFT_BENCH_MIDRUN_DRAIN_SEC, default 300 s total) and
+    // re-runs ONCE; if the retry's sample is clean it replaces the
+    // contended numbers wholesale (cold included — both were polluted),
+    // otherwise the better warm is kept and the query is stamped
+    // "contended":true. The record root carries "contended_mid_run"
+    // (the stamped names) so benchdiff can demote exactly the affected
+    // queries instead of trusting or discarding the whole take.
+    val midrunBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_MIDRUN_DRAIN_SEC", "300").toInt
+    var midrunDrainLeft = midrunBudgetSec
+    def drainMidRun(): Unit = {
+      var l = osBean.getSystemLoadAverage
+      while (l > maxLoad && midrunDrainLeft > 0) {
+        Thread.sleep(15000); midrunDrainLeft -= 15
+        l = osBean.getSystemLoadAverage
+      }
+    }
+    case class QRun(cold: Either[String, Double],
+        warm: Either[String, (Double, SparkPlan)], gcSec: Double, load: Double)
+    def runQuery(name: String, fn: (SparkSession, String) => DataFrame): QRun = {
       // Timed region = query construction + full execution driven through
       // the df's OWN QueryExecution (toRdd.count() — every partition fully
       // evaluated, nothing shipped to the driver but counts), so the
@@ -398,25 +440,55 @@ object Bench {
       val rest = if (cold.isRight) (1 until runs).map(_ => timed()) else Seq(cold)
       val gcSec = (gcMillis() - gc0) / 1e3
       val warm = rest.collectFirst { case Left(e) => Left(e) }
-        .getOrElse {
-          val okRuns = rest.collect { case Right((s, p)) => (s, p) }
-          val best = okRuns.minBy(_._1)
-          val fp = fingerprint(best._2)
-          planDir.foreach { d =>
-            val dir = java.nio.file.Paths.get(d)
-            java.nio.file.Files.createDirectories(dir)
-            java.nio.file.Files.writeString(
-              dir.resolve(s"$name.plan.txt"), scrubbedPlanText(best._2))
-          }
-          Right((best._1, fp))
-        }
-      spark.catalog.clearCache() // no cross-query cache donation
-      (name, cold.map(_._1), warm, gcSec)
+        .getOrElse(Right(rest.collect { case Right(r) => r }.minBy(_._1)))
+      QRun(cold.map(_._1), warm, gcSec, osBean.getSystemLoadAverage)
     }
-    val ok = results.collect { case (k, Right(c), Right((w, fp)), gc) => (k, c, w, fp, gc) }
+    val results = selected.map { case (name, fn) =>
+      val first = runQuery(name, fn)
+      val (fin, retried) =
+        if (first.load <= maxLoad || first.warm.isLeft) (first, false)
+        else {
+          System.err.println(
+            f"[bench] $name: load ${first.load}%.2f > $maxLoad sampled mid-run — " +
+              f"draining (${midrunDrainLeft}s budget left) and re-running once")
+          drainMidRun()
+          val second = runQuery(name, fn)
+          // a clean retry replaces the contended take entirely; a retry
+          // still contended keeps the better warm (both are upper bounds
+          // on the true cost) and the contended stamp below
+          val keep =
+            if (second.load <= maxLoad || second.warm.isLeft) second
+            else Seq(first, second)
+              .minBy(_.warm.toOption.map(_._1).getOrElse(Double.MaxValue))
+          (keep, true)
+        }
+      val contendedQ = fin.load > maxLoad && fin.warm.isRight
+      // fingerprint + optional plan dump OUTSIDE every timed region
+      val warmOut: Either[String, (Double, String)] = fin.warm.map { case (s, p) =>
+        planDir.foreach { d =>
+          val dir = java.nio.file.Paths.get(d)
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(
+            dir.resolve(s"$name.plan.txt"), scrubbedPlanText(p))
+        }
+        (s, fingerprint(p))
+      }
+      spark.catalog.clearCache() // no cross-query cache donation
+      (name, fin.cold, warmOut, fin.gcSec, fin.load, contendedQ, retried)
+    }
+    val ok = results.collect {
+      case (k, Right(c), Right((w, fp)), gc, ld, cq, rt) => (k, c, w, fp, gc, ld, cq, rt)
+    }
+    val contendedMidRun = ok.collect { case (k, _, _, _, _, _, true, _) => k }
+    if (contendedMidRun.nonEmpty)
+      System.err.println(
+        s"[bench] MID-RUN CONTENTION: ${contendedMidRun.size} queries sampled " +
+          s"load > $maxLoad and could not be re-run clean — " +
+          contendedMidRun.mkString(", ") +
+          " — their timings are stamped \"contended\":true and self-demote in benchdiff")
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Left(e), _) =>
+    val errs = results.collect { case (k, _, Left(e), _, _, _, _) =>
       "\"" + k + "\":\"" + GraftSession.jsonEscape(e.take(300)) + "\""
     }.mkString("{", ",", "}")
     val warmTotal = ok.map(_._3).sum
@@ -433,13 +505,28 @@ object Bench {
     val takeId = java.time.format.DateTimeFormatter
       .ofPattern("yyyyMMdd'T'HHmmss'Z'").withZone(java.time.ZoneOffset.UTC)
       .format(java.time.Instant.now()) + "-p" + ProcessHandle.current().pid()
+    // Engine-behavior env knobs stamped into the record (r17 advisor,
+    // medium): SPARK_GRAFT_CONF and the gate-partition/state-provider/
+    // cpu overrides silently change engine behavior, so two records
+    // taken under different tuning were indistinguishable and benchdiff
+    // attributed the delta to code — the same provenance failure class
+    // the host-speed canary closes for hardware. Every knob is recorded
+    // (empty string = unset), and benchdiff prints a TUNING DIFFERS
+    // banner + suppresses wall-time comparison when they mismatch.
+    val tuningJson = Seq("SPARK_GRAFT_CONF", "SPARK_GRAFT_GATE_PARTITIONS",
+      "SPARK_GRAFT_JOIN_GATE_PARTITIONS", "SPARK_GRAFT_ROCKSDB_STATE",
+      "SPARK_GRAFT_CPUS")
+      .map(k => "\"" + k + "\":\"" +
+        GraftSession.jsonEscape(sys.env.getOrElse(k, "")) + "\"")
+      .mkString("{", ",", "}")
     val envJson =
       s"""{"take_id":"$takeId",""" +
         s""""load_avg_start":$loadNow,"load_avg_pre_drain":$loadAvgStart,""" +
         s""""load_avg_end":$loadAvgEnd,""" +
         s""""available_processors":$nProcs,""" +
         s""""canary_cpu_sec":$cpuCanary,"canary_spark_sec":$sparkCanary,""" +
-        s""""max_load":$maxLoad,"contended":$contended}"""
+        s""""max_load":$maxLoad,"contended":$contended,""" +
+        s""""tuning":$tuningJson}"""
     if (contended)
       System.err.println(
         s"[bench] ENVIRONMENT CONTENDED (load_avg_start $loadNow > " +
@@ -458,9 +545,14 @@ object Bench {
       s"""{"sf":"$sfDir","runs":$runs,"fp_scheme":8,"env":$envJson,""" +
         s""""n_failed":${results.size - ok.size},""" +
         s""""total_warm":$warmTotal,"total_cold":$coldTotal,""" +
+        s""""contended_mid_run":${
+          contendedMidRun.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""errors":$errs,"queries":{""" +
-        ok.map { case (k, c, w, fp, gc) =>
-          s""""$k":{"cold":$c,"warm":$w,"plan_fp":"$fp","gc_sec":$gc}"""
+        ok.map { case (k, c, w, fp, gc, ld, cq, rt) =>
+          s""""$k":{"cold":$c,"warm":$w,"plan_fp":"$fp","gc_sec":$gc,""" +
+            s""""load":$ld""" +
+            (if (rt) ""","retried":true""" else "") +
+            (if (cq) ""","contended":true""" else "") + "}"
         }.mkString(",") + "}}"
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
@@ -472,6 +564,7 @@ object Bench {
       s"""{"metric":"total","value":$warmTotal,"unit":"sec",""" +
         s""""cold_total":$coldTotal,"n_queries":${ok.size},""" +
         s""""n_failed":${results.size - ok.size},"sf":"$sfDir",""" +
+        s""""n_contended_mid_run":${contendedMidRun.size},""" +
         s""""take_id":"$takeId","record":"$outPath"}""")
     spark.stop()
   }

@@ -91,12 +91,11 @@ object RestartDrill {
     */
   private def drain(
       spark: SparkSession, frame: () => DataFrame, base: File,
-      killAfter: Option[Int]): (DataFrame, Option[Long]) = {
+      killAfter: Option[Int], statePartitions: Int): (DataFrame, Option[Long]) = {
     val out = new File(base, "out").getAbsolutePath
     val chk = new File(base, "chk").getAbsolutePath
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      EventStreams.GateStatePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     try {
       def start() = frame().writeStream
         .outputMode("append").format("parquet")
@@ -135,13 +134,26 @@ object RestartDrill {
     // non-idempotently). Identical admission bounds give the baseline and
     // the resumed run the same watermark walk, so the comparison includes
     // the orphan rows exactly.
-    val frames: Seq[(String, () => DataFrame)] = Seq(
-      "st2" -> (() => EventStreams.windowedStream(src())),
-      "st5" -> (() => EventStreams.st5Frame(src())),
-      "st6" -> (() => EventStreams.st6Frame(src())),
-      "st8" -> (() => EventStreams.st8Frame(src())),
-      "st10" -> (() => EventStreams.st10Frame(src())),
-      "st23" -> (() => EventStreams.st23Frame(src())))
+    // Per-frame state-partition counts MATCH the production gates
+    // (r17 advisor): the join gates st6/st10/st23 ship at
+    // JoinGateStatePartitions, the rest at GateStatePartitions — a drill
+    // that proves exactly-once under a DIFFERENT state-partition layout
+    // than the shipped configuration proves the wrong thing (the
+    // checkpoint pins the count at first start, so the layout under test
+    // must be the layout that runs).
+    val frames: Seq[(String, () => DataFrame, Int)] = Seq(
+      ("st2", () => EventStreams.windowedStream(src()),
+        EventStreams.GateStatePartitions),
+      ("st5", () => EventStreams.st5Frame(src()),
+        EventStreams.GateStatePartitions),
+      ("st6", () => EventStreams.st6Frame(src()),
+        EventStreams.JoinGateStatePartitions),
+      ("st8", () => EventStreams.st8Frame(src()),
+        EventStreams.GateStatePartitions),
+      ("st10", () => EventStreams.st10Frame(src()),
+        EventStreams.JoinGateStatePartitions),
+      ("st23", () => EventStreams.st23Frame(src()),
+        EventStreams.JoinGateStatePartitions))
     val providers = Seq(
       "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
       "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -151,14 +163,16 @@ object RestartDrill {
     var failed = 0
     val rows = for {
       (pName, pClass) <- providers
-      (qName, frame) <- frames
+      (qName, frame, stateParts) <- frames
     } yield {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", pClass)
       val tag = s"$qName:$pName"
-      val (baseDf, _) = drain(spark, frame, new File(root, s"${tag}_base"), None)
+      val (baseDf, _) =
+        drain(spark, frame, new File(root, s"${tag}_base"), None, stateParts)
       val (b_n, b_h) = fingerprint(baseDf)
       val (resDf, killedAt) =
-        drain(spark, frame, new File(root, s"${tag}_kill"), Some(KillAfterBatches))
+        drain(spark, frame, new File(root, s"${tag}_kill"),
+          Some(KillAfterBatches), stateParts)
       val (r_n, r_h) = fingerprint(resDf)
       val at = killedAt.getOrElse(-1L)
       // the kill must land strictly inside the backlog or the drill

@@ -68,9 +68,27 @@ object LayoutHealth {
       col("user_id").between(uLo, uHi) &&
         col("ts").between(lit(tsLo).cast("timestamp"), lit(tsHi).cast("timestamp")))
     val matched = df.queryExecution.toRdd.count()
-    val scanned = df.queryExecution.executedPlan.collect {
-      case s: FileSourceScanExec => s.metrics("numOutputRows").value
-    }.sum
+    // The scan node lives under AdaptiveSparkPlanExec when AQE wraps the
+    // probe (AQE treats the wrapper as a LEAF for collect, so a top-level
+    // collect finds nothing; the probe plan today is scan→filter with no
+    // exchange, but a conf flip like adaptive.forceApply — reachable via
+    // SPARK_GRAFT_CONF — would wrap it): unwrap to the executed plan
+    // first, and FAIL LOUDLY if no scan node is found — a probe that
+    // sums scanned=0 would read amplification ~0 and permanently,
+    // silently disarm the drift alarm (r17 advisor).
+    val executed = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = executed.collect { case s: FileSourceScanExec => s }
+    require(scans.nonEmpty,
+      s"readAmplification: no FileSourceScanExec found in the executed probe " +
+        s"plan over $path — the drift alarm would be silently disarmed")
+    val scanned = scans.map(_.metrics("numOutputRows").value).sum
+    require(scanned >= matched,
+      s"readAmplification: scan delivered $scanned rows < $matched matched — " +
+        "the probe is not measuring the scan that served the box")
     scanned.toDouble / math.max(matched, 1L)
   }
 

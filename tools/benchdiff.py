@@ -115,6 +115,49 @@ elif (oc or nc) and not shared_canaries:
     print("-- canary present in only one record: timing deltas are "
           "unguarded by the host-speed canary")
 
+# Tuning-provenance guard (r17 advisor, medium): records since r18 stamp
+# the engine-behavior env knobs (SPARK_GRAFT_CONF, gate-partition /
+# state-provider / cpu overrides) into env.tuning. Two records taken
+# under different tuning are measuring different engines — wall-time
+# comparison is refused (TIME suppressed) with a DIFFERS banner; the
+# plan gate stays armed (a tuning-induced plan change is still a plan
+# change to adjudicate). A tuning block on only one side prints the
+# unguarded note and keeps TIME (pre-r18 records have no block).
+def tuning(rec):
+    t = (rec.get("env") or {}).get("tuning")
+    return t if isinstance(t, dict) else None
+
+
+ot, nt = tuning(old_rec), tuning(new_rec)
+tuning_differs = ot is not None and nt is not None and ot != nt
+if tuning_differs:
+    diffs = sorted(set(list(ot) + list(nt)))
+    diffs = [k for k in diffs if ot.get(k, "") != nt.get(k, "")]
+    print("=" * 66)
+    print("!! TUNING DIFFERS: " + "; ".join(
+        f"{k} {ot.get(k, '') or '<unset>'!r} -> {nt.get(k, '') or '<unset>'!r}"
+        for k in diffs))
+    print("!! The records ran different engine tuning — wall-time deltas are")
+    print("!! tuning, not code. TIME suppressed; plan gate still armed.")
+    print("=" * 66)
+elif (ot is None) != (nt is None):
+    print("-- tuning stamp present in only one record: timing deltas are "
+          "unguarded by the tuning-provenance check")
+
+# Mid-run contention demotion (r17 verdict item 1): a query stamped
+# "contended":true sampled load above the gate DURING the take and could
+# not be re-run clean — its wall time is environment. Suppress exactly
+# those queries' TIME lines (both directions: a contended old baseline
+# is as misleading as a contended new number).
+contended_q = {q for rec in (old_rec, new_rec)
+               for q, v in rec["queries"].items() if v.get("contended")}
+for rec, tag in ((old_rec, "old"), (new_rec, "new")):
+    mid = rec.get("contended_mid_run") or []
+    if mid:
+        print(f"!! MID-RUN CONTENTION in {tag} record: {len(mid)} queries "
+              f"self-demoted ({', '.join(sorted(mid))}) — their TIME lines "
+              "are suppressed")
+
 ol, oprocs = env_load(old_rec)
 nl, nprocs = env_load(new_rec)
 if ol is not None and nl is not None:
@@ -142,7 +185,8 @@ for name in sorted(set(old) & set(new)):
             plan_changed.append(name)
             print(f"PLAN  {name}: {o.get('plan_fp')} -> {n.get('plan_fp')}")
     dw = (n["warm"] - o["warm"]) / max(o["warm"], 1e-9) * 100
-    if abs(dw) >= thr and not host_differs:
+    if abs(dw) >= thr and not host_differs and not tuning_differs \
+            and name not in contended_q:
         gc = ""
         if "gc_sec" in n or "gc_sec" in o:
             gc = f" [gc {o.get('gc_sec', 0):.2f}s -> {n.get('gc_sec', 0):.2f}s]"
@@ -154,7 +198,10 @@ for name in sorted(set(old) - set(new)):
 print(f"-- {len(set(old) & set(new))} shared, {len(plan_changed)} plan changes"
       + (f", {len(var_flagged)} whitelisted-variance" if var_flagged else "")
       + ("" if fp_comparable else " (fp schemes differ — plan diff suppressed)")
-      + (" (host speed differs — TIME suppressed)" if host_differs else ""))
+      + (" (host speed differs — TIME suppressed)" if host_differs else "")
+      + (" (tuning differs — TIME suppressed)" if tuning_differs else "")
+      + (f" ({len(contended_q)} contended-query TIME suppressed)"
+         if contended_q else ""))
 if not fp_comparable and not allow_scheme_change:
     print("!! exiting 2: pass --allow-scheme-change to acknowledge the "
           "scheme transition")

@@ -18,16 +18,24 @@ def check(name, cond, detail=""):
         FAILS.append(name)
 
 
-def rec(queries, fp_scheme=6, load=0.5, canary=None):
+def rec(queries, fp_scheme=6, load=0.5, canary=None, tuning=None,
+        contended=(), mid_run=None):
     env = {"load_avg_start": load, "load_avg_end": load,
            "available_processors": 32}
     if canary is not None:
         env["canary_cpu_sec"], env["canary_spark_sec"] = canary
-    return {
+    if tuning is not None:
+        env["tuning"] = tuning
+    r = {
         "fp_scheme": fp_scheme,
         "env": env,
         "queries": {q: {"warm": w, "plan_fp": fp} for q, (w, fp) in queries.items()},
     }
+    for q in contended:
+        r["queries"][q]["contended"] = True
+    if mid_run is not None:
+        r["contended_mid_run"] = mid_run
+    return r
 
 
 def run_benchdiff(old, new, extra=None, whitelist_path=None):
@@ -114,6 +122,43 @@ code, out = run_benchdiff(rc_old,
                           rec({"q1": (2.0, "aaa"), "q2": (2.0, "bbb")}, canary=(0.41, 2.00)))
 check("spark canary past 1.8x refuses TIME",
       "HOST SPEED DIFFERS" in out and "TIME  " not in out, out)
+
+# 6c. tuning-provenance guard (r17 advisor): differing env.tuning blocks
+# refuse wall-time comparison (banner + TIME suppressed), plan gate still
+# armed; identical blocks keep TIME; a block on only one side prints the
+# unguarded note and keeps TIME.
+T0 = {"SPARK_GRAFT_CONF": "", "SPARK_GRAFT_GATE_PARTITIONS": ""}
+T1 = {"SPARK_GRAFT_CONF": "spark.x=1", "SPARK_GRAFT_GATE_PARTITIONS": ""}
+rt_old = rec({"q1": (1.0, "aaa"), "q2": (2.0, "bbb")}, tuning=T0)
+rt_new = rec({"q1": (2.0, "aaa"), "q2": (2.0, "ccc")}, tuning=T1)
+code, out = run_benchdiff(rt_old, rt_new)
+check("tuning mismatch refuses TIME, banners, keeps plan gate",
+      code == 1 and "TUNING DIFFERS" in out and "TIME  " not in out
+      and "PLAN  q2" in out, out)
+code, out = run_benchdiff(rt_old, rec({"q1": (2.0, "aaa"), "q2": (2.0, "bbb")},
+                                      tuning=T0))
+check("identical tuning keeps TIME lines",
+      code == 0 and "TIME  q1" in out and "TUNING DIFFERS" not in out, out)
+code, out = run_benchdiff(rt_old, rec({"q1": (2.0, "aaa"), "q2": (2.0, "bbb")}))
+check("one-sided tuning prints unguarded note, keeps TIME",
+      "unguarded by the tuning-provenance check" in out and "TIME  q1" in out, out)
+
+# 6d. contended-injection (r17 verdict item 1): a query stamped
+# "contended":true in EITHER record gets its TIME line suppressed and the
+# record's contended_mid_run list banners; clean queries in the same take
+# keep their TIME lines; plan gate unaffected.
+rc0 = rec({"q1": (1.0, "aaa"), "st9": (1.0, "bbb")})
+rc1 = rec({"q1": (2.0, "aaa"), "st9": (3.0, "bbb")},
+          contended=["st9"], mid_run=["st9"])
+code, out = run_benchdiff(rc0, rc1)
+check("contended query TIME suppressed, clean query TIME kept",
+      code == 0 and "TIME  q1" in out and "TIME  st9" not in out
+      and "MID-RUN CONTENTION in new record" in out and "st9" in out, out)
+rc2 = rec({"q1": (1.0, "aaa"), "st9": (1.0, "bbb")},
+          contended=["st9"], mid_run=["st9"])
+code, out = run_benchdiff(rc2, rec({"q1": (1.0, "aaa"), "st9": (3.0, "bbb")}))
+check("contended OLD baseline also suppresses that query's TIME",
+      "TIME  st9" not in out and "MID-RUN CONTENTION in old record" in out, out)
 
 # 7. checked-in whitelist is well-formed and every entry carries evidence
 wl_path = os.path.join(HERE, "..", "bench", "variance_whitelist.json")
