@@ -295,6 +295,56 @@ object Dedup {
     bandBucketLists(docs, k, n, bands)
       .agg(coalesce(max(size(col("ds"))), lit(0))).head.getInt(0).toLong
 
+  /** Thrown by the output-budget circuit breaker on the UNCAPPED pair
+    * contracts — the fail-soft alternative to what actually happened in
+    * r17: uncapped dd5 at sf10 emitted 22.5 M pairs and KILLED the
+    * SparkContext from memory pressure (bench/r17_capped_100x.json).
+    * The message names the capped variant to switch to.
+    */
+  final class PairBudgetExceeded(message: String)
+    extends RuntimeException(message)
+
+  /** Default pair-emission budget for the uncapped contracts (dd5/dd15).
+    * Sized between the proven-good and the proven-fatal scales: dd5 at
+    * sf1 emits ~2 M band-pair combinations (oracle-verified hash-exact,
+    * bench/verify_sf1_r17_new.json) and at sf10 emitted the 22.5 M
+    * pairs that killed the JVM — 8 M clears sf1 with ~4× headroom and
+    * trips well before the fatal regime. Env-overridable for operators
+    * with bigger executors (SPARK_GRAFT_MAX_PAIR_BUDGET).
+    */
+  val MaxPairBudget: Long = sys.env.get("SPARK_GRAFT_MAX_PAIR_BUDGET")
+    .map(_.toLong).getOrElse(8_000_000L)
+
+  /** Fail-soft budget check (r17 verdict item 4): ONE aggregate over the
+    * banded posting lists — the exact frame the pair emission explodes —
+    * projects the emission count before any pair is materialized
+    * (below-cap bucket of size s emits C(s,2) combinations, above-cap
+    * emits the s−1 hub-and-spoke star). Above the budget the query
+    * aborts with [[PairBudgetExceeded]] naming the capped variant,
+    * context alive. The pre-count is one extra linear pass over the
+    * shingle/signature pipeline — the price the exact-pair escape
+    * hatches pay for being safe to point at an arbitrary corpus; the
+    * capped primary variants (dd5b/dd15b) never run it.
+    */
+  private def guardPairBudget(
+      lists: DataFrame, query: String, cappedVariant: String,
+      maxBucket: Long, budget: Long): Unit = {
+    val s = size(col("ds")).cast("long")
+    // `/` on longs is DOUBLE division in Spark SQL — cast back (exact:
+    // counts sit far under 2^53)
+    val perBucket = when(s <= lit(maxBucket),
+      (s * (s - 1) / 2).cast("long")).otherwise(s - 1)
+    val projected = lists.agg(coalesce(sum(perBucket), lit(0L)))
+      .head().getLong(0)
+    if (projected > budget)
+      throw new PairBudgetExceeded(
+        s"$query would emit $projected candidate pairs > budget $budget " +
+          s"(SPARK_GRAFT_MAX_PAIR_BUDGET): the corpus has dup groups too " +
+          s"large for the exact-pair contract — use $cappedVariant " +
+          "(hub-and-spoke above-cap emission, linear output) or raise the " +
+          "budget if the cluster is sized for the full pair set")
+  }
+
   def minhashCandidates(
       docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8,
       maxBucket: Int = 1024): DataFrame = {
@@ -351,7 +401,13 @@ object Dedup {
   def minhashVerifiedPairs(
       docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8,
       threshold: Double = 0.2, maxDf: Int = 50,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1024, pairBudget: Long = MaxPairBudget): DataFrame = {
+    // Budget breaker on the UNCAPPED escape hatch only (dd15): the capped
+    // primary dd15b (maxBucket = Dd15MaxBucket) has linear emission by
+    // construction and never pays the pre-count pass.
+    if (maxBucket > Dd15MaxBucket)
+      guardPairBudget(bandBucketLists(docs, k, n, bands),
+        "dd15_minhash_verified", "dd15b_minhash_capped", maxBucket, pairBudget)
     val cands = minhashCandidates(docs, k, n, bands, maxBucket)
       .select(col("doc_a"), col("doc_b"))
     val kept = cappedShingles(docs, n, maxDf)
@@ -448,7 +504,8 @@ object Dedup {
     simhashBucketLists(docs)
       .agg(coalesce(max(size(col("ds"))), lit(0))).head.getInt(0).toLong
 
-  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
+      pairBudget: Long = MaxPairBudget): DataFrame = {
     // The C(5,2) pair-banding is exhaustive ONLY for radius <= 3 (with 4
     // dirty blocks no clean PAIR is guaranteed). Fail loudly rather than
     // silently dropping pairs for a wider radius — a caller needing r >= 4
@@ -456,6 +513,11 @@ object Dedup {
     require(maxHamming <= 3,
       s"simhashCandidates: the 5-block pair banding is exact only for " +
         s"maxHamming <= 3, got $maxHamming")
+    // dd5 is uncapped by contract — every run pays the budget pre-count
+    // (one aggregate over the posting lists) so a megacluster corpus
+    // aborts soft instead of killing the JVM (the r17 sf10 wound).
+    guardPairBudget(simhashBucketLists(docs),
+      "dd5_simhash_candidates", "dd5b_simhash_capped", Long.MaxValue, pairBudget)
     simhashBucketLists(docs)
       .select(explode(call_function("pair_combs", col("ds"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),

@@ -45,7 +45,19 @@ object Ingest {
       Option(dest.getParent).getOrElse(Paths.get(".")), s".${dest.getFileName}", ".part")
     try {
       val in = conn.getInputStream
-      try copy(in, tmp) finally in.close()
+      val copied = try copy(in, tmp) finally in.close()
+      // Truncation check (found by the r18 HTTP-listener test, not by
+      // inspection): a server that dies mid-transfer after promising a
+      // Content-Length can surface as a plain EOF — HttpURLConnection
+      // does not always throw on a short fixed-length body — and an
+      // unchecked atomic move would then install a truncated file that
+      // the skip-if-exists check trusts forever, the exact failure the
+      // temp-file design exists to prevent. When the length is declared,
+      // the byte count must match; -1 (chunked/unknown) passes through.
+      val expected = conn.getContentLengthLong
+      if (expected >= 0 && copied != expected)
+        throw new java.io.IOException(
+          s"fetch $url truncated: got $copied of $expected bytes")
       Files.move(tmp, dest,
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       true
@@ -69,15 +81,18 @@ object Ingest {
     dest
   }
 
-  private def copy(in: InputStream, to: Path): Unit = {
+  /** @return total bytes copied (for the declared-length check above) */
+  private def copy(in: InputStream, to: Path): Long = {
     val out = new FileOutputStream(to.toFile)
+    var total = 0L
     try {
       val buf = new Array[Byte](ChunkBytes)
       var n = in.read(buf)
       while (n >= 0) {
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) { out.write(buf, 0, n); total += n }
         n = in.read(buf)
       }
     } finally out.close()
+    total
   }
 }

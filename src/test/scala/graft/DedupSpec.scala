@@ -206,6 +206,35 @@ class DedupSpec extends AnyFunSuite with SparkFixture {
     assert(Dedup.simhashCandidates(mega).count() === 100L * 99 / 2)
   }
 
+  test("pair-budget breaker: uncapped contracts abort soft past the budget, context alive") {
+    import spark.implicits._
+    // A megacluster whose UNCAPPED emission (10 bands × C(100,2) = 49,500
+    // band-pair combinations for dd5; 8 bands × C(100,2) candidates for
+    // dd15) exceeds a deliberately tiny budget: the breaker must throw
+    // the documented error naming the capped variant BEFORE any pair
+    // materializes — the fail-soft alternative to the r17 sf10 run where
+    // uncapped dd5 killed the SparkContext (bench/r17_capped_100x.json).
+    val mega = (0L until 100L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val e5 = intercept[Dedup.PairBudgetExceeded] {
+      Dedup.simhashCandidates(mega, pairBudget = 1000L)
+    }
+    assert(e5.getMessage.contains("dd5b_simhash_capped"))
+    assert(e5.getMessage.contains("49500"))
+    val e15 = intercept[Dedup.PairBudgetExceeded] {
+      Dedup.minhashVerifiedPairs(mega, pairBudget = 1000L)
+    }
+    assert(e15.getMessage.contains("dd15b_minhash_capped"))
+    // fail-SOFT: the context survived and runs the next query
+    assert(spark.range(10).count() === 10L)
+    // below the budget both uncapped contracts still produce the exact
+    // pair set (the guard is a pre-count, never a semantics change)
+    assert(Dedup.simhashCandidates(mega).count() === 100L * 99 / 2)
+    // the capped primary never pays the pre-count and never throws:
+    // same corpus, tiny budget irrelevant (dd5b takes no budget param)
+    assert(Dedup.simhashCandidatesCapped(mega).count() === 99)
+  }
+
   test("dd5b/dd15b cap-bite sides documented per oracle-gated scale") {
     // The capped oracles replicate the hub-and-spoke semantics, so BOTH
     // sides of the cap are hash-gated — this records which side each
