@@ -124,8 +124,10 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * reading so a drained record is visibly drained. Since r18 the gate
   * also runs PER QUERY (the r17 verdict's mid-run hole: two driver
   * records in a row passed the start gate and were then inflated 2–3×
-  * by neighbors arriving mid-take): each query's post-run load sample
-  * is stamped into its record entry, a query sampling above the gate
+  * by neighbors arriving mid-take): each query's post-run FOREIGN-load sample
+  * is stamped into its record entry (`foreign_load` — system minus
+  * own-process CPU, in cores, so the bench's own 32-thread work never
+  * self-flags), a query sampling above the gate
   * drains (take-global budget SPARK_GRAFT_BENCH_MIDRUN_DRAIN_SEC,
   * default 300 s) and re-runs once, and one that stays contended is
   * stamped `"contended":true` + listed in the root `contended_mid_run`
@@ -276,7 +278,7 @@ object Bench {
     * discarded JIT pass; the accumulator equality check is the
     * dead-code sink AND a determinism assert.
     */
-  private def canaryCpu(): Double = {
+  private[graft] def canaryCpu(): Double = {
     def pass(): (Double, Long) = {
       val t0 = System.nanoTime()
       var x = 0x9E3779B97F4A7C15L; var acc = 0L; var i = 0
@@ -290,7 +292,7 @@ object Bench {
     rs.drop(1).map(_._1).min
   }
 
-  private def canarySpark(spark: org.apache.spark.sql.SparkSession): Double = {
+  private[graft] def canarySpark(spark: org.apache.spark.sql.SparkSession): Double = {
     import org.apache.spark.sql.functions.{col, sum, xxhash64}
     def pass(): Double = {
       val t0 = System.nanoTime()
@@ -402,14 +404,34 @@ object Bench {
     // "contended":true. The record root carries "contended_mid_run"
     // (the stamped names) so benchdiff can demote exactly the affected
     // queries instead of trusting or discarding the whole take.
+    // The mid-run signal is FOREIGN load, not the load average: a
+    // local[32] bench generates load averages of 2–4 all by itself (the
+    // first cut gated on loadavg and self-flagged every query on an
+    // idle box), and the 1-min EWMA lags the take by a minute anyway.
+    // com.sun.management's OS bean gives recent SYSTEM cpu usage and
+    // recent OWN-PROCESS cpu usage over the same since-last-call window;
+    // (system − self) × cores ≈ busy cores that are NOT this bench —
+    // DuckDB oracles, another sbt JVM, a noisy neighbor — sampled over
+    // exactly the query's own span. Falls back to the load average
+    // (minus nothing) when the platform bean is unavailable.
+    val sunOs = osBean match {
+      case s: com.sun.management.OperatingSystemMXBean => Some(s)
+      case _ => None
+    }
+    sunOs.foreach { s => s.getCpuLoad; s.getProcessCpuLoad } // prime the window
+    def foreignCores(): Double = sunOs.map { s =>
+      val sys = s.getCpuLoad; val self = s.getProcessCpuLoad
+      if (sys.isNaN || self.isNaN) osBean.getSystemLoadAverage
+      else math.max(0.0, sys - self) * nProcs
+    }.getOrElse(osBean.getSystemLoadAverage)
     val midrunBudgetSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MIDRUN_DRAIN_SEC", "300").toInt
     var midrunDrainLeft = midrunBudgetSec
     def drainMidRun(): Unit = {
-      var l = osBean.getSystemLoadAverage
-      while (l > maxLoad && midrunDrainLeft > 0) {
+      var f = foreignCores()
+      while (f > maxLoad && midrunDrainLeft > 0) {
         Thread.sleep(15000); midrunDrainLeft -= 15
-        l = osBean.getSystemLoadAverage
+        f = foreignCores()
       }
     }
     case class QRun(cold: Either[String, Double],
@@ -441,7 +463,7 @@ object Bench {
       val gcSec = (gcMillis() - gc0) / 1e3
       val warm = rest.collectFirst { case Left(e) => Left(e) }
         .getOrElse(Right(rest.collect { case Right(r) => r }.minBy(_._1)))
-      QRun(cold.map(_._1), warm, gcSec, osBean.getSystemLoadAverage)
+      QRun(cold.map(_._1), warm, gcSec, foreignCores())
     }
     val results = selected.map { case (name, fn) =>
       val first = runQuery(name, fn)
@@ -449,7 +471,7 @@ object Bench {
         if (first.load <= maxLoad || first.warm.isLeft) (first, false)
         else {
           System.err.println(
-            f"[bench] $name: load ${first.load}%.2f > $maxLoad sampled mid-run — " +
+            f"[bench] $name: foreign load ${first.load}%.2f cores > $maxLoad mid-run — " +
               f"draining (${midrunDrainLeft}s budget left) and re-running once")
           drainMidRun()
           val second = runQuery(name, fn)
@@ -550,7 +572,7 @@ object Bench {
         s""""errors":$errs,"queries":{""" +
         ok.map { case (k, c, w, fp, gc, ld, cq, rt) =>
           s""""$k":{"cold":$c,"warm":$w,"plan_fp":"$fp","gc_sec":$gc,""" +
-            s""""load":$ld""" +
+            s""""foreign_load":$ld""" +
             (if (rt) ""","retried":true""" else "") +
             (if (cq) ""","contended":true""" else "") + "}"
         }.mkString(",") + "}}"

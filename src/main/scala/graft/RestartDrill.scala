@@ -48,30 +48,6 @@ object RestartDrill {
   val MaxFilesPerTrigger = 2
   val SourceFiles = 16
 
-  /** Restage sfDir's events as a multi-file directory under target/ —
-    * a fake scale dir whose `events.parquet` is a DIRECTORY, which both
-    * the batch and streaming readers accept. Stamped on the source.
-    */
-  private def stageMultiFile(spark: SparkSession, sfDir: String): String = {
-    val sfName = new File(sfDir).getName
-    val fake = new File(s"${sys.props("user.dir")}/target/restart_src/$sfName")
-    val dst = new File(fake, "events.parquet")
-    val src = new File(graft.sources.Tables.path(sfDir, "events"))
-    val stampFile = new File(fake, "_graft_source")
-    val stamp = graft.sources.Staging.sourceStamp(Seq(src)) + s" files=$SourceFiles"
-    graft.sources.Staging.withExclusiveLock(fake) {
-      val fresh = stampFile.exists() && dst.exists() &&
-        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) == stamp
-      if (!fresh) {
-        spark.read.parquet(src.getAbsolutePath)
-          .repartition(SourceFiles)
-          .write.mode("overwrite").parquet(dst.getAbsolutePath)
-        java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
-      }
-    }
-    fake.getAbsolutePath
-  }
-
   /** (row count, order-free multiset hash) of a result — executor-side. */
   private def fingerprint(df: DataFrame): (Long, String) = {
     val r = df.select(
@@ -124,7 +100,8 @@ object RestartDrill {
     val outPath = sys.env.getOrElse(
       "SPARK_GRAFT_RESTART_OUT", "bench/r17_restart_sf1.json")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
-    val fakeSf = stageMultiFile(spark, sfDir)
+    val fakeSf = graft.sources.Staging.stageMultiFile(
+      spark, sfDir, "events", SourceFiles, "restart_src")
     val src = () => EventStreams.eventStream(spark, fakeSf,
       Map("maxFilesPerTrigger" -> MaxFilesPerTrigger.toString))
     // st10/st23 (r16 verdict item 7): the outer-join eviction state is

@@ -700,6 +700,13 @@ object Dedup {
         s"dupClusters: min-label propagation did not converge in $maxIter rounds; " +
           "component diameter exceeds maxIter")
     }
+    // rounds-to-convergence on stderr (r17 verdict item 3): the loop's
+    // cost is round count × per-round fixed cost, so the count is the
+    // number every tuning decision needs — observable in any bench/verify
+    // stderr without a profiler
+    System.err.println(
+      s"[cc] dupClusters converged in $it rounds" +
+        (if (it > escalateAfter) " (pointer doubling engaged)" else ""))
     // the final labels stay persisted: the result's lineage is the whole
     // iteration and would otherwise recompute from round 0 at action time
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))

@@ -73,6 +73,38 @@ object Staging {
     files.map(f => s"${f.getPath}@${f.lastModified()}#${f.length()}")
       .mkString("src[", ";", "]")
 
+  /** Restage one table of `sfDir` as a MULTI-FILE directory under a fake
+    * scale dir (target/<area>/<sfName>/<table>.parquet as a DIRECTORY —
+    * both the batch and streaming readers accept it): the streaming file
+    * source's admission control (maxFilesPerTrigger) can then split the
+    * backlog into real micro-batches, which a single-file source (one
+    * all-or-nothing batch) cannot give the restart drill or the rate
+    * drill. Stamped on the source + file count, cross-process locked.
+    * Returns the fake sfDir path (shared by multiple tables staged under
+    * the same area).
+    */
+  def stageMultiFile(
+      spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      table: String, files: Int, area: String): String = {
+    val sfName = new File(sfDir).getName
+    val fake = new File(s"${sys.props("user.dir")}/target/$area/$sfName")
+    val dst = new File(fake, s"$table.parquet")
+    val src = new File(Tables.path(sfDir, table))
+    val stampFile = new File(fake, s"_graft_source_$table")
+    val stamp = sourceStamp(Seq(src)) + s" files=$files"
+    withExclusiveLock(fake) {
+      val fresh = stampFile.exists() && dst.exists() &&
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) == stamp
+      if (!fresh) {
+        spark.read.parquet(src.getAbsolutePath)
+          .repartition(files)
+          .write.mode("overwrite").parquet(dst.getAbsolutePath)
+        java.nio.file.Files.write(stampFile.toPath, stamp.getBytes)
+      }
+    }
+    fake.getAbsolutePath
+  }
+
   /** Recursive delete, null-race safe (listFiles is null when another
     * process sweeps the same dir concurrently) — the ONE copy every
     * staging caller shares.

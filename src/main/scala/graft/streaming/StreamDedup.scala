@@ -39,12 +39,15 @@ object StreamDedup {
     * [[EventStreams.eventStream]] single-file glob trick, schema pinned
     * from the static read so batch and stream see identical rows.
     */
-  private def documentStream(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def documentStream(
+      spark: SparkSession, sfDir: String,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     val p = Tables.path(sfDir, "documents")
     val streamPath =
       if (new java.io.File(p).isFile) s"${p.dropRight(1)}[${p.last}]" else p
     spark.readStream
       .schema(Tables.documents(spark, sfDir).schema)
+      .options(sourceOptions)
       .parquet(streamPath)
   }
 
@@ -512,10 +515,30 @@ object StreamDedup {
     * texts as CTEs and joins them, so the fusion can never drift from
     * the screens it fuses.
     */
-  def st24StreamGauntlet(spark: SparkSession, sfDir: String): DataFrame = {
+  def st24StreamGauntlet(spark: SparkSession, sfDir: String): DataFrame =
+    EventStreams.runToParquet(st24GatedFrame(spark, sfDir), "st24_sink")
+      .orderBy(col("doc_id"))
+
+  /** The gauntlet's gated STREAM FRAME, factored so the rate drill
+    * ([[graft.GauntletRate]]) can drive the identical fused projection
+    * over its own multi-file source and time the drain alone:
+    * `arrivalsFrom` overrides the dd11 arrival split (the drill gates
+    * the WHOLE corpus — a 50-doc arrival batch can't carry a
+    * rows/sec claim), `sourceOptions` bounds admission so the backlog
+    * splits into sustained micro-batches. Registry defaults reproduce
+    * the oracle-gated query exactly.
+    */
+  private[graft] def st24GatedFrame(
+      spark: SparkSession, sfDir: String,
+      arrivalsFrom: Option[Long] = None,
+      sourceOptions: Map[String, String] = Map.empty): DataFrame = {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, sfDir)
+    // door ARTIFACTS are always built from the real history split (an
+    // arrivalsFrom override widens only the gated stream — artifacts
+    // from an empty history would change the screens themselves)
     val newFrom = Dedup.arrivalSplit(docs)
+    val gateFrom = arrivalsFrom.getOrElse(newFrom)
     val histToks = docs.filter(col("doc_id") < newFrom)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
@@ -550,8 +573,8 @@ object StreamDedup {
     val nFlagged = size(filter(col("shingles"), s =>
       forall(Dedup.bloomPositions(s), p =>
         element_at(bloomLit, (p + lit(1L)).cast("int")))))
-    val gated = documentStream(spark, sfDir)
-      .filter(col("doc_id") >= newFrom)
+    val gated = documentStream(spark, sfDir, sourceOptions)
+      .filter(col("doc_id") >= gateFrom)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
         Dedup.shinglesOf(tokens(col("text")), DecontShingleN).as("shingles"))
       .select(col("doc_id"),
@@ -569,8 +592,7 @@ object StreamDedup {
       .withColumn("admitted",
         col("quality_keep") && col("oov_keep") && col("surprisal_keep") &&
           col("pii_keep") && col("decont_keep"))
-    EventStreams.runToParquet(gated, "st24_sink")
-      .orderBy(col("doc_id"))
+    gated
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
