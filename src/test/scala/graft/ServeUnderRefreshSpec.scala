@@ -241,7 +241,22 @@ class ServeUnderRefreshSpec extends AnyFunSuite with SparkFixture {
               else { torn.add(s"$name -> $got"); () }
             } catch {
               case t: Throwable =>
-                missingFileMsg(t) match {
+                // UNABLE_TO_INFER_SCHEMA is the same source race seen at
+                // read SETUP: schema inference lists the raw source dir
+                // in the instant the harness's rm+rename has it absent,
+                // and the resulting AnalysisException carries neither a
+                // FileNotFoundException cause nor the path (the WARN
+                // beside it names tmpSf — caught live in the r18 suite
+                // run). It can only be the fixture's source swap: the
+                // artifact snapshots under test are written-then-
+                // pointer-swapped and never empty or deleted while
+                // current, so inference over them cannot fail this way.
+                val inferRace = Iterator.iterate(t)(_.getCause)
+                  .takeWhile(_ != null).exists(c => Option(c.getMessage)
+                    .exists(_.contains("UNABLE_TO_INFER_SCHEMA")))
+                if (inferRace) {
+                  sourceRace.add(s"$name: infer-schema during source swap"); ()
+                } else missingFileMsg(t) match {
                   // the raw SOURCE under tmpSf is swapped by this
                   // harness via rm+rename — a rebuild scanning the old
                   // source mid-swap is a fixture artifact (a real corpus
