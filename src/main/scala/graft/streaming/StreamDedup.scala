@@ -151,13 +151,17 @@ object StreamDedup {
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(vocabSize)
       .select(col("tok")).collect().map(_.getString(0))
-    val vlit = array(vocab.map(lit(_)): _*)
     val arrivals = documentStream(spark, sfDir)
       .filter(col("doc_id") >= newFrom)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         aggregate(col("toks"), lit(0L),
-          (acc, t) => acc + when(array_contains(vlit, t), 0L).otherwise(1L))
+          // isInCollection → optimizer rewrites to InSet (hash-set
+          // probe) — the old array_contains over a V-element array
+          // literal scanned all V entries PER TOKEN (V × tokens
+          // comparisons per doc at the door; membership semantics
+          // identical, nulls included)
+          (acc, t) => acc + when(t.isInCollection(vocab), 0L).otherwise(1L))
           .as("n_oov"))
     val rate = col("n_oov").cast("double") /
       nullif(col("n_tokens").cast("double"), lit(0.0))
@@ -546,7 +550,6 @@ object StreamDedup {
     val vocab = histToks
       .orderBy(col("n").desc, col("tok")).limit(TextAnalysis.HeadVocabSize)
       .select(col("tok")).collect().map(_.getString(0))
-    val vlit = array(vocab.map(lit(_)): _*)
     // st20's LM artifact (same capped top-V + pooled-tail bits table)
     val (denom, cTail, head) = lmArtifact(histToks)
     def flog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
@@ -565,7 +568,8 @@ object StreamDedup {
     val rules = TextAnalysis.qualityRules(col("toks"), col("text"))
     val nTok = size(col("toks")).cast("long")
     val nOov = aggregate(col("toks"), lit(0L),
-      (acc, t) => acc + when(array_contains(vlit, t), 0L).otherwise(1L))
+      // InSet hash probe, not an array scan — see st18's note
+      (acc, t) => acc + when(t.isInCollection(vocab), 0L).otherwise(1L))
     val bitsSum = aggregate(col("toks"), lit(0L),
       (acc, t) => acc + coalesce(element_at(bitsMap, t), lit(oovBits)))
     val oovRate = nOov.cast("double") / nullif(nTok.cast("double"), lit(0.0))
