@@ -305,12 +305,18 @@ object Dedup {
     extends RuntimeException(message)
 
   /** Default pair-emission budget for the uncapped contracts (dd5/dd15).
-    * Sized between the proven-good and the proven-fatal scales: dd5 at
-    * sf1 emits ~2 M band-pair combinations (oracle-verified hash-exact,
-    * bench/verify_sf1_r17_new.json) and at sf10 emitted the 22.5 M
-    * pairs that killed the JVM — 8 M clears sf1 with ~4× headroom and
-    * trips well before the fatal regime. Env-overridable for operators
-    * with bigger executors (SPARK_GRAFT_MAX_PAIR_BUDGET).
+    * Sized between the proven-good and the proven-fatal scales, with the
+    * guard's own measured projections (stderr `[budget]` lines, r18):
+    * dd5 projects 40 k at sf0.1, 4.45 M at sf1 (oracle-verified
+    * hash-exact at both), and 467.6 M at sf10 — the run that killed the
+    * JVM in r17 (the oft-quoted 22.5 M was the post-Hamming-filter
+    * OUTPUT; the emission executors must materialize is 21× that).
+    * dd15 projects 1.8 k / 1.65 M on the same corpora. 8 M clears sf1
+    * with 1.8× headroom and trips an order of magnitude before the
+    * fatal regime; a corpus between those scales SHOULD trip — that is
+    * the contract genuinely exploding, and the error names both the
+    * capped variant and the override (SPARK_GRAFT_MAX_PAIR_BUDGET) for
+    * clusters sized to take it.
     */
   val MaxPairBudget: Long = sys.env.get("SPARK_GRAFT_MAX_PAIR_BUDGET")
     .map(_.toLong).getOrElse(8_000_000L)
@@ -336,6 +342,10 @@ object Dedup {
       (s * (s - 1) / 2).cast("long")).otherwise(s - 1)
     val projected = lists.agg(coalesce(sum(perBucket), lit(0L)))
       .head().getLong(0)
+    // the pass-side margin is part of the record (how far a corpus sits
+    // from its budget is what an operator tunes against)
+    System.err.println(
+      s"[budget] $query projects $projected candidate pairs (budget $budget)")
     if (projected > budget)
       throw new PairBudgetExceeded(
         s"$query would emit $projected candidate pairs > budget $budget " +
