@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (args: Seq[Expression]) => SimHash60(unary(args, "simhash60"))))
     ext.injectFunction((
+      FunctionIdentifier("phash60"),
+      new ExpressionInfo(classOf[graft.functions.PHash60].getName, "phash60"),
+      (args: Seq[Expression]) =>
+        graft.functions.PHash60(unary(args, "phash60"))))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))

@@ -464,7 +464,7 @@ object Dedup {
     * generated from the SAME block literals the engine bands with, so a
     * scheme retune regenerates both sides (the shared-literal rule).
     */
-  private val simhashBandsSql: String = blockPairs.zipWithIndex
+  private[operators] val simhashBandsSql: String = blockPairs.zipWithIndex
     .map { case ((i, j), b) => s"($b, ${blockOffsets(i)}, ${blockOffsets(j)})" }
     .mkString(", ")
 
@@ -490,8 +490,16 @@ object Dedup {
     * the arithmetic shifts never sign-extend; the masks alone isolate
     * each block.)
     */
-  private def simhashBucketLists(docs: DataFrame): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhashExpr("text").as("sig"))
+  private def simhashBucketLists(docs: DataFrame): DataFrame =
+    bucketListsFromSigs(docs.select(col("doc_id"), simhashExpr("text").as("sig")))
+
+  /** The banding is SIGNATURE-AGNOSTIC: any 60-bit fingerprint with the
+    * bits-little-endian layout (SimHash60, PHash60 for mm14's image
+    * near-dup) bands into the same 10 combinatorial (blockPair → 24-bit
+    * key) buckets with the same radius-3 pigeonhole guarantee — factored
+    * so the image pipeline reuses the exact machinery dd5/dd5b proved.
+    */
+  private[operators] def bucketListsFromSigs(sigs: DataFrame): DataFrame = {
     val bandKeys = blockPairs.zipWithIndex.map { case ((i, j), b) =>
       lit(b.toLong << 24) +
         (shiftright(col("sig"), blockOffsets(i)).bitwiseAND(blockMasks(i)) * 4096) +
@@ -569,11 +577,23 @@ object Dedup {
     */
   def simhashCandidatesCapped(
       docs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = Dd5MaxBucket): DataFrame = {
+      maxBucket: Int = Dd5MaxBucket): DataFrame =
+    bandedHammingPairsCapped(
+      docs.select(col("doc_id"), simhashExpr("text").as("sig")),
+      maxHamming, maxBucket, "simhashCandidatesCapped")
+
+  /** The dd5b pipeline over an arbitrary (doc_id, 60-bit sig) frame:
+    * pigeonhole band → bucket posting lists → capped map-side pair
+    * emission → exact Hamming verify. Shared by dd5b (SimHash over
+    * text) and mm14 (PHash over image/binary payloads).
+    */
+  private[operators] def bandedHammingPairsCapped(
+      sigs: DataFrame, maxHamming: Int, maxBucket: Int,
+      caller: String): DataFrame = {
     require(maxHamming <= 3,
-      s"simhashCandidatesCapped: the 5-block pair banding is exact only " +
+      s"$caller: the 5-block pair banding is exact only " +
         s"for maxHamming <= 3, got $maxHamming")
-    simhashBucketLists(docs)
+    bucketListsFromSigs(sigs)
       .select(explode(call_function("pair_combs", col("ds"), lit(maxBucket))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
         bit_count(col("p.na").bitwiseXOR(col("p.nb"))).cast("long").as("hamming"))

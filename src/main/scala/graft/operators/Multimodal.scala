@@ -564,9 +564,59 @@ object Multimodal {
   def shardPlanQ(spark: SparkSession, sfDir: String): DataFrame =
     shardPlan(Tables.wdSamples(spark, sfDir))
 
+  /** mm14 — IMAGE near-duplicate pairs over the binary payload column:
+    * the multimodal member of the dedup family (dd1 exact, dd4/dd15
+    * MinHash, dd5 SimHash, dd6 embedding — all TEXT/vector; training
+    * pipelines dedup their image sides too, and re-encoded/resized
+    * copies defeat exact hashing). Recipe: a 60-bit perceptual
+    * fingerprint per payload via the native [[graft.functions.PHash60]]
+    * expression (coarse-grid intensity bits — the byte-segment
+    * stub-decode stand-in per the mm2/mm4 contract, integer-exact and
+    * therefore oracle-twinnable bit-for-bit), then EXACTLY the
+    * dd5b machinery: radius-3 pigeonhole banding, bucket posting lists,
+    * `Dd5MaxBucket`-capped hub-and-spoke pair emission, exact Hamming
+    * verify — the banding is signature-agnostic, so the image pipeline
+    * inherits the proven scale posture (banded/bucketed, never
+    * all-pairs; bounded output on megaclusters) without new machinery.
+    * Payloads under 60 bytes carry no signature (NULL phash) and are
+    * routed out — exact-hash dedup (dd1) owns them.
+    */
+  def phashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingPairsCapped(
+      docs.select(col("doc_id"),
+          call_function("phash60", col("text").cast("binary")).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming, Dedup.Dd5MaxBucket, "phashNearDups")
+
+  /** mm14's registry doc_id offset for the derived near-copies — one
+    * literal shared with the generated oracle text (the dd18 pattern).
+    */
+  val PhashPerturbOffset = 10000000L
+
+  /** The mm14 registry instantiation: the driver corpus is benign prose
+    * with no natural perceptual near-dups (the raw operator emits zero
+    * pairs on it — a vacuous gate), so the query runs over the corpus
+    * UNION its deterministically-derived near-copies (first character
+    * replaced by 'Z' at doc_id + [[PhashPerturbOffset]] — the dd18
+    * one-corpus-two-snapshots derivation): a one-byte perturbation is
+    * exactly the re-encoded-copy class the operator exists to catch, so
+    * most (original, copy) pairs land within the radius and the
+    * banding/cap/verify pipeline is gated on REAL matches. The oracle
+    * applies the identical derivation; a real deployment passes its
+    * asset frame to [[phashNearDups]] directly.
+    */
+  def phashNearDupsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val copies = docs.select(
+      (col("doc_id") + PhashPerturbOffset).as("doc_id"),
+      concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+    phashNearDups(docs.unionAll(copies))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm14_phash_neardup" -> (phashNearDupsQ _),
     "mm13_shard_plan" -> (shardPlanQ _),
     "mm12_tar_assembly" -> (tarAssemblyQ _),
     "mm11_sample_assembly" -> (sampleAssemblyQ _),
@@ -621,6 +671,58 @@ object Multimodal {
        |FROM parts GROUP BY doc_id ORDER BY sample_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // mm14: re-derives the PHash60 signature DECLARATIVELY — bytes via
+    // the hex rendering of the UTF-8 payload (hex chars are ASCII, so
+    // VARCHAR substring positions are byte positions — the mm3 lesson),
+    // segment-of-byte via the same floor(j*60/L) map, the bit via the
+    // same cross-multiplied integer mean compare, then dd5b's banding/
+    // cap/verify SQL verbatim from the SHARED band literals
+    // (simhashBandsSql) and the SHARED Dd5MaxBucket — both engines
+    // regenerate every constant, so a scheme retune regenerates both
+    // sides. Payloads under 60 bytes are excluded in both engines.
+    "mm14_phash_neardup" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + $PhashPerturbOffset,
+         |    'Z' || substring(text, 2) FROM documents),
+         |pb AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS L
+         |  FROM corpus WHERE octet_length(encode(text)) >= 60
+         |    AND octet_length(encode(text)) <= 150000000),
+         |pv AS (SELECT doc_id, L, (j * 60) // L AS s,
+         |    ('0x' || substring(hx, CAST(2 * j + 1 AS BIGINT), 2))::BIGINT AS v
+         |  FROM (SELECT doc_id, hx, L,
+         |          unnest(generate_series(0, L - 1)) AS j FROM pb)),
+         |pseg AS (SELECT doc_id, L, s,
+         |    sum(v) AS segsum, count(*) AS seglen
+         |  FROM pv GROUP BY 1, 2, 3),
+         |ptot AS (SELECT doc_id, sum(segsum) AS total FROM pseg GROUP BY 1),
+         |sig AS MATERIALIZED (SELECT g.doc_id,
+         |    CAST(sum(CASE WHEN g.segsum * g.L > t.total * g.seglen
+         |      THEN (1::BIGINT << CAST(g.s AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM pseg g JOIN ptot t USING (doc_id) GROUP BY g.doc_id),
+         |bands(b, oi, oj) AS (VALUES ${Dedup.simhashBandsSql}),
+         |bk AS MATERIALIZED (SELECT s.doc_id, s.sig,
+         |    CAST(b.b AS BIGINT) * 16777216
+         |      + ((s.sig >> b.oi) & 4095) * 4096
+         |      + ((s.sig >> b.oj) & 4095) AS key
+         |  FROM sig s CROSS JOIN bands b),
+         |grp AS MATERIALIZED (SELECT key, count(*) AS n, min(doc_id) AS hub
+         |  FROM bk GROUP BY key HAVING count(*) > 1),
+         |pairs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bk a JOIN bk b ON a.key = b.key AND a.doc_id < b.doc_id
+         |  JOIN grp g ON g.key = a.key
+         |  WHERE g.n <= ${Dedup.Dd5MaxBucket}
+         |  UNION ALL
+         |  SELECT g.hub AS doc_a, b.doc_id AS doc_b
+         |  FROM grp g JOIN bk b ON b.key = g.key AND b.doc_id > g.hub
+         |  WHERE g.n > ${Dedup.Dd5MaxBucket}))
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+         |             JOIN sig b ON b.doc_id = p.doc_b
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // the mm6 convention, EXTENDED (r14, forced by the adversarial
     // asset corpus planting real all-ASCII tars): the guard mirrors the
     // engine's classification (512-byte minimum + `ustar` magic at byte

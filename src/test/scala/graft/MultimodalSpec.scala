@@ -737,4 +737,79 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(shards.zip(shards.tail).forall { case (a, b) => b == a || b == a + 1 },
       "shard ids must be non-decreasing and gap-free in sample order")
   }
+
+  // ------------------------------------------------------------- mm14
+
+  /** Scala reference of PHash60.compute — independent arithmetic (double
+    * means instead of cross-multiplication) so an integer-math slip in
+    * the expression can't hide behind testing it against itself.
+    */
+  private def refPhash(b: Array[Byte]): Option[Long] = {
+    val L = b.length
+    if (L < 60) return None
+    val segs = Array.fill(60)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    b.zipWithIndex.foreach { case (x, j) => segs((j.toLong * 60 / L).toInt) += (x & 0xFF) }
+    val all = b.map(_ & 0xFF)
+    val mean = all.sum.toDouble / L
+    var sig = 0L
+    (0 until 60).foreach { s =>
+      if (segs(s).sum.toDouble / segs(s).size > mean) sig |= 1L << s
+    }
+    Some(sig)
+  }
+
+  test("phash60: matches the independent reference on random payloads; null under 60 bytes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val payloads = (0 until 50).map { i =>
+      (i.toLong, Array.fill(60 + rnd.nextInt(500))(rnd.nextInt(256).toByte))
+    }
+    val got = payloads.toDF("id", "bin")
+      .selectExpr("id", "phash60(bin) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.foreach { case (id, b) =>
+      assert(got(id) === refPhash(b).get, s"payload $id")
+    }
+    val short = Seq((1L, Array.fill(59)(7.toByte))).toDF("id", "bin")
+      .selectExpr("phash60(bin) AS sig").collect()
+    assert(short.head.isNullAt(0), "under-60-byte payload must carry no signature")
+  }
+
+  test("mm14: banded pairs are EXACTLY the radius-3 pairs (brute force), small perturbations land inside") {
+    import spark.implicits._
+    // base payloads with strong segment structure (ramps), plus copies
+    // with one byte tweaked — the re-encoded-near-copy class
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(200 + rnd.nextInt(100))(j => ((i * 37 + j * 3) % 256).toByte))
+    }
+    val tweaked = base.take(20).map { case (i, b) =>
+      val c = b.clone(); c(5) = (c(5) + 40).toByte; (i + 1000L, c)
+    }
+    val docs = (base ++ tweaked)
+      .map { case (i, b) => (i, new String(b.map(x => ((x & 0x3F) + 48).toChar))) }
+      .toDF("doc_id", "text") // printable-ASCII payloads: 1 char = 1 byte
+    val pairs = graft.operators.Multimodal.phashNearDups(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the same signatures
+    val sigs = docs.selectExpr("doc_id", "phash60(cast(text AS BINARY)) AS sig")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture must contain near-dups")
+    assert(pairs === brute,
+      s"missed=${(brute -- pairs).size} extra=${(pairs -- brute).size} of ${brute.size}")
+  }
+
+  test("mm14: identical-payload megacluster emits the capped hub-and-spoke star") {
+    import spark.implicits._
+    val n = 100 // > Dd5MaxBucket = 64
+    val docs = (0L until n).map(i => (i, "alpha beta gamma delta epsilon zeta eta theta " * 3))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Multimodal.phashNearDups(docs).collect()
+    assert(pairs.length === n - 1, s"expected the ${n - 1}-spoke star, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getLong(2) == 0L))
+  }
 }
