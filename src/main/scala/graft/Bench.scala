@@ -474,12 +474,22 @@ object Bench {
             f"[bench] $name: foreign load ${first.load}%.2f cores > $maxLoad mid-run — " +
               f"draining (${midrunDrainLeft}s budget left) and re-running once")
           drainMidRun()
+          // no cache/persist residue from the contended attempt may leak
+          // into the retry — the retry's cold replaces the first's cold
+          // wholesale on a clean sample, so it must actually be cold
+          // (r18 advisor, low)
+          spark.catalog.clearCache()
           val second = runQuery(name, fn)
           // a clean retry replaces the contended take entirely; a retry
           // still contended keeps the better warm (both are upper bounds
-          // on the true cost) and the contended stamp below
+          // on the true cost) and the contended stamp below. A retry that
+          // ERRORED while the first run succeeded must NOT replace it —
+          // the first's contended timing is a usable upper bound, the
+          // error (e.g. OOM under the same contention) is not
+          // (r18 advisor, medium).
           val keep =
-            if (second.load <= maxLoad || second.warm.isLeft) second
+            if (second.warm.isLeft) first
+            else if (second.load <= maxLoad) second
             else Seq(first, second)
               .minBy(_.warm.toOption.map(_._1).getOrElse(Double.MaxValue))
           (keep, true)

@@ -98,7 +98,7 @@ object RestartDrill {
     val sfDir = args.headOption.getOrElse(
       s"${sys.props("user.dir")}/target/sf1synth")
     val outPath = sys.env.getOrElse(
-      "SPARK_GRAFT_RESTART_OUT", "bench/r17_restart_sf1.json")
+      "SPARK_GRAFT_RESTART_OUT", "bench/r19_restart_sf1.json")
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
     val fakeSf = graft.sources.Staging.stageMultiFile(
       spark, sfDir, "events", SourceFiles, "restart_src")

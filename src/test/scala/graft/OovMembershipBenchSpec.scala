@@ -53,10 +53,25 @@ class OovMembershipBenchSpec extends AnyFunSuite with SparkFixture {
     assert(runs.forall { case ((_, a), (_, b)) => a == b })
     info(f"array_contains best $scanBest%.3f s vs isInCollection best $insetBest%.3f s " +
       f"(${scanBest / insetBest}%.1fx) on 20k docs x 60 toks, V=200")
-    // same-JVM floor: the hash probe must never lose to the linear scan
-    // (tolerance for timer noise on a near-tie)
-    assert(insetBest <= scanBest * 1.15,
-      f"InSet ($insetBest%.3f s) slower than the array scan ($scanBest%.3f s)")
+    // The plan-shape assertion above is the real guard. The wall-clock
+    // comparison races the host (r18 advisor, low): on a contended box
+    // the hash probe can lose a best-of-3 at V=200 to timer noise, so
+    // the timing floor is only ENFORCED when the host is quiet — same
+    // foreign-load signal as the bench's mid-run gate — and
+    // informational otherwise.
+    val foreign = java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case s: com.sun.management.OperatingSystemMXBean =>
+        val sys0 = s.getCpuLoad; val self0 = s.getProcessCpuLoad
+        if (sys0.isNaN || self0.isNaN) 0.0
+        else math.max(0.0, sys0 - self0) * Runtime.getRuntime.availableProcessors()
+      case _ => 0.0
+    }
+    if (foreign <= 4.0)
+      assert(insetBest <= scanBest * 1.15,
+        f"InSet ($insetBest%.3f s) slower than the array scan ($scanBest%.3f s) on a quiet host")
+    else
+      info(f"host busy (foreign load $foreign%.1f cores) — timing floor informational only: " +
+        f"InSet $insetBest%.3f s vs scan $scanBest%.3f s")
     docs.unpersist()
   }
 }
