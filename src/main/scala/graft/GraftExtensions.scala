@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) =>
         graft.functions.PHash60(unary(args, "phash60"))))
     ext.injectFunction((
+      FunctionIdentifier("phash60p"),
+      new ExpressionInfo(classOf[graft.functions.PHash60].getName, "phash60p"),
+      (args: Seq[Expression]) =>
+        graft.functions.PHash60(unary(args, "phash60p"), perceptual = true)))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (args: Seq[Expression]) => DotProduct(args.head, args(1))))

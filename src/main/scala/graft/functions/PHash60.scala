@@ -32,8 +32,30 @@ import org.apache.spark.sql.types._
   * [[PHash60.MaxBytes]] (the cross-multiplication is proven overflow-free
   * only below it: segSum*L <= 255*L^2 < 2^63 requires L < ~1.9e8; the
   * conservative bound leaves 20% margin).
+  *
+  * `perceptual = true` (registered as `phash60p`, mm14's production
+  * signature since r19): a payload carrying a real image magic
+  * (PNG/JPEG/GIF/BMP) is DECODED with the JDK's pure-Java ImageIO
+  * readers — the same deterministic decode mm2's `decodeAssets` uses —
+  * and the 60-segment compute runs over the row-major integer LUMA
+  * plane (ITU-R BT.601: `(299R + 587G + 114B) / 1000`, integer-exact)
+  * instead of the compressed byte stream. This is what makes the
+  * operator live up to its name: a re-encoded copy of the same picture
+  * (different compression ⇒ different bytes, different md5) has the
+  * SAME pixels, hence the same luma stream, hence Hamming distance 0.
+  * Fallback to the byte-stream compute is taken when the payload bears
+  * no image magic, the decode fails (corrupt/exotic stream — NonFatal
+  * caught, never kills the task), the decoded plane is under 60 pixels,
+  * or the plane exceeds the overflow bound (decompression-bomb guard:
+  * w×h > MaxBytes falls back BEFORE allocating the plane). On a UTF-8
+  * prose corpus the decode branch is provably dead (0x89/0xFF cannot
+  * start UTF-8; the ASCII GIF/BMP magics never decode from prose — the
+  * mm2 argument), so the SQL oracle's byte-stream re-derivation remains
+  * bit-exact there; the decode branch is gated on real crafted images
+  * in MultimodalSpec.
   */
-case class PHash60(child: Expression) extends UnaryExpression {
+case class PHash60(child: Expression, perceptual: Boolean = false)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -43,18 +65,21 @@ case class PHash60(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
-  override def prettyName: String = "phash60"
+  override def prettyName: String = if (perceptual) "phash60p" else "phash60"
+
+  private def fn: String = if (perceptual) "computePerceptual" else "compute"
 
   override protected def nullSafeEval(input: Any): Any =
-    PHash60.compute(input.asInstanceOf[Array[Byte]])
+    if (perceptual) PHash60.computePerceptual(input.asInstanceOf[Array[Byte]])
+    else PHash60.compute(input.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // compute() returns a boxed java.lang.Long (null = no signature);
-    // unbox behind an explicit null check so codegen stays primitive on
-    // the hot path
+    // compute()/computePerceptual() return a boxed java.lang.Long
+    // (null = no signature); unbox behind an explicit null check so
+    // codegen stays primitive on the hot path
     val boxed = ctx.freshName("phashBoxed")
     nullSafeCodeGen(ctx, ev, c =>
-      s"""java.lang.Long $boxed = graft.functions.PHash60.compute($c);
+      s"""java.lang.Long $boxed = graft.functions.PHash60.$fn($c);
          |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
          |""".stripMargin)
   }
@@ -96,5 +121,65 @@ object PHash60 {
       s += 1
     }
     java.lang.Long.valueOf(sig)
+  }
+
+  /** Image magics the perceptual path attempts to decode — a superset of
+    * mm2's (adds BMP, which ImageIO reads/writes losslessly and which
+    * the re-encode spec uses as the second container). Magic-bearing
+    * bytes that FAIL decode fall through to the byte-stream compute, so
+    * a prose doc that happens to open with an ASCII magic ("GIF89a",
+    * "BM") still hashes exactly as the oracle's byte-stream
+    * re-derivation — the same differential argument mm2 pins.
+    */
+  private def hasImageMagic(b: Array[Byte]): Boolean =
+    (b.length >= 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G') ||
+    (b.length >= 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte &&
+      b(2) == 0xFF.toByte) ||
+    (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') ||
+    (b.length >= 2 && b(0) == 'B' && b(1) == 'M')
+
+  /** Perceptual variant (see class scaladoc): decoded-luma grid for
+    * payloads that really decode, byte-stream fallback otherwise. The
+    * decode is the JDK's deterministic pure-Java ImageIO path (no
+    * native codecs), so the signature remains a pure function of the
+    * payload bytes — mm14 stays hash-gatable with this in the plan.
+    */
+  def computePerceptual(b: Array[Byte]): java.lang.Long = {
+    if (b.length >= 2 && hasImageMagic(b) && b.length <= MaxBytes) {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img != null) {
+        val w = img.getWidth
+        val h = img.getHeight
+        // decompression-bomb guard + overflow bound BEFORE allocation;
+        // under-60-pixel planes carry no grid signature — both fall back
+        // to the byte stream rather than returning null, so tiny-but-real
+        // images still dedup (exactly, via their encoded bytes)
+        if (w.toLong * h >= Segments && w.toLong * h <= MaxBytes) {
+          val luma = new Array[Byte](w * h)
+          var y = 0
+          var i = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val argb = img.getRGB(x, y)
+              val r = (argb >>> 16) & 0xFF
+              val g = (argb >>> 8) & 0xFF
+              val bl = argb & 0xFF
+              // BT.601 integer luma — exact, no floating point
+              luma(i) = ((299 * r + 587 * g + 114 * bl) / 1000).toByte
+              x += 1; i += 1
+            }
+            y += 1
+          }
+          return compute(luma)
+        }
+      }
+    }
+    compute(b)
   }
 }

@@ -464,7 +464,7 @@ object Dedup {
     * generated from the SAME block literals the engine bands with, so a
     * scheme retune regenerates both sides (the shared-literal rule).
     */
-  private[operators] val simhashBandsSql: String = blockPairs.zipWithIndex
+  private[graft] val simhashBandsSql: String = blockPairs.zipWithIndex
     .map { case ((i, j), b) => s"($b, ${blockOffsets(i)}, ${blockOffsets(j)})" }
     .mkString(", ")
 
@@ -499,14 +499,24 @@ object Dedup {
     * key) buckets with the same radius-3 pigeonhole guarantee — factored
     * so the image pipeline reuses the exact machinery dd5/dd5b proved.
     */
-  private[operators] def bucketListsFromSigs(sigs: DataFrame): DataFrame = {
+  /** The per-row banding alone — (doc_id, sig, key), 10 rows per doc,
+    * pure map-side expression work (explode of 10 literal-offset
+    * shift/mask keys). Shared by the batch posting-list path below and
+    * the STREAMING binary door (st27), whose arrival side must band
+    * map-side with no shuffle before the history join.
+    */
+  private[graft] def bandKeysFromSigs(sigs: DataFrame): DataFrame = {
     val bandKeys = blockPairs.zipWithIndex.map { case ((i, j), b) =>
       lit(b.toLong << 24) +
         (shiftright(col("sig"), blockOffsets(i)).bitwiseAND(blockMasks(i)) * 4096) +
         shiftright(col("sig"), blockOffsets(j)).bitwiseAND(blockMasks(j))
     }
-    val keyed = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       explode(array(bandKeys: _*)).as("key"))
+  }
+
+  private[operators] def bucketListsFromSigs(sigs: DataFrame): DataFrame = {
+    val keyed = bandKeysFromSigs(sigs)
     keyed.groupBy(col("key"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ds"))
       .filter(size(col("ds")) > 1)

@@ -569,22 +569,30 @@ object Multimodal {
     * MinHash, dd5 SimHash, dd6 embedding — all TEXT/vector; training
     * pipelines dedup their image sides too, and re-encoded/resized
     * copies defeat exact hashing). Recipe: a 60-bit perceptual
-    * fingerprint per payload via the native [[graft.functions.PHash60]]
-    * expression (coarse-grid intensity bits — the byte-segment
-    * stub-decode stand-in per the mm2/mm4 contract, integer-exact and
-    * therefore oracle-twinnable bit-for-bit), then EXACTLY the
-    * dd5b machinery: radius-3 pigeonhole banding, bucket posting lists,
-    * `Dd5MaxBucket`-capped hub-and-spoke pair emission, exact Hamming
-    * verify — the banding is signature-agnostic, so the image pipeline
-    * inherits the proven scale posture (banded/bucketed, never
-    * all-pairs; bounded output on megaclusters) without new machinery.
-    * Payloads under 60 bytes carry no signature (NULL phash) and are
-    * routed out — exact-hash dedup (dd1) owns them.
+    * fingerprint per payload via the native `phash60p` expression
+    * ([[graft.functions.PHash60]] with `perceptual = true`, r19):
+    * payloads that genuinely DECODE as images (PNG/JPEG/GIF/BMP via the
+    * JDK's deterministic ImageIO readers — mm2's decode) hash the
+    * coarse-grid intensity bits of the decoded LUMA plane, so a
+    * re-encoded copy of the same picture (different compression ⇒
+    * different bytes) lands at Hamming 0 — the class the operator is
+    * named for, gated on real re-encoded images in MultimodalSpec.
+    * Undecodable payloads take the integer-exact byte-segment compute
+    * (oracle-twinnable bit-for-bit — the only branch reachable from a
+    * UTF-8 prose corpus, which is what keeps the registry query
+    * hash-gated). Then EXACTLY the dd5b machinery: radius-3 pigeonhole
+    * banding, bucket posting lists, `Dd5MaxBucket`-capped hub-and-spoke
+    * pair emission, exact Hamming verify — the banding is
+    * signature-agnostic, so the image pipeline inherits the proven
+    * scale posture (banded/bucketed, never all-pairs; bounded output on
+    * megaclusters) without new machinery. Payloads under 60 bytes carry
+    * no signature (NULL phash) and are routed out — exact-hash dedup
+    * (dd1) owns them.
     */
   def phashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     Dedup.bandedHammingPairsCapped(
       docs.select(col("doc_id"),
-          call_function("phash60", col("text").cast("binary")).as("sig"))
+          call_function("phash60p", col("text").cast("binary")).as("sig"))
         .filter(col("sig").isNotNull),
       maxHamming, Dedup.Dd5MaxBucket, "phashNearDups")
 
@@ -592,6 +600,31 @@ object Multimodal {
     * literal shared with the generated oracle text (the dd18 pattern).
     */
   val PhashPerturbOffset = 10000000L
+
+  /** The byte-stream PHash60 re-derivation as SQL CTEs over a prior CTE
+    * named `corpus(doc_id, text)` — pb/pv/pseg/ptot/sig, ending in
+    * `sig(doc_id, sig)`. ONE text shared by mm14's oracle and the
+    * streaming door's (st27), so the two can never drift on what the
+    * signature is. Exact on any corpus where phash60p's decode branch is
+    * dead (every oracle corpus — see the mm14 oracle comment).
+    */
+  private[graft] val PhashSigCtesSql: String =
+    s"""pb AS (SELECT doc_id, hex(encode(text)) AS hx,
+       |    octet_length(encode(text)) AS L
+       |  FROM corpus WHERE octet_length(encode(text)) >= 60
+       |    AND octet_length(encode(text)) <= 150000000),
+       |pv AS (SELECT doc_id, L, (j * 60) // L AS s,
+       |    ('0x' || substring(hx, CAST(2 * j + 1 AS BIGINT), 2))::BIGINT AS v
+       |  FROM (SELECT doc_id, hx, L,
+       |          unnest(generate_series(0, L - 1)) AS j FROM pb)),
+       |pseg AS (SELECT doc_id, L, s,
+       |    sum(v) AS segsum, count(*) AS seglen
+       |  FROM pv GROUP BY 1, 2, 3),
+       |ptot AS (SELECT doc_id, sum(segsum) AS total FROM pseg GROUP BY 1),
+       |sig AS MATERIALIZED (SELECT g.doc_id,
+       |    CAST(sum(CASE WHEN g.segsum * g.L > t.total * g.seglen
+       |      THEN (1::BIGINT << CAST(g.s AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM pseg g JOIN ptot t USING (doc_id) GROUP BY g.doc_id)""".stripMargin
 
   /** The mm14 registry instantiation: the driver corpus is benign prose
     * with no natural perceptual near-dups (the raw operator emits zero
@@ -671,7 +704,13 @@ object Multimodal {
        |FROM parts GROUP BY doc_id ORDER BY sample_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
-    // mm14: re-derives the PHash60 signature DECLARATIVELY — bytes via
+    // mm14: re-derives the BYTE-STREAM PHash60 signature DECLARATIVELY.
+    // The engine runs `phash60p`, whose decoded-luma branch is PROVABLY
+    // dead on a UTF-8 prose corpus (0x89/0xFF can't start UTF-8; the
+    // ASCII GIF/BMP magics never ImageIO-decode from prose — the pinned
+    // mm2 differential), so on every oracle corpus phash60p ≡ phash60
+    // and this SQL stays bit-exact; the decode branch is gated on real
+    // re-encoded images in MultimodalSpec instead. Bytes via
     // the hex rendering of the UTF-8 payload (hex chars are ASCII, so
     // VARCHAR substring positions are byte positions — the mm3 lesson),
     // segment-of-byte via the same floor(j*60/L) map, the bit via the
@@ -684,22 +723,7 @@ object Multimodal {
       s"""WITH corpus AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + $PhashPerturbOffset,
          |    'Z' || substring(text, 2) FROM documents),
-         |pb AS (SELECT doc_id, hex(encode(text)) AS hx,
-         |    octet_length(encode(text)) AS L
-         |  FROM corpus WHERE octet_length(encode(text)) >= 60
-         |    AND octet_length(encode(text)) <= 150000000),
-         |pv AS (SELECT doc_id, L, (j * 60) // L AS s,
-         |    ('0x' || substring(hx, CAST(2 * j + 1 AS BIGINT), 2))::BIGINT AS v
-         |  FROM (SELECT doc_id, hx, L,
-         |          unnest(generate_series(0, L - 1)) AS j FROM pb)),
-         |pseg AS (SELECT doc_id, L, s,
-         |    sum(v) AS segsum, count(*) AS seglen
-         |  FROM pv GROUP BY 1, 2, 3),
-         |ptot AS (SELECT doc_id, sum(segsum) AS total FROM pseg GROUP BY 1),
-         |sig AS MATERIALIZED (SELECT g.doc_id,
-         |    CAST(sum(CASE WHEN g.segsum * g.L > t.total * g.seglen
-         |      THEN (1::BIGINT << CAST(g.s AS INTEGER)) ELSE 0 END) AS BIGINT) AS sig
-         |  FROM pseg g JOIN ptot t USING (doc_id) GROUP BY g.doc_id),
+         |$PhashSigCtesSql,
          |bands(b, oi, oj) AS (VALUES ${Dedup.simhashBandsSql}),
          |bk AS MATERIALIZED (SELECT s.doc_id, s.sig,
          |    CAST(b.b AS BIGINT) * 16777216

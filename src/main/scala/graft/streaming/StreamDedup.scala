@@ -78,6 +78,88 @@ object StreamDedup {
       .orderBy(col("doc_id"), col("hist_id"), col("band"))
   }
 
+  /** st27 — streaming BINARY near-dup door (r18 verdict item 5): the
+    * admission gauntlet screens TEXT five ways (st16–st25) but until
+    * this gate a binary/image arrival passed unscreened — the multimodal
+    * half of the corpus had no door. This is st16's stream-static shape
+    * over mm14's signature space: the HISTORY side is the full corpus's
+    * perceptual band keys ([[graft.operators.Multimodal.phashNearDups]]'
+    * `phash60p` signature → [[Dedup.bandKeysFromSigs]]' 10 pigeonhole
+    * band keys — built ONCE per gate start; at 100 TB a bucketed table
+    * on `key`, exactly st16's posture), and each ARRIVAL's signature +
+    * band keys are pure map-side expressions — no state, no watermark,
+    * no shuffle on the stream side before the equi-join. A collision
+    * verifies with the exact map-side Hamming check, so the gate emits
+    * true radius-3 near-dups of history, not band coincidences.
+    *
+    * Non-vacuity (the dd18/mm14 move): the driver corpus is benign
+    * prose with no natural perceptual near-dups, so the registry
+    * instantiation derives each arrival as a one-byte-perturbed COPY of
+    * a historical doc (first char → 'Z', doc_id + PhashPerturbOffset) —
+    * exactly the re-encoded-copy class the door exists to catch; most
+    * arrivals collide with their originals within the radius, so the
+    * banding, join and verify are gated on real matches. The oracle
+    * applies the identical derivation over the shared literals
+    * (PhashSigCtesSql + simhashBandsSql + ArrivalOffsetSql). A real
+    * deployment feeds its asset stream directly and keys history by
+    * content id.
+    *
+    * Per-band multiplicity is collapsed batch-side after the sink
+    * (DISTINCT over (arrival, hist, hamming)) — the streamed rows are
+    * one per band collision, st16's stateless contract; a stateful
+    * streaming dedup would hold unbounded pair state for no gate value.
+    */
+  def st27StreamPhashGate(
+      spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val newFrom = Dedup.arrivalSplit(docs)
+    def sigs(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        call_function("phash60p", col("text").cast("binary")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val histKeys = Dedup.bandKeysFromSigs(sigs(docs))
+      .select(col("key"), col("doc_id").as("hist_id"), col("sig").as("hist_sig"))
+    val arrivals = documentStream(spark, sfDir)
+      .filter(col("doc_id") >= newFrom)
+      .select((col("doc_id") + Multimodal.PhashPerturbOffset).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+    val hits = Dedup.bandKeysFromSigs(sigs(arrivals))
+      .join(histKeys, Seq("key"))
+      .select(col("doc_id"), col("hist_id"),
+        bit_count(col("sig").bitwiseXOR(col("hist_sig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    EventStreams.runToParquet(hits, "st27_sink")
+      .distinct().orderBy(col("doc_id"), col("hist_id"))
+  }
+
+  /** st27's BATCH twin — the identical frame with the arrival side read
+    * statically: the stream≡batch parity bar every gate in this file
+    * meets (StreamDedupSpec asserts equality row-for-row).
+    */
+  private[graft] def st27BatchTwin(
+      spark: SparkSession, sfDir: String, maxHamming: Int = 3): DataFrame = {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val newFrom = Dedup.arrivalSplit(docs)
+    def sigs(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        call_function("phash60p", col("text").cast("binary")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val histKeys = Dedup.bandKeysFromSigs(sigs(docs))
+      .select(col("key"), col("doc_id").as("hist_id"), col("sig").as("hist_sig"))
+    val arrivals = docs
+      .filter(col("doc_id") >= newFrom)
+      .select((col("doc_id") + Multimodal.PhashPerturbOffset).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+    Dedup.bandKeysFromSigs(sigs(arrivals))
+      .join(histKeys, Seq("key"))
+      .select(col("doc_id"), col("hist_id"),
+        bit_count(col("sig").bitwiseXOR(col("hist_sig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct().orderBy(col("doc_id"), col("hist_id"))
+  }
+
   /** st17 — streaming QUALITY-ADMISSION gate: the streaming face of the
     * td6 Gopher/C4 document filter, the second admission screen a
     * continuously fed corpus runs at the door (st16 rejects near-dups of
@@ -612,6 +694,8 @@ object StreamDedup {
       ((s: SparkSession, d: String) => st25StreamBpeGate(s, d)),
     "st16_stream_dedup_gate" ->
       ((s: SparkSession, d: String) => st16StreamDedupGate(s, d)),
+    "st27_stream_phash_gate" ->
+      ((s: SparkSession, d: String) => st27StreamPhashGate(s, d)),
     "st17_stream_quality_gate" ->
       ((s: SparkSession, d: String) => st17StreamQualityGate(s, d)),
     "st18_stream_oov_gate" ->
@@ -717,6 +801,32 @@ object StreamDedup {
          |  CAST(n_ipv4 AS BIGINT) AS n_ipv4, CAST(n_phones AS BIGINT) AS n_phones,
          |  redacted_fp, n_emails = 0 AND n_ipv4 = 0 AND n_phones = 0 AS keep
          |FROM r ORDER BY doc_id""".stripMargin
+    },
+    // st27: the shared PHash CTE text (Multimodal.PhashSigCtesSql — the
+    // byte-stream re-derivation, exact because phash60p's decode branch
+    // is dead on prose) over history = the whole corpus, arrivals = the
+    // last-50 split derived as one-byte-perturbed copies; band keys from
+    // the shared simhashBandsSql literals; DISTINCT verified pairs.
+    "st27_stream_phash_gate" -> {
+      val off = graft.operators.Multimodal.PhashPerturbOffset
+      s"""WITH nf AS (SELECT ${Dedup.ArrivalOffsetSql} AS v FROM documents),
+         |corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + $off,
+         |    'Z' || substring(text, 2) FROM documents
+         |    WHERE doc_id >= (SELECT v FROM nf)),
+         |${graft.operators.Multimodal.PhashSigCtesSql},
+         |bands(b, oi, oj) AS (VALUES ${Dedup.simhashBandsSql}),
+         |bk AS MATERIALIZED (SELECT s.doc_id, s.sig,
+         |    CAST(b.b AS BIGINT) * 16777216
+         |      + ((s.sig >> b.oi) & 4095) * 4096
+         |      + ((s.sig >> b.oj) & 4095) AS key
+         |  FROM sig s CROSS JOIN bands b)
+         |SELECT DISTINCT a.doc_id, h.doc_id AS hist_id,
+         |  CAST(bit_count(xor(a.sig, h.sig)) AS BIGINT) AS hamming
+         |FROM bk a JOIN bk h ON a.key = h.key
+         |WHERE a.doc_id >= $off AND h.doc_id < $off
+         |  AND bit_count(xor(a.sig, h.sig)) <= 3
+         |ORDER BY a.doc_id, hist_id""".stripMargin
     },
     // dd4's signature chain on the full corpus, band keys split at the
     // dd11 batch boundary, the same equi-join — one row per collision.

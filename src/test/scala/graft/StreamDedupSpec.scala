@@ -39,6 +39,28 @@ class StreamDedupSpec extends AnyFunSuite with SparkFixture {
     assert(again === got)
   }
 
+  test("st27: streaming binary door == batch twin; derived near-copies collide with their originals") {
+    import graft.operators.Multimodal
+    val got = StreamDedup.st27StreamPhashGate(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val expect = StreamDedup.st27BatchTwin(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(got === expect)
+    // non-vacuous: the one-byte-perturbed arrivals really collide with
+    // history within the radius — the class the door exists to catch
+    assert(got.nonEmpty, "derived near-copies must collide with their originals")
+    assert(got.forall(r => r(2).asInstanceOf[Long] <= 3L))
+    // arrivals carry the perturb offset; history ids never do
+    assert(got.forall(r =>
+      r.head.asInstanceOf[Long] >= Multimodal.PhashPerturbOffset))
+    assert(got.forall(r =>
+      r(1).asInstanceOf[Long] < Multimodal.PhashPerturbOffset))
+    // most arrivals find their own original (id difference = offset)
+    val selfHits = got.count(r => r.head.asInstanceOf[Long] -
+      Multimodal.PhashPerturbOffset == r(1).asInstanceOf[Long])
+    assert(selfHits >= 40, s"expected >=40 of 50 originals rediscovered, got $selfHits")
+  }
+
   test("st17: streaming quality gate == batch td6 decisions, with attribution") {
     import graft.operators.TextAnalysis
     val got = StreamDedup.st17StreamQualityGate(spark, sf001)

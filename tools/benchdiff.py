@@ -151,12 +151,23 @@ elif (ot is None) != (nt is None):
 # is as misleading as a contended new number).
 contended_q = {q for rec in (old_rec, new_rec)
                for q, v in rec["queries"].items() if v.get("contended")}
+# Slow-window demotion (r18 verdict item 1): a query stamped
+# "slow_window":true ran > SLOWK x its recorded plan-identical best and
+# a drained re-run did not heal it — its wall time is page-cache /
+# fs-window state, not code. Same suppression contract as contended.
+slow_q = {q for rec in (old_rec, new_rec)
+          for q, v in rec["queries"].items() if v.get("slow_window")}
 for rec, tag in ((old_rec, "old"), (new_rec, "new")):
     mid = rec.get("contended_mid_run") or []
     if mid:
         print(f"!! MID-RUN CONTENTION in {tag} record: {len(mid)} queries "
               f"self-demoted ({', '.join(sorted(mid))}) — their TIME lines "
               "are suppressed")
+    sw = rec.get("slow_window") or []
+    if sw:
+        print(f"!! SLOW WINDOW in {tag} record: {len(sw)} queries exceeded "
+              f"SLOWK x their plan-identical best and did not heal "
+              f"({', '.join(sorted(sw))}) — their TIME lines are suppressed")
 
 ol, oprocs = env_load(old_rec)
 nl, nprocs = env_load(new_rec)
@@ -186,7 +197,7 @@ for name in sorted(set(old) & set(new)):
             print(f"PLAN  {name}: {o.get('plan_fp')} -> {n.get('plan_fp')}")
     dw = (n["warm"] - o["warm"]) / max(o["warm"], 1e-9) * 100
     if abs(dw) >= thr and not host_differs and not tuning_differs \
-            and name not in contended_q:
+            and name not in contended_q and name not in slow_q:
         gc = ""
         if "gc_sec" in n or "gc_sec" in o:
             gc = f" [gc {o.get('gc_sec', 0):.2f}s -> {n.get('gc_sec', 0):.2f}s]"
@@ -201,7 +212,9 @@ print(f"-- {len(set(old) & set(new))} shared, {len(plan_changed)} plan changes"
       + (" (host speed differs — TIME suppressed)" if host_differs else "")
       + (" (tuning differs — TIME suppressed)" if tuning_differs else "")
       + (f" ({len(contended_q)} contended-query TIME suppressed)"
-         if contended_q else ""))
+         if contended_q else "")
+      + (f" ({len(slow_q)} slow-window-query TIME suppressed)"
+         if slow_q else ""))
 if not fp_comparable and not allow_scheme_change:
     print("!! exiting 2: pass --allow-scheme-change to acknowledge the "
           "scheme transition")

@@ -19,7 +19,7 @@ def check(name, cond, detail=""):
 
 
 def rec(queries, fp_scheme=6, load=0.5, canary=None, tuning=None,
-        contended=(), mid_run=None):
+        contended=(), mid_run=None, slow=(), slow_list=None):
     env = {"load_avg_start": load, "load_avg_end": load,
            "available_processors": 32}
     if canary is not None:
@@ -35,6 +35,10 @@ def rec(queries, fp_scheme=6, load=0.5, canary=None, tuning=None,
         r["queries"][q]["contended"] = True
     if mid_run is not None:
         r["contended_mid_run"] = mid_run
+    for q in slow:
+        r["queries"][q]["slow_window"] = True
+    if slow_list is not None:
+        r["slow_window"] = slow_list
     return r
 
 
@@ -159,6 +163,30 @@ rc2 = rec({"q1": (1.0, "aaa"), "st9": (1.0, "bbb")},
 code, out = run_benchdiff(rc2, rec({"q1": (1.0, "aaa"), "st9": (3.0, "bbb")}))
 check("contended OLD baseline also suppresses that query's TIME",
       "TIME  st9" not in out and "MID-RUN CONTENTION in old record" in out, out)
+
+# 6e. slow-window injection (r18 verdict item 1): a query stamped
+# "slow_window":true in EITHER record ran > SLOWK x its plan-identical
+# recorded best and didn't heal through the drained re-run — its TIME
+# line is suppressed with a banner; clean queries in the same take keep
+# their TIME lines; the plan gate is unaffected.
+rs0 = rec({"q1": (1.0, "aaa"), "st5": (1.0, "bbb")})
+rs1 = rec({"q1": (2.0, "aaa"), "st5": (6.0, "bbb")},
+          slow=["st5"], slow_list=["st5"])
+code, out = run_benchdiff(rs0, rs1)
+check("slow-window query TIME suppressed, clean query TIME kept",
+      code == 0 and "TIME  q1" in out and "TIME  st5" not in out
+      and "SLOW WINDOW in new record" in out and "st5" in out, out)
+rs2 = rec({"q1": (1.0, "aaa"), "st5": (6.0, "bbb")},
+          slow=["st5"], slow_list=["st5"])
+code, out = run_benchdiff(rs2, rec({"q1": (1.0, "aaa"), "st5": (1.0, "bbb")}))
+check("slow-window OLD baseline also suppresses that query's TIME",
+      "TIME  st5" not in out and "SLOW WINDOW in old record" in out, out)
+# slow-window + plan change on another query: gate still trips
+rs3 = rec({"q1": (2.0, "ccc"), "st5": (6.0, "bbb")},
+          slow=["st5"], slow_list=["st5"])
+code, out = run_benchdiff(rs0, rs3)
+check("slow-window demotion leaves the plan gate armed",
+      code == 1 and "PLAN  q1" in out and "TIME  st5" not in out, out)
 
 # 7. checked-in whitelist is well-formed and every entry carries evidence
 wl_path = os.path.join(HERE, "..", "bench", "variance_whitelist.json")
