@@ -401,8 +401,14 @@ object Bench {
     val sparkCanary = canarySpark(spark)
     System.err.println(
       f"[bench] host canary: cpu ${cpuCanary}%.3fs spark ${sparkCanary}%.3fs")
+    // bench-only A/B twins run ONLY when named explicitly — a no-args
+    // full-registry take must match the verify registry query-for-query
+    val benchOnlyKeys = graft.operators.Dedup.benchOnly.keySet
     val selected = registry.toSeq.sortBy(_._1)
-      .filter { case (name, _) => args.isEmpty || args.contains(name) }
+      .filter { case (name, _) =>
+        if (args.isEmpty) !benchOnlyKeys.contains(name)
+        else args.contains(name)
+      }
     // MID-RUN CONTENTION GATE (r17 verdict item 1): the start-of-take
     // load gate cannot see contention that ARRIVES during the take —
     // r16's and r17's driver records both passed the start gate and were

@@ -31,16 +31,54 @@ import graft.streaming.{EventStreams, StreamDedup}
   * rows are counted from the sink read-back (same rows the source holds —
   * both frames are row-preserving at these inputs).
   *
-  * Regression gate: SPARK_GRAFT_RATE_FLOOR_ROWS_SEC (unset = record
-  * only) makes the run exit 1 if EITHER rate lands under the floor —
-  * r19's driver can gate against r18's measured number, canary-adjusted.
+  * Regression gate — ARMED BY DEFAULT since r19 (the r18 verdict's
+  * "floor gate guards nothing" point): the run exits 1 if either frame
+  * lands under its floor. Floors default to the conservative
+  * clean-window bars [[DefaultFloors]] (st8 ≥ 60 k rows/s, st24 ≥
+  * 1.5 k docs/s — half the r18 canary-clean measurements, so host
+  * variance doesn't false-trip but a real 2× regression cannot hide).
+  * SPARK_GRAFT_RATE_FLOOR_ROWS_SEC overrides: a bare number applies to
+  * both frames, `st8=60000,st24=1500` sets them separately, `0`
+  * disarms. The armed floors are stamped into the record
+  * (`floors`) so a green record visibly claims the bar it cleared.
   *
-  * Output: one JSON record (default `bench/r18_gauntlet_rate.json`).
+  * Output: one JSON record (default `bench/r19_gauntlet_rate.json`).
   */
 object GauntletRate {
 
   val SourceFiles = 16
   val MaxFilesPerTrigger = 2
+
+  /** Conservative clean-window floors (rows/sec), armed when the env
+    * knob is unset: half of r18's canary-clean measurements (st8
+    * 120.2 k, st24 2.9 k — bench/r18_gauntlet_rate.json).
+    */
+  val DefaultFloors: Map[String, Double] =
+    Map("st8" -> 60000.0, "st24" -> 1500.0)
+
+  /** Parse the floor knob: None/"" → defaults; "0" → disarmed; a bare
+    * number → both frames; "st8=N,st24=M" → per-frame.
+    */
+  private[graft] def parseFloors(env: Option[String]): Map[String, Double] =
+    env.map(_.trim).filter(_.nonEmpty) match {
+      case None => DefaultFloors
+      case Some("0") => Map.empty
+      case Some(s) if s.contains("=") =>
+        s.split(",").iterator.map(_.split("=")).collect {
+          case Array(k, v) => k.trim -> v.trim.toDouble
+        }.toMap
+      case Some(s) => Map("st8" -> s.toDouble, "st24" -> s.toDouble)
+    }
+
+  /** The gate itself, pure so the synthetic-slowdown test can trip it:
+    * names of frames whose measured rate is under their armed floor.
+    */
+  private[graft] def floorViolations(
+      rates: Map[String, Double], floors: Map[String, Double]): Seq[String] =
+    rates.toSeq.sortBy(_._1).collect {
+      case (k, r) if floors.get(k).exists(r < _) =>
+        f"$k: $r%.0f rows/s < floor ${floors(k)}%.0f"
+    }
 
   /** Drain a streaming frame to a parquet sink and time it. Returns
     * (rows emitted, drain seconds, micro-batches committed).
@@ -70,8 +108,8 @@ object GauntletRate {
     val sfDir = args.headOption.getOrElse(
       s"${sys.props("user.dir")}/target/sf1synth")
     val outPath = sys.env.getOrElse(
-      "SPARK_GRAFT_RATE_OUT", "bench/r18_gauntlet_rate.json")
-    val floor = sys.env.get("SPARK_GRAFT_RATE_FLOOR_ROWS_SEC").map(_.toDouble)
+      "SPARK_GRAFT_RATE_OUT", "bench/r19_gauntlet_rate.json")
+    val floors = parseFloors(sys.env.get("SPARK_GRAFT_RATE_FLOOR_ROWS_SEC"))
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val opts = Map("maxFilesPerTrigger" -> MaxFilesPerTrigger.toString)
 
@@ -115,18 +153,18 @@ object GauntletRate {
         s""""st24_stream_gauntlet":{"rows":$docRows,"drain_sec":$docSecs,""" +
         s""""batches":$docBatches,"rows_per_sec":$docRate,""" +
         s""""door_build_sec":$doorBuildSecs},""" +
-        s""""floor_rows_per_sec":${floor.getOrElse(0.0)}}"""
+        s""""floors":${floors.toSeq.sortBy(_._1)
+          .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")}}"""
     val out = java.nio.file.Paths.get(outPath)
     Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.writeString(out, rec)
     println(rec)
     spark.stop()
-    floor.foreach { f =>
-      if (evRate < f || docRate < f) {
-        System.err.println(
-          s"[rate] FLOOR VIOLATION: st8 $evRate or st24 $docRate < $f rows/s")
-        sys.exit(1)
-      }
+    val violations =
+      floorViolations(Map("st8" -> evRate, "st24" -> docRate), floors)
+    if (violations.nonEmpty) {
+      violations.foreach(v => System.err.println(s"[rate] FLOOR VIOLATION: $v"))
+      sys.exit(1)
     }
   }
 }

@@ -38,7 +38,8 @@ object SparkEntry {
     * not the hash protocol.
     */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    queries ++ Analytics.benchOverrides ++ EventStreams.benchOverrides
+    queries ++ Analytics.benchOverrides ++ EventStreams.benchOverrides ++
+      Dedup.benchOnly
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted for approximate (non-SQL-expressible)

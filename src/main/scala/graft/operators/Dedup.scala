@@ -886,8 +886,20 @@ object Dedup {
     */
   def incrementalDedupEdges(
       docs: DataFrame, oldLabels: DataFrame, newFrom: Long,
-      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
-    val ex = explodedShingles(docs, n)
+      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50,
+      repartitionShingles: Boolean = false): DataFrame = {
+    // repartitionShingles = the r18/r19 exchange-reuse A/B candidate:
+    // pre-shuffling the exploded shingles on `s` lets the four
+    // consumers (DF cap, per-doc sizes, batch side, intersection join)
+    // reuse ONE exchange instead of re-tokenizing per subtree. Measured
+    // a WASH at sf0.1 (r18_NOTES) and at sf1 (bench/r19_dd11_repart_sf1
+    // .json) — the shingle shuffle costs what the repeated tokenization
+    // saves — so the default stays false; the knob remains because the
+    // trade flips when tokenize cost ≫ shuffle cost (longer docs,
+    // heavier normalization), a corpus property a deployment should
+    // measure with exactly this A/B.
+    val ex0 = explodedShingles(docs, n)
+    val ex = if (repartitionShingles) ex0.repartition(col("s")) else ex0
     // DF cap over the POST-INGEST corpus (today's statistics govern
     // today's candidates; yesterday's clustering used yesterday's —
     // that is what the artifact froze)
@@ -1473,6 +1485,27 @@ object Dedup {
       val docs = Tables.documentsRebalanced(s, d)
       val newFrom = arrivalSplit(docs)
       incrementalDedupLabels(docs, clusterLabels(s, d, upTo = newFrom), newFrom)
+    }))
+
+  /** BENCH-ONLY A/B twin (r19 verdict item 6; not in `queries`, so the
+    * oracle-coverage contract and Verify are untouched): dd11 with the
+    * exchange-reuse candidate engaged — same output, different plan.
+    * Kept registered so the sf1 adjudication (bench/r19_dd11_repart_sf1
+    * .json) is reproducible; it costs nothing unless named in a Bench
+    * arg list.
+    */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd11y_repart" -> ((s: SparkSession, d: String) => {
+      val docs = Tables.documentsRebalanced(s, d)
+      val newFrom = arrivalSplit(docs)
+      val edges = incrementalDedupEdges(
+        docs, clusterLabels(s, d, upTo = newFrom), newFrom,
+        repartitionShingles = true)
+      val mini = dupClusters(edges).select(col("doc_id"), col("rep_id").as("r"))
+      docs.filter(col("doc_id") >= newFrom).select(col("doc_id"))
+        .join(mini, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("r"), col("doc_id")).as("rep_id"))
+        .orderBy(col("doc_id"))
     }))
 
   /** DuckDB token-array expression over `text` — same tokenizer spec as
