@@ -120,17 +120,17 @@ object RestartDrill {
     // must be the layout that runs).
     val frames: Seq[(String, () => DataFrame, Int)] = Seq(
       ("st2", () => EventStreams.windowedStream(src()),
-        EventStreams.GateStatePartitions),
+        EventStreams.gateParts(fakeSf)),
       ("st5", () => EventStreams.st5Frame(src()),
-        EventStreams.GateStatePartitions),
+        EventStreams.gateParts(fakeSf)),
       ("st6", () => EventStreams.st6Frame(src()),
-        EventStreams.JoinGateStatePartitions),
+        EventStreams.joinGateParts(fakeSf)),
       ("st8", () => EventStreams.st8Frame(src()),
-        EventStreams.GateStatePartitions),
+        EventStreams.gateParts(fakeSf)),
       ("st10", () => EventStreams.st10Frame(src()),
-        EventStreams.JoinGateStatePartitions),
+        EventStreams.joinGateParts(fakeSf)),
       ("st23", () => EventStreams.st23Frame(src()),
-        EventStreams.JoinGateStatePartitions))
+        EventStreams.joinGateParts(fakeSf)))
     val providers = Seq(
       "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
       "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

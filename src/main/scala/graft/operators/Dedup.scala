@@ -357,14 +357,21 @@ object Dedup {
 
   def minhashCandidates(
       docs: DataFrame, k: Int = 32, n: Int = 3, bands: Int = 8,
-      maxBucket: Int = 1024): DataFrame = {
+      maxBucket: Int = 1024): DataFrame =
     // Filter BEFORE the signature on the cheap equivalent predicate
     // (≥ n tokens ⟺ non-empty shingle set). Filtering on size(sig) after
     // the fact looks identical but is a trap: predicate pushdown moves it
     // below the projections and re-inlines the whole k-permutation
     // signature expression into the Filter condition — doubling the
     // dominant per-row cost.
-    val lists = bandBucketLists(docs, k, n, bands)
+    minhashCandidatesFromLists(bandBucketLists(docs, k, n, bands), maxBucket)
+
+  /** The emission half of [[minhashCandidates]] over prebuilt posting
+    * lists — split out so dd15 can feed the SAME materialized lists to
+    * the budget pre-count and the emission (one signature pass, not two).
+    */
+  private def minhashCandidatesFromLists(
+      lists: DataFrame, maxBucket: Int): DataFrame =
     // Skew guard: a band bucket larger than maxBucket (a megacluster of
     // near-identical docs) emits a hub-and-spoke star instead of all
     // B²/2 combinations — connectivity for the downstream cluster
@@ -377,7 +384,6 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** dd15 — the PRODUCTION dedup pipeline end-to-end: MinHash/LSH
     * candidate generation (dd4) followed by an EXACT Jaccard verify over
@@ -414,11 +420,20 @@ object Dedup {
       maxBucket: Int = 1024, pairBudget: Long = MaxPairBudget): DataFrame = {
     // Budget breaker on the UNCAPPED escape hatch only (dd15): the capped
     // primary dd15b (maxBucket = Dd15MaxBucket) has linear emission by
-    // construction and never pays the pre-count pass.
-    if (maxBucket > Dd15MaxBucket)
-      guardPairBudget(bandBucketLists(docs, k, n, bands),
+    // construction and never pays the pre-count pass. The guarded path
+    // MATERIALIZES the posting lists once (localCheckpoint — compact
+    // (doc_id, hash) longs, never shingle text) so the pre-count and the
+    // emission share one signature pass: the first cut re-ran the whole
+    // scan→shingle→minhash→band→shuffle pipeline for the guard, doubling
+    // the dominant cost at every scale (guide §1.2 — remove duplicate
+    // passes before tuning anything else). Blocks are reclaimed by the
+    // ContextCleaner once the query's frames are dropped.
+    val cands = (if (maxBucket > Dd15MaxBucket) {
+      val lists = bandBucketLists(docs, k, n, bands).localCheckpoint(true)
+      guardPairBudget(lists,
         "dd15_minhash_verified", "dd15b_minhash_capped", maxBucket, pairBudget)
-    val cands = minhashCandidates(docs, k, n, bands, maxBucket)
+      minhashCandidatesFromLists(lists, maxBucket)
+    } else minhashCandidates(docs, k, n, bands, maxBucket))
       .select(col("doc_a"), col("doc_b"))
     val kept = cappedShingles(docs, n, maxDf)
     val inter = kept
@@ -543,10 +558,15 @@ object Dedup {
         s"maxHamming <= 3, got $maxHamming")
     // dd5 is uncapped by contract — every run pays the budget pre-count
     // (one aggregate over the posting lists) so a megacluster corpus
-    // aborts soft instead of killing the JVM (the r17 sf10 wound).
-    guardPairBudget(simhashBucketLists(docs),
+    // aborts soft instead of killing the JVM (the r17 sf10 wound). The
+    // lists are MATERIALIZED once (localCheckpoint — (doc_id, sig) longs)
+    // and shared by the pre-count and the emission: the first cut re-ran
+    // the whole scan→tokenize→md5-sig→band→shuffle pipeline for the
+    // guard, doubling the dominant per-row cost (guide §1.2).
+    val lists = simhashBucketLists(docs).localCheckpoint(true)
+    guardPairBudget(lists,
       "dd5_simhash_candidates", "dd5b_simhash_capped", Long.MaxValue, pairBudget)
-    simhashBucketLists(docs)
+    lists
       .select(explode(call_function("pair_combs", col("ds"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
         bit_count(col("p.na").bitwiseXOR(col("p.nb"))).cast("long").as("hamming"))

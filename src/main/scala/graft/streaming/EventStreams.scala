@@ -181,6 +181,71 @@ object EventStreams {
   val JoinGateStatePartitions: Int =
     sys.env.get("SPARK_GRAFT_JOIN_GATE_PARTITIONS").map(_.toInt).getOrElse(2)
 
+  /** SCALE-ADAPTIVE state parallelism (optimization guide §2: derive
+    * partitioning from input size, never a constant tuned for one scale).
+    * The r16/r17 tuning matrices sized the two floors above to the
+    * driver corpus's per-store COMMIT floor — correct at micro-batch
+    * scale, but a CONSTANT 2 serializes the stream-stream joins the
+    * moment data grows: the r19 sf10 probe (bench/probe_sf10_before
+    * .json, canaries 0.424/0.337) measured st6/st10/st23 at
+    * 1026/1103/1094 s warm with the interval join running 2-way
+    * parallel on 32 cores and two corpus-scale state maps GC-thrashing
+    * the heap — 3.2× WORSE than r16's full rehearsal at the old
+    * 8-partition constant, a regression the sf0.1 bench structurally
+    * could not see. Derivation: one state partition per class-specific
+    * byte target of source bytes, floored at the measured micro-scale
+    * optimum (so every driver-corpus run keeps its tuned plan and
+    * timings bit-for-bit), capped at [[MaxStatePartitions]] (state
+    * stores per stateful operator are a per-query resource; a 100 TB
+    * deployment sizes the cap to its executor count). Partition count
+    * is pure execution strategy for every gate — outputs are
+    * partition-invariant (oracle-replayed at k=80 where the derived
+    * counts exceed both floors). The env overrides keep their PINNING
+    * semantics for experiments: when set, the floor value is used
+    * verbatim at every scale, as before.
+    */
+  /** Per-class byte targets, from the r19 sf10 probe pair
+    * (bench/probe_sf10_before.json vs probe_sf10_after.json): the JOIN
+    * gates are row-work/state-size bound — at 2 partitions st6/st10/st23
+    * read 1026/1103/1094 s warm at sf10 (per-partition state maps large
+    * enough to GC-thrash an 8 GiB heap), at 26 they read 104/75/80 s
+    * (10–15×) — so they earn one partition per 8 MiB of source. The
+    * aggregation/sessionization/screen gates are COMMIT-bound at every
+    * probed scale (st7 4.7 s at 26 partitions vs 3.5 s at 8; the r16
+    * matrix measured the same shape), so their curve stays at the tuned
+    * floor through ~256 MiB sources and only then grows.
+    */
+  val JoinGateTargetBytes: Long = 8L << 20
+  val GateTargetBytes: Long = 32L << 20
+  val MaxStatePartitions: Int = 2048
+
+  private[graft] def sourceBytes(sfDir: String, table: String): Long = {
+    val f = new java.io.File(Tables.path(sfDir, table))
+    if (f.isFile) f.length
+    else Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
+  }
+
+  private def adaptiveStatePartitions(sfDir: String, table: String,
+      floor: Int, target: Long, pinned: Boolean): Int =
+    if (pinned) floor
+    else math.min(MaxStatePartitions,
+      math.max(floor, (sourceBytes(sfDir, table) / target).toInt))
+
+  /** Aggregation/sessionization/screen gates: floor
+    * [[GateStatePartitions]], sized to the gate's own source table
+    * (`events` for the event gates, `documents` for the text/binary
+    * admission screens).
+    */
+  def gateParts(sfDir: String, table: String = "events"): Int =
+    adaptiveStatePartitions(sfDir, table, GateStatePartitions, GateTargetBytes,
+      pinned = sys.env.contains("SPARK_GRAFT_GATE_PARTITIONS"))
+
+  /** Stream-stream join gates: floor [[JoinGateStatePartitions]]. */
+  def joinGateParts(sfDir: String): Int =
+    adaptiveStatePartitions(sfDir, "events", JoinGateStatePartitions,
+      JoinGateTargetBytes,
+      pinned = sys.env.contains("SPARK_GRAFT_JOIN_GATE_PARTITIONS"))
+
   def runToParquet(
       df: DataFrame, name: String,
       statePartitions: Int = GateStatePartitions,
@@ -268,7 +333,8 @@ object EventStreams {
     * window_end ≤ max(ts) − 1h.
     */
   def st2StreamWindowed(spark: SparkSession, sfDir: String): DataFrame =
-    runToParquet(windowedStream(eventStream(spark, sfDir)), "st2_sink")
+    runToParquet(windowedStream(eventStream(spark, sfDir)), "st2_sink",
+        statePartitions = gateParts(sfDir))
       .orderBy(col("window_start"), col("event_type"))
 
   /** st4 — stream-static enrichment: the event stream joined against the
@@ -337,7 +403,8 @@ object EventStreams {
       .select(col("user_id"), col("event_type"), col("hour_start"))
 
   def st5StreamDedup(spark: SparkSession, sfDir: String): DataFrame =
-    runToParquet(st5Frame(eventStream(spark, sfDir)), "st5_sink")
+    runToParquet(st5Frame(eventStream(spark, sfDir)), "st5_sink",
+        statePartitions = gateParts(sfDir))
       .orderBy(col("user_id"), col("event_type"), col("hour_start"))
 
   /** The attribution horizon shared by the batch twin, the streaming
@@ -407,7 +474,7 @@ object EventStreams {
 
   def st6StreamAttribution(spark: SparkSession, sfDir: String): DataFrame =
     runToParquet(st6Frame(eventStream(spark, sfDir)), "st6_sink",
-        statePartitions = JoinGateStatePartitions)
+        statePartitions = joinGateParts(sfDir))
       .orderBy(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
 
   /** st10 — LEFT-OUTER stream-stream interval join: st6's attribution
@@ -448,7 +515,7 @@ object EventStreams {
 
   def st10StreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame =
     runToParquet(st10Frame(eventStream(spark, sfDir)), "st10_sink",
-        statePartitions = JoinGateStatePartitions)
+        statePartitions = joinGateParts(sfDir))
       .orderBy(col("user_id").asc, col("view_ts").asc,
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
 
@@ -491,7 +558,7 @@ object EventStreams {
 
   def st23StreamFullOuter(spark: SparkSession, sfDir: String): DataFrame =
     runToParquet(st23Frame(eventStream(spark, sfDir)), "st23_sink",
-        statePartitions = JoinGateStatePartitions)
+        statePartitions = joinGateParts(sfDir))
       .orderBy(col("user_id").asc, col("view_ts").asc_nulls_first,
         col("purchase_ts").asc_nulls_first, col("value").asc_nulls_first)
 
@@ -514,7 +581,7 @@ object EventStreams {
       .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
       .select(col("event_id"), col("campaign_id"),
         col("ts").cast("timestamp_ntz").as("ts"))
-    runToParquet(joined, "st15_sink")
+    runToParquet(joined, "st15_sink", statePartitions = gateParts(sfDir))
       .orderBy(col("event_id"), col("campaign_id"))
   }
 
@@ -587,7 +654,7 @@ object EventStreams {
     val chk = new java.io.File(base, "chk").getAbsolutePath
     val mg = udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", GateStatePartitions.toString)
+    spark.conf.set("spark.sql.shuffle.partitions", gateParts(sfDir).toString)
     try eventStream(spark, sfDir)
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
@@ -644,7 +711,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_users"))
       .select(col("w.start").cast("timestamp_ntz").as("window_start"), col("n_users"))
-    runToParquet(counted, "st12_sink")
+    runToParquet(counted, "st12_sink", statePartitions = gateParts(sfDir))
       .orderBy(col("window_start"))
   }
 
@@ -670,7 +737,8 @@ object EventStreams {
       spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
     val ingested = st8Frame(eventStream(spark, sfDir))
     val result =
-      runToParquet(ingested, "st8_sink", partitionCols = Seq("event_date"))
+      runToParquet(ingested, "st8_sink",
+        statePartitions = gateParts(sfDir), partitionCols = Seq("event_date"))
         .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"),
           col("event_date"))

@@ -329,7 +329,7 @@ object MaterializedView {
     val chk = new File(base, "chk").getAbsolutePath
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      EventStreams.GateStatePartitions.toString)
+      EventStreams.gateParts(sfDir).toString)
     // KEY COMPLETENESS at the door: a latest-per-key snapshot cannot
     // attribute a NULL-keyed record (the bucket router and the state key
     // both need the id; the adversarial-events replay killed the stream
@@ -366,7 +366,7 @@ object MaterializedView {
     val chk = new File(base, "chk").getAbsolutePath
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions",
-      EventStreams.GateStatePartitions.toString)
+      EventStreams.gateParts(sfDir).toString)
     try EventStreams.eventStream(spark, sfDir)
       .writeStream
       .foreachBatch((b: DataFrame, id: Long) => upsertBatch(b, serve, id))

@@ -230,7 +230,7 @@ object Sessions {
             abs(col("value")) <= MaxAbsEventValue), gapMinutes,
         s"$delayMinutes minutes")
         .toDF(),
-      "st7_sink")
+      "st7_sink", statePartitions = EventStreams.gateParts(sfDir))
     val gapUs = gapMinutes * 60L * 1000000L
     val delayUs = delayMinutes * 60L * 1000000L
     // the deterministic-subset bound must be the max over EXACTLY the

@@ -74,7 +74,8 @@ object StreamDedup {
     val hits = Dedup.bandedKeys(arrivals, k, n, bands)
       .join(histKeys, Seq("band", "band_hash"))
       .select(col("doc_id"), col("hist_id"), col("band"))
-    EventStreams.runToParquet(hits, "st16_sink")
+    EventStreams.runToParquet(hits, "st16_sink",
+        statePartitions = EventStreams.gateParts(sfDir, "documents"))
       .orderBy(col("doc_id"), col("hist_id"), col("band"))
   }
 
@@ -129,7 +130,8 @@ object StreamDedup {
       .select(col("doc_id"), col("hist_id"),
         bit_count(col("sig").bitwiseXOR(col("hist_sig"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    EventStreams.runToParquet(hits, "st27_sink")
+    EventStreams.runToParquet(hits, "st27_sink",
+        statePartitions = EventStreams.gateParts(sfDir, "documents"))
       .distinct().orderBy(col("doc_id"), col("hist_id"))
   }
 
@@ -195,7 +197,8 @@ object StreamDedup {
       .withColumn("keep", rules.map(r => col(r._1)).reduce(_ && _))
       .withColumn("reject_rule", reject)
       .select(col("doc_id"), col("n_tokens"), col("keep"), col("reject_rule"))
-    EventStreams.runToParquet(gated, "st17_sink")
+    EventStreams.runToParquet(gated, "st17_sink",
+        statePartitions = EventStreams.gateParts(sfDir, "documents"))
       .orderBy(col("doc_id"))
   }
 
@@ -252,7 +255,8 @@ object StreamDedup {
       .withColumn("oov_rate", r6(rate))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("keep"),
         col("oov_rate"))
-    EventStreams.runToParquet(gated, "st18_sink")
+    EventStreams.runToParquet(gated, "st18_sink",
+        statePartitions = EventStreams.gateParts(sfDir, "documents"))
       .orderBy(col("doc_id"))
   }
 
@@ -317,7 +321,8 @@ object StreamDedup {
     val arrivals = EventStreams.eventStream(spark, sfDir)
       .filter(col("ts") >= lit(cutoff))
       .select(col("event_id"), col("event_type"), col("value"))
-    EventStreams.runToParquet(anomalyGate(arrivals, fences), "st19_sink")
+    EventStreams.runToParquet(anomalyGate(arrivals, fences), "st19_sink",
+        statePartitions = EventStreams.gateParts(sfDir))
       .orderBy(col("event_id"))
   }
 
@@ -413,7 +418,8 @@ object StreamDedup {
       .withColumn("bits_per_token", r6(rate))
       .select(col("doc_id"), col("n_tokens"), col("bits"), col("keep"),
         col("bits_per_token"))
-    EventStreams.runToParquet(gated, "st20_sink")
+    EventStreams.runToParquet(gated, "st20_sink",
+        statePartitions = EventStreams.gateParts(sfDir, "documents"))
       .orderBy(col("doc_id"))
   }
 
@@ -455,7 +461,8 @@ object StreamDedup {
         md5(redacted).as("redacted_fp"))
       .withColumn("keep",
         col("n_emails") === 0 && col("n_ipv4") === 0 && col("n_phones") === 0)
-    EventStreams.runToParquet(gated, "st21_sink")
+    EventStreams.runToParquet(gated, "st21_sink",
+        statePartitions = EventStreams.gateParts(sfDir, "documents"))
       .orderBy(col("doc_id"))
   }
 
@@ -520,7 +527,8 @@ object StreamDedup {
         size(col("shingles")).cast("long").as("n_shingles"),
         flaggedCount.cast("long").as("n_flagged"))
       .withColumn("keep", col("n_shingles") > 0 && col("n_flagged") === 0)
-    EventStreams.runToParquet(gated, "st22_sink")
+    EventStreams.runToParquet(gated, "st22_sink",
+        statePartitions = EventStreams.gateParts(sfDir, "documents"))
       .orderBy(col("doc_id"))
   }
 
@@ -580,7 +588,8 @@ object StreamDedup {
       .withColumn("bpe_ratio", r6(rate))
       .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
         col("keep"), col("bpe_ratio"))
-    EventStreams.runToParquet(gated, "st25_sink")
+    EventStreams.runToParquet(gated, "st25_sink",
+        statePartitions = EventStreams.gateParts(sfDir, "documents"))
       .orderBy(col("doc_id"))
   }
 
@@ -602,7 +611,8 @@ object StreamDedup {
     * the screens it fuses.
     */
   def st24StreamGauntlet(spark: SparkSession, sfDir: String): DataFrame =
-    EventStreams.runToParquet(st24GatedFrame(spark, sfDir), "st24_sink")
+    EventStreams.runToParquet(st24GatedFrame(spark, sfDir), "st24_sink",
+        statePartitions = EventStreams.gateParts(sfDir, "documents"))
       .orderBy(col("doc_id"))
 
   /** The gauntlet's gated STREAM FRAME, factored so the rate drill

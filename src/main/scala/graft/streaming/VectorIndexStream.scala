@@ -98,7 +98,9 @@ object VectorIndexStream {
         col("embedding").cast("array<double>").as("c_emb"))
       .withColumn("cell", nearestCellExpr(centroids, col("c_emb")))
     val delta = EventStreams.runToParquet(
-      arrivals, "sim7_delta", partitionCols = Seq("cell"))
+      arrivals, "sim7_delta",
+      statePartitions = EventStreams.gateParts(sfDir, "embeddings"),
+      partitionCols = Seq("cell"))
     val base = spark.read.parquet(s"$basePath/cells")
     val corpus = base.select(col("neighbor_id"), col("c_emb"), col("cell"))
       .unionByName(delta.select(col("neighbor_id"), col("c_emb"),
