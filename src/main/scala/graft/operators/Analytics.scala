@@ -36,11 +36,12 @@ object Analytics {
     */
   def q01PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     // measured, not assumed: the testdata's single-row-group lineitem file
-    // makes this scan+partial-agg single-task, but a rebalancing exchange
-    // does NOT help (warm 1.7 s → 1.9 s at sf0.1) — the serial parquet
-    // decode dominates, not the decimal aggregation, so the plain scan is
-    // the right plan at every layout
-    val li = Tables.lineitem(spark, sfDir)
+    // makes this scan+partial-agg single-task, and an in-plan rebalancing
+    // exchange does NOT help (warm 1.7 s → 1.9 s at sf0.1 — the decode is
+    // still serial). The fix is the LAYOUT level (Tables.lineitemMulti's
+    // staged multi-file serving copy): parallel decode + parallel decimal
+    // partials, 2.32 → 0.36 s warm (r19 Profile A/B).
+    val li = Tables.lineitemMulti(spark, sfDir)
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsumr(col("l_quantity")).as("sum_qty"),
@@ -74,7 +75,7 @@ object Analytics {
     Cleaning.Rule("discount", col("l_discount").between(0.0, 1.0)))
 
   def q02CleanLineitem(spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    val li = Tables.lineitemMulti(spark, sfDir)
     val cleaned = Cleaning.clean(li, cleaningRules)
       .select(lineitemCols.map(c => if (c == "l_shipdate") ntz(col(c)).as(c) else col(c)): _*)
     if (ordered) cleaned.orderBy(lineitemCols.map(col): _*) else cleaned
@@ -85,7 +86,7 @@ object Analytics {
     * weekday, guarded qty/day ratio (reference: assignment1.ipynb:187–198).
     */
   def q03Derived(spark: SparkSession, sfDir: String, ordered: Boolean = true): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    val li = Tables.lineitemMulti(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
     val delay = Derive.deltaDays(col("o_orderdate"), col("l_shipdate"))
     val derived = li.join(o, col("l_orderkey") === col("o_orderkey"))
@@ -716,7 +717,7 @@ object Analytics {
     * NULLS FIRST pinned as in q27/q45.
     */
   def q47GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.lineitem(spark, sfDir)
+    Tables.lineitemMulti(spark, sfDir)
       .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
         col("l_returnflag"), col("l_linestatus"))
@@ -866,7 +867,7 @@ object Analytics {
     * the squared terms is far from the double-shortest-repr knife edge.
     */
   def q32MomentStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
+    val li = Tables.lineitemMulti(spark, sfDir)
     val n = col("n"); val sx = col("sx"); val sy = col("sy")
     val sxx = col("sxx"); val syy = col("syy"); val sxy = col("sxy")
     li.groupBy(col("l_returnflag"))

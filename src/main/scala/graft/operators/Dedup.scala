@@ -701,6 +701,26 @@ object Dedup {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // GRAPH-SCALE round parallelism (r19, guide §2): the rounds run on the
+    // aggregated pair graph, not the corpus, and at graph scales the
+    // session's fact parallelism schedules dozens of near-empty tasks per
+    // round (r19 Profile: dd8 = 26 jobs / 500 tasks / 41 s summed task
+    // time for a sub-second graph; q46's 25-node bloc graph the same).
+    // One shuffle partition per 100k directed edges, clamped to
+    // [1, defaultParallelism] — a fact-scale pair graph saturates to the
+    // session value and loses nothing. The count is one tiny job over the
+    // just-materialized checkpoint. Scoped conf flip, restored after the
+    // loop (the runToParquet pattern); the returned frame is planned by
+    // the CALLER's action after restore, so only round internals change —
+    // the fixpoint is partition-invariant and every consumer stays
+    // hash-gated.
+    val spark = pairs.sparkSession
+    val nEdges = edges.count()
+    val roundParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, nEdges / 100000L + 1L)).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", roundParts.toString)
+    try {
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).persist()
     // releases the frame holding this round's cache/checkpoint blocks
@@ -771,6 +791,7 @@ object Dedup {
     // iteration and would otherwise recompute from round 0 at action time
     labels.select(col("id").as("doc_id"), col("lbl").as("rep_id"))
       .orderBy(col("doc_id"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Canonical location of the persisted cluster-label artifact for a
