@@ -147,6 +147,18 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
   * resets the reference, so code changes are never mistaken for slow
   * windows, and an inflated take can never raise the bar on itself.
   *
+  * STAGING DISCLOSURE (r19 verdict item 4): the record carries
+  * `staging_sec` / `staging_rebuilds` / `staged_fresh` — the seconds
+  * spent and the number of build-once staging rebuilds
+  * (Staging.stageMultiFile, CleanStore tables, dedup cluster labels,
+  * Tables fixture exports) that ran INSIDE this take's timed region.
+  * Those substrates re-lay inputs once per source stamp and serve the
+  * copy forever after, so a take with `staged_fresh:true` paid amortized
+  * layout cost in its cold numbers that later takes will not pay, and a
+  * take with `staging_sec:0` served pre-built copies — either way the
+  * record now says which it was instead of leaving cold-time provenance
+  * to the reader.
+  *
   * Set SPARK_GRAFT_BENCH_PLAN_DIR to also dump each query's scrubbed
   * canonical plan text to `<dir>/<query>.plan.txt` — the supported way to
   * inspect what the fingerprint hashes (ad-hoc shell redirects produced
@@ -525,6 +537,18 @@ object Bench {
         .getOrElse(Right(rest.collect { case Right(r) => r }.minBy(_._1)))
       QRun(cold.map(_._1), warm, gcSec, foreignCores())
     }
+    // STAGING TRANSPARENCY (r19 verdict item 4): the build-once staging
+    // substrates (Staging.stageMultiFile, the CleanStore tables, the
+    // dedup cluster labels, the Tables fixture exports) re-lay inputs
+    // ONCE per source stamp; every later take — including a judged
+    // "cold" — serves the pre-staged copy and never pays the layout
+    // cost. The ledger below is drained here (warmup staging is not the
+    // take's) and again after the loop, so the record discloses exactly
+    // how many serving copies this take (re)built and how long that
+    // took: staging_sec > 0 means the cold numbers INCLUDE amortized
+    // layout work that later takes will not pay; 0 means all artifacts
+    // were served fresh-checked.
+    graft.sources.Staging.drainRebuildLedger()
     val results = selected.map { case (name, fn) =>
       val first = runQuery(name, fn)
       val (fin0, retried) =
@@ -654,6 +678,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val warmTotal = ok.map(_.warm).sum
     val coldTotal = ok.map(_.cold).sum
+    val (stagingSec, stagingRebuilds) = graft.sources.Staging.drainRebuildLedger()
+    if (stagingRebuilds > 0)
+      System.err.println(
+        f"[bench] staging: $stagingRebuilds rebuild(s) took $stagingSec%.2fs " +
+          "inside this take (disclosed as staging_sec — cold numbers include " +
+          "amortized layout work later takes will not pay)")
     val loadAvgEnd = osBean.getSystemLoadAverage
     // load_avg_start = the post-drain value the gate judged (what the
     // run actually started under); the pre-drain reading is kept so a
@@ -711,6 +741,8 @@ object Bench {
         s""""slow_window":${
           slowWindow.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""slowk":$slowK,""" +
+        s""""staging_sec":$stagingSec,"staging_rebuilds":$stagingRebuilds,""" +
+        s""""staged_fresh":${stagingRebuilds > 0},""" +
         s""""errors":$errs,"queries":{""" +
         ok.map { q =>
           s""""${q.k}":{"cold":${q.cold},"warm":${q.warm},"plan_fp":"${q.fp}","gc_sec":${q.gc},""" +
@@ -733,6 +765,7 @@ object Bench {
         s""""n_failed":${results.size - ok.size},"sf":"$sfDir",""" +
         s""""n_contended_mid_run":${contendedMidRun.size},""" +
         s""""n_slow_window":${slowWindow.size},""" +
+        s""""staging_sec":$stagingSec,"staging_rebuilds":$stagingRebuilds,""" +
         s""""take_id":"$takeId","record":"$outPath"}""")
     spark.stop()
   }

@@ -170,7 +170,7 @@ object CleanStore {
       lazy val spec = graft.sources.Staging.planSpec(built)
       val specFresh = marker.exists() && specFile.exists() && fpFile.exists() &&
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
-      if (!specFresh) {
+      if (!specFresh) graft.sources.Staging.timedRebuild {
         writePartitioned(built, tsCol, partCol, dir)
         // fingerprint the STAGED output (one read of the clean table),
         // not a second full build scan over the raw source; the hashed
@@ -181,7 +181,8 @@ object CleanStore {
         java.nio.file.Files.write(specFile.toPath, spec.getBytes)
         java.nio.file.Files.write(srcStampFile.toPath, srcStamp.getBytes)
       } else if (!srcStampFile.exists() ||
-          new String(java.nio.file.Files.readAllBytes(srcStampFile.toPath)) != srcStamp) {
+          new String(java.nio.file.Files.readAllBytes(srcStampFile.toPath)) != srcStamp)
+        graft.sources.Staging.timedRebuild {
         val current = sourceFingerprints(built, tsCol, partCol)
         val recorded = readFingerprints(fpFile)
         val changed = current.keySet.filter(d => !recorded.get(d).contains(current(d)))

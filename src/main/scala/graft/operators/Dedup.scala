@@ -332,6 +332,17 @@ object Dedup {
     * hatches pay for being safe to point at an arbitrary corpus; the
     * capped primary variants (dd5b/dd15b) never run it.
     */
+  /** Drop the storage blocks behind a `localCheckpoint(true)`'d frame —
+    * the guard-abort cleanup (r19 advisor, low): an eagerly checkpointed
+    * posting-list frame abandoned by a thrown [[PairBudgetExceeded]]
+    * stays pinned in executor storage until the frame is GC'd, and
+    * repeated guarded aborts in a long serving session accumulate.
+    */
+  private def dropLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false))
+
   private def guardPairBudget(
       lists: DataFrame, query: String, cappedVariant: String,
       maxBucket: Long, budget: Long): Unit = {
@@ -430,8 +441,13 @@ object Dedup {
     // ContextCleaner once the query's frames are dropped.
     val cands = (if (maxBucket > Dd15MaxBucket) {
       val lists = bandBucketLists(docs, k, n, bands).localCheckpoint(true)
-      guardPairBudget(lists,
+      // guard-abort path drops the checkpoint blocks before rethrowing:
+      // PairBudgetExceeded is the EXPECTED outcome on a megacluster
+      // corpus, and repeated guarded aborts in a long session would
+      // otherwise pin one orphaned block set each (r19 advisor, low)
+      try guardPairBudget(lists,
         "dd15_minhash_verified", "dd15b_minhash_capped", maxBucket, pairBudget)
+      catch { case t: Throwable => dropLocalCheckpoint(lists); throw t }
       minhashCandidatesFromLists(lists, maxBucket)
     } else minhashCandidates(docs, k, n, bands, maxBucket))
       .select(col("doc_a"), col("doc_b"))
@@ -564,8 +580,11 @@ object Dedup {
     // the whole scan→tokenize→md5-sig→band→shuffle pipeline for the
     // guard, doubling the dominant per-row cost (guide §1.2).
     val lists = simhashBucketLists(docs).localCheckpoint(true)
-    guardPairBudget(lists,
+    // guard-abort path drops the checkpoint blocks (r19 advisor — see
+    // minhashVerifiedPairs)
+    try guardPairBudget(lists,
       "dd5_simhash_candidates", "dd5b_simhash_capped", Long.MaxValue, pairBudget)
+    catch { case t: Throwable => dropLocalCheckpoint(lists); throw t }
     lists
       .select(explode(call_function("pair_combs", col("ds"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"),
@@ -840,7 +859,7 @@ object Dedup {
         "\n" + graft.sources.Staging.sourceStamp(Seq(source))
       val fresh = marker.exists() && specFile.exists() &&
         new String(java.nio.file.Files.readAllBytes(specFile.toPath)) == spec
-      if (!fresh) {
+      if (!fresh) graft.sources.Staging.timedRebuild {
         dupClusters(pairs).write.mode("overwrite").parquet(path)
         java.nio.file.Files.write(specFile.toPath, spec.getBytes)
       }

@@ -36,6 +36,37 @@ object Staging {
 
   private val monitors = new ConcurrentHashMap[String, Object]()
 
+  // Staged-artifact REBUILD ledger (r19 verdict item 4 — staging
+  // transparency): every build-once substrate (stageMultiFile, the
+  // CleanStore tables, the dedup cluster labels, the Tables fixture
+  // exports) re-lays data ONCE per source stamp and serves the copy on
+  // every later run — so a "cold" bench take that happens to follow a
+  // staging run never pays the layout cost, and the judged record could
+  // not tell a genuinely-cold take from an amortized one. Builders wrap
+  // their rebuild blocks in [[timedRebuild]]; Bench drains the ledger
+  // around its timed region and stamps `staging_sec`/`staging_rebuilds`
+  // into the record, so any take that (re)built serving copies says so.
+  private val rebuildNanosAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val rebuildCountAcc = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def timedRebuild[T](body: => T): T = {
+    val t0 = System.nanoTime()
+    try body finally {
+      rebuildNanosAcc.addAndGet(System.nanoTime() - t0)
+      rebuildCountAcc.incrementAndGet(); ()
+    }
+  }
+
+  /** (seconds spent in rebuild blocks, number of rebuilds) since the last
+    * drain; resets the ledger. JVM-global — callers bracket their own
+    * measurement window.
+    */
+  def drainRebuildLedger(): (Double, Int) = {
+    val ns = rebuildNanosAcc.getAndSet(0L)
+    val n = rebuildCountAcc.getAndSet(0)
+    (ns / 1e9, n)
+  }
+
   /** Build-logic fingerprint of a LAZY frame: schema + every Filter
     * predicate, Project list, Generate generator and Aggregate list in
     * the analyzed plan. A value-changing logic edit (a derive formula,
@@ -73,6 +104,27 @@ object Staging {
     files.map(f => s"${f.getPath}@${f.lastModified()}#${f.length()}")
       .mkString("src[", ";", "]")
 
+  /** [[sourceStamp]] for a source that may be a DIRECTORY table (the
+    * production multi-file layout): a directory's own (mtime, length) is
+    * a weak token — its length is the ~4 KB directory entry and its
+    * mtime only moves on entry add/remove — so stamp the sorted DATA
+    * FILE listing instead (r19 advisor, medium). Regular files keep the
+    * exact [[sourceStamp]] format, so existing staged artifacts are not
+    * spuriously invalidated.
+    */
+  def sourceStampDeep(src: File): String =
+    if (src.isDirectory)
+      sourceStamp(dataFiles(src).sortBy(_.getName).toSeq)
+    else sourceStamp(Seq(src))
+
+  /** The data files of a directory table: regular files, minus markers
+    * and hidden/metadata entries (`_SUCCESS`, `.crc`, stamps).
+    */
+  def dataFiles(dir: File): Array[File] =
+    Option(dir.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
   /** Restage one table of `sfDir` as a MULTI-FILE directory under a fake
     * scale dir (target/<area>/<sfName>/<table>.parquet as a DIRECTORY —
     * both the batch and streaming readers accept it): the streaming file
@@ -91,11 +143,13 @@ object Staging {
     val dst = new File(fake, s"$table.parquet")
     val src = new File(Tables.path(sfDir, table))
     val stampFile = new File(fake, s"_graft_source_$table")
-    val stamp = sourceStamp(Seq(src)) + s" files=$files"
+    // directory sources stamp their file LISTING, not the directory
+    // entry's (mtime, length) — see sourceStampDeep (r19 advisor)
+    val stamp = sourceStampDeep(src) + s" files=$files"
     withExclusiveLock(fake) {
       val fresh = stampFile.exists() && dst.exists() &&
         new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) == stamp
-      if (!fresh) {
+      if (!fresh) timedRebuild {
         spark.read.parquet(src.getAbsolutePath)
           .repartition(files)
           .write.mode("overwrite").parquet(dst.getAbsolutePath)

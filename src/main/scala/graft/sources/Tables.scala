@@ -40,6 +40,28 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Total DATA bytes of a staged table, whether it ships as one file or
+    * a directory (the production multi-file layout). A directory's own
+    * File.length is the ~4 KB directory entry — sizing decisions made
+    * from it silently collapse to their floors (r19 advisor, medium) —
+    * so directories sum their contained data files. 0 means the path
+    * does not resolve to any data: warn loudly, because every derived
+    * sizing (stream state partitions, staged file counts) would quietly
+    * fall back to its micro-scale floor on a typo'd table name.
+    */
+  def tableBytes(sfDir: String, name: String): Long = {
+    val f = new java.io.File(path(sfDir, name))
+    val bytes =
+      if (f.isFile) f.length
+      else Staging.dataFiles(f).map(_.length).sum
+    if (bytes == 0L)
+      System.err.println(
+        s"[tables] WARNING: ${path(sfDir, name)} resolves to 0 data bytes — " +
+          "size-derived tuning (state partitions, staged file counts) will " +
+          "use its micro-scale floor; check the table name/path")
+    bytes
+  }
+
   // Reader cache: building a reader re-reads parquet footers and re-lists
   // files at plan time, and the registry's ~50 queries each touch several
   // tables. DataFrames are immutable plans, so handing back the same one
@@ -118,11 +140,26 @@ object Tables {
     readerCache
       .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
       .getOrElseUpdate(s"$sfDir/lineitem-multi", {
-        val bytes = new java.io.File(path(sfDir, "lineitem")).length
+        val src = new java.io.File(path(sfDir, "lineitem"))
+        // directory sources size from the summed data files, not the
+        // ~4 KB directory entry (r19 advisor, medium — File.length on a
+        // directory pinned `files` at the 32 floor and re-wrote a large
+        // production table into 32 files, CAPPING decode parallelism)
+        val bytes = tableBytes(sfDir, "lineitem")
         val files = math.min(512L, math.max(32L, bytes / (32L << 20))).toInt
-        val staged = graft.sources.Staging.stageMultiFile(
-          spark, sfDir, "lineitem", files, "factstage")
-        spark.read.parquet(path(staged, "lineitem"))
+        // ALREADY multi-file (the production layout): when the source
+        // directory itself carries at least the floor's worth of data
+        // files, its decode already parallelizes — serve it directly,
+        // no restage (r19 advisor: the staged copy existed to split ONE
+        // single-row-group file, not to re-lay a lakehouse table)
+        if (src.isDirectory &&
+            graft.sources.Staging.dataFiles(src).length >= 32)
+          lineitem(spark, sfDir)
+        else {
+          val staged = graft.sources.Staging.stageMultiFile(
+            spark, sfDir, "lineitem", files, "factstage")
+          spark.read.parquet(path(staged, "lineitem"))
+        }
       })
 
   private def rebalanced(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
@@ -214,7 +251,7 @@ object Tables {
     val stampFile = new java.io.File(s"$jsonDir/_graft_source")
     val stamp = Staging.sourceStamp(Seq(source))
     if (!marker.exists() || !stampFile.exists() ||
-        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) Staging.timedRebuild {
       nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
         .coalesce(1)
         .write.mode("overwrite").json(jsonDir)
@@ -246,7 +283,7 @@ object Tables {
     val stampFile = new java.io.File(s"$orcDir/_graft_source")
     val stamp = Staging.sourceStamp(Seq(source))
     if (!marker.exists() || !stampFile.exists() ||
-        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) Staging.timedRebuild {
       supplier(spark, sfDir)
         .coalesce(1)
         .write.mode("overwrite").orc(orcDir)
@@ -291,7 +328,7 @@ object Tables {
     val stamp = Staging.sourceStamp(Seq(source)) + s":n=$nAssets:bin-v2"
     val manifestFile = new java.io.File(s"$binDir/graft_manifest.tsv")
     if (!marker.exists() || !stampFile.exists() || !manifestFile.exists() ||
-        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) Staging.timedRebuild {
       new java.io.File(binDir).mkdirs()
       // clear stale exports first — a shrunk nAssets must not leave
       // orphan .bin files for the glob to pick up
@@ -375,7 +412,7 @@ object Tables {
       s":n=$nSamples:drop=$Mm11ClsDropMod/$Mm11ClsDropRem," +
       s"$Mm11JsonDropMod/$Mm11JsonDropRem:wd-v3"
     if (!marker.exists() || !stampFile.exists() ||
-        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) Staging.timedRebuild {
       new java.io.File(wdDir).mkdirs()
       Option(new java.io.File(wdDir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.getName.startsWith("sample_") || f.getName == "_SUCCESS")
@@ -451,7 +488,7 @@ object Tables {
       new java.io.File(s"$wdDir/_graft_source").toPath))
     val stamp = srcStamp + ":tar-v1"
     if (!marker.exists() || !stampFile.exists() ||
-        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) Staging.timedRebuild {
       new java.io.File(tarDir).mkdirs()
       val files = Option(new java.io.File(wdDir).listFiles())
         .getOrElse(Array.empty)
@@ -494,7 +531,7 @@ object Tables {
     // mode=overwrite, so no stale-file sweep is needed here)
     val stamp = Staging.sourceStamp(Seq(source)) + s":n=$nDocs"
     if (!marker.exists() || !stampFile.exists() ||
-        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) Staging.timedRebuild {
       documents(spark, sfDir).filter(col("doc_id") < nDocs)
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
         .coalesce(1)
@@ -523,7 +560,7 @@ object Tables {
     val stampFile = new java.io.File(s"$csvDir/_graft_source")
     val stamp = Staging.sourceStamp(Seq(source)) + ":csv-v2"
     if (!marker.exists() || !stampFile.exists() ||
-        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) {
+        new String(java.nio.file.Files.readAllBytes(stampFile.toPath)) != stamp) Staging.timedRebuild {
       nation(spark, sfDir).select(col("n_nationkey"), col("n_name"))
         .coalesce(1)
         .write.mode("overwrite").option("header", "true")

@@ -219,11 +219,14 @@ object EventStreams {
   val GateTargetBytes: Long = 32L << 20
   val MaxStatePartitions: Int = 2048
 
-  private[graft] def sourceBytes(sfDir: String, table: String): Long = {
-    val f = new java.io.File(Tables.path(sfDir, table))
-    if (f.isFile) f.length
-    else Option(f.listFiles).map(_.filter(_.isFile).map(_.length).sum).getOrElse(0L)
-  }
+  /** Delegates to [[Tables.tableBytes]] — the one copy of the file/
+    * directory byte-summing logic, which also WARNS when the path
+    * resolves to 0 bytes (r19 advisor, low: a typo'd table name would
+    * otherwise silently serialize a large-scale stream at the
+    * micro-scale partition floor).
+    */
+  private[graft] def sourceBytes(sfDir: String, table: String): Long =
+    Tables.tableBytes(sfDir, table)
 
   private def adaptiveStatePartitions(sfDir: String, table: String,
       floor: Int, target: Long, pinned: Boolean): Int =
