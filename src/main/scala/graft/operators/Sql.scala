@@ -30,6 +30,7 @@ object Sql {
     * reference's Arrow `con.register`). Lazy — no jobs run — but each
     * registration re-reads parquet footers for the schema, so it is skipped
     * when this session already has views for this scale dir.
+    *
     */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
     if (registered.get(spark) != sfDir) {
@@ -184,9 +185,37 @@ object Sql {
 
   // ------------------------------------------------------------ registry
 
+  /** sql9 reads `lineitem` through the MULTI-FILE serving copy
+    * ([[Tables.lineitemMulti]] — content-identical, so results and
+    * oracle hashes are unchanged; the DuckDB oracle reads the raw
+    * file): the driver corpus ships lineitem as ONE single-row-group
+    * parquet (atomic read unit ⇒ serial decode), and sql9's GROUPING
+    * SETS full scan is decode-bound — r20 measured 1.145 → 0.214 s
+    * warm (bench/r20_baseline.json take 20260819T154904Z vs
+    * r20_sqlmulti.json take 20260819T155132Z), with the plan
+    * fingerprint landing exactly on q47's (3b4111bf1554), its
+    * DataFrame twin already on the staged layout (r19 verdict item 3).
+    * Scoped to sql9 ONLY: the join-bound texts measured WORSE on the
+    * 32-file layout (sql1 0.232 → 0.498/0.520 in two takes, vs a
+    * 0.223 → 0.277 unchanged-control drift in the same windows —
+    * bench/r20_sqlmulti{,2}.json; per-task broadcast-probe setup
+    * dominates 32 micro-splits at this scale, the same adjudication
+    * that kept q05/q09 raw in r19). The swap is ANALYSIS-TIME: `sql()`
+    * resolves the temp view eagerly, so the returned frame stays bound
+    * to the multi layout while the raw view is restored immediately —
+    * queries run strictly sequentially per session (the documented
+    * conf-flip invariant), so nothing plans inside the window.
+    */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     sparkSql.map { case (name, text) =>
-      name -> ((s: SparkSession, d: String) => { registerViews(s, d); s.sql(text) })
+      name -> ((s: SparkSession, d: String) => {
+        registerViews(s, d)
+        if (name == "sql9_grouping_sets") {
+          Tables.lineitemMulti(s, d).createOrReplaceTempView("lineitem")
+          try s.sql(text)
+          finally Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        } else s.sql(text)
+      })
     }
 
   /** DuckDB oracles: identical result contracts to the q05–q09 DataFrame
