@@ -6,6 +6,21 @@ import org.apache.spark.sql.SparkSession
   * Verify, Explore, Pipeline, tests) builds through here — a missed conf in
   * a hand-rolled builder is exactly how round 1 shipped a Verify that
   * lacked `nanosAsLong` and the extensions registration.
+  *
+  * SEQUENTIAL-PER-SESSION INVARIANT (r19 advisor): several operators flip
+  * session-global conf around a scoped region and restore it in `finally`
+  * — `spark.sql.shuffle.partitions` in the iterative graph loops
+  * (Dedup.dupClusters, Graphs.pageRank) and the streaming gate starts
+  * (EventStreams.runToParquet), `partitionOverwriteMode` in CleanStore's
+  * refresh — and Sql.queries swaps the `lineitem` temp view at
+  * analysis time for sql9. These are safe because queries run STRICTLY
+  * SEQUENTIALLY within a session (the Bench/Verify/test contract). A
+  * future concurrent client must NOT share one session with these
+  * operators: a query planned inside another query's flip window would
+  * inherit graph-scale partitioning or the swapped view. The concurrent
+  * posture is one cloned session per client (`spark.newSession()` shares
+  * the context but isolates conf + temp views), or replacing the flips
+  * with hint-based repartitioning where Spark grows the API for it.
   */
 object GraftSession {
   def build(cpus: String): SparkSession = {

@@ -1512,9 +1512,9 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd12_substring_dups" -> ((s: SparkSession, d: String) =>
-      substringDups(Tables.documentsRebalanced(s, d))),
+      substringDups(Tables.documentsRebalancedDense(s, d))),
     "dd17_scrub_dup_spans" -> ((s: SparkSession, d: String) =>
-      scrubDupSpans(Tables.documentsRebalanced(s, d))),
+      scrubDupSpans(Tables.documentsRebalancedDense(s, d))),
     "dd1_exact_dups" -> ((s: SparkSession, d: String) => exactGroups(Tables.documents(s, d))),
     "dd2_fingerprint_dups" -> ((s: SparkSession, d: String) => fingerprintGroups(Tables.documents(s, d))),
     "dd3_ngram_jaccard" -> ((s: SparkSession, d: String) => ngramJaccardPairs(Tables.documentsRebalanced(s, d))),

@@ -103,14 +103,29 @@ object Tables {
     * the parallelism buys, so those read the plain table.
     */
   def documentsRebalanced(spark: SparkSession, sfDir: String): DataFrame =
-    rebalanced(spark, documents(spark, sfDir), s"$sfDir/documents")
+    rebalanced(spark, documents(spark, sfDir), s"$sfDir/documents",
+      RebalanceTargetBytes)
+
+  /** The DENSE-CPU rebalance class (r20, the C1 per-class discipline):
+    * the rolling-span pipelines (dd12/dd17 — one md5 per token position
+    * per document) do several times the per-byte CPU of the shingle
+    * class, so they earn 4× the width (16 KiB of parquet per partition
+    * vs 64 KiB). Measured at sf0.1/32 cores (bench/r20_rebal32{,b}
+    * .json): at the shingle width (9) dd12 1.11→1.37 s and dd17
+    * 1.43→1.68 s regress while every shingle-class query wins — two
+    * classes, two curves, same data-derived scaling.
+    */
+  def documentsRebalancedDense(spark: SparkSession, sfDir: String): DataFrame =
+    rebalanced(spark, documents(spark, sfDir), s"$sfDir/documents",
+      RebalanceTargetBytes / 4)
 
   /** For CPU-heavy NARROW plans over embeddings (e.g. the dd6 all-pairs
     * broadcast-nested-loop, which has no shuffle anywhere to restore
     * parallelism after a single-file scan).
     */
   def embeddingsRebalanced(spark: SparkSession, sfDir: String): DataFrame =
-    rebalanced(spark, embeddings(spark, sfDir), s"$sfDir/embeddings")
+    rebalanced(spark, embeddings(spark, sfDir), s"$sfDir/embeddings",
+      RebalanceTargetBytes)
 
   // NOTE: no lineitemRebalanced — measured at sf0.1, q01's cost is the
   // serial decode of the single-row-group testdata file, and a rebalancing
@@ -162,12 +177,33 @@ object Tables {
         }
       })
 
-  private def rebalanced(spark: SparkSession, df: DataFrame, key: String): DataFrame = {
-    val target = spark.sparkContext.defaultParallelism
+  /** Rebalance width target: one partition per this many COMPRESSED
+    * source bytes (the shingle/vector pipelines do ~20–50× the parquet
+    * bytes in CPU, so 64 KiB of parquet is a healthily-sized task).
+    * Derived, not a core-count constant (guide §2): `repartition(32)` on
+    * the 580 KB sf0.1 documents table made 18 KB tasks whose
+    * allocation-heavy tokenize ran 5× per dd11 plan across concurrent
+    * broadcast futures — 24–43 s of summed task time at 32 cores for
+    * work 8 cores did in 5–7 s (r19 verdict item 2, the 32-core
+    * inversion; r20 Profile stage tables). Floor 8 = the micro-scale
+    * optimum every 8-core record measured; cap = the session's cores so
+    * fact-scale corpora still saturate the machine.
+    */
+  private val RebalanceTargetBytes: Long =
+    sys.env.get("SPARK_GRAFT_REBALANCE_TARGET_KB").map(_.toLong * 1024)
+      .getOrElse(64L * 1024)
+
+  private def rebalanced(spark: SparkSession, df: DataFrame, key: String,
+      targetBytes: Long): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
     // the physical-partition probe (df.rdd) costs ~100s of ms — cache it
     // once per table per JVM, not per query
     val parts = scanParts.getOrElseUpdate(key, df.rdd.getNumPartitions)
-    if (parts < target) df.repartition(target) else df
+    val slash = key.lastIndexOf('/')
+    val bytes = tableBytes(key.substring(0, slash), key.substring(slash + 1))
+    val width = math.min(cores.toLong,
+      math.max(8L, bytes / targetBytes)).toInt
+    if (parts < width) df.repartition(width) else df
   }
 
   private val scanParts = scala.collection.concurrent.TrieMap.empty[String, Int]
